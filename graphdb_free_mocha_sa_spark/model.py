@@ -1,0 +1,118 @@
+"""RDF term / quad data model on Spark columns.
+
+Mirrors the reference's data model — statements (s,p,o) in named graphs, i.e.
+quads (reference: GraphDBSystemAdapter.java:279-286 loads files into context
+IRIs; :318 names graphs "http://graph.version.N") — as one columnar DataFrame:
+
+    quads(g STRING, s STRING, p STRING,
+          o_lex STRING, o_dt STRING, o_lang STRING,
+          o_num DOUBLE, o_ts TIMESTAMP)
+
+Conventions
+-----------
+* ``s``/``p``/``g`` hold IRIs as plain strings; blank nodes use the ``_:``
+  prefix (scoped by the loader).
+* Object terms: an IRI/bnode object has ``o_dt IS NULL``; a literal always has
+  ``o_dt`` set (plain strings get ``xsd:string``). ``o_lang`` is set only for
+  language-tagged strings (whose ``o_dt`` is rdf:langString).
+* ``o_num``/``o_ts`` are pre-parsed *shadow* columns for numeric / temporal
+  literals, mirroring the reference's literal value index
+  (repo-config.ttl:40-41 ``owlim:enable-literal-index``) so range predicates
+  push down to Parquet min/max stats.
+
+Inside the SPARQL translator every variable ``?v`` is carried as flat columns
+``v`` (canonical term key — the join/distinct/group key), ``v__lex``,
+``v__dt``, ``v__lang``, ``v__num``, ``v__ts``. Flat columns (not a struct) so
+Catalyst column pruning drops the shadow columns whenever only the key
+survives a join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, StringType, StructField, StructType,
+                               TimestampType)
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+OWL = "http://www.w3.org/2002/07/owl#"
+
+XSD_STRING = XSD + "string"
+XSD_INTEGER = XSD + "integer"
+XSD_LONG = XSD + "long"
+XSD_INT = XSD + "int"
+XSD_DECIMAL = XSD + "decimal"
+XSD_DOUBLE = XSD + "double"
+XSD_FLOAT = XSD + "float"
+XSD_BOOLEAN = XSD + "boolean"
+XSD_DATETIME = XSD + "dateTime"
+XSD_DATE = XSD + "date"
+RDF_LANGSTRING = RDF + "langString"
+RDF_TYPE = RDF + "type"
+
+NUMERIC_DTS = (XSD_INTEGER, XSD_LONG, XSD_INT, XSD_DECIMAL, XSD_DOUBLE, XSD_FLOAT)
+
+#: graph-name scheme used by the reference for versioned bulk loads
+#: (GraphDBSystemAdapter.java:318: "http://graph.version." + loadingNumber)
+GRAPH_VERSION_PREFIX = "http://graph.version."
+
+QUAD_SCHEMA = StructType([
+    StructField("g", StringType()),
+    StructField("s", StringType()),
+    StructField("p", StringType()),
+    StructField("o_lex", StringType()),
+    StructField("o_dt", StringType()),
+    StructField("o_lang", StringType()),
+    StructField("o_num", DoubleType()),
+    StructField("o_ts", TimestampType()),
+])
+
+QUAD_COLS = [f.name for f in QUAD_SCHEMA.fields]
+
+# Suffixes of the flat per-variable column family used by the translator.
+VAR_SUFFIXES = ("", "__lex", "__dt", "__lang", "__num", "__ts")
+
+
+def var_cols(name: str) -> list[str]:
+    """All physical columns carrying SPARQL variable ``?name``."""
+    return [name + suf for suf in VAR_SUFFIXES]
+
+
+def canonical_object_key():
+    """Canonical term-key expression for the object of a quad row.
+
+    IRI/bnode → the string itself; literal → ``"lex"^^<dt>`` or ``"lex"@lang``.
+    Canonical keys are what joins / DISTINCT / GROUP BY operate on, giving RDF
+    term equality (lex+dt+lang) with a single-column comparison.
+    """
+    lit_key = F.concat(
+        F.lit('"'), F.col("o_lex"), F.lit('"'),
+        F.when(F.col("o_lang").isNotNull(), F.concat(F.lit("@"), F.col("o_lang")))
+         .otherwise(F.concat(F.lit("^^"), F.col("o_dt"))),
+    )
+    return F.when(F.col("o_dt").isNull(), F.col("o_lex")).otherwise(lit_key)
+
+
+def canonical_key_from_parts(lex, dt, lang):
+    """Same as :func:`canonical_object_key` but from arbitrary part columns."""
+    lit_key = F.concat(
+        F.lit('"'), lex, F.lit('"'),
+        F.when(lang.isNotNull(), F.concat(F.lit("@"), lang))
+         .otherwise(F.concat(F.lit("^^"), dt)),
+    )
+    return F.when(dt.isNull(), lex).otherwise(lit_key)
+
+
+def term_kind_rank(key_col, lex_col):
+    """SPARQL ORDER BY term-kind rank: unbound(0) < bnode(1) < IRI(2) < literal(3).
+
+    Derived from the canonical key: literals start with ``\"``, bnodes with
+    ``_:``, anything else bound is an IRI.
+    """
+    return (
+        F.when(key_col.isNull(), F.lit(0))
+         .when(key_col.startswith('"'), F.lit(3))
+         .when(key_col.startswith("_:"), F.lit(1))
+         .otherwise(F.lit(2))
+    )

@@ -1,0 +1,230 @@
+"""OWL-Horst(-optimized) subset forward-chaining materialization (SURVEY B40/B41).
+
+The reference engine materializes inference on write with ruleset
+``owl-horst-optimized`` (repo-config.ttl:26) and sameAs expansion
+(repo-config.ttl:45). Spark-first re-expression:
+
+* **TBox (schema) closure on the driver** — rdfs:subClassOf / subPropertyOf /
+  domain / range / TransitiveProperty / SymmetricProperty / inverseOf triples
+  are tiny even at 100 TB ABox scale, so we collect them, close them in
+  Python, and broadcast-join the result against the instance data. This keeps
+  every ABox-sized operation a distributed broadcast join (no shuffles of the
+  big side beyond the final dedup).
+* **ABox rules as a semi-naive DataFrame fixpoint** — each iteration applies
+  every rule to the *delta* only, unions, dedups, subtracts the known set,
+  and checkpoints to truncate lineage (Pregel pattern, SURVEY §1.4).
+* **owl:sameAs as connected components** — iterative min-id label propagation
+  producing a canonical-id dictionary (B41).
+
+Implemented rule subset (declared scope in SURVEY §2.2.5): rdfs2 (domain),
+rdfs3 (range), rdfs5/7 (subPropertyOf), rdfs9/11 (subClassOf), rdfp3
+(SymmetricProperty), rdfp4 (TransitiveProperty), rdfp8 (inverseOf).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphdb_free_mocha_sa_spark.model import OWL, QUAD_COLS, RDF_TYPE, RDFS
+
+SUBCLASS = RDFS + "subClassOf"
+SUBPROP = RDFS + "subPropertyOf"
+DOMAIN = RDFS + "domain"
+RANGE = RDFS + "range"
+TRANSITIVE = OWL + "TransitiveProperty"
+SYMMETRIC = OWL + "SymmetricProperty"
+INVERSE = OWL + "inverseOf"
+SAMEAS = OWL + "sameAs"
+
+MAX_ITERS = 50
+INFERRED_GRAPH = "http://graph.inferred"
+
+
+def _closure(pairs: set[tuple[str, str]]) -> set[tuple[str, str]]:
+    """Reflexive-free transitive closure of a small driver-side relation."""
+    out = set(pairs)
+    changed = True
+    while changed:
+        changed = False
+        for (a, b) in list(out):
+            for (c, d) in list(out):
+                if b == c and (a, d) not in out:
+                    out.add((a, d))
+                    changed = True
+    return out
+
+
+def _iri_quad(g, s, p, o):
+    return (g, s, p, o, None, None, None, None)
+
+
+class Schema:
+    """Driver-side TBox extracted from the quads table."""
+
+    def __init__(self, quads: DataFrame):
+        tbox = (quads.filter(F.col("p").isin(SUBCLASS, SUBPROP, DOMAIN, RANGE,
+                                             INVERSE, RDF_TYPE))
+                .filter(F.col("o_dt").isNull())
+                .select("p", "s", "o_lex").collect())
+        sc, sp, dom, rng, inv, trans, sym = set(), set(), set(), set(), set(), set(), set()
+        for row in tbox:
+            p, s, o = row["p"], row["s"], row["o_lex"]
+            if p == SUBCLASS and s != o:
+                sc.add((s, o))
+            elif p == SUBPROP and s != o:
+                sp.add((s, o))
+            elif p == DOMAIN:
+                dom.add((s, o))
+            elif p == RANGE:
+                rng.add((s, o))
+            elif p == INVERSE:
+                inv.add((s, o))
+                inv.add((o, s))
+            elif p == RDF_TYPE and o == TRANSITIVE:
+                trans.add(s)
+            elif p == RDF_TYPE and o == SYMMETRIC:
+                sym.add(s)
+        self.subclass = _closure(sc)
+        self.subprop = _closure(sp)
+        self.domain = dom
+        self.range = rng
+        self.inverse = inv
+        self.transitive = trans
+        self.symmetric = sym
+
+
+def owl_horst_closure(spark: SparkSession, quads: DataFrame,
+                      graph: str = INFERRED_GRAPH) -> DataFrame:
+    """Materialize the OWL-Horst-subset closure; returns ONLY inferred quads.
+
+    Queries then read ``quads ∪ inferred`` (SURVEY §1.4 'quads_inferred').
+    """
+    schema = Schema(quads)
+    g = F.lit(graph)
+
+    def df_of(pairs: set[tuple[str, str]], a: str, b: str) -> DataFrame:
+        if not pairs:
+            return spark.createDataFrame([], f"{a} string, {b} string")
+        return spark.createDataFrame(sorted(pairs), f"{a} string, {b} string")
+
+    sc_df = df_of(schema.subclass, "c1", "c2")
+    sp_df = df_of(schema.subprop, "p1", "p2")
+    dom_df = df_of(schema.domain, "dp", "dc")
+    rng_df = df_of(schema.range, "rp", "rc")
+    inv_df = df_of(schema.inverse, "ip1", "ip2")
+
+    def null_cols():
+        return [F.lit(None).cast("string").alias("o_dt"),
+                F.lit(None).cast("string").alias("o_lang"),
+                F.lit(None).cast("double").alias("o_num"),
+                F.lit(None).cast("timestamp").alias("o_ts")]
+
+    def apply_rules(delta: DataFrame) -> DataFrame:
+        pieces: list[DataFrame] = []
+        iri_delta = delta.filter(F.col("o_dt").isNull())
+        types = delta.filter(F.col("p") == RDF_TYPE)
+
+        # rdfs9: type(x,c1) & sc(c1,c2) => type(x,c2)
+        pieces.append(types.join(F.broadcast(sc_df), types["o_lex"] == sc_df["c1"])
+                      .select(g.alias("g"), F.col("s"), F.lit(RDF_TYPE).alias("p"),
+                              F.col("c2").alias("o_lex"), *null_cols()))
+        # rdfs7: rel(s,p1,o) & sp(p1,p2) => rel(s,p2,o)  (keeps literal shadows)
+        stepped = delta.join(F.broadcast(sp_df), delta["p"] == sp_df["p1"])
+        pieces.append(stepped.select(g.alias("g"), F.col("s"),
+                                     F.col("p2").alias("p"), F.col("o_lex"),
+                                     F.col("o_dt"), F.col("o_lang"),
+                                     F.col("o_num"), F.col("o_ts")))
+        # rdfs2: rel(s,p,o) & dom(p,c) => type(s,c)
+        pieces.append(delta.join(F.broadcast(dom_df), delta["p"] == dom_df["dp"])
+                      .select(g.alias("g"), F.col("s"), F.lit(RDF_TYPE).alias("p"),
+                              F.col("dc").alias("o_lex"), *null_cols()))
+        # rdfs3: rel(s,p,o) & rng(p,c) & o is IRI => type(o,c)
+        pieces.append(iri_delta.join(F.broadcast(rng_df), iri_delta["p"] == rng_df["rp"])
+                      .select(g.alias("g"), F.col("o_lex").alias("s"),
+                              F.lit(RDF_TYPE).alias("p"),
+                              F.col("rc").alias("o_lex"), *null_cols()))
+        # rdfp8: rel(s,p1,o) & inv(p1,p2) => rel(o,p2,s) (IRI objects only)
+        pieces.append(iri_delta.join(F.broadcast(inv_df), iri_delta["p"] == inv_df["ip1"])
+                      .select(g.alias("g"), F.col("o_lex").alias("s"),
+                              F.col("ip2").alias("p"), F.col("s").alias("o_lex"),
+                              *null_cols()))
+        # rdfp3: symmetric
+        if schema.symmetric:
+            sym = iri_delta.filter(F.col("p").isin(*schema.symmetric))
+            pieces.append(sym.select(g.alias("g"), F.col("o_lex").alias("s"),
+                                     F.col("p"), F.col("s").alias("o_lex"),
+                                     *null_cols()))
+        out = pieces[0]
+        for piece in pieces[1:]:
+            out = out.unionByName(piece)
+        return out.select(*QUAD_COLS)
+
+    # transitive properties: closure per property via the path engine
+    trans_pieces: list[DataFrame] = []
+    if schema.transitive:
+        from graphdb_free_mocha_sa_spark.operators.paths import transitive_closure, _link
+        for p in sorted(schema.transitive):
+            closed = transitive_closure(_link(quads, p))
+            trans_pieces.append(closed.select(
+                g.alias("g"), F.col("s"), F.lit(p).alias("p"),
+                F.col("o__lex").alias("o_lex"), F.col("o__dt").alias("o_dt"),
+                F.col("o__lang").alias("o_lang"), F.col("o__num").alias("o_num"),
+                F.col("o__ts").alias("o_ts")))
+
+    known = quads.select(*QUAD_COLS)
+    inferred = None
+    delta = known
+    for i in range(MAX_ITERS):
+        new = apply_rules(delta)
+        if trans_pieces and i == 0:
+            for tp in trans_pieces:
+                new = new.unionByName(tp)
+        new = (new.dropDuplicates(["s", "p", "o_lex", "o_dt", "o_lang"])
+               .join(known.select("s", "p", "o_lex").withColumnRenamed("s", "__ks")
+                     .withColumnRenamed("p", "__kp").withColumnRenamed("o_lex", "__ko"),
+                     (F.col("s") == F.col("__ks")) & (F.col("p") == F.col("__kp"))
+                     & (F.col("o_lex") == F.col("__ko")), "left_anti")
+               .localCheckpoint())
+        if new.isEmpty():
+            break
+        inferred = new if inferred is None else inferred.unionByName(new)
+        known = known.unionByName(new).localCheckpoint()
+        delta = new
+    else:
+        raise RuntimeError(f"inference did not converge in {MAX_ITERS} iterations")
+
+    if inferred is None:
+        return spark.createDataFrame([], quads.schema).select(*QUAD_COLS)
+    return inferred.dropDuplicates(["s", "p", "o_lex", "o_dt", "o_lang"])
+
+
+def sameas_components(spark: SparkSession, quads: DataFrame) -> DataFrame:
+    """owl:sameAs equivalence classes via iterative min-label propagation.
+
+    Returns ``(term STRING, canon STRING)`` — the canonical-id dictionary
+    (B41); expand-on-read joins against it. Classic Pregel connected
+    components: each node adopts the min canonical id among itself and its
+    neighbours until fixpoint.
+    """
+    edges = (quads.filter((F.col("p") == SAMEAS) & F.col("o_dt").isNull())
+             .select(F.col("s").alias("a"), F.col("o_lex").alias("b")))
+    edges = edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
+                 .dropDuplicates().localCheckpoint()
+    labels = (edges.select(F.col("a").alias("term"))
+              .dropDuplicates()
+              .withColumn("canon", F.col("term")))
+    for i in range(MAX_ITERS):
+        neigh = (edges.join(labels, edges["b"] == labels["term"])
+                 .groupBy(F.col("a").alias("term"))
+                 .agg(F.min("canon").alias("ncanon")))
+        merged = (labels.join(neigh, "term", "left_outer")
+                  .select("term", F.least(F.col("canon"), F.coalesce(F.col("ncanon"), F.col("canon")))
+                          .alias("canon")))
+        merged = merged.localCheckpoint()
+        changed = (merged.alias("m").join(labels.alias("l"), "term")
+                   .filter(F.col("m.canon") != F.col("l.canon")))
+        if changed.isEmpty():
+            return merged
+        labels = merged
+    raise RuntimeError("sameAs components did not converge")

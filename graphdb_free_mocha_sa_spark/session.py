@@ -1,0 +1,42 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on local[N]; the config choices below are the ones that
+matter on a real cluster too: AQE (runtime re-planning, skew-join splitting,
+partition coalescing), Arrow for any pandas exchange, and a shuffle-partition
+count sized for the local fixture scale (override via env/builder for bigger
+deployments).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark(app_name: str = "graphdb_free_mocha_sa_spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime join-strategy switches, skew-join splitting, partition coalescing.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        # Arrow for pandas_udf / applyInPandas exchange (vectorized, not per-row pickle).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Timestamps in fixtures are naive; keep session TZ stable for determinism.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

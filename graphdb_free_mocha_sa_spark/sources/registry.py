@@ -1,0 +1,45 @@
+"""Fixture table loaders.
+
+``load_tables`` reads the driver-generated parquet star schema;
+``load_quads`` derives the deterministic RDF-quad encoding (FIXTURES.md §2).
+The quads DataFrame is cached per (session, sf_dir) because every SPARQL
+pattern scan re-reads it; on a real deployment this would instead be a
+parquet/Delta table partitioned by ``g`` and bucketed by ``s``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from graphdb_free_mocha_sa_spark.encode import encode_star_schema
+
+ALL_TABLES = ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]
+
+_quads_cache: dict[tuple[int, str], DataFrame] = {}
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: list[str] | None = None) -> dict[str, DataFrame]:
+    out = {}
+    for name in (names or ALL_TABLES):
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
+
+
+def load_quads(spark: SparkSession, sf_dir: str, cache: bool = True) -> DataFrame:
+    key = (id(spark), os.path.abspath(sf_dir))
+    if cache and key in _quads_cache:
+        return _quads_cache[key]
+    tables = load_tables(spark, sf_dir,
+                         ["region", "nation", "customer", "supplier",
+                          "part", "orders", "lineitem"])
+    quads = encode_star_schema(tables)
+    if cache:
+        quads = quads.cache()
+        _quads_cache[key] = quads
+    return quads

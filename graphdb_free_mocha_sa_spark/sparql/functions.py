@@ -1,0 +1,393 @@
+"""SPARQL expression semantics compiled to native Spark Column expressions.
+
+Implements SPARQL 1.1 §17 (operator mappings + builtin function library) as
+*composable Column builders* — never row-at-a-time Python UDFs — so every
+expression stays inside Catalyst/whole-stage-codegen (SURVEY §4 "what needs
+custom work" item 3). Three-valued error semantics map to SQL NULL (SPARQL
+"error" ⇒ NULL ⇒ FILTER drops the row), which coincides with Kleene logic for
+&&/|| exactly as SQL defines them.
+
+Every expression evaluates to a :class:`TCol` — the same flat term-column
+family used for variables (key/lex/dt/lang/num/ts) so computed terms can be
+joined, grouped, ordered and projected uniformly.
+
+Deviations (documented): xsd:decimal arithmetic is carried as DOUBLE
+(Spark-native); GROUP_CONCAT sorts its inputs for determinism (SURVEY B24).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from graphdb_free_mocha_sa_spark.model import (NUMERIC_DTS, RDF_LANGSTRING,
+                                               XSD, XSD_BOOLEAN, XSD_DATETIME,
+                                               XSD_DOUBLE, XSD_INTEGER,
+                                               XSD_STRING,
+                                               canonical_key_from_parts,
+                                               term_kind_rank)
+from graphdb_free_mocha_sa_spark.sparql import algebra as A
+
+# lazy: Column construction needs an active SparkSession, so no module-level lits
+def _NS():
+    return F.lit(None).cast("string")
+
+
+def _ND():
+    return F.lit(None).cast("double")
+
+
+def _NT():
+    return F.lit(None).cast("timestamp")
+
+
+def _NB():
+    return F.lit(None).cast("boolean")
+
+
+class TCol:
+    """A SPARQL term as a family of Spark Column expressions."""
+
+    __slots__ = ("lex", "dt", "lang", "num", "ts", "_key", "_bool")
+
+    def __init__(self, lex=None, dt=None, lang=None, num=None, ts=None,
+                 key=None, boolean=None):
+        self.lex = lex if lex is not None else _NS()
+        self.dt = dt if dt is not None else _NS()
+        self.lang = lang if lang is not None else _NS()
+        self.num = num if num is not None else _ND()
+        self.ts = ts if ts is not None else _NT()
+        self._key = key
+        self._bool = boolean
+
+    # -- constructors -------------------------------------------------
+
+    @classmethod
+    def from_var(cls, name: str) -> "TCol":
+        return cls(lex=F.col(name + "__lex"), dt=F.col(name + "__dt"),
+                   lang=F.col(name + "__lang"), num=F.col(name + "__num"),
+                   ts=F.col(name + "__ts"), key=F.col(name))
+
+    @classmethod
+    def from_term(cls, term) -> "TCol":
+        if isinstance(term, A.IRI):
+            return cls(lex=F.lit(term.value), key=F.lit(term.value))
+        if isinstance(term, A.BNode):
+            v = "_:" + term.label
+            return cls(lex=F.lit(v), key=F.lit(v))
+        if isinstance(term, A.Literal):
+            num = ts = None
+            if term.dt in NUMERIC_DTS:
+                try:
+                    num = F.lit(float(term.lex))
+                except ValueError:
+                    num = None
+            if term.dt == XSD_DATETIME:
+                ts = F.to_timestamp(F.lit(term.lex.replace("T", " ")))
+            if term.dt == XSD_BOOLEAN:
+                return cls.from_bool(F.lit(term.lex == "true"))
+            return cls(lex=F.lit(term.lex), dt=F.lit(term.dt or XSD_STRING),
+                       lang=F.lit(term.lang) if term.lang else None,
+                       num=num, ts=ts)
+        raise TypeError(f"not a constant term: {term!r}")
+
+    @classmethod
+    def from_bool(cls, col: Column) -> "TCol":
+        lex = F.when(col, F.lit("true")).when(~col, F.lit("false"))
+        return cls(lex=lex, dt=F.when(col.isNotNull(), F.lit(XSD_BOOLEAN)),
+                   num=F.when(col, F.lit(1.0)).when(~col, F.lit(0.0)),
+                   boolean=col)
+
+    @classmethod
+    def from_num(cls, col: Column, dt: str = XSD_DOUBLE) -> "TCol":
+        col = col.cast("double")
+        lex = (F.when(F.lit(dt) == XSD_INTEGER, col.cast("long").cast("string"))
+                .otherwise(col.cast("string")))
+        return cls(lex=F.when(col.isNotNull(), lex),
+                   dt=F.when(col.isNotNull(), F.lit(dt)), num=col)
+
+    @classmethod
+    def from_str(cls, col: Column) -> "TCol":
+        return cls(lex=col, dt=F.when(col.isNotNull(), F.lit(XSD_STRING)))
+
+    @classmethod
+    def from_ts(cls, col: Column) -> "TCol":
+        lex = F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss")
+        return cls(lex=lex, dt=F.when(col.isNotNull(), F.lit(XSD_DATETIME)), ts=col)
+
+    @classmethod
+    def iri(cls, col: Column) -> "TCol":
+        return cls(lex=col, key=col)
+
+    # -- accessors ----------------------------------------------------
+
+    @property
+    def key(self) -> Column:
+        if self._key is not None:
+            return self._key
+        return canonical_key_from_parts(self.lex, self.dt, self.lang)
+
+    def is_literal(self) -> Column:
+        return self.dt.isNotNull()
+
+    def is_iri(self) -> Column:
+        return self.dt.isNull() & self.lex.isNotNull() & ~self.lex.startswith("_:")
+
+    def is_bnode(self) -> Column:
+        return self.dt.isNull() & self.lex.isNotNull() & self.lex.startswith("_:")
+
+    def ebv(self) -> Column:
+        """Effective boolean value; NULL = SPARQL type error."""
+        if self._bool is not None:
+            return self._bool
+        return (
+            F.when(self.dt == XSD_BOOLEAN, self.lex == "true")
+             .when(self.num.isNotNull(), self.num != 0.0)
+             .when(self.dt.isin(XSD_STRING, RDF_LANGSTRING), F.length(self.lex) > 0)
+             .otherwise(_NB())
+        )
+
+    def order_keys(self, ascending: bool = True) -> list[Column]:
+        """SPARQL total-order sort keys: term kind, then value within kind."""
+        kind = term_kind_rank(self.key, self.lex)
+        cols = [kind, self.num, self.ts, self.lex, self.key]
+        if ascending:
+            return [c.asc_nulls_first() for c in cols]
+        return [c.desc_nulls_last() for c in cols]
+
+
+# ---------------------------------------------------------------- operators
+
+
+def _num2(l: TCol, r: TCol, f) -> TCol:
+    res = f(l.num, r.num)
+    dt = F.when((l.dt == XSD_INTEGER) & (r.dt == XSD_INTEGER), F.lit(XSD_INTEGER)) \
+          .otherwise(F.lit(XSD_DOUBLE))
+    col = res.cast("double")
+    lex = F.when(dt == XSD_INTEGER, col.cast("long").cast("string")).otherwise(col.cast("string"))
+    return TCol(lex=F.when(col.isNotNull(), lex),
+                dt=F.when(col.isNotNull(), dt), num=col)
+
+
+def _cmp(l: TCol, r: TCol, op: str) -> Column:
+    import operator
+    ops = {"=": operator.eq, "!=": operator.ne, "<": operator.lt,
+           "<=": operator.le, ">": operator.gt, ">=": operator.ge}
+    f = ops[op]
+    both_num = l.num.isNotNull() & r.num.isNotNull()
+    both_ts = l.ts.isNotNull() & r.ts.isNotNull()
+    both_str = l.dt.isin(XSD_STRING, RDF_LANGSTRING) & r.dt.isin(XSD_STRING, RDF_LANGSTRING)
+    both_bool = (l.dt == XSD_BOOLEAN) & (r.dt == XSD_BOOLEAN)
+    if op in ("=", "!="):
+        # IRIs/bnodes compare by identity too
+        return (F.when(both_num, f(l.num, r.num))
+                 .when(both_ts, f(l.ts, r.ts))
+                 .otherwise(f(l.key, r.key)))
+    return (F.when(both_num, f(l.num, r.num))
+             .when(both_ts, f(l.ts, r.ts))
+             .when(both_str, f(l.lex, r.lex))
+             .when(both_bool, f(l.num, r.num))
+             .otherwise(_NB()))
+
+
+def binary(op: str, l: TCol, r: TCol) -> TCol:
+    if op == "||":
+        return TCol.from_bool(l.ebv() | r.ebv())
+    if op == "&&":
+        return TCol.from_bool(l.ebv() & r.ebv())
+    if op in ("=", "!=", "<", "<=", ">", ">="):
+        return TCol.from_bool(_cmp(l, r, op))
+    if op == "+":
+        return _num2(l, r, lambda a, b: a + b)
+    if op == "-":
+        return _num2(l, r, lambda a, b: a - b)
+    if op == "*":
+        return _num2(l, r, lambda a, b: a * b)
+    if op == "/":
+        res = _num2(l, r, lambda a, b: a / b)
+        res.dt = F.when(res.num.isNotNull(), F.lit(XSD_DOUBLE))
+        return res
+    raise ValueError(f"unknown binary op {op}")
+
+
+def unary(op: str, x: TCol) -> TCol:
+    if op == "!":
+        return TCol.from_bool(~x.ebv())
+    if op == "-":
+        return TCol.from_num(-x.num)
+    return x
+
+
+# ---------------------------------------------------------------- builtins
+
+
+def _iri_localname_encode(c: Column) -> Column:
+    # ENCODE_FOR_URI: percent-encode (url_encode does form-encoding: '+' for space)
+    return F.regexp_replace(F.url_encode(c), r"\+", "%20")
+
+
+def builtin(name: str, args: list[TCol]) -> TCol:
+    n = name.upper()
+    a = args
+
+    if n == "STR":
+        return TCol.from_str(a[0].lex)
+    if n == "LANG":
+        return TCol.from_str(F.coalesce(a[0].lang, F.when(a[0].is_literal(), F.lit(""))))
+    if n == "DATATYPE":
+        return TCol.iri(a[0].dt)
+    if n in ("IRI", "URI"):
+        return TCol.iri(a[0].lex)
+    if n == "BNODE":
+        return TCol(lex=F.concat(F.lit("_:b"), F.expr("uuid()")),
+                    key=F.concat(F.lit("_:b"), F.expr("uuid()")))
+    if n == "BOUND":
+        return TCol.from_bool(a[0].key.isNotNull())
+    if n == "RAND":
+        return TCol.from_num(F.rand())
+    if n == "ABS":
+        return TCol.from_num(F.abs(a[0].num))
+    if n == "CEIL":
+        return TCol.from_num(F.ceil(a[0].num).cast("double"), XSD_INTEGER)
+    if n == "FLOOR":
+        return TCol.from_num(F.floor(a[0].num).cast("double"), XSD_INTEGER)
+    if n == "ROUND":
+        return TCol.from_num(F.round(a[0].num, 0))
+    if n == "CONCAT":
+        return TCol.from_str(F.concat(*[x.lex for x in a]))
+    if n == "STRLEN":
+        return TCol.from_num(F.length(a[0].lex).cast("double"), XSD_INTEGER)
+    if n == "UCASE":
+        return TCol.from_str(F.upper(a[0].lex))
+    if n == "LCASE":
+        return TCol.from_str(F.lower(a[0].lex))
+    if n == "ENCODE_FOR_URI":
+        return TCol.from_str(_iri_localname_encode(a[0].lex))
+    if n == "CONTAINS":
+        return TCol.from_bool(a[0].lex.contains(a[1].lex))
+    if n == "STRSTARTS":
+        return TCol.from_bool(a[0].lex.startswith(a[1].lex))
+    if n == "STRENDS":
+        return TCol.from_bool(a[0].lex.endswith(a[1].lex))
+    if n == "STRBEFORE":
+        pos = F.position(a[1].lex, a[0].lex)
+        return TCol.from_str(F.when(pos > 0, F.substring(a[0].lex, F.lit(1), pos - 1))
+                              .otherwise(F.lit("")))
+    if n == "STRAFTER":
+        pos = F.position(a[1].lex, a[0].lex)
+        return TCol.from_str(
+            F.when(pos > 0,
+                   a[0].lex.substr(pos + F.length(a[1].lex), F.length(a[0].lex)))
+             .otherwise(F.lit("")))
+    if n == "SUBSTR":
+        start = a[1].num.cast("int")
+        if len(a) > 2:
+            return TCol.from_str(a[0].lex.substr(start, a[2].num.cast("int")))
+        return TCol.from_str(a[0].lex.substr(start, F.length(a[0].lex)))
+    if n == "REPLACE":
+        return TCol.from_str(F.regexp_replace(a[0].lex, a[1].lex, a[2].lex))
+    if n == "REGEX":
+        pat = a[1].lex
+        if len(a) > 2:
+            pat = F.concat(F.lit("(?"), a[2].lex, F.lit(")"), pat)
+        return TCol.from_bool(F.regexp_like(a[0].lex, pat))
+    if n == "LANGMATCHES":
+        tag, rng = F.lower(a[0].lex), F.lower(a[1].lex)
+        return TCol.from_bool(
+            F.when(rng == "*", F.length(tag) > 0)
+             .otherwise((tag == rng) | tag.startswith(F.concat(rng, F.lit("-")))))
+    if n == "YEAR":
+        return TCol.from_num(F.year(a[0].ts).cast("double"), XSD_INTEGER)
+    if n == "MONTH":
+        return TCol.from_num(F.month(a[0].ts).cast("double"), XSD_INTEGER)
+    if n == "DAY":
+        return TCol.from_num(F.dayofmonth(a[0].ts).cast("double"), XSD_INTEGER)
+    if n == "HOURS":
+        return TCol.from_num(F.hour(a[0].ts).cast("double"), XSD_INTEGER)
+    if n == "MINUTES":
+        return TCol.from_num(F.minute(a[0].ts).cast("double"), XSD_INTEGER)
+    if n == "SECONDS":
+        return TCol.from_num(F.second(a[0].ts).cast("double"), XSD_INTEGER)
+    if n in ("TIMEZONE", "TZ"):
+        # fixture literals are timezone-less: SPARQL TZ() returns ""
+        return TCol.from_str(F.when(a[0].ts.isNotNull(), F.lit("")))
+    if n == "NOW":
+        return TCol.from_ts(F.current_timestamp())
+    if n == "UUID":
+        return TCol.iri(F.concat(F.lit("urn:uuid:"), F.expr("uuid()")))
+    if n == "STRUUID":
+        return TCol.from_str(F.expr("uuid()"))
+    if n == "MD5":
+        return TCol.from_str(F.md5(a[0].lex))
+    if n == "SHA1":
+        return TCol.from_str(F.sha1(a[0].lex))
+    if n == "SHA256":
+        return TCol.from_str(F.sha2(a[0].lex, 256))
+    if n == "SHA384":
+        return TCol.from_str(F.sha2(a[0].lex, 384))
+    if n == "SHA512":
+        return TCol.from_str(F.sha2(a[0].lex, 512))
+    if n == "COALESCE":
+        out = a[0]
+        for nxt in a[1:]:
+            cond = out.key.isNotNull()
+            out = TCol(lex=F.when(cond, out.lex).otherwise(nxt.lex),
+                       dt=F.when(cond, out.dt).otherwise(nxt.dt),
+                       lang=F.when(cond, out.lang).otherwise(nxt.lang),
+                       num=F.when(cond, out.num).otherwise(nxt.num),
+                       ts=F.when(cond, out.ts).otherwise(nxt.ts))
+        return out
+    if n == "IF":
+        c = a[0].ebv()
+        t, e = a[1], a[2]
+        return TCol(lex=F.when(c, t.lex).otherwise(e.lex),
+                    dt=F.when(c, t.dt).otherwise(e.dt),
+                    lang=F.when(c, t.lang).otherwise(e.lang),
+                    num=F.when(c, t.num).otherwise(e.num),
+                    ts=F.when(c, t.ts).otherwise(e.ts))
+    if n == "STRLANG":
+        return TCol(lex=a[0].lex, dt=F.lit(RDF_LANGSTRING), lang=F.lower(a[1].lex))
+    if n == "STRDT":
+        dt = a[1].lex
+        return TCol(lex=a[0].lex, dt=dt,
+                    num=F.when(dt.isin(*NUMERIC_DTS), a[0].lex.cast("double")),
+                    ts=F.when(dt == XSD_DATETIME,
+                              F.to_timestamp(F.regexp_replace(a[0].lex, "T", " "))))
+    if n == "SAMETERM":
+        return TCol.from_bool(a[0].key == a[1].key)
+    if n in ("ISIRI", "ISURI"):
+        return TCol.from_bool(a[0].is_iri())
+    if n == "ISBLANK":
+        return TCol.from_bool(a[0].is_bnode())
+    if n == "ISLITERAL":
+        return TCol.from_bool(a[0].is_literal())
+    if n == "ISNUMERIC":
+        return TCol.from_bool(a[0].num.isNotNull() & a[0].dt.isin(*NUMERIC_DTS))
+
+    # casts: full XSD constructor IRIs
+    if n.startswith(XSD.upper()) or name.startswith(XSD):
+        local = name[len(XSD):].lower()
+        x = a[0]
+        if local in ("integer", "long", "int"):
+            return TCol.from_num(
+                F.coalesce(x.num, x.lex.cast("double")).cast("long").cast("double"),
+                XSD_INTEGER)
+        if local in ("double", "float", "decimal"):
+            return TCol.from_num(F.coalesce(x.num, x.lex.cast("double")))
+        if local == "string":
+            return TCol.from_str(x.lex)
+        if local == "boolean":
+            return TCol.from_bool(
+                F.when(x.dt == XSD_BOOLEAN, x.lex == "true")
+                 .when(x.num.isNotNull(), x.num != 0)
+                 .when(x.lex.isin("true", "1"), F.lit(True))
+                 .when(x.lex.isin("false", "0"), F.lit(False)))
+        if local == "datetime":
+            return TCol.from_ts(F.coalesce(
+                x.ts, F.to_timestamp(F.regexp_replace(x.lex, "T", " "))))
+        if local == "date":
+            d = F.coalesce(x.ts.cast("date"), F.to_date(x.lex))
+            return TCol(lex=F.date_format(d, "yyyy-MM-dd"),
+                        dt=F.when(d.isNotNull(), F.lit(XSD + "date")),
+                        ts=d.cast("timestamp"))
+    raise ValueError(f"unsupported function {name}")

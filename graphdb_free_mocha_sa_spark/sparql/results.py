@@ -1,0 +1,58 @@
+"""SPARQL Query Results JSON serialization (SURVEY B51, A13).
+
+Matches the writer the reference streams results through
+(``SPARQLResultsJSONWriter``, GraphDBSystemAdapter.java:249) and reproduces
+its failure sentinel byte-for-byte (:254):
+
+    {"head":{"vars":["xxx"]},"results":{"bindings":[{"xxx":{"type":"literal","value":"XXX"}}]}}
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+
+from graphdb_free_mocha_sa_spark.model import RDF_LANGSTRING, XSD_STRING
+
+SENTINEL = ('{"head":{"vars":["xxx"]},"results":{"bindings":'
+            '[{"xxx":{"type":"literal","value":"XXX"}}]}}')
+
+
+def _binding(row, v: str) -> dict | None:
+    key = row[v]
+    if key is None:
+        return None
+    dt = row[v + "__dt"]
+    lex = row[v + "__lex"]
+    if dt is None:
+        if lex.startswith("_:"):
+            return {"type": "bnode", "value": lex[2:]}
+        return {"type": "uri", "value": lex}
+    out = {"type": "literal", "value": lex}
+    lang = row[v + "__lang"]
+    if lang:
+        out["xml:lang"] = lang
+    elif dt not in (XSD_STRING, RDF_LANGSTRING):
+        out["datatype"] = dt
+    return out
+
+
+def select_json(df: DataFrame, variables: list[str] | None = None) -> str:
+    if variables is None:
+        variables = [c for c in df.columns if "__" not in c]
+    bindings = []
+    for row in df.collect():
+        b = {}
+        for v in variables:
+            cell = _binding(row, v)
+            if cell is not None:
+                b[v] = cell
+        bindings.append(b)
+    return json.dumps({"head": {"vars": variables},
+                       "results": {"bindings": bindings}},
+                      ensure_ascii=False)
+
+
+def ask_json(value: bool) -> str:
+    return json.dumps({"head": {}, "boolean": bool(value)})

@@ -1,0 +1,702 @@
+"""SPARQL algebra → Spark DataFrame translator.
+
+The translator is deliberately *declarative*: every algebra node becomes plain
+DataFrame operations (filter/join/union/groupBy/window) so Catalyst + AQE own
+the physical strategy — join reordering, broadcast-vs-shuffle selection,
+partial aggregation, predicate pushdown into the quads scan (SURVEY §4).
+The only imperative pieces are the recursive property-path operators, which
+delegate to operators/paths.py (semi-naive DataFrame fixpoint).
+
+Variable representation: SPARQL variable ``?v`` is the flat column family
+``v`` (canonical term key), ``v__lex``, ``v__dt``, ``v__lang``, ``v__num``,
+``v__ts`` (model.py). Joins/DISTINCT/GROUP BY operate on the key column only —
+the key uniquely determines the family, so family columns ride along and are
+pruned by Catalyst when unused.
+
+Semantics parity target: W3C SPARQL 1.1 as accepted by the reference
+(GraphDBSystemAdapter.java:246). Documented deviations: join compatibility of
+*unbound* shared variables uses strict SQL NULL equality (nulls don't match);
+numeric object constants in patterns match by value (our encoder stores
+xsd:long for fixture integers).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphdb_free_mocha_sa_spark.model import (NUMERIC_DTS, VAR_SUFFIXES,
+                                               XSD_BOOLEAN, XSD_DATETIME,
+                                               canonical_object_key, var_cols)
+from graphdb_free_mocha_sa_spark.sparql import algebra as A
+from graphdb_free_mocha_sa_spark.sparql.functions import TCol, binary, builtin, unary
+
+_FAM_RE = re.compile(r"__(lex|dt|lang|num|ts)$")
+
+
+def var_names(df: DataFrame) -> list[str]:
+    return [c for c in df.columns if not _FAM_RE.search(c)]
+
+
+def term_parts_py(term) -> tuple:
+    """(key, lex, dt, lang, num, ts) as Python values for a constant term."""
+    if isinstance(term, A.IRI):
+        return (term.value, term.value, None, None, None, None)
+    if isinstance(term, A.BNode):
+        v = "_:" + term.label
+        return (v, v, None, None, None, None)
+    if isinstance(term, A.Literal):
+        import datetime
+        dt = term.dt or "http://www.w3.org/2001/XMLSchema#string"
+        num = float(term.lex) if dt in NUMERIC_DTS else None
+        ts = None
+        if dt == XSD_DATETIME:
+            try:
+                ts = datetime.datetime.fromisoformat(term.lex)
+            except ValueError:
+                ts = None
+        if term.lang:
+            key = f'"{term.lex}"@{term.lang}'
+        else:
+            key = f'"{term.lex}"^^{dt}'
+        return (key, term.lex, dt, term.lang, num, ts)
+    raise TypeError(term)
+
+
+class Translator:
+    def __init__(self, spark: SparkSession, quads: DataFrame,
+                 dataset_default: Optional[list[str]] = None,
+                 dataset_named: Optional[list[str]] = None):
+        self.spark = spark
+        self.quads = quads
+        self.dataset_default = dataset_default or []
+        self.dataset_named = dataset_named or []
+        self._n = 0
+
+    # ------------------------------------------------------------ utils
+
+    def _uniq(self, base: str) -> str:
+        self._n += 1
+        return f"{base}{self._n}"
+
+    def _unit(self) -> DataFrame:
+        return self.spark.range(1).drop("id")
+
+    def _graph_scan(self, gctx) -> DataFrame:
+        """quads restricted by graph context + dataset clause."""
+        df = self.quads
+        if gctx is None:
+            if self.dataset_default:
+                df = df.filter(F.col("g").isin(self.dataset_default))
+            return df
+        if isinstance(gctx, str) and not gctx.startswith("?"):
+            return df.filter(F.col("g") == gctx)
+        # variable context: restrict to FROM NAMED if given
+        if self.dataset_named:
+            df = df.filter(F.col("g").isin(self.dataset_named))
+        return df
+
+    # ------------------------------------------------------------ joins
+
+    def _join(self, left: DataFrame, right: DataFrame, how: str = "inner",
+              extra: Optional[Callable[[Callable[[str], TCol]], Column]] = None
+              ) -> DataFrame:
+        """Join two solution DataFrames on shared variable keys.
+
+        ``extra`` builds an additional join condition (for OPTIONAL's embedded
+        FILTER) given a var resolver that sees merged bindings.
+        """
+        lvars, rvars = set(var_names(left)), set(var_names(right))
+        shared = sorted(lvars & rvars)
+        suffix = self._uniq("__RJ")
+        ren = {}
+        for v in shared:
+            for c in var_cols(v):
+                ren[c] = c + suffix
+        r2 = right
+        for old, new in ren.items():
+            r2 = r2.withColumnRenamed(old, new)
+
+        cond = F.lit(True)
+        for v in shared:
+            cond = cond & (left[v].eqNullSafe(r2[v + suffix]) if how in ("left_anti",)
+                           else (left[v] == r2[v + suffix]))
+        if extra is not None:
+            def resolver(name: str) -> TCol:
+                if name in shared or name in lvars:
+                    return _fam_tcol(left, name)
+                return _fam_tcol(r2, name, suffix if name in shared else "")
+            cond = cond & extra(resolver)
+
+        if not shared and extra is None and how == "inner":
+            return left.crossJoin(right)
+        if not shared and how in ("left_anti", "left_semi"):
+            # no shared vars: MINUS keeps everything (SPARQL compat edge case)
+            return left if how == "left_anti" else left
+        joined = left.join(r2, cond, how)
+        if how in ("left_anti", "left_semi"):
+            return joined
+        # drop duplicated shared families from the right
+        return joined.drop(*[c + suffix for v in shared for c in var_cols(v)])
+
+    # ------------------------------------------------------------ scans
+
+    def _scan_triple(self, tp: A.TriplePattern, gctx) -> DataFrame:
+        # property paths that aren't plain links go through the path engine
+        p = tp.p
+        if isinstance(p, A.PLink):
+            pred: Optional[str] = p.iri
+        elif isinstance(p, A.Var):
+            pred = None
+        elif isinstance(p, (A.PInv, A.PSeq, A.PAlt, A.PMod, A.PNeg)):
+            return self._scan_path(tp, gctx)
+        else:
+            pred = None
+
+        df = self._graph_scan(gctx)
+        sel: list[Column] = []
+        bound: dict[str, str] = {}   # var -> position (first occurrence)
+
+        def bind(term, pos):
+            nonlocal df
+            if isinstance(term, A.BNode):
+                term = A.Var("__bnp_" + term.label)
+            if isinstance(term, A.Var):
+                if term.name in bound:
+                    # repeated var in one pattern: equality filter
+                    first = bound[term.name]
+                    df = df.filter(_pos_key(first) == _pos_key(pos))
+                else:
+                    bound[term.name] = pos
+            elif pos == "o":
+                if isinstance(term, A.Literal) and (term.dt in NUMERIC_DTS):
+                    df = df.filter(F.col("o_num") == float(term.lex))
+                elif isinstance(term, A.Literal):
+                    df = df.filter((F.col("o_lex") == term.lex)
+                                   & (F.col("o_dt") == (term.dt or "http://www.w3.org/2001/XMLSchema#string")))
+                else:
+                    df = df.filter(F.col("o_dt").isNull() & (F.col("o_lex") == term.value))
+            else:
+                df = df.filter(F.col(pos) == term.value)
+
+        def _pos_key(pos: str) -> Column:
+            return canonical_object_key() if pos == "o" else F.col(pos)
+
+        bind(tp.s, "s")
+        if pred is not None:
+            df = df.filter(F.col("p") == pred)
+        elif isinstance(p, A.Var):
+            bind(p, "p")
+        bind(tp.o, "o")
+        if isinstance(gctx, str) and gctx.startswith("?"):
+            gv = gctx[1:]
+            if gv not in bound:
+                bound[gv] = "g"
+
+        for v, pos in bound.items():
+            sel.extend(_pos_family(pos, v))
+        if not sel:
+            sel = [F.lit(1).alias(self._uniq("__one"))]
+        return df.select(*sel)
+
+    def _scan_path(self, tp: A.TriplePattern, gctx) -> DataFrame:
+        from graphdb_free_mocha_sa_spark.operators.paths import eval_path
+        pairs = eval_path(self.spark, self._graph_scan(gctx), tp.p)
+        # pairs has families for internal vars "s" and "o"
+        df = pairs
+        out_cols: list[Column] = []
+        for term, pos in ((tp.s, "s"), (tp.o, "o")):
+            if isinstance(term, A.BNode):
+                term = A.Var("__bnp_" + term.label)
+            if isinstance(term, A.Var):
+                for suf in VAR_SUFFIXES:
+                    out_cols.append(F.col(pos + suf).alias(term.name + suf))
+            else:
+                key = term_parts_py(term)[0]
+                df = df.filter(F.col(pos) == key)
+        if isinstance(tp.s, A.Var) and isinstance(tp.o, A.Var) and tp.s.name == tp.o.name:
+            df = df.filter(F.col("s") == F.col("o"))
+            out_cols = [F.col("s" + suf).alias(tp.s.name + suf) for suf in VAR_SUFFIXES]
+        if not out_cols:
+            out_cols = [F.lit(1).alias(self._uniq("__one"))]
+        return df.select(*out_cols)
+
+    # ------------------------------------------------------------ patterns
+
+    def translate(self, node, gctx=None) -> DataFrame:
+        if isinstance(node, A.BGP):
+            if not node.triples:
+                return self._unit()
+            ordered = _order_bgp(node.triples)
+            df = self._scan_triple(ordered[0], gctx)
+            for tp in ordered[1:]:
+                df = self._join(df, self._scan_triple(tp, gctx))
+            return df
+        if isinstance(node, A.Join):
+            return self._join(self.translate(node.left, gctx),
+                              self.translate(node.right, gctx))
+        if isinstance(node, A.LeftJoin):
+            left = self.translate(node.left, gctx)
+            right = self.translate(node.right, gctx)
+            extra = None
+            if node.expr is not None:
+                expr = node.expr
+                extra = lambda resolver: self._eval(expr, resolver, {}).ebv()
+            return self._join(left, right, "left_outer", extra)
+        if isinstance(node, A.Union):
+            l = self.translate(node.left, gctx)
+            r = self.translate(node.right, gctx)
+            return _union_pad(l, r)
+        if isinstance(node, A.Minus):
+            left = self.translate(node.left, gctx)
+            right = self.translate(node.right, gctx)
+            shared = set(var_names(left)) & set(var_names(right))
+            if not shared:
+                return left
+            return self._join(left, right, "left_anti")
+        if isinstance(node, A.Filter):
+            df = self.translate(node.pattern, gctx)
+            expr = node.expr
+            df, exists_map, flags = self._materialize_exists(expr, df, gctx)
+            cond = self._eval(expr, _df_resolver(df), exists_map).ebv()
+            return df.filter(cond).drop(*flags)
+        if isinstance(node, A.Extend):
+            df = self.translate(node.pattern, gctx)
+            df, exists_map, flags = self._materialize_exists(node.expr, df, gctx)
+            t = self._eval(node.expr, _df_resolver(df), exists_map)
+            return _with_family(df, node.var, t).drop(*flags)
+        if isinstance(node, A.ValuesTable):
+            return self._values_df(node)
+        if isinstance(node, A.GraphPat):
+            if isinstance(node.graph, A.Var):
+                return self.translate(node.pattern, "?" + node.graph.name)
+            return self.translate(node.pattern, node.graph.value)
+        if isinstance(node, A.SubSelect):
+            return self.translate_select(node.query)
+        raise TypeError(f"unknown pattern node {node!r}")
+
+    def _values_df(self, node: A.ValuesTable) -> DataFrame:
+        from pyspark.sql.types import (DoubleType, StringType, StructField,
+                                       StructType, TimestampType)
+        fields, rows = [], []
+        for v in node.variables:
+            fields += [StructField(v, StringType()),
+                       StructField(v + "__lex", StringType()),
+                       StructField(v + "__dt", StringType()),
+                       StructField(v + "__lang", StringType()),
+                       StructField(v + "__num", DoubleType()),
+                       StructField(v + "__ts", TimestampType())]
+        for row in node.rows:
+            vals: list = []
+            for term in row:
+                vals.extend((None,) * 6 if term is None else term_parts_py(term))
+            rows.append(tuple(vals))
+        return self.spark.createDataFrame(rows, StructType(fields))
+
+    # ------------------------------------------------------------ EXISTS
+
+    def _materialize_exists(self, expr, df: DataFrame, gctx):
+        """Compute a boolean flag column per EXISTS node inside ``expr``."""
+        exists_map: dict[int, Column] = {}
+        flags: list[str] = []
+        nodes: list[A.EExists] = []
+        _walk_expr(expr, lambda e: nodes.append(e) if isinstance(e, A.EExists) else None)
+        for node in nodes:
+            right = self.translate(node.pattern, gctx)
+            shared = sorted(set(var_names(df)) & set(var_names(right)))
+            flag = self._uniq("__ex")
+            if shared:
+                rightd = (right.select([F.col(v).alias(v + flag) for v in shared])
+                          .dropDuplicates().withColumn(flag, F.lit(True)))
+                cond = F.lit(True)
+                for v in shared:
+                    cond = cond & (df[v] == rightd[v + flag])
+                df = df.join(rightd, cond, "left_outer").drop(*[v + flag for v in shared])
+            else:
+                rightd = right.limit(1).select(F.lit(True).alias(flag))
+                df = df.join(F.broadcast(rightd), F.lit(True), "left_outer")
+            col = F.coalesce(F.col(flag), F.lit(False))
+            exists_map[id(node)] = ~col if node.negated else col
+            flags.append(flag)
+        return df, exists_map, flags
+
+    # ------------------------------------------------------------ expressions
+
+    def _eval(self, expr, resolver: Callable[[str], TCol],
+              exists_map: dict[int, Column]) -> TCol:
+        if isinstance(expr, A.EVar):
+            return resolver(expr.name)
+        if isinstance(expr, A.ELit):
+            return TCol.from_term(expr.term)
+        if isinstance(expr, A.EBinary):
+            return binary(expr.op,
+                          self._eval(expr.left, resolver, exists_map),
+                          self._eval(expr.right, resolver, exists_map))
+        if isinstance(expr, A.EUnary):
+            return unary(expr.op, self._eval(expr.expr, resolver, exists_map))
+        if isinstance(expr, A.EFunc):
+            args = [self._eval(e, resolver, exists_map) for e in expr.args]
+            return builtin(expr.name, args)
+        if isinstance(expr, A.EIn):
+            x = self._eval(expr.expr, resolver, exists_map)
+            conds = [binary("=", x, self._eval(it, resolver, exists_map)).ebv()
+                     for it in expr.items]
+            acc = F.lit(False)
+            for c in conds:
+                acc = acc | c
+            return TCol.from_bool(~acc if expr.negated else acc)
+        if isinstance(expr, A.EExists):
+            if id(expr) not in exists_map:
+                raise ValueError("EXISTS not materialized for this context")
+            return TCol.from_bool(exists_map[id(expr)])
+        if isinstance(expr, A.EAgg):
+            raise ValueError("aggregate used outside GROUP BY context")
+        raise TypeError(f"unknown expr {expr!r}")
+
+    # ------------------------------------------------------------ SELECT
+
+    def translate_select(self, q: A.SelectQuery) -> DataFrame:
+        df = self.translate(q.pattern, None)
+
+        aggs: list[A.EAgg] = []
+        for _, e in q.projections:
+            if e is not None:
+                _walk_expr(e, lambda x: aggs.append(x) if isinstance(x, A.EAgg) else None)
+        for e in q.having:
+            _walk_expr(e, lambda x: aggs.append(x) if isinstance(x, A.EAgg) else None)
+        for e, _ in q.order_by:
+            _walk_expr(e, lambda x: aggs.append(x) if isinstance(x, A.EAgg) else None)
+
+        agg_ids: dict[int, str] = {}
+        if q.group_by or aggs:
+            df, agg_ids = self._group_aggregate(df, q, aggs)
+
+        def resolver(name: str) -> TCol:
+            return _fam_tcol(df, name)
+
+        def eval_post(e) -> TCol:
+            return self._eval_with_aggs(e, df, agg_ids)
+
+        # HAVING
+        for h in q.having:
+            df = df.filter(self._eval_with_aggs(h, df, agg_ids).ebv())
+
+        # non-aggregate BIND-style projections
+        proj_vars: list[str] = []
+        for name, e in q.projections:
+            proj_vars.append(name)
+            if e is None:
+                continue
+            if isinstance(e, A.EVar) and e.name == name:
+                continue
+            t = self._eval_with_aggs(e, df, agg_ids)
+            df = _with_family(df, name, t)
+
+        if not proj_vars:           # SELECT *
+            proj_vars = [v for v in var_names(df) if not v.startswith("__")]
+        keep = [c for v in proj_vars for c in var_cols(v)]
+
+        def apply_order(d: DataFrame) -> DataFrame:
+            sort_cols: list[Column] = []
+            for e, asc in q.order_by:
+                t = self._eval_with_aggs(e, d, agg_ids)
+                sort_cols.extend(t.order_keys(asc))
+            return d.orderBy(*sort_cols)
+
+        if q.distinct or q.reduced:
+            # project → dedup → order (ORDER BY may only use projected vars here)
+            df = df.select(*[F.col(c) for c in keep]).dropDuplicates(proj_vars)
+            if q.order_by:
+                df = apply_order(df)
+        else:
+            # order on the full binding set (may reference non-projected vars)
+            if q.order_by:
+                df = apply_order(df)
+            df = df.select(*[F.col(c) for c in keep])
+
+        if q.offset:
+            df = df.offset(q.offset)
+        if q.limit is not None:
+            df = df.limit(q.limit)
+        return df
+
+    def _eval_with_aggs(self, e, df: DataFrame, agg_ids: dict[int, str]) -> TCol:
+        if isinstance(e, A.EAgg):
+            return _fam_tcol(df, agg_ids[id(e)])
+        if isinstance(e, A.EVar):
+            return _fam_tcol(df, e.name)
+        if isinstance(e, A.ELit):
+            return TCol.from_term(e.term)
+        if isinstance(e, A.EBinary):
+            return binary(e.op, self._eval_with_aggs(e.left, df, agg_ids),
+                          self._eval_with_aggs(e.right, df, agg_ids))
+        if isinstance(e, A.EUnary):
+            return unary(e.op, self._eval_with_aggs(e.expr, df, agg_ids))
+        if isinstance(e, A.EFunc):
+            return builtin(e.name, [self._eval_with_aggs(x, df, agg_ids) for x in e.args])
+        if isinstance(e, A.EIn):
+            x = self._eval_with_aggs(e.expr, df, agg_ids)
+            acc = F.lit(False)
+            for it in e.items:
+                acc = acc | binary("=", x, self._eval_with_aggs(it, df, agg_ids)).ebv()
+            return TCol.from_bool(~acc if e.negated else acc)
+        raise TypeError(f"unsupported expression in aggregate context: {e!r}")
+
+    def _group_aggregate(self, df: DataFrame, q: A.SelectQuery,
+                         aggs: list[A.EAgg]) -> tuple[DataFrame, dict[int, str]]:
+        # computed group keys become bound vars first
+        group_vars: list[str] = []
+        for i, (name, e) in enumerate(q.group_by):
+            if isinstance(e, A.EVar) and (name is None or name == e.name):
+                group_vars.append(e.name)
+            else:
+                gname = name or f"__gk{i}"
+                t = self._eval(e, _df_resolver(df), {})
+                df = _with_family(df, gname, t)
+                group_vars.append(gname)
+
+        agg_ids: dict[int, str] = {}
+        agg_cols: list[Column] = []
+        post: list[tuple[str, str]] = []   # (aggname, kind)
+        for i, node in enumerate(aggs):
+            if id(node) in agg_ids:
+                continue
+            aname = f"__agg{i}"
+            agg_ids[id(node)] = aname
+            inp = (self._eval(node.expr, _df_resolver(df), {})
+                   if node.expr is not None else None)
+            func = node.func
+            if func == "COUNT":
+                if inp is None:
+                    col = (F.count_distinct(*[F.col(v) for v in var_names(df)])
+                           if node.distinct and var_names(df) else F.count(F.lit(1)))
+                else:
+                    col = F.count_distinct(inp.key) if node.distinct else F.count(inp.key)
+                agg_cols.append(col.cast("double").alias(aname + "__rawnum"))
+                post.append((aname, "int"))
+            elif func in ("SUM", "AVG"):
+                src = inp.num
+                if node.distinct:
+                    col = (F.sum_distinct(src) if func == "SUM"
+                           else F.sum_distinct(src) / F.count_distinct(src))
+                else:
+                    col = F.sum(src) if func == "SUM" else F.avg(src)
+                agg_cols.append(col.cast("double").alias(aname + "__rawnum"))
+                post.append((aname, "num"))
+            elif func in ("MIN", "MAX"):
+                fn = F.min if func == "MIN" else F.max
+                agg_cols.append(fn(inp.num).alias(aname + "__rawnum"))
+                agg_cols.append(fn(F.when(inp.num.isNull(), inp.lex)).alias(aname + "__rawlex"))
+                agg_cols.append(fn(inp.ts).alias(aname + "__rawts"))
+                post.append((aname, "minmax"))
+            elif func == "SAMPLE":
+                agg_cols.append(F.min_by(
+                    F.struct(inp.lex.alias("lex"), inp.dt.alias("dt"),
+                             inp.lang.alias("lang"), inp.num.alias("num"),
+                             inp.ts.alias("ts")), inp.key).alias(aname + "__rawst"))
+                post.append((aname, "sample"))
+            elif func == "GROUP_CONCAT":
+                coll = F.collect_set(inp.lex) if node.distinct else F.collect_list(inp.lex)
+                agg_cols.append(F.array_join(F.array_sort(coll), node.separator)
+                                .alias(aname + "__rawlex"))
+                post.append((aname, "str"))
+            else:
+                raise ValueError(f"unknown aggregate {func}")
+
+        gcols = [F.col(c) for v in group_vars for c in var_cols(v)]
+        if gcols:
+            out = df.groupBy(*gcols).agg(*agg_cols) if agg_cols else df.select(*gcols).dropDuplicates(group_vars)
+        else:
+            out = df.agg(*agg_cols)
+
+        # rebuild term families for aggregate results
+        from graphdb_free_mocha_sa_spark.model import XSD_DOUBLE, XSD_INTEGER
+        for aname, kind in post:
+            if kind in ("int", "num"):
+                t = TCol.from_num(F.col(aname + "__rawnum"),
+                                  XSD_INTEGER if kind == "int" else XSD_DOUBLE)
+                out = _with_family(out, aname, t)
+                out = out.drop(aname + "__rawnum")
+            elif kind == "str":
+                out = _with_family(out, aname, TCol.from_str(F.col(aname + "__rawlex")))
+                out = out.drop(aname + "__rawlex")
+            elif kind == "minmax":
+                num, lex, ts = (F.col(aname + "__rawnum"), F.col(aname + "__rawlex"),
+                                F.col(aname + "__rawts"))
+                t = TCol(lex=F.when(num.isNotNull(), num.cast("string")).otherwise(lex),
+                         dt=F.when(num.isNotNull(), F.lit(XSD_DOUBLE))
+                            .when(ts.isNotNull(), F.lit(XSD_DATETIME))
+                            .when(lex.isNotNull(), F.lit("http://www.w3.org/2001/XMLSchema#string")),
+                         num=num, ts=ts)
+                out = _with_family(out, aname, t)
+                out = out.drop(aname + "__rawnum", aname + "__rawlex", aname + "__rawts")
+            elif kind == "sample":
+                st = F.col(aname + "__rawst")
+                t = TCol(lex=st["lex"], dt=st["dt"], lang=st["lang"],
+                         num=st["num"], ts=st["ts"])
+                out = _with_family(out, aname, t)
+                out = out.drop(aname + "__rawst")
+        return out, agg_ids
+
+    # ------------------------------------------------------------ query forms
+
+    def ask(self, q: A.AskQuery) -> bool:
+        df = self.translate(q.pattern, None)
+        return bool(df.limit(1).count() > 0)
+
+    def construct(self, q: A.ConstructQuery) -> DataFrame:
+        df = self.translate(q.pattern, None)
+        if q.order_by or q.limit is not None or q.offset:
+            shim = A.SelectQuery([], q.pattern, order_by=q.order_by,
+                                 limit=q.limit, offset=q.offset)
+            df = self.translate_select(shim)
+        pieces = []
+        for tp in q.template:
+            cols = []
+            for term, name in ((tp.s, "s"), (tp.p, "p"), (tp.o, "o")):
+                if isinstance(term, A.PLink):
+                    term = A.IRI(term.iri)
+                if isinstance(term, A.Var):
+                    fam = _fam_tcol(df, term.name)
+                else:
+                    fam = TCol.from_term(term)
+                if name in ("s", "p"):
+                    cols.append(fam.lex.alias(name))
+                else:
+                    cols.extend([fam.lex.alias("o_lex"), fam.dt.alias("o_dt"),
+                                 fam.lang.alias("o_lang"), fam.num.alias("o_num"),
+                                 fam.ts.alias("o_ts")])
+            pieces.append(df.select(*cols).where(F.col("s").isNotNull()
+                                                 & F.col("p").isNotNull()
+                                                 & F.col("o_lex").isNotNull()))
+        out = pieces[0]
+        for piece in pieces[1:]:
+            out = out.unionByName(piece)
+        return out.dropDuplicates()
+
+
+# ---------------------------------------------------------------- helpers
+
+
+def _tp_vars(tp: A.TriplePattern) -> set[str]:
+    out = set()
+    for t in (tp.s, tp.p, tp.o):
+        if isinstance(t, A.Var):
+            out.add(t.name)
+    return out
+
+
+def _order_bgp(triples: list[A.TriplePattern]) -> list[A.TriplePattern]:
+    """Greedy selectivity ordering: start from the most-constant pattern, then
+    repeatedly pick the most-constant pattern that shares a variable with what
+    has been joined so far (avoids cross products; gives Catalyst a sane
+    left-deep join tree — it will not reorder the joins itself)."""
+    def selectivity(tp: A.TriplePattern) -> int:
+        score = 0
+        for t, w in ((tp.s, 4), (tp.p, 1), (tp.o, 2)):
+            if not isinstance(t, (A.Var, A.BNode)):
+                score += w
+        return score
+
+    remaining = list(triples)
+    remaining.sort(key=selectivity, reverse=True)
+    ordered = [remaining.pop(0)]
+    seen = _tp_vars(ordered[0])
+    while remaining:
+        pick = None
+        for tp in remaining:
+            if _tp_vars(tp) & seen:
+                pick = tp
+                break
+        if pick is None:           # disconnected BGP: accept the cross product
+            pick = remaining[0]
+        remaining.remove(pick)
+        ordered.append(pick)
+        seen |= _tp_vars(pick)
+    return ordered
+
+
+def _pos_family(pos: str, v: str) -> list[Column]:
+    if pos == "o":
+        return [canonical_object_key().alias(v),
+                F.col("o_lex").alias(v + "__lex"), F.col("o_dt").alias(v + "__dt"),
+                F.col("o_lang").alias(v + "__lang"), F.col("o_num").alias(v + "__num"),
+                F.col("o_ts").alias(v + "__ts")]
+    c = F.col(pos)
+    return [c.alias(v), c.alias(v + "__lex"),
+            F.lit(None).cast("string").alias(v + "__dt"),
+            F.lit(None).cast("string").alias(v + "__lang"),
+            F.lit(None).cast("double").alias(v + "__num"),
+            F.lit(None).cast("timestamp").alias(v + "__ts")]
+
+
+def _fam_tcol(df: DataFrame, name: str, suffix: str = "") -> TCol:
+    return TCol(lex=df[name + "__lex" + suffix], dt=df[name + "__dt" + suffix],
+                lang=df[name + "__lang" + suffix], num=df[name + "__num" + suffix],
+                ts=df[name + "__ts" + suffix], key=df[name + suffix])
+
+
+def _df_resolver(df: DataFrame):
+    def resolver(name: str) -> TCol:
+        if name not in df.columns:
+            # unbound variable: all-null term
+            return TCol()
+        return TCol(lex=F.col(name + "__lex"), dt=F.col(name + "__dt"),
+                    lang=F.col(name + "__lang"), num=F.col(name + "__num"),
+                    ts=F.col(name + "__ts"), key=F.col(name))
+    return resolver
+
+
+def _with_family(df: DataFrame, name: str, t: TCol) -> DataFrame:
+    return df.withColumns({
+        name: t.key, name + "__lex": t.lex, name + "__dt": t.dt,
+        name + "__lang": t.lang, name + "__num": t.num, name + "__ts": t.ts,
+    })
+
+
+def _union_pad(l: DataFrame, r: DataFrame) -> DataFrame:
+    return l.unionByName(r, allowMissingColumns=True) if set(l.columns) != set(r.columns) \
+        else l.unionByName(r)
+
+
+def _walk_expr(e, fn):
+    fn(e)
+    if isinstance(e, A.EBinary):
+        _walk_expr(e.left, fn)
+        _walk_expr(e.right, fn)
+    elif isinstance(e, A.EUnary):
+        _walk_expr(e.expr, fn)
+    elif isinstance(e, A.EFunc):
+        for a in e.args:
+            _walk_expr(a, fn)
+    elif isinstance(e, A.EIn):
+        _walk_expr(e.expr, fn)
+        for a in e.items:
+            _walk_expr(a, fn)
+    elif isinstance(e, A.EAgg) and e.expr is not None:
+        _walk_expr(e.expr, fn)
+
+
+def finalize(df: DataFrame, spec: dict[str, str]) -> DataFrame:
+    """Project SPARQL var families to plain relational columns for oracles.
+
+    spec: var -> 'str'|'iri'|'num'|'int'|'ts'|'bool'|'auto'
+    """
+    cols = []
+    for v, kind in spec.items():
+        if kind in ("str", "iri", "auto"):
+            cols.append(F.col(v + "__lex").alias(v))
+        elif kind == "num":
+            cols.append(F.col(v + "__num").alias(v))
+        elif kind == "int":
+            cols.append(F.col(v + "__num").cast("long").alias(v))
+        elif kind == "ts":
+            cols.append(F.col(v + "__ts").alias(v))
+        elif kind == "bool":
+            cols.append((F.col(v + "__lex") == "true").alias(v))
+        else:
+            raise ValueError(kind)
+    return df.select(*cols)

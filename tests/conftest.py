@@ -1,0 +1,90 @@
+"""Shared test fixtures: one local SparkSession + a DuckDB oracle harness.
+
+Mirrors the reference's correctness model (SURVEY §5): golden-answer
+end-to-end comparison against an oracle — here DuckDB over the same parquet
+fixtures, canonically sorted and value-compared.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from graphdb_free_mocha_sa_spark.session import get_spark
+    s = get_spark("tests", master="local[8]", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def tables(spark):
+    from graphdb_free_mocha_sa_spark.sources.registry import load_tables
+    return load_tables(spark, SF_DIR)
+
+
+@pytest.fixture(scope="session")
+def quads(spark):
+    from graphdb_free_mocha_sa_spark.sources.registry import load_quads
+    return load_quads(spark, SF_DIR)
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    yield con
+    con.close()
+
+
+def canon(rows, ndigits=6):
+    """Canonicalize a list of tuples for order-insensitive comparison."""
+    import decimal
+    out = []
+    for row in rows:
+        cells = []
+        for c in row:
+            if isinstance(c, decimal.Decimal):
+                c = float(c)
+            if isinstance(c, float):
+                if math.isnan(c):
+                    cells.append("NaN")
+                else:
+                    cells.append(f"{c:.{ndigits}g}")
+            elif c is None:
+                cells.append("∅")
+            else:
+                cells.append(str(c))
+        out.append(tuple(cells))
+    return sorted(out)
+
+
+def assert_matches_duck(spark_df, duck_con, sql, sort_cols=True, ndigits=6):
+    """Compare a Spark DataFrame against DuckDB SQL output, order-insensitive,
+    column order normalized by name (same normalization the driver uses)."""
+    sdf = spark_df
+    scols = sorted(sdf.columns) if sort_cols else sdf.columns
+    srows = [tuple(r[c] for c in scols) for r in sdf.collect()]
+
+    res = duck_con.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows_raw = res.fetchall()
+    order = [dcols.index(c) for c in sorted(dcols)] if sort_cols else range(len(dcols))
+    drows = [tuple(r[i] for i in order) for r in drows_raw]
+
+    assert sorted(scols) == sorted(dcols), f"columns differ: {scols} vs {dcols}"
+    a, b = canon(srows, ndigits), canon(drows, ndigits)
+    assert len(a) == len(b), f"row count {len(a)} vs oracle {len(b)}"
+    for i, (x, y) in enumerate(zip(a, b)):
+        assert x == y, f"row {i} differs:\n ours:   {x}\n oracle: {y}"

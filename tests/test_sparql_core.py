@@ -1,0 +1,201 @@
+"""End-to-end SPARQL core tests vs the DuckDB oracle (SURVEY M1/M2 gates)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import assert_matches_duck
+
+
+@pytest.fixture(scope="module")
+def engine(spark, quads):
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    return Engine(spark, QuadStore(spark, quads))
+
+
+PREFIX = "PREFIX x: <urn:x:p/> PREFIX t: <urn:x:t/> PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>\n"
+
+
+def run(engine, q, spec):
+    res = engine.query(PREFIX + q)
+    return res.finalize(spec)
+
+
+def test_m1_flagship_star_query(engine, duck):
+    """SURVEY §7 M1 gate: scan + self-join + filter + order + limit."""
+    df = run(engine, """
+        SELECT ?cust ?nation WHERE {
+          ?o x:o_custkey ?cust .
+          ?cust x:c_nationkey ?nation .
+          ?o x:o_orderstatus "O" .
+        } ORDER BY ?cust ?nation LIMIT 10
+    """, {"cust": "str", "nation": "str"})
+    assert_matches_duck(df, duck, """
+        SELECT 'urn:x:customer/' || o.o_custkey AS cust,
+               'urn:x:nation/' || c.c_nationkey AS nation
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderstatus = 'O'
+        ORDER BY cust, nation LIMIT 10
+    """)
+
+
+def test_bgp_filter_numeric(engine, duck):
+    df = run(engine, """
+        SELECT ?c ?bal WHERE {
+          ?c x:c_acctbal ?bal .
+          FILTER(?bal > 9000)
+        }
+    """, {"c": "str", "bal": "num"})
+    assert_matches_duck(df, duck, """
+        SELECT 'urn:x:customer/' || c_custkey AS c, c_acctbal AS bal
+        FROM customer WHERE c_acctbal > 9000
+    """)
+
+
+def test_optional_left_join(engine, duck):
+    # customers with their orders, keeping customers without orders
+    df = run(engine, """
+        SELECT ?c ?o WHERE {
+          ?c rdf:type t:customer .
+          OPTIONAL { ?o x:o_custkey ?c }
+        }
+    """, {"c": "str", "o": "str"})
+    assert_matches_duck(df, duck, """
+        SELECT 'urn:x:customer/' || c.c_custkey AS c,
+               CASE WHEN o.o_orderkey IS NULL THEN NULL
+                    ELSE 'urn:x:orders/' || o.o_orderkey END AS o
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    """)
+
+
+def test_union(engine, duck):
+    df = run(engine, """
+        SELECT ?name WHERE {
+          { ?s x:c_name ?name } UNION { ?s x:s_name ?name }
+        }
+    """, {"name": "str"})
+    assert_matches_duck(df, duck, """
+        SELECT c_name AS name FROM customer
+        UNION ALL SELECT s_name AS name FROM supplier
+    """)
+
+
+def test_minus(engine, duck):
+    # customers that have no orders (MINUS)
+    df = run(engine, """
+        SELECT ?c WHERE {
+          ?c rdf:type t:customer .
+          MINUS { ?o x:o_custkey ?c }
+        }
+    """, {"c": "str"})
+    assert_matches_duck(df, duck, """
+        SELECT 'urn:x:customer/' || c_custkey AS c FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """)
+
+
+def test_not_exists(engine, duck):
+    df = run(engine, """
+        SELECT ?c WHERE {
+          ?c rdf:type t:customer .
+          FILTER NOT EXISTS { ?o x:o_custkey ?c }
+        }
+    """, {"c": "str"})
+    assert_matches_duck(df, duck, """
+        SELECT 'urn:x:customer/' || c_custkey AS c FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """)
+
+
+def test_bind_values_in(engine, duck):
+    df = run(engine, """
+        SELECT ?n ?double WHERE {
+          ?s x:n_name ?n .
+          ?s x:n_regionkey ?r .
+          VALUES ?r { <urn:x:region/0> <urn:x:region/1> }
+          BIND(STRLEN(?n) * 2 AS ?double)
+        }
+    """, {"n": "str", "double": "num"})
+    assert_matches_duck(df, duck, """
+        SELECT n_name AS n, length(n_name) * 2.0 AS "double"
+        FROM nation WHERE n_regionkey IN (0, 1)
+    """)
+
+
+def test_aggregation_group_having(engine, duck):
+    df = run(engine, """
+        SELECT ?status (COUNT(*) AS ?cnt) (SUM(?price) AS ?total) (AVG(?price) AS ?avgp)
+        WHERE {
+          ?o x:o_orderstatus ?status .
+          ?o x:o_totalprice ?price .
+        } GROUP BY ?status HAVING (COUNT(*) > 5)
+    """, {"status": "str", "cnt": "int", "total": "num", "avgp": "num"})
+    assert_matches_duck(df, duck, """
+        SELECT o_orderstatus AS status, COUNT(*) AS cnt,
+               SUM(o_totalprice) AS total, AVG(o_totalprice) AS avgp
+        FROM orders GROUP BY o_orderstatus HAVING COUNT(*) > 5
+    """, ndigits=5)
+
+
+def test_distinct_order_offset_limit(engine, duck):
+    df = run(engine, """
+        SELECT DISTINCT ?seg WHERE { ?c x:c_mktsegment ?seg }
+        ORDER BY ?seg OFFSET 1 LIMIT 2
+    """, {"seg": "str"})
+    assert_matches_duck(df, duck, """
+        SELECT DISTINCT c_mktsegment AS seg FROM customer
+        ORDER BY seg OFFSET 1 LIMIT 2
+    """)
+
+
+def test_scalar_functions(engine, duck):
+    df = run(engine, """
+        SELECT ?n ?up ?sub ?len WHERE {
+          ?s x:n_name ?n .
+          BIND(UCASE(?n) AS ?up)
+          BIND(SUBSTR(?n, 1, 3) AS ?sub)
+          BIND(STRLEN(?n) AS ?len)
+          FILTER(CONTAINS(?n, "A") && STRSTARTS(?n, "A") = false || STRSTARTS(?n, "A"))
+        }
+    """, {"n": "str", "up": "str", "sub": "str", "len": "int"})
+    assert_matches_duck(df, duck, """
+        SELECT n_name AS n, upper(n_name) AS up, substring(n_name, 1, 3) AS sub,
+               length(n_name) AS len
+        FROM nation WHERE contains(n_name, 'A') OR starts_with(n_name, 'A')
+    """)
+
+
+def test_ask(engine):
+    assert engine.query(PREFIX + "ASK { ?s x:c_acctbal ?b . FILTER(?b > 0) }") is True
+    assert engine.query(PREFIX + 'ASK { ?s x:c_name "no such customer" }') is False
+
+
+def test_construct(engine):
+    out = engine.query(PREFIX + """
+        CONSTRUCT { ?c <urn:x:p/located_in> ?n } WHERE { ?c x:c_nationkey ?n }
+    """)
+    assert out.columns[:3] == ["s", "p", "o_lex"]
+    assert out.count() > 0
+
+
+def test_subselect_graph(engine, duck):
+    df = run(engine, """
+        SELECT ?r ?cnt WHERE {
+          { SELECT ?r (COUNT(*) AS ?cnt) WHERE { ?n x:n_regionkey ?r } GROUP BY ?r }
+        }
+    """, {"r": "str", "cnt": "int"})
+    assert_matches_duck(df, duck, """
+        SELECT 'urn:x:region/' || n_regionkey AS r, COUNT(*) AS cnt
+        FROM nation GROUP BY n_regionkey
+    """)
+
+
+def test_sparql_json_and_sentinel(engine):
+    import json
+    out = json.loads(engine.query_json(PREFIX + "SELECT ?n WHERE { ?s x:n_name ?n } LIMIT 1"))
+    assert out["head"]["vars"] == ["n"]
+    assert out["results"]["bindings"][0]["n"]["type"] == "literal"
+    # sentinel on bad query (reference GraphDBSystemAdapter.java:254)
+    bad = engine.query_json("SELECT ?x WHERE { this is not sparql")
+    assert '"XXX"' in bad
