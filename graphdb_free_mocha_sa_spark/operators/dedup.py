@@ -1,0 +1,177 @@
+"""Deduplication operators for large-scale training-data pipelines (E1).
+
+All variants are expressed with native Spark SQL functions (higher-order
+array lambdas, xxhash64) so the hot path is JVM-side whole-stage codegen —
+no Python executes per row except the documented SimHash Pandas UDF (Arrow
+batched).
+
+Scale notes (100 TB): exact dedup is a single hash-shuffle on the digest;
+MinHash LSH shuffles (band_id, band_hash) pairs — the candidate join is
+band-local so skew is bounded by band width; verification joins only
+candidate pairs, never the full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per distinct value of ``cols``.
+
+    Hash-groupBy dedup: one shuffle on the dedup key. Equivalent oracle:
+    ``SELECT min(id) ... GROUP BY cols``.
+    """
+    return df.groupBy(*cols).agg(F.min(id_col).alias(id_col)) \
+             .select(id_col, *cols)
+
+
+def exact_hash_dedup(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Digest-based exact dedup: group on sha2 of the text, keep min id.
+
+    At scale the 32-byte digest shuffles instead of the document body.
+    """
+    digest = F.sha2(F.col(text_col), 256).alias("digest")
+    return (df.select(F.col(id_col), digest)
+            .groupBy("digest").agg(F.min(id_col).alias(id_col),
+                                   F.count(F.lit(1)).alias("dup_count")))
+
+
+# ---------------------------------------------------------------- shingles
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles, all-JVM (split + higher-order slice)."""
+    words = F.split(F.lower(F.trim(text)), r"\W+")
+    words = F.filter(words, lambda w: F.length(w) > 0)
+    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), k)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n))))
+
+
+# ---------------------------------------------------------------- MinHash LSH
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: per seed s, min over shingles of xxhash64(sh, s)."""
+    return F.array(*[
+        F.array_min(F.transform(shingles, lambda sh: F.xxhash64(sh, F.lit(seed))))
+        for seed in range(num_hashes)])
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", n: int = 3,
+                           num_hashes: int = 32, bands: int = 8) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    shingle → minhash → band → bucket-join (SURVEY E1): docs sharing any
+    band hash become candidates; returns (id_a, id_b, jaccard) verified with
+    the exact shingle-set Jaccard (array_intersect/union on candidates only).
+    """
+    rows = num_hashes // bands
+    base = (df.select(F.col(id_col).alias("id"),
+                      word_shingles(F.col(text_col), n).alias("sh"))
+            .where(F.size("sh") > 0)
+            .withColumn("sig", minhash_signature(F.col("sh"), num_hashes)))
+
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = base.select(
+        "id", "sh",
+        F.explode(F.transform(band_idx, lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(F.concat_ws(",", F.transform(
+                F.slice(F.col("sig"), b * rows + 1, rows),
+                lambda x: x.cast("string")))).alias("bh")))).alias("bb"))
+    banded = banded.select("id", "sh", F.col("bb.band").alias("band"),
+                           F.col("bb.bh").alias("bh"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (left.join(right, (F.col("l.band") == F.col("r.band"))
+                      & (F.col("l.bh") == F.col("r.bh"))
+                      & (F.col("l.id") < F.col("r.id")))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                    F.col("l.sh").alias("sh_a"), F.col("r.sh").alias("sh_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return cand.select("id_a", "id_b", (inter / union).alias("jaccard"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard similarity join (brute force within length blocks).
+
+    Blocking on shingle-count bucket keeps the self-join from being a full
+    cross product; the oracle variant is expressible in SQL so this row is
+    driver-checkable. For 100 TB use minhash_lsh_candidates instead.
+    """
+    base = (df.select(F.col(id_col).alias("id"),
+                      word_shingles(F.col(text_col), n).alias("sh"))
+            .where(F.size("sh") > 0)
+            .withColumn("blk", F.floor(F.log2(F.size("sh") + 1))))
+    l, r = base.alias("l"), base.alias("r")
+    cand = l.join(r, (F.col("l.blk") == F.col("r.blk"))
+                  & (F.col("l.id") < F.col("r.id")))
+    inter = F.size(F.array_intersect("l.sh", "r.sh")).cast("double")
+    union = F.size(F.array_union("l.sh", "r.sh")).cast("double")
+    return (cand.select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                        (inter / union).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+# ---------------------------------------------------------------- SimHash
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document, JVM-side.
+
+    Per bit b: sum over token hashes of ±1 depending on bit b; bit set iff
+    sum > 0. Expressed as an aggregate over the exploded token-hash column
+    with bitwise ops — no Python in the loop.
+    """
+    toks = F.explode(F.filter(F.split(F.lower(F.col(text_col)), r"\W+"),
+                              lambda w: F.length(w) > 0)).alias("tok")
+    th = df.select(F.col(id_col).alias("id"), toks) \
+           .withColumn("h", F.xxhash64("tok"))
+    aggs = [F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                         1).otherwise(-1)).alias(f"b{b}") for b in range(bits)]
+    sums = th.groupBy("id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"b{b}") > 0,
+                           F.lit(1).cast("long") * (2 ** b if b < 63 else -(2 ** 63))
+                           ).otherwise(0)
+    return sums.select("id", sig.alias("simhash"))
+
+
+def simhash_near_dups(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= k, blocked on 16-bit chunks.
+
+    Pigeonhole: if hamming <= 3, at least one of 4 16-bit chunks matches —
+    join per chunk, then verify with bit_count (JVM)."""
+    sh = simhash(df, text_col, id_col)
+    chunks = [(F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)))
+              .alias(f"c{i}") for i in range(4)]
+    blocked = sh.select("id", "simhash", *chunks)
+    pieces = None
+    for i in range(4):
+        l, r = blocked.alias("l"), blocked.alias("r")
+        p = (l.join(r, (F.col(f"l.c{i}") == F.col(f"r.c{i}"))
+                    & (F.col("l.id") < F.col("r.id")))
+             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                     F.col("l.simhash").alias("ha"), F.col("r.simhash").alias("hb")))
+        pieces = p if pieces is None else pieces.unionByName(p)
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (pieces.dropDuplicates(["id_a", "id_b"])
+            .select("id_a", "id_b", ham.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))

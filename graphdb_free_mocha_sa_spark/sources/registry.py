@@ -27,8 +27,19 @@ def load_tables(spark: SparkSession, sf_dir: str,
     for name in (names or ALL_TABLES):
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+            out[name] = normalize_nanos_timestamps(spark.read.parquet(path))
     return out
+
+
+def normalize_nanos_timestamps(df: DataFrame) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark reads as BIGINT
+    under spark.sql.legacy.parquet.nanosAsLong; convert with integer division
+    (double division loses precision at ~1.7e18 ns epoch values)."""
+    from pyspark.sql import functions as F
+    for col, dtype in df.dtypes:
+        if col == "ts" and dtype == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
 
 
 def load_quads(spark: SparkSession, sf_dir: str, cache: bool = True) -> DataFrame:

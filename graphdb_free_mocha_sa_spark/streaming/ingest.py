@@ -1,0 +1,132 @@
+"""Structured Streaming ingest + windowed analytics (SURVEY A1/A2/A9, E6).
+
+The reference consumes RabbitMQ micro-batches of INSERT updates and executes
+them concurrently post-bulk-load (EP2, GraphDBSystemAdapter.java:189-209).
+Spark-first equivalent: a file/rate/kafka ``readStream`` feeding
+``foreachBatch``; each micro-batch of SPARQL INSERT strings is parsed and
+appended to the QuadStore — batch boundaries give the same atomicity as the
+reference's per-update transactions.
+
+Windowed analytics (E6): tumbling/sliding/session windows + watermark over
+the ``events`` fixture, with an ``availableNow`` batch-equivalence harness
+(FIXTURES.md §4): the same aggregation through ``read`` and ``readStream``
+must produce identical results.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphdb_free_mocha_sa_spark.store import QuadStore
+from graphdb_free_mocha_sa_spark.update import UpdateExecutor
+
+
+# ------------------------------------------------------------ EP2 parity
+
+
+def stream_inserts_from_files(spark: SparkSession, store: QuadStore,
+                              updates_dir: str) -> None:
+    """Replay a directory of SPARQL-update files as a micro-batch stream.
+
+    Each text file is one update message (the adapter's RabbitMQ message
+    granularity); ``availableNow`` drains the backlog then stops — the
+    equivalent of the reference's all-data-received barrier (A5,
+    GraphDBSystemAdapter.java:306-315)."""
+    executor = UpdateExecutor(store)
+    stream = spark.readStream.format("text").load(updates_dir)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # updates are tiny SPARQL strings; execution plans run distributed
+        for row in batch_df.collect():
+            if row.value.strip():
+                executor.execute(row.value)
+
+    q = (stream.writeStream.foreachBatch(apply_batch)
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ing_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+# ------------------------------------------------------------ windows
+
+
+def tumbling_counts(events: DataFrame, minutes: int = 5,
+                    watermark: str = "10 minutes") -> DataFrame:
+    e = events
+    if e.isStreaming:
+        e = e.withWatermark("ts", watermark)
+    return (e.groupBy(F.window("ts", f"{minutes} minutes").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("value").alias("sum_value"))
+            .select(F.col("w.start").alias("w_start"),
+                    F.col("w.end").alias("w_end"),
+                    "event_type", "cnt", "sum_value"))
+
+
+def sliding_counts(events: DataFrame, window_min: int = 10, slide_min: int = 5,
+                   watermark: str = "10 minutes") -> DataFrame:
+    e = events
+    if e.isStreaming:
+        e = e.withWatermark("ts", watermark)
+    return (e.groupBy(F.window("ts", f"{window_min} minutes",
+                               f"{slide_min} minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("w.start").alias("w_start"),
+                    F.col("w.end").alias("w_end"), "cnt"))
+
+
+def session_counts(events: DataFrame, gap_min: int = 5,
+                   watermark: str = "10 minutes") -> DataFrame:
+    e = events
+    if e.isStreaming:
+        e = e.withWatermark("ts", watermark)
+    return (e.groupBy(F.session_window("ts", f"{gap_min} minutes").alias("w"),
+                      "user_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("w.start").alias("w_start"),
+                    F.col("w.end").alias("w_end"), "user_id", "cnt"))
+
+
+# ------------------------------------------------------------ equivalence harness
+
+
+def run_stream_batch_equivalent(spark: SparkSession, events_parquet: str,
+                                agg_fn: Callable[[DataFrame], DataFrame],
+                                shuffle_fraction: float = 0.0,
+                                seed: int = 7) -> tuple[DataFrame, DataFrame]:
+    """Run ``agg_fn`` through batch read AND through readStream/availableNow.
+
+    ``shuffle_fraction`` > 0 writes a late-data variant (that fraction of
+    rows re-ordered into a second file) — watermark handling must still
+    converge to the batch answer once the backlog drains."""
+    from graphdb_free_mocha_sa_spark.sources.registry import normalize_nanos_timestamps
+    batch = normalize_nanos_timestamps(spark.read.parquet(events_parquet))
+    batch_out = agg_fn(batch)
+
+    stage = tempfile.mkdtemp(prefix="stream_src_")
+    if shuffle_fraction > 0:
+        late = batch.sample(shuffle_fraction, seed=seed)
+        ontime = batch.subtract(late)
+        ontime.write.mode("overwrite").parquet(os.path.join(stage, "f=1"))
+        late.write.mode("append").parquet(os.path.join(stage, "f=2"))
+        src_path = stage + "/*"
+    else:
+        batch.write.mode("overwrite").parquet(stage)
+        src_path = stage
+
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 4).parquet(src_path))
+    out = agg_fn(stream)
+    table = f"stream_eq_{abs(hash(events_parquet)) % 10_000}"
+    q = (out.writeStream.format("memory").queryName(table)
+         .outputMode("complete")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_eq_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    stream_out = spark.table(table)
+    return batch_out, stream_out

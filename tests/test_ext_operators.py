@@ -1,0 +1,186 @@
+"""[EXT] operator tests: dedup, similarity, text, multimodal (SURVEY §2.3)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR, assert_matches_duck
+
+
+@pytest.fixture(scope="module")
+def documents(tables):
+    return tables["documents"]
+
+
+@pytest.fixture(scope="module")
+def embeddings(tables):
+    return tables["embeddings"]
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, documents):
+    """Fixture docs + synthesized exact and near duplicates."""
+    extra = documents.limit(10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source",
+        "n_chars")
+    near = documents.limit(5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+        "lang", "source", "n_chars")
+    return documents.unionByName(extra).unionByName(near)
+
+
+# ------------------------------------------------------------ dedup
+
+
+def test_exact_hash_dedup(docs_with_dups, duck):
+    from graphdb_free_mocha_sa_spark.operators.dedup import exact_hash_dedup
+    out = exact_hash_dedup(docs_with_dups)
+    assert out.count() == 505                         # 500 uniques + 5 near variants
+    assert out.filter(F.col("dup_count") == 2).count() == 10
+
+
+def test_minhash_lsh_finds_exact_and_near(docs_with_dups):
+    from graphdb_free_mocha_sa_spark.operators.dedup import minhash_lsh_candidates
+    cand = minhash_lsh_candidates(docs_with_dups, num_hashes=32, bands=16)
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in cand.collect()}
+    # all 10 exact dup pairs must surface with jaccard == 1.0
+    exact_hits = [(a, b) for (a, b), j in pairs.items() if b == a + 100000 and j == 1.0]
+    assert len(exact_hits) == 10
+    # near-dup pairs (one appended token) should appear with high jaccard
+    near_hits = [(a, b) for (a, b), j in pairs.items() if b == a + 200000 and j > 0.7]
+    assert len(near_hits) >= 4
+
+
+def test_ngram_jaccard_pairs(docs_with_dups):
+    from graphdb_free_mocha_sa_spark.operators.dedup import ngram_jaccard_pairs
+    out = ngram_jaccard_pairs(docs_with_dups, threshold=0.999)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert {(a, a + 100000) for a in range(10)} <= pairs
+
+
+def test_simhash_near_dups(docs_with_dups):
+    from graphdb_free_mocha_sa_spark.operators.dedup import simhash_near_dups
+    out = simhash_near_dups(docs_with_dups, max_hamming=0)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert {(a, a + 100000) for a in range(10)} <= pairs
+
+
+# ------------------------------------------------------------ similarity
+
+
+def test_brute_force_topk_matches_numpy(embeddings):
+    from graphdb_free_mocha_sa_spark.operators.similarity import brute_force_topk
+    queries = embeddings.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = brute_force_topk(embeddings, queries, k=5)
+    rows = got.collect()
+
+    E = {r.vec_id: np.array(r.embedding) for r in embeddings.collect()}
+    for qid in [r.query_id for r in queries.collect()]:
+        q = E[qid]
+        sims = {i: float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v)))
+                for i, v in E.items()}
+        expect = sorted(sims, key=lambda i: (-sims[i], i))[:5]
+        mine = [r.vec_id for r in sorted((x for x in rows if x.query_id == qid),
+                                         key=lambda r: r.rank)]
+        assert mine == expect
+        # self always rank 1 with cos ≈ 1
+        assert mine[0] == qid
+
+
+def test_lsh_topk_recall(embeddings):
+    from graphdb_free_mocha_sa_spark.operators.similarity import (
+        brute_force_topk, lsh_topk)
+    queries = embeddings.limit(5).select(F.col("vec_id").alias("query_id"),
+                                         "embedding")
+    exact = brute_force_topk(embeddings, queries, k=3).collect()
+    approx = lsh_topk(embeddings, queries, dim=64, k=3, bits=4).collect()
+    # bucket containing the query always contains the query itself
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, []).append(r.vec_id)
+    for qid, ids in by_q.items():
+        assert qid in ids
+    # recall vs exact should be nontrivial with 4 bits (16 buckets)
+    hits = sum(1 for r in exact if r.vec_id in by_q.get(r.query_id, []))
+    assert hits >= len(exact) // 3
+
+
+# ------------------------------------------------------------ text
+
+
+def test_token_count_vs_duck(documents, duck):
+    from graphdb_free_mocha_sa_spark.operators.text import token_count
+    out = documents.select("doc_id", token_count(F.col("text")).alias("n_tok"))
+    assert_matches_duck(out, duck, """
+        SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tok
+        FROM documents
+    """)
+
+
+def test_term_stats_vs_duck(documents, duck):
+    from graphdb_free_mocha_sa_spark.operators.text import term_stats
+    out = term_stats(documents).limit(5)
+    assert_matches_duck(out, duck, """
+        SELECT term, count(*) AS tf FROM (
+          SELECT unnest(string_split_regex(lower(text), '[^a-z0-9'']+')) AS term
+          FROM documents) WHERE term <> ''
+        GROUP BY term ORDER BY tf DESC, term ASC LIMIT 5
+    """)
+
+
+def test_lang_id_and_quality(spark):
+    from graphdb_free_mocha_sa_spark.operators.text import lang_id, quality_features
+    rows = [(1, "the cat sat on the mat and it was happy with this"),
+            (2, "der Hund ist nicht mit der Katze und das ist ein Problem"),
+            (3, "le chat est dans la maison et il est pour le moment"),
+            (4, "el perro es un animal y la casa es de los gatos"),
+            (5, "zzz qqq xxx")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.lid for r in
+           df.select("doc_id", lang_id(F.col("text")).alias("lid")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "unknown"}
+    q = quality_features(df)
+    qrows = {r.doc_id: r for r in q.collect()}
+    assert 0.0 <= qrows[1].quality_score <= 1.0
+    assert qrows[1].quality_score > qrows[5].quality_score
+
+
+def test_fingerprint_normalization(spark):
+    from graphdb_free_mocha_sa_spark.operators.text import fingerprint
+    df = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world"), (3, "something else")],
+        "id long, text string")
+    fps = {r.id: r.fp for r in df.select("id", fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+# ------------------------------------------------------------ multimodal
+
+
+def test_multimodal_plumbing(spark):
+    from graphdb_free_mocha_sa_spark.operators.multimodal import (
+        FEATURE_DIM, extract_features, resize_images, sample_frames,
+        synthesize_media)
+    media = synthesize_media(spark, n=30)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r.feature) == FEATURE_DIM for r in rows)
+    # deterministic: same content → same feature
+    again = {r.media_id: r.feature for r in extract_features(media).collect()}
+    first = {r.media_id: r.feature for r in rows}
+    assert again == first
+
+    resized = resize_images(media, 8, 8).collect()
+    assert all(len(bytes(r.content)) == 64 for r in resized)
+
+    frames = sample_frames(media, every_n=30)
+    per_vid = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 4 for r in per_vid)      # 120 frames / 30
+
+    with pytest.raises(NotImplementedError):
+        extract_features(media, decode="real")

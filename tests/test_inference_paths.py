@@ -1,0 +1,144 @@
+"""Closed-form inference + property-path tests (SURVEY B13/B40/B41/B44, M4).
+
+Fixtures per FIXTURES.md §3: subclass chains, transitive nets, sameAs
+cliques — expected closures computed by hand; path queries double-checked
+against a DuckDB WITH RECURSIVE oracle.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdb_free_mocha_sa_spark.model import OWL, QUAD_SCHEMA, RDF_TYPE, RDFS
+
+SC = RDFS + "subClassOf"
+SP = RDFS + "subPropertyOf"
+DOM = RDFS + "domain"
+RNG = RDFS + "range"
+
+
+def mk_quads(spark, triples):
+    rows = [("urn:g", s, p, o, None, None, None, None) for s, p, o in triples]
+    return spark.createDataFrame(rows, QUAD_SCHEMA)
+
+
+def test_subclass_chain_closure(spark):
+    """C0 ⊂ C1 ⊂ … ⊂ C9, one instance per class → triangular type closure."""
+    from graphdb_free_mocha_sa_spark.operators.inference import owl_horst_closure
+    triples = [(f"urn:C{i}", SC, f"urn:C{i+1}") for i in range(9)]
+    triples += [(f"urn:x{i}", RDF_TYPE, f"urn:C{i}") for i in range(10)]
+    inferred = owl_horst_closure(spark, mk_quads(spark, triples))
+    types = inferred.filter(F.col("p") == RDF_TYPE)
+    # instance xi gains types C(i+1)..C9 → sum_{i=0..9} (9-i) = 45
+    assert types.count() == 45
+    x0 = {r.o_lex for r in types.filter(F.col("s") == "urn:x0").collect()}
+    assert x0 == {f"urn:C{j}" for j in range(1, 10)}
+
+
+def test_domain_range_subproperty(spark):
+    from graphdb_free_mocha_sa_spark.operators.inference import owl_horst_closure
+    triples = [
+        ("urn:hasDog", SP, "urn:hasPet"),
+        ("urn:hasPet", DOM, "urn:Person"),
+        ("urn:hasPet", RNG, "urn:Animal"),
+        ("urn:alice", "urn:hasDog", "urn:rex"),
+    ]
+    inferred = owl_horst_closure(spark, mk_quads(spark, triples))
+    got = {(r.s, r.p, r.o_lex) for r in inferred.collect()}
+    assert ("urn:alice", "urn:hasPet", "urn:rex") in got          # rdfs7
+    assert ("urn:alice", RDF_TYPE, "urn:Person") in got           # rdfs2 via sp
+    assert ("urn:rex", RDF_TYPE, "urn:Animal") in got             # rdfs3 via sp
+
+
+def test_transitive_symmetric_inverse(spark):
+    from graphdb_free_mocha_sa_spark.operators.inference import owl_horst_closure
+    triples = [
+        ("urn:partOf", RDF_TYPE, OWL + "TransitiveProperty"),
+        ("urn:near", RDF_TYPE, OWL + "SymmetricProperty"),
+        ("urn:contains", OWL + "inverseOf", "urn:partOf"),
+        ("urn:a", "urn:partOf", "urn:b"),
+        ("urn:b", "urn:partOf", "urn:c"),
+        ("urn:c", "urn:partOf", "urn:d"),
+        ("urn:p", "urn:near", "urn:q"),
+    ]
+    inferred = owl_horst_closure(spark, mk_quads(spark, triples))
+    got = {(r.s, r.p, r.o_lex) for r in inferred.collect()}
+    assert ("urn:a", "urn:partOf", "urn:c") in got
+    assert ("urn:a", "urn:partOf", "urn:d") in got                # depth 3
+    assert ("urn:q", "urn:near", "urn:p") in got                  # symmetric
+    assert ("urn:b", "urn:contains", "urn:a") in got              # inverse
+    assert ("urn:d", "urn:contains", "urn:a") in got              # inverse of closure
+
+
+def test_sameas_cliques(spark):
+    from graphdb_free_mocha_sa_spark.operators.inference import sameas_components
+    triples = [("urn:a1", OWL + "sameAs", "urn:a2"),
+               ("urn:a2", OWL + "sameAs", "urn:a3"),
+               ("urn:b1", OWL + "sameAs", "urn:b2")]
+    comp = sameas_components(spark, mk_quads(spark, triples))
+    canon = {r.term: r.canon for r in comp.collect()}
+    assert canon["urn:a1"] == canon["urn:a2"] == canon["urn:a3"] == "urn:a1"
+    assert canon["urn:b1"] == canon["urn:b2"] == "urn:b1"
+
+
+@pytest.fixture(scope="module")
+def chain_engine(spark):
+    """a0 → a1 → … → a5 plus a side branch; engine over it."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    triples = [(f"urn:a{i}", "urn:next", f"urn:a{i+1}") for i in range(5)]
+    triples += [("urn:a2", "urn:jump", "urn:a4"), ("urn:a0", "urn:label", "urn:zero")]
+    return Engine(spark, QuadStore(spark, mk_quads(spark, triples)))
+
+
+def run_vals(engine, q):
+    res = engine.query(q)
+    return sorted(r[res.variables[0] + "__lex"] for r in res.df.collect())
+
+
+def test_path_plus(chain_engine, duck):
+    got = run_vals(chain_engine, "SELECT ?x WHERE { <urn:a0> <urn:next>+ ?x }")
+    # duckdb WITH RECURSIVE oracle over the same edge list
+    edges = ",".join(f"('urn:a{i}','urn:a{i+1}')" for i in range(5))
+    oracle = duck.execute(f"""
+        WITH RECURSIVE e(s,o) AS (VALUES {edges}),
+        reach(o) AS (
+          SELECT o FROM e WHERE s = 'urn:a0'
+          UNION SELECT e.o FROM reach JOIN e ON e.s = reach.o)
+        SELECT DISTINCT o FROM reach ORDER BY o""").fetchall()
+    assert got == [r[0] for r in oracle]
+
+
+def test_path_star_and_optional_mod(chain_engine):
+    got = run_vals(chain_engine, "SELECT ?x WHERE { <urn:a3> <urn:next>* ?x }")
+    assert got == ["urn:a3", "urn:a4", "urn:a5"]
+    got = run_vals(chain_engine, "SELECT ?x WHERE { <urn:a3> <urn:next>? ?x }")
+    assert got == ["urn:a3", "urn:a4"]
+
+
+def test_path_inverse_seq_alt(chain_engine):
+    got = run_vals(chain_engine, "SELECT ?x WHERE { <urn:a2> ^<urn:next> ?x }")
+    assert got == ["urn:a1"]
+    got = run_vals(chain_engine,
+                   "SELECT ?x WHERE { <urn:a1> (<urn:next>/<urn:next>) ?x }")
+    assert got == ["urn:a3"]
+    got = run_vals(chain_engine,
+                   "SELECT ?x WHERE { <urn:a2> (<urn:jump>|<urn:next>) ?x }")
+    assert got == ["urn:a3", "urn:a4"]
+
+
+def test_path_negated(chain_engine):
+    got = run_vals(chain_engine, "SELECT ?x WHERE { <urn:a2> !(<urn:next>) ?x }")
+    assert got == ["urn:a4"]      # only the jump edge survives
+
+
+def test_path_plus_converges_on_cycle(spark):
+    """Cycles must not loop forever (closure is set-semantics)."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    triples = [("urn:c1", "urn:n", "urn:c2"), ("urn:c2", "urn:n", "urn:c3"),
+               ("urn:c3", "urn:n", "urn:c1")]
+    eng = Engine(spark, QuadStore(spark, mk_quads(spark, triples)))
+    got = run_vals(eng, "SELECT ?x WHERE { <urn:c1> <urn:n>+ ?x }")
+    assert got == ["urn:c1", "urn:c2", "urn:c3"]

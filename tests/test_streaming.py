@@ -1,0 +1,56 @@
+"""Streaming tests: batch-stream equivalence + micro-batch INSERT ingest
+(SURVEY A1/A5/A9, E6, M5)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR, canon
+
+EVENTS = os.path.join(SF_DIR, "events.parquet")
+
+
+def _rows(df):
+    return canon([tuple(r) for r in df.collect()])
+
+
+def test_tumbling_batch_stream_equivalence(spark):
+    from graphdb_free_mocha_sa_spark.streaming.ingest import (
+        run_stream_batch_equivalent, tumbling_counts)
+    batch, stream = run_stream_batch_equivalent(spark, EVENTS, tumbling_counts)
+    assert _rows(batch) == _rows(stream)
+    assert batch.count() > 0
+
+
+def test_sliding_with_late_data(spark):
+    from graphdb_free_mocha_sa_spark.streaming.ingest import (
+        run_stream_batch_equivalent, sliding_counts)
+    batch, stream = run_stream_batch_equivalent(
+        spark, EVENTS, sliding_counts, shuffle_fraction=0.05)
+    assert _rows(batch) == _rows(stream)
+
+
+def test_session_window_batch_stream(spark):
+    from graphdb_free_mocha_sa_spark.streaming.ingest import (
+        run_stream_batch_equivalent, session_counts)
+    batch, stream = run_stream_batch_equivalent(spark, EVENTS, session_counts)
+    assert _rows(batch) == _rows(stream)
+
+
+def test_stream_insert_ingest(spark, tmp_path):
+    """EP2 parity: micro-batches of SPARQL INSERTs through foreachBatch."""
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    from graphdb_free_mocha_sa_spark.streaming.ingest import stream_inserts_from_files
+    updates = tmp_path / "updates"
+    updates.mkdir()
+    for i in range(6):
+        (updates / f"u{i}.ru").write_text(
+            f'INSERT DATA {{ GRAPH <urn:stream> {{ <urn:e{i}> <urn:val> {i} }} }}')
+    store = QuadStore(spark)
+    stream_inserts_from_files(spark, store, str(updates))
+    got = store.df.filter(F.col("g") == "urn:stream")
+    assert got.count() == 6
+    assert got.agg(F.sum("o_num")).collect()[0][0] == 15.0

@@ -1,0 +1,121 @@
+"""SPARQL Update + QuadStore lifecycle tests (SURVEY B30-B36, M3)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def store(spark):
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    return QuadStore(spark)
+
+
+@pytest.fixture()
+def engine(spark, store):
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    return Engine(spark, store)
+
+
+def g_count(store, g):
+    return store.df.filter(F.col("g") == g).count()
+
+
+def test_insert_delete_data(engine, store):
+    engine.update("""
+        INSERT DATA { GRAPH <urn:g1> {
+            <urn:a> <urn:p> "v1" .
+            <urn:a> <urn:p> "v2" .
+            <urn:b> <urn:q> 42 } }""")
+    assert g_count(store, "urn:g1") == 3
+    num = store.df.filter(F.col("o_num") == 42.0)
+    assert num.count() == 1          # numeric shadow column populated
+    engine.update('DELETE DATA { GRAPH <urn:g1> { <urn:a> <urn:p> "v1" } }')
+    assert g_count(store, "urn:g1") == 2
+
+
+def test_delete_insert_where(engine, store):
+    engine.update("""
+        INSERT DATA { GRAPH <urn:g2> {
+            <urn:c1> <urn:status> "old" .
+            <urn:c2> <urn:status> "old" .
+            <urn:c3> <urn:status> "fresh" } }""")
+    engine.update("""
+        WITH <urn:g2>
+        DELETE { ?s <urn:status> "old" }
+        INSERT { ?s <urn:status> "renewed" }
+        WHERE { ?s <urn:status> "old" }""")
+    vals = sorted(r.o_lex for r in store.df.filter(F.col("g") == "urn:g2").collect())
+    assert vals == ["fresh", "renewed", "renewed"]
+
+
+def test_delete_where_shorthand(engine, store):
+    engine.update('INSERT DATA { <urn:x> <urn:p> "a" . <urn:x> <urn:p> "b" }')
+    engine.update('DELETE WHERE { <urn:x> <urn:p> ?v }')
+    assert store.df.filter(F.col("s") == "urn:x").count() == 0
+
+
+def test_clear_copy_move(engine, store):
+    engine.update('INSERT DATA { GRAPH <urn:src> { <urn:s> <urn:p> "x" } }')
+    engine.update('COPY <urn:src> TO <urn:dst>')
+    assert g_count(store, "urn:src") == 1 and g_count(store, "urn:dst") == 1
+    engine.update('MOVE <urn:src> TO <urn:dst2>')
+    assert g_count(store, "urn:src") == 0 and g_count(store, "urn:dst2") == 1
+    engine.update('CLEAR GRAPH <urn:dst>')
+    assert g_count(store, "urn:dst") == 0
+
+
+def test_versioned_bulk_load_and_snapshot(spark, store):
+    """EP1 parity: versioned loads + snapshot isolation (A11/B38)."""
+    from graphdb_free_mocha_sa_spark.model import GRAPH_VERSION_PREFIX, QUAD_SCHEMA
+    rows = [(None, "urn:s1", "urn:p", "o", None, None, None, None)]
+    df = spark.createDataFrame(rows, QUAD_SCHEMA)
+    g0 = store.load_version(df)
+    snapshot = store.df                       # reader pins this
+    g1 = store.load_version(df)
+    assert g0 == GRAPH_VERSION_PREFIX + "0" and g1 == GRAPH_VERSION_PREFIX + "1"
+    assert snapshot.count() == 1              # old snapshot unchanged
+    assert store.df.count() == 2
+
+
+def test_load_ntriples_file(engine, store, tmp_path):
+    p = tmp_path / "data.nt"
+    p.write_text(
+        '<urn:n1> <urn:p> "hello" .\n'
+        '<urn:n1> <urn:q> <urn:n2> .\n'
+        '<urn:n2> <urn:val> "3.5"^^<http://www.w3.org/2001/XMLSchema#double> .\n'
+        '<urn:n2> <urn:lbl> "bonjour"@fr .\n')
+    engine.update(f"LOAD <file://{p}> INTO GRAPH <urn:loaded>")
+    rows = store.df.filter(F.col("g") == "urn:loaded")
+    assert rows.count() == 4
+    assert rows.filter(F.col("o_num") == 3.5).count() == 1
+    assert rows.filter(F.col("o_lang") == "fr").count() == 1
+
+
+def test_insert_with_rewrite():
+    """A8: the reference's streaming INSERT rewrite, mechanically mirrored
+    (GraphDBSystemAdapter.java:193-194)."""
+    from graphdb_free_mocha_sa_spark.update import rewrite_insert_with
+    q = 'INSERT { <urn:s> <urn:p> "v" . } WITH <urn:g> WHERE { ?x ?y ?z }'
+    out = rewrite_insert_with(q)
+    assert out.startswith(' { <urn:s> <urn:p> "v" . } INSERT DATA { GRAPH <urn:g>')
+    assert out.endswith(" }")
+
+
+def test_turtle_reader(spark, tmp_path):
+    from graphdb_free_mocha_sa_spark.sources.rdf import read_turtle
+    p = tmp_path / "data.ttl"
+    p.write_text(
+        "@prefix ex: <urn:ex:> .\n"
+        "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .\n"
+        'ex:a ex:name "Alice" .\n'
+        "ex:a ex:knows ex:b .\n"
+        'ex:b ex:age "30"^^xsd:integer .\n')
+    df = read_turtle(spark, str(p), "urn:g")
+    rows = {(r.s, r.p, r.o_lex) for r in df.collect()}
+    assert ("urn:ex:a", "urn:ex:name", "Alice") in rows
+    assert ("urn:ex:a", "urn:ex:knows", "urn:ex:b") in rows
+    assert df.filter(F.col("o_num") == 30.0).count() == 1
