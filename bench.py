@@ -1,0 +1,91 @@
+"""Headline benchmark: runs the representative query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Execution is forced with the no-op sink (full pipeline runs, nothing is
+collected to the driver), so timings measure distributed execution, not
+driver materialization. The RDF quad encode+cache cost is reported as its
+own entry ("rdf_load") rather than being smeared into the first SPARQL query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Representative subset of __spark_entry__.queries(): SPARQL core (scan, BGP
+# join, filter, path, agg), recursion/inference, relational headliners
+# (TPC-H 1/3/5), and the training-pipeline extensions.
+HEADLINERS = [
+    "b1_scan",
+    "b2_bgp_join",
+    "b3_filter",
+    "b4_optional",
+    "b13_path_seq",
+    "b13_path_plus",
+    "b21_group_by",
+    "b23_min_max_sum",
+    "b40_inference_subclass",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "tpch_q5_local_supplier",
+    "ext_window_rank",
+    "ext_dedup_exact",
+    "ext_dedup_minhash",
+    "ext_topk_cosine",
+    "ext_text_termstats",
+    "ext_stream_tumbling",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from graphdb_free_mocha_sa_spark.session import get_spark
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+    qs = entry_mod.queries()
+
+    timings: dict[str, float] = {}
+
+    # Encode + cache the RDF quad view of the star schema once, timed.
+    t0 = time.time()
+    entry_mod._engine(spark, sf_dir).store.df.count()
+    timings["rdf_load"] = round(time.time() - t0, 3)
+
+    for name in HEADLINERS:
+        t0 = time.time()
+        try:
+            _force(qs[name](spark, sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: {name} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    print(json.dumps({
+        "metric": "headline_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
