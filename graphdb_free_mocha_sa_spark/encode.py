@@ -70,46 +70,38 @@ def _literal_parts(col: str, dtype: str):
 
 
 def encode_table(table: str, df: DataFrame, graph: str = BASE_GRAPH) -> DataFrame:
-    """Encode one relational table as quads."""
+    """Encode one relational table as quads in a SINGLE scan.
+
+    One row fans out to (1 + n_cols) quads via ``inline`` over an array of
+    predicate structs — Catalyst reads the parquet once per table (vs once
+    per column for a union-of-projections) and the generate stays inside
+    whole-stage codegen. Null columns yield a null ``o_lex`` struct entry,
+    filtered after the inline (RDF has no null objects).
+    """
     subj = subject_expr(table, df)
-    g = F.lit(graph)
-    pieces: list[DataFrame] = []
+    ns, nd, nt = (F.lit(None).cast("string"), F.lit(None).cast("double"),
+                  F.lit(None).cast("timestamp"))
 
-    # rdf:type quad per row
-    pieces.append(df.select(
-        g.alias("g"), subj.alias("s"), F.lit(RDF_TYPE).alias("p"),
-        F.lit(f"{NS}t/{table}").alias("o_lex"),
-        F.lit(None).cast("string").alias("o_dt"),
-        F.lit(None).cast("string").alias("o_lang"),
-        F.lit(None).cast("double").alias("o_num"),
-        F.lit(None).cast("timestamp").alias("o_ts"),
-    ))
+    def quad_struct(p, o_lex, o_dt, o_num, o_ts):
+        return F.struct(p.alias("p"), o_lex.alias("o_lex"), o_dt.alias("o_dt"),
+                        ns.alias("o_lang"), o_num.alias("o_num"),
+                        o_ts.alias("o_ts"))
 
+    structs = [quad_struct(F.lit(RDF_TYPE), F.lit(f"{NS}t/{table}"),
+                           ns, nd, nt)]
     for col, dtype in df.dtypes:
         pred = F.lit(f"{NS}p/{col}")
         if col in FK_TARGETS:
-            obj = F.concat(F.lit(f"{NS}{FK_TARGETS[col]}/"), F.col(col).cast("string"))
-            pieces.append(df.where(F.col(col).isNotNull()).select(
-                g.alias("g"), subj.alias("s"), pred.alias("p"),
-                obj.alias("o_lex"),
-                F.lit(None).cast("string").alias("o_dt"),
-                F.lit(None).cast("string").alias("o_lang"),
-                F.lit(None).cast("double").alias("o_num"),
-                F.lit(None).cast("timestamp").alias("o_ts"),
-            ))
+            obj = F.concat(F.lit(f"{NS}{FK_TARGETS[col]}/"),
+                           F.col(col).cast("string"))
+            structs.append(quad_struct(pred, obj, ns, nd, nt))
         else:
             lex, dt, num, ts = _literal_parts(col, dtype)
-            pieces.append(df.where(F.col(col).isNotNull()).select(
-                g.alias("g"), subj.alias("s"), pred.alias("p"),
-                lex.alias("o_lex"), dt.alias("o_dt"),
-                F.lit(None).cast("string").alias("o_lang"),
-                num.alias("o_num"), ts.alias("o_ts"),
-            ))
+            structs.append(quad_struct(pred, lex, dt, num, ts))
 
-    out = pieces[0]
-    for piece in pieces[1:]:
-        out = out.unionByName(piece)
-    return out.select(*QUAD_COLS)
+    out = df.select(F.lit(graph).alias("g"), subj.alias("s"),
+                    F.inline(F.array(*structs)))
+    return out.where(F.col("o_lex").isNotNull()).select(*QUAD_COLS)
 
 
 def encode_star_schema(tables: dict[str, DataFrame], graph: str = BASE_GRAPH) -> DataFrame:
@@ -120,11 +112,35 @@ def encode_star_schema(tables: dict[str, DataFrame], graph: str = BASE_GRAPH) ->
     non-unique (l_orderkey, l_linenumber) pairs, which would otherwise emit
     the same quad multiple times. Properties whose source rows collide simply
     become multi-valued — valid RDF.
+
+    Only ``lineitem`` needs the dedup shuffle: every other table has a unique
+    primary key, so its quads are distinct by construction — shuffling them
+    through dropDuplicates would be pure waste at scale. Within lineitem the
+    shuffle is further narrowed to rows whose key actually collides: a cheap
+    narrow aggregate finds the colliding keys, those rows' quads go through
+    dropDuplicates, unique-key rows bypass it entirely. (If collisions were
+    pervasive rather than a fixture quirk, the broadcast would grow and plain
+    dropDuplicates over everything would be the right call — AQE's broadcast
+    threshold effectively arbitrates.)
     """
     out = None
     for name in TABLE_KEYS:
         if name in tables:
-            enc = encode_table(name, tables[name], graph)
+            if name == "lineitem":
+                enc = _encode_lineitem_dedup(tables[name], graph)
+            else:
+                enc = encode_table(name, tables[name], graph)
             out = enc if out is None else out.unionByName(enc)
     assert out is not None, "no encodable tables supplied"
-    return out.dropDuplicates(["g", "s", "p", "o_lex", "o_dt", "o_lang"])
+    return out
+
+
+def _encode_lineitem_dedup(df: DataFrame, graph: str) -> DataFrame:
+    keys = TABLE_KEYS["lineitem"]
+    dup_keys = (df.groupBy(*keys).count()
+                .where(F.col("count") > 1).drop("count"))
+    uniq_rows = df.join(F.broadcast(dup_keys), keys, "left_anti")
+    dup_rows = df.join(F.broadcast(dup_keys), keys, "left_semi")
+    return encode_table("lineitem", uniq_rows, graph).unionByName(
+        encode_table("lineitem", dup_rows, graph).dropDuplicates(
+            ["g", "s", "p", "o_lex", "o_dt", "o_lang"]))

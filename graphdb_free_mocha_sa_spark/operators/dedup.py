@@ -58,9 +58,13 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: per seed s, min over shingles of xxhash64(sh, s)."""
+    """MinHash signature via double hashing: each shingle string is hashed
+    ONCE (xxhash64 over the variable-length text), then the per-seed hash
+    family rehashes the resulting fixed 8-byte value — 32 cheap long-hashes
+    instead of 32 string traversals."""
+    base = F.transform(shingles, lambda sh: F.xxhash64(sh))
     return F.array(*[
-        F.array_min(F.transform(shingles, lambda sh: F.xxhash64(sh, F.lit(seed))))
+        F.array_min(F.transform(base, lambda h: F.xxhash64(h, F.lit(seed))))
         for seed in range(num_hashes)])
 
 
@@ -74,34 +78,60 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     the exact shingle-set Jaccard (array_intersect/union on candidates only).
     """
     rows = num_hashes // bands
+    spark = df.sparkSession
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        # Fixture parquet arrives as one row-group = one partition; the
+        # shingling is CPU-bound, so spread it. (A real 100 TB input already
+        # has thousands of splits — this branch never fires there.)
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     base = (df.select(F.col(id_col).alias("id"),
                       word_shingles(F.col(text_col), n).alias("sh"))
-            .where(F.size("sh") > 0)
-            .withColumn("sig", minhash_signature(F.col("sh"), num_hashes)))
+            .where(F.size("sh") > 0))
 
+    # Signature via flat relational ops (explode → hash once → 32 min
+    # aggregates): stays in whole-stage codegen with map-side partial
+    # aggregation, unlike nested array lambdas which Spark evaluates
+    # interpreted per element. Shuffle payload: 32 longs per doc.
+    ex = (base.select("id", F.explode("sh").alias("shingle"))
+          .withColumn("h", F.xxhash64("shingle")))
+    sig_tbl = ex.groupBy("id").agg(
+        *[F.min(F.xxhash64("h", F.lit(s))).alias(f"m{s}")
+          for s in range(num_hashes)],
+        # hashed shingle set rides along for candidate verification — exact
+        # Jaccard over 8-byte hashes instead of re-shingling the documents
+        F.collect_set("h").alias("shh"))
+    sig_tbl = (sig_tbl.select(
+        "id", "shh",
+        F.array(*[f"m{s}" for s in range(num_hashes)]).alias("sig"))
+        .persist())
+
+    # Band rows carry only (id, band, band_hash) — the shingle arrays stay
+    # behind and are re-joined for the (much smaller) candidate set only,
+    # so the LSH shuffle moves 24 bytes/row, not the document shingles.
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = base.select(
-        "id", "sh",
-        F.explode(F.transform(band_idx, lambda b: F.struct(
-            b.alias("band"),
-            F.xxhash64(F.concat_ws(",", F.transform(
-                F.slice(F.col("sig"), b * rows + 1, rows),
-                lambda x: x.cast("string")))).alias("bh")))).alias("bb"))
-    banded = banded.select("id", "sh", F.col("bb.band").alias("band"),
-                           F.col("bb.bh").alias("bh"))
+    banded = (sig_tbl
+              .select("id", F.explode(F.transform(band_idx, lambda b: F.struct(
+                  b.alias("band"),
+                  F.xxhash64(F.concat_ws(",", F.transform(
+                      F.slice(F.col("sig"), b * rows + 1, rows),
+                      lambda x: x.cast("string")))).alias("bh")))).alias("bb"))
+              .select("id", F.col("bb.band").alias("band"),
+                      F.col("bb.bh").alias("bh")))
 
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (left.join(right, (F.col("l.band") == F.col("r.band"))
                       & (F.col("l.bh") == F.col("r.bh"))
                       & (F.col("l.id") < F.col("r.id")))
-            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                    F.col("l.sh").alias("sh_a"), F.col("r.sh").alias("sh_b"))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
 
+    sh_a = sig_tbl.select(F.col("id").alias("id_a"), F.col("shh").alias("sh_a"))
+    sh_b = sig_tbl.select(F.col("id").alias("id_b"), F.col("shh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return cand.select("id_a", "id_b", (inter / union).alias("jaccard"))
+    return (cand.join(sh_a, "id_a").join(sh_b, "id_b")
+            .select("id_a", "id_b", (inter / union).alias("jaccard")))
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
