@@ -351,7 +351,95 @@ def q_func_terms(spark, sf_dir):
                "dt": "str"})
 
 
+def q_b12_from_graph(spark, sf_dir):
+    """FROM dataset clause: default graph composed from one named graph."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark))
+    eng.update("""
+        INSERT DATA {
+          GRAPH <urn:g1> { <urn:a> <urn:v> 1 . <urn:b> <urn:v> 2 }
+          GRAPH <urn:g2> { <urn:c> <urn:v> 3 } }""")
+    return eng.query('SELECT ?s ?v FROM <urn:g1> WHERE { ?s <urn:v> ?v }') \
+              .finalize({"s": "str", "v": "int"})
+
+
+def q_b13_path_star(spark, sf_dir):
+    """Zero-or-more `*`: closure plus zero-length identity on every node."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark))
+    eng.update("""
+        INSERT DATA { GRAPH <urn:chain> {
+          <urn:h0> <urn:next> <urn:h1> . <urn:h1> <urn:next> <urn:h2> .
+          <urn:h2> <urn:next> <urn:h3> } }""")
+    res = eng.query(PREFIXES + "SELECT ?a ?b WHERE { ?a <urn:next>* ?b }")
+    return res.finalize({"a": "str", "b": "str"})
+
+
+def q_b13_path_negated(spark, sf_dir):
+    """Negated property set !(...) scoped to nation subjects."""
+    return _sparql(spark, sf_dir, """
+        SELECT ?s ?o WHERE {
+          ?s rdf:type t:nation .
+          ?s !(rdf:type|x:n_regionkey) ?o .
+        }""", {"s": "str", "o": "str"})
+
+
+def q_b19_describe(spark, sf_dir):
+    out = _engine(spark, sf_dir).query(
+        PREFIXES + "DESCRIBE <urn:x:nation/0>")
+    return out.select(F.col("s"), F.col("p"), F.col("o_lex").alias("o"))
+
+
+def q_b33_load(spark, sf_dir):
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark))
+    eng.update("LOAD <file:///root/repo/fixtures/sample.nt> "
+               "INTO GRAPH <urn:loaded>")
+    return eng.query("""
+        SELECT ?s ?p ?o WHERE { GRAPH <urn:loaded> { ?s ?p ?o } }
+    """).finalize({"s": "str", "p": "str", "o": "str"})
+
+
+def q_b36_copy_add_graph(spark, sf_dir):
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark))
+    eng.update('INSERT DATA { GRAPH <urn:g1> { <urn:a> <urn:p> 1 } '
+               'GRAPH <urn:g2> { <urn:b> <urn:p> 2 } '
+               'GRAPH <urn:g3> { <urn:stale> <urn:p> 9 } }')
+    eng.update('COPY GRAPH <urn:g1> TO GRAPH <urn:g3>')   # replaces g3
+    eng.update('ADD GRAPH <urn:g2> TO GRAPH <urn:g3>')    # merges into g3
+    return eng.query(
+        'SELECT ?s ?v WHERE { GRAPH <urn:g3> { ?s <urn:p> ?v } }') \
+        .finalize({"s": "str", "v": "int"})
+
+
 # ---- updates (run against a scratch store, oracle = expected constants)
+
+def q_func_lang_terms(spark, sf_dir):
+    """Language-tagged literal functions: LANG, LANGMATCHES, STRLANG, STRDT,
+    sameTerm (SPARQL 1.1 §17.4)."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark))
+    eng.update("""INSERT DATA {
+        <urn:d1> <urn:label> "hello"@en .
+        <urn:d2> <urn:label> "bonjour"@fr .
+        <urn:d3> <urn:label> "plain" }""")
+    return eng.query(PREFIXES + """
+        SELECT ?s ?lg ?isen ?same ?tagged ?typed WHERE {
+          ?s <urn:label> ?l .
+          BIND(LANG(?l) AS ?lg)
+          BIND(LANGMATCHES(LANG(?l), "en") AS ?isen)
+          BIND(SAMETERM(?l, ?l) AS ?same)
+          BIND(STR(STRLANG(STR(?l), "de")) AS ?tagged)
+          BIND(STR(STRDT(STR(?l), xsd:string)) AS ?typed)
+        }""").finalize({"s": "str", "lg": "str", "isen": "bool",
+                        "same": "bool", "tagged": "str", "typed": "str"})
+
 
 def q_b30_insert_data(spark, sf_dir):
     from graphdb_free_mocha_sa_spark.engine import Engine
@@ -413,6 +501,32 @@ def q_b40_inference_subclass(spark, sf_dir):
     return eng.query(PREFIXES + """
         SELECT ?i ?cls WHERE { ?i rdf:type ?cls }""").finalize(
         {"i": "str", "cls": "str"})
+
+
+def q_b40_inference_rules(spark, sf_dir):
+    """Full OWL-Horst-subset rule set in one ontology: subPropertyOf,
+    domain, range, inverseOf, SymmetricProperty, TransitiveProperty
+    (ruleset owl-horst-optimized, reference repo-config.ttl:26)."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark))
+    eng.update("""INSERT DATA {
+      <urn:hasParent> <http://www.w3.org/2000/01/rdf-schema#subPropertyOf> <urn:hasAncestor> .
+      <urn:hasParent> <http://www.w3.org/2000/01/rdf-schema#domain> <urn:Person> .
+      <urn:hasParent> <http://www.w3.org/2000/01/rdf-schema#range> <urn:Person> .
+      <urn:hasChild> <http://www.w3.org/2002/07/owl#inverseOf> <urn:hasParent> .
+      <urn:marriedTo> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://www.w3.org/2002/07/owl#SymmetricProperty> .
+      <urn:partOf> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://www.w3.org/2002/07/owl#TransitiveProperty> .
+      <urn:a> <urn:hasParent> <urn:b> .
+      <urn:c> <urn:marriedTo> <urn:d> .
+      <urn:x> <urn:partOf> <urn:y> .
+      <urn:y> <urn:partOf> <urn:z> . }""")
+    eng.store.materialize_inference()
+    eng.use_inference = True
+    return eng.query("""
+        SELECT ?s ?p ?o WHERE { ?s ?p ?o .
+          FILTER(STRSTARTS(STR(?s), "urn:") && !STRSTARTS(STR(?o), "http://"))
+        }""").finalize({"s": "str", "p": "str", "o": "str"})
 
 
 def q_b41_sameas_cc(spark, sf_dir):
@@ -560,6 +674,57 @@ def q_ext_lsh_topk(spark, sf_dir):
         "query_id", "vec_id", "rank")
 
 
+def q_ext_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (E1 embedding variant): injected
+    copies must pair with their originals at cos >= 0.999."""
+    from graphdb_free_mocha_sa_spark.operators.similarity import (
+        cosine_near_dup_pairs)
+    (e,) = _tables(spark, sf_dir, "embeddings")
+    dups = e.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label")
+    return cosine_near_dup_pairs(e.unionByName(dups), threshold=0.999)
+
+
+def q_ext_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard similarity join at threshold 0.999 over
+    documents + injected copies (blocked brute force; E1)."""
+    from graphdb_free_mocha_sa_spark.operators.dedup import ngram_jaccard_pairs
+    (d,) = _tables(spark, sf_dir, "documents")
+    dups = d.limit(10).select((F.col("doc_id") + 1000000).alias("doc_id"),
+                              "text", "lang", "source", "n_chars")
+    return (ngram_jaccard_pairs(d.unionByName(dups), threshold=0.999)
+            .select("id_a", "id_b"))
+
+
+def q_ext_stream_sliding(spark, sf_dir):
+    import os
+    from graphdb_free_mocha_sa_spark.streaming.ingest import (
+        run_stream_batch_equivalent, sliding_counts)
+    _, stream_out = run_stream_batch_equivalent(
+        spark, os.path.join(sf_dir, "events.parquet"), sliding_counts)
+    return stream_out.select(
+        F.date_format("w_start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        F.date_format("w_end", "yyyy-MM-dd HH:mm:ss").alias("w_end"), "cnt")
+
+
+def q_ext_stream_session(spark, sf_dir):
+    import os
+    from graphdb_free_mocha_sa_spark.streaming.ingest import (
+        run_stream_batch_equivalent, session_counts)
+    _, stream_out = run_stream_batch_equivalent(
+        spark, os.path.join(sf_dir, "events.parquet"), session_counts)
+    return stream_out.select(
+        F.date_format("w_start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        F.date_format("w_end", "yyyy-MM-dd HH:mm:ss").alias("w_end"),
+        "user_id", "cnt")
+
+
+def q_ext_bpe_tokens(spark, sf_dir):
+    from graphdb_free_mocha_sa_spark.operators.text import bpe_ish_token_count
+    (d,) = _tables(spark, sf_dir, "documents")
+    return d.select("doc_id", bpe_ish_token_count(F.col("text")).alias("n_bpe"))
+
+
 def q_ext_text_tokens(spark, sf_dir):
     from graphdb_free_mocha_sa_spark.operators.text import token_count
     (d,) = _tables(spark, sf_dir, "documents")
@@ -641,14 +806,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b9_values": q_b9_values,
         "b10_subselect": q_b10_subselect,
         "b11_graph": q_b11_graph,
+        "b12_from_graph": q_b12_from_graph,
         "b13_path_seq": q_b13_path_seq,
         "b13_path_alt_inv": q_b13_path_alt_inv,
         "b13_path_plus": q_b13_path_plus,
+        "b13_path_star": q_b13_path_star,
+        "b13_path_negated": q_b13_path_negated,
         "b14_distinct": q_b14_distinct,
         "b15_order": q_b15_order,
         "b16_limit_offset": q_b16_limit_offset,
         "b18_ask": q_b18_ask,
         "b19_construct": q_b19_construct,
+        "b19_describe": q_b19_describe,
         "b21_group_by": q_b21_group_by,
         "b22_count_distinct": q_b22_count_distinct,
         "b23_min_max_sum": q_b23_min_max_sum,
@@ -663,11 +832,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "func_conditionals": q_func_conditionals,
         "func_casts": q_func_casts,
         "func_terms": q_func_terms,
+        "func_lang_terms": q_func_lang_terms,
         "b30_insert_data": q_b30_insert_data,
         "b31_delete_data": q_b31_delete_data,
         "b32_modify_where": q_b32_modify_where,
+        "b33_load": q_b33_load,
         "b34_clear_graph": q_b34_clear_graph,
+        "b36_copy_add_graph": q_b36_copy_add_graph,
         "b40_inference_subclass": q_b40_inference_subclass,
+        "b40_inference_rules": q_b40_inference_rules,
         "b41_sameas_cc": q_b41_sameas_cc,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "tpch_q3_shipping": q_tpch_q3_shipping,
@@ -681,11 +854,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_dedup_simhash": q_ext_dedup_simhash,
         "ext_topk_cosine": q_ext_topk_cosine,
         "ext_lsh_topk": q_ext_lsh_topk,
+        "ext_embed_neardup": q_ext_embed_neardup,
+        "ext_ngram_jaccard": q_ext_ngram_jaccard,
         "ext_text_tokens": q_ext_text_tokens,
         "ext_text_termstats": q_ext_text_termstats,
         "ext_text_quality": q_ext_text_quality,
         "ext_fingerprint": q_ext_fingerprint,
+        "ext_bpe_tokens": q_ext_bpe_tokens,
         "ext_stream_tumbling": q_ext_stream_tumbling,
+        "ext_stream_sliding": q_ext_stream_sliding,
+        "ext_stream_session": q_ext_stream_session,
         "ext_multimodal": q_ext_multimodal,
     }
 
@@ -743,6 +921,8 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY c_nationkey) x ON n.n_nationkey = x.c_nationkey""",
         "b11_graph": """
             SELECT 'http://graph.version.0' AS g, COUNT(*) AS cnt FROM region""",
+        "b12_from_graph": """
+            SELECT * FROM (VALUES ('urn:a', 1), ('urn:b', 2)) t(s, v)""",
         "b13_path_seq": """
             SELECT 'urn:x:orders/' || o.o_orderkey AS o, r.r_name AS rname
             FROM orders o
@@ -766,6 +946,21 @@ def oracle_sql() -> dict[str, str]:
               SELECT s, o FROM e
               UNION SELECT r.a, e.o FROM reach r JOIN e ON e.s = r.b)
             SELECT a, b FROM reach""",
+        "b13_path_star": """
+            WITH RECURSIVE e(s, o) AS (VALUES
+                ('urn:h0','urn:h1'), ('urn:h1','urn:h2'), ('urn:h2','urn:h3')),
+            nodes(n) AS (SELECT s FROM e UNION SELECT o FROM e),
+            reach(a, b) AS (
+              SELECT s, o FROM e
+              UNION SELECT r.a, e.o FROM reach r JOIN e ON e.s = r.b)
+            SELECT a, b FROM reach
+            UNION SELECT n, n FROM nodes""",
+        "b13_path_negated": """
+            SELECT s, o FROM (
+              SELECT 'urn:x:nation/' || n_nationkey AS s,
+                     CAST(n_nationkey AS VARCHAR) AS o FROM nation
+              UNION ALL
+              SELECT 'urn:x:nation/' || n_nationkey, n_name FROM nation)""",
         "b14_distinct": "SELECT DISTINCT c_mktsegment AS seg FROM customer",
         "b15_order": """
             SELECT 'urn:x:supplier/' || s_suppkey AS s, s_acctbal AS bal
@@ -781,6 +976,29 @@ def oracle_sql() -> dict[str, str]:
                    'urn:x:p/in_region' AS p,
                    'urn:x:region/' || n.n_regionkey AS o
             FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey""",
+        "b19_describe": """
+            SELECT 'urn:x:nation/0' AS s,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+                   'urn:x:t/nation' AS o
+            UNION ALL
+            SELECT 'urn:x:nation/0', 'urn:x:p/n_nationkey',
+                   CAST(n_nationkey AS VARCHAR)
+            FROM nation WHERE n_nationkey = 0
+            UNION ALL
+            SELECT 'urn:x:nation/0', 'urn:x:p/n_name', n_name
+            FROM nation WHERE n_nationkey = 0
+            UNION ALL
+            SELECT 'urn:x:nation/0', 'urn:x:p/n_regionkey',
+                   'urn:x:region/' || n_regionkey
+            FROM nation WHERE n_nationkey = 0
+            UNION ALL
+            SELECT 'urn:x:customer/' || c_custkey, 'urn:x:p/c_nationkey',
+                   'urn:x:nation/0'
+            FROM customer WHERE c_nationkey = 0
+            UNION ALL
+            SELECT 'urn:x:supplier/' || s_suppkey, 'urn:x:p/s_nationkey',
+                   'urn:x:nation/0'
+            FROM supplier WHERE s_nationkey = 0""",
         "b21_group_by": """
             SELECT o_orderstatus AS status, COUNT(*) AS cnt
             FROM orders GROUP BY o_orderstatus""",
@@ -854,6 +1072,12 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS isi, TRUE AS isl,
                    'http://www.w3.org/2001/XMLSchema#string' AS dt
             FROM nation""",
+        "func_lang_terms": """
+            SELECT * FROM (VALUES
+              ('urn:d1', 'en', TRUE,  TRUE, 'hello',   'hello'),
+              ('urn:d2', 'fr', FALSE, TRUE, 'bonjour', 'bonjour'),
+              ('urn:d3', '',   FALSE, TRUE, 'plain',   'plain'))
+            t(s, lg, isen, same, tagged, typed)""",
         "b30_insert_data": """
             SELECT * FROM (VALUES ('urn:s1', 1), ('urn:s2', 2), ('urn:s3', 3))
             t(s, v)""",
@@ -861,12 +1085,37 @@ def oracle_sql() -> dict[str, str]:
         "b32_modify_where": """
             SELECT * FROM (VALUES ('urn:a', 'renewed'), ('urn:b', 'renewed'),
                                   ('urn:c', 'new')) t(s, v)""",
+        "b33_load": """
+            SELECT * FROM (VALUES
+              ('urn:f:a', 'urn:f:knows', 'urn:f:b'),
+              ('urn:f:b', 'urn:f:knows', 'urn:f:c'),
+              ('urn:f:a', 'urn:f:name', 'Alpha'),
+              ('urn:f:b', 'urn:f:name', 'Beta'),
+              ('urn:f:c', 'urn:f:age', '30')) t(s, p, o)""",
         "b34_clear_graph": "SELECT 'urn:k' AS s",
+        "b36_copy_add_graph": """
+            SELECT * FROM (VALUES ('urn:a', 1), ('urn:b', 2)) t(s, v)""",
         "b40_inference_subclass": """
             SELECT * FROM (VALUES
               ('urn:x','urn:C0'),('urn:x','urn:C1'),('urn:x','urn:C2'),
               ('urn:x','urn:C3'),
               ('urn:y','urn:C2'),('urn:y','urn:C3')) t(i, cls)""",
+        "b40_inference_rules": """
+            SELECT * FROM (VALUES
+              ('urn:hasParent', 'http://www.w3.org/2000/01/rdf-schema#subPropertyOf', 'urn:hasAncestor'),
+              ('urn:hasParent', 'http://www.w3.org/2000/01/rdf-schema#domain', 'urn:Person'),
+              ('urn:hasParent', 'http://www.w3.org/2000/01/rdf-schema#range', 'urn:Person'),
+              ('urn:hasChild', 'http://www.w3.org/2002/07/owl#inverseOf', 'urn:hasParent'),
+              ('urn:a', 'urn:hasParent', 'urn:b'),
+              ('urn:c', 'urn:marriedTo', 'urn:d'),
+              ('urn:x', 'urn:partOf', 'urn:y'),
+              ('urn:y', 'urn:partOf', 'urn:z'),
+              ('urn:a', 'urn:hasAncestor', 'urn:b'),
+              ('urn:a', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'urn:Person'),
+              ('urn:b', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'urn:Person'),
+              ('urn:b', 'urn:hasChild', 'urn:a'),
+              ('urn:d', 'urn:marriedTo', 'urn:c'),
+              ('urn:x', 'urn:partOf', 'urn:z')) t(s, p, o)""",
         "b41_sameas_cc": """
             SELECT * FROM (VALUES
               ('urn:a1','urn:a1'),('urn:a2','urn:a1'),('urn:a3','urn:a1'),
@@ -946,6 +1195,82 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings q CROSS JOIN embeddings c
               WHERE q.vec_id < 4)
             WHERE rank <= 5""",
+        "ext_embed_neardup": """
+            WITH all_vecs AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000, embedding FROM embeddings
+              WHERE vec_id < 10)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999""",
+        "ext_ngram_jaccard": """
+            WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM (
+                SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 10)),
+            words AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\\W+'),
+                                 w -> len(w) > 0) AS ws
+              FROM all_docs),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest([array_to_string(ws[i:i+2], ' ')
+                               FOR i IN range(1, greatest(len(ws)-1, 2))])
+                       AS shingle
+                FROM words) WHERE shingle <> ''),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     COUNT(*) AS inter
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
+            SELECT id_a, id_b FROM pairs
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.999""",
+        "ext_bpe_tokens": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)|\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+'))
+                   AS n_bpe
+            FROM documents""",
+        "ext_stream_sliding": """
+            WITH wins AS (
+              SELECT time_bucket(INTERVAL '5 minutes', ts) AS b, *
+              FROM events),
+            exploded AS (
+              SELECT b AS w_start, * FROM wins
+              UNION ALL
+              SELECT b - INTERVAL '5 minutes', * FROM wins)
+            SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+                   strftime(w_start + INTERVAL '10 minutes',
+                            '%Y-%m-%d %H:%M:%S') AS w_end,
+                   COUNT(*) AS cnt
+            FROM exploded GROUP BY 1, 2""",
+        "ext_stream_session": """
+            WITH marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               > INTERVAL '5 minutes'
+                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               IS NULL
+                          THEN 1 ELSE 0 END AS brk
+              FROM events),
+            islands AS (
+              SELECT user_id, ts,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked)
+            SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+                   strftime(MAX(ts) + INTERVAL '5 minutes',
+                            '%Y-%m-%d %H:%M:%S') AS w_end,
+                   user_id, COUNT(*) AS cnt
+            FROM islands GROUP BY user_id, sid""",
         "ext_text_tokens": """
             SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tok
             FROM documents""",

@@ -94,3 +94,21 @@ def pairwise_topk(corpus: DataFrame, k: int = 3, vec_col: str = "embedding",
     w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.999,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos >= threshold).
+
+    Brute-force all-pairs baseline (exact, SQL-oracle-checkable). At 100 TB
+    scale the same verification runs on LSH-bucketed candidates instead
+    (compose hyperplane_bits bucketing with this verify step) — the
+    all-pairs form is the correctness reference.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    cosine(F.col("__va"), F.col("__vb")).alias("cos"))
+            .where(F.col("cos") >= threshold)
+            .select("id_a", "id_b"))
