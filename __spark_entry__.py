@@ -674,6 +674,16 @@ def q_ext_lsh_topk(spark, sf_dir):
         "query_id", "vec_id", "rank")
 
 
+def q_ext_ivf_topk(spark, sf_dir):
+    """IVF ANN (approximate by construction; no SQL oracle — self-hit and
+    recall vs brute force asserted in tests/test_ext_operators.py)."""
+    from graphdb_free_mocha_sa_spark.operators.similarity import ivf_topk
+    (e,) = _tables(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_topk(e, queries, k=5).select("query_id", "vec_id", "rank")
+
+
 def q_ext_embed_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (E1 embedding variant): injected
     copies must pair with their originals at cos >= 0.999."""
@@ -854,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_dedup_simhash": q_ext_dedup_simhash,
         "ext_topk_cosine": q_ext_topk_cosine,
         "ext_lsh_topk": q_ext_lsh_topk,
+        "ext_ivf_topk": q_ext_ivf_topk,
         "ext_embed_neardup": q_ext_embed_neardup,
         "ext_ngram_jaccard": q_ext_ngram_jaccard,
         "ext_text_tokens": q_ext_text_tokens,
@@ -1289,5 +1300,6 @@ def oracle_sql() -> dict[str, str]:
         # intentionally no oracle (sketches / engine-specific values / plumbing):
         # b13_path_plus has a WITH RECURSIVE oracle above; ext_approx_distinct,
         # ext_quantiles, ext_dedup_minhash, ext_dedup_simhash, ext_lsh_topk,
-        # ext_text_quality, ext_fingerprint, ext_multimodal are rows-only.
+        # ext_ivf_topk, ext_text_quality, ext_fingerprint, ext_multimodal are
+        # rows-only (each validated in tests/ against exact counterparts).
     }

@@ -39,6 +39,8 @@ HEADLINERS = [
     "ext_dedup_exact",
     "ext_dedup_minhash",
     "ext_topk_cosine",
+    "ext_ivf_topk",
+    "ext_embed_neardup",
     "ext_text_termstats",
     "ext_stream_tumbling",
 ]

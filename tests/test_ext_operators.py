@@ -184,3 +184,23 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         extract_features(media, decode="real")
+
+
+# ------------------------------------------------------------ IVF ANN
+
+
+def test_ivf_topk_recall(spark):
+    from graphdb_free_mocha_sa_spark.operators.similarity import (
+        brute_force_topk, ivf_topk)
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    ivf = {(r.query_id, r.vec_id)
+           for r in ivf_topk(e, q, k=5).select("query_id", "vec_id").collect()}
+    bf = {(r.query_id, r.vec_id)
+          for r in brute_force_topk(e, q, k=5)
+          .select("query_id", "vec_id").collect()}
+    # every query must find itself (it lives in a probed bucket by
+    # construction), and recall against exact search must be usable
+    assert all((i, i) in ivf for i in range(8))
+    assert len(ivf & bf) / len(bf) >= 0.5
