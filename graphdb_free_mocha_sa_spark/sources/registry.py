@@ -23,6 +23,12 @@ _quads_cache: dict[tuple[int, str], DataFrame] = {}
 
 def load_tables(spark: SparkSession, sf_dir: str,
                 names: list[str] | None = None) -> dict[str, DataFrame]:
+    # events.parquet stores TIMESTAMP(NANOS); sessions not built by our
+    # get_spark (e.g. the driver's) need this set or the scan errors out.
+    # Session TZ pins timestamp extraction/formatting to the fixtures'
+    # naive-UTC semantics regardless of host timezone.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = {}
     for name in (names or ALL_TABLES):
         path = os.path.join(sf_dir, f"{name}.parquet")

@@ -105,6 +105,7 @@ def run_stream_batch_equivalent(spark: SparkSession, events_parquet: str,
     rows re-ordered into a second file) — watermark handling must still
     converge to the batch answer once the backlog drains."""
     from graphdb_free_mocha_sa_spark.sources.registry import normalize_nanos_timestamps
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = normalize_nanos_timestamps(spark.read.parquet(events_parquet))
     batch_out = agg_fn(batch)
 

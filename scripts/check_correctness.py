@@ -9,6 +9,7 @@ Usage: python scripts/check_correctness.py [sf_dir] [only_query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -42,8 +43,17 @@ def main():
     only = set(sys.argv[2:])
 
     sys.path.insert(0, "/root/repo")
-    from graphdb_free_mocha_sa_spark.session import get_spark
-    spark = get_spark()
+    if os.environ.get("PLAIN_SESSION"):
+        # mirror the driver: a SparkSession built without our factory's confs
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[32]")
+                 .appName("plain-check")
+                 .config("spark.sql.shuffle.partitions", "32")
+                 .config("spark.ui.enabled", "false")
+                 .getOrCreate())
+    else:
+        from graphdb_free_mocha_sa_spark.session import get_spark
+        spark = get_spark()
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry_mod
