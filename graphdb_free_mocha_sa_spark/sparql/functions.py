@@ -350,7 +350,7 @@ def builtin(name: str, args: list[TCol]) -> TCol:
     if n == "STRDT":
         dt = a[1].lex
         return TCol(lex=a[0].lex, dt=dt,
-                    num=F.when(dt.isin(*NUMERIC_DTS), a[0].lex.cast("double")),
+                    num=F.when(dt.isin(*NUMERIC_DTS), a[0].lex.try_cast("double")),
                     ts=F.when(dt == XSD_DATETIME,
                               F.to_timestamp(F.regexp_replace(a[0].lex, "T", " "))))
     if n == "SAMETERM":
@@ -368,12 +368,15 @@ def builtin(name: str, args: list[TCol]) -> TCol:
     if n.startswith(XSD.upper()) or name.startswith(XSD):
         local = name[len(XSD):].lower()
         x = a[0]
+        # try_cast: SPARQL cast of a malformed lexical form is an ERROR
+        # (→ unbound), never a runtime failure (ANSI cast would throw)
         if local in ("integer", "long", "int"):
             return TCol.from_num(
-                F.coalesce(x.num, x.lex.cast("double")).cast("long").cast("double"),
+                F.coalesce(x.num, x.lex.try_cast("double"))
+                .try_cast("long").cast("double"),
                 XSD_INTEGER)
         if local in ("double", "float", "decimal"):
-            return TCol.from_num(F.coalesce(x.num, x.lex.cast("double")))
+            return TCol.from_num(F.coalesce(x.num, x.lex.try_cast("double")))
         if local == "string":
             return TCol.from_str(x.lex)
         if local == "boolean":

@@ -1,0 +1,176 @@
+"""SPARQL spec edge cases called out as 'hard parts' in SURVEY §7, plus the
+property-based random-BGP-vs-oracle sweep (§5.5).
+
+These are the cases where a naive relational translation silently diverges
+from SPARQL semantics: MINUS with disjoint variables, term-kind ordering,
+3-valued expression errors, and blank-node handling.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    e = Engine(spark, QuadStore(spark))
+    e.update("""INSERT DATA {
+        <urn:s1> <urn:p> 1 .  <urn:s2> <urn:p> 2 .  <urn:s3> <urn:p> 3 .
+        <urn:s1> <urn:q> "a" . <urn:s2> <urn:q> "b" .
+        <urn:s1> <urn:mixed> <urn:anIri> .
+        <urn:s2> <urn:mixed> "literal" .
+        <urn:s3> <urn:mixed> 42 .
+        <urn:s1> <urn:str> "notanumber" . }""")
+    return e
+
+
+def _rows(eng, q, spec):
+    return sorted(tuple(r) for r in eng.query(q).finalize(spec).collect())
+
+
+# ------------------------------------------------ MINUS disjoint variables
+
+
+def test_minus_disjoint_vars_removes_nothing(eng):
+    """SPARQL spec: MINUS removes solutions *compatible on shared vars*; with
+    no shared variables nothing is compatible, so nothing is removed."""
+    got = _rows(eng, """
+        SELECT ?s WHERE {
+          ?s <urn:p> ?v .
+          MINUS { ?x <urn:q> ?w }
+        }""", {"s": "str"})
+    assert got == [("urn:s1",), ("urn:s2",), ("urn:s3",)]
+
+
+def test_minus_shared_vars_removes_matches(eng):
+    got = _rows(eng, """
+        SELECT ?s WHERE {
+          ?s <urn:p> ?v .
+          MINUS { ?s <urn:q> "a" }
+        }""", {"s": "str"})
+    assert got == [("urn:s2",), ("urn:s3",)]
+
+
+# ------------------------------------------------ term-kind ORDER BY
+
+
+def test_order_by_term_kind(eng):
+    """SPARQL total order: unbound < blank < IRI < literal."""
+    df = eng.query("""
+        SELECT ?s ?o WHERE {
+          ?s <urn:p> ?v .
+          OPTIONAL { ?s <urn:mixed> ?o }
+        } ORDER BY ?o""").finalize({"s": "str", "o": "auto"})
+    kinds = []
+    for r in df.collect():
+        o = r["o"]
+        if o is None:
+            kinds.append(0)
+        elif str(o).startswith("urn:"):
+            kinds.append(1)
+        else:
+            kinds.append(2)
+    assert kinds == sorted(kinds), f"term-kind order violated: {kinds}"
+
+
+# ------------------------------------------------ 3-valued error semantics
+
+
+def test_filter_type_error_drops_row(eng):
+    """?x > 5 where ?x is a non-numeric string is an ERROR, not false —
+    either way the row must be dropped, and must NOT abort the query."""
+    got = _rows(eng, """
+        SELECT ?s WHERE { ?s <urn:str> ?x . FILTER(?x > 5) }""", {"s": "str"})
+    assert got == []
+
+
+def test_filter_error_not_negated_to_true(eng):
+    """!(error) is still error ⇒ row dropped (naive NOT(NULL) would keep)."""
+    got = _rows(eng, """
+        SELECT ?s WHERE { ?s <urn:str> ?x . FILTER(!(?x > 5)) }""",
+        {"s": "str"})
+    assert got == []
+
+
+def test_filter_error_or_true_is_true(eng):
+    """SPARQL logical-or: error || true = true ⇒ row kept."""
+    got = _rows(eng, """
+        SELECT ?s WHERE {
+          ?s <urn:str> ?x . FILTER((?x > 5) || (STRLEN(?x) > 3))
+        }""", {"s": "str"})
+    assert got == [("urn:s1",)]
+
+
+def test_coalesce_skips_error(eng):
+    got = _rows(eng, """
+        SELECT ?s ?v WHERE {
+          ?s <urn:str> ?x .
+          BIND(COALESCE(xsd:integer(?x), -1) AS ?v)
+        }""", {"s": "str", "v": "int"})
+    assert got == [("urn:s1", -1)]
+
+
+# ------------------------------------------------ property-based BGP sweep
+
+
+PREDS = ["urn:x:p/c_nationkey", "urn:x:p/c_mktsegment", "urn:x:p/c_acctbal",
+         "urn:x:p/n_name", "urn:x:p/n_regionkey", "urn:x:p/r_name"]
+
+
+def _duck_quads(duck, spark_quads):
+    if not getattr(_duck_quads, "done", False):
+        pdf = (spark_quads.select("s", "p", "o_lex").toPandas())
+        duck.register("quads_pd", pdf)
+        duck.execute(
+            "CREATE TABLE IF NOT EXISTS quads_t AS SELECT * FROM quads_pd")
+        _duck_quads.done = True
+
+
+def test_random_bgp_vs_oracle(eng_fixtures, duck, quads):
+    """20 random 2–3-pattern BGPs over the fixture quads, each checked
+    against a DuckDB self-join of the identical shape (SURVEY §5.5)."""
+    engine, _ = eng_fixtures
+    _duck_quads(duck, quads)
+    rng = random.Random(20260813)
+    for case in range(20):
+        n_pat = rng.choice([2, 3])
+        # variable graph: chain or star on ?v0
+        pats, conds, joins = [], [], []
+        for i in range(n_pat):
+            p = rng.choice(PREDS)
+            subj = "?v0" if rng.random() < 0.7 or i == 0 else f"?v{i}"
+            obj = f"?o{i}"
+            pats.append(f"{subj} <{p}> {obj} .")
+            joins.append((subj, p, obj))
+        qvars = sorted({t for s_, _, o_ in joins for t in (s_, o_)})
+        sparql = ("SELECT " + " ".join(qvars)
+                  + " WHERE { " + " ".join(pats) + " }")
+        sql_from, sql_where = [], []
+        bind: dict[str, str] = {}
+        for i, (s_, p, o_) in enumerate(joins):
+            sql_from.append(f"quads_t t{i}")
+            sql_where.append(f"t{i}.p = '{p}'")
+            for var, col in ((s_, f"t{i}.s"), (o_, f"t{i}.o_lex")):
+                if var in bind:
+                    sql_where.append(f"{col} = {bind[var]}")
+                else:
+                    bind[var] = col
+        sql = ("SELECT " + ", ".join(f"{bind[v]} AS {v[1:]}" for v in qvars)
+               + " FROM " + ", ".join(sql_from)
+               + " WHERE " + " AND ".join(sql_where))
+        got = sorted(tuple(r) for r in engine.query(sparql).finalize(
+            {v[1:]: "str" for v in qvars}).collect())
+        want = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+        assert got == want, f"case {case}: {sparql}\nSQL: {sql}"
+
+
+@pytest.fixture(scope="module")
+def eng_fixtures(spark, quads):
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    return Engine(spark, QuadStore(spark, quads)), None
