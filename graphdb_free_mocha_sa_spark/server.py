@@ -1,0 +1,96 @@
+"""Minimal HTTP SPARQL endpoint (SURVEY B52 — the reference serves GraphDB
+on port 7200, GraphDBSystemAdapter.java:107; graphdb-free.docker:28).
+
+Stdlib-only (no web framework in the runtime image): POST /sparql with the
+query as the request body (or ``application/x-www-form-urlencoded`` with a
+``query``/``update`` field) returns SPARQL-Results-JSON, including the
+reference's error sentinel on failure. Single-threaded by design — Spark
+query concurrency is the session's scheduler concern, and the reference
+itself executed on a 2-thread pool (GraphDBSystemAdapter.java:81).
+"""
+
+from __future__ import annotations
+
+import json
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from urllib.parse import parse_qs
+
+from graphdb_free_mocha_sa_spark.engine import Engine
+
+
+def handle_request(engine: Engine, body: str,
+                   content_type: str = "") -> tuple[int, str]:
+    """Pure request handler (unit-testable without sockets).
+
+    Update requests return ``{"ok": true}``; queries return
+    SPARQL-Results-JSON (engine.query_json supplies the sentinel on error).
+    """
+    query = body
+    is_update = False
+    if "x-www-form-urlencoded" in content_type:
+        form = parse_qs(body)
+        if "update" in form:
+            query, is_update = form["update"][0], True
+        elif "query" in form:
+            query = form["query"][0]
+    upper = query.lstrip().upper()
+    if is_update or upper.startswith(("INSERT", "DELETE", "LOAD", "CLEAR",
+                                      "DROP", "CREATE", "COPY", "MOVE",
+                                      "ADD", "WITH", "PREFIX INSERT")):
+        try:
+            engine.update(query)
+            return 200, json.dumps({"ok": True})
+        except Exception as e:  # noqa: BLE001
+            return 400, json.dumps({"ok": False, "error": str(e)[:500]})
+    return 200, engine.query_json(query)
+
+
+def serve(engine: Engine, port: int = 7200) -> None:
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n).decode("utf-8")
+            code, payload = handle_request(
+                engine, body, self.headers.get("Content-Type", ""))
+            data = payload.encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type",
+                             "application/sparql-results+json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *args):  # quiet
+            pass
+
+    HTTPServer(("0.0.0.0", port), Handler).serve_forever()
+
+
+def main() -> None:
+    import argparse
+
+    from graphdb_free_mocha_sa_spark.session import get_spark
+    from graphdb_free_mocha_sa_spark.sources.registry import load_quads
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+
+    ap = argparse.ArgumentParser(description="SPARQL endpoint / one-shot CLI")
+    ap.add_argument("--sf-dir", default=None,
+                    help="preload the fixture quads from this directory")
+    ap.add_argument("--port", type=int, default=7200)
+    ap.add_argument("query", nargs="?",
+                    help="one-shot: run this SPARQL and print JSON (no server)")
+    args = ap.parse_args()
+
+    spark = get_spark("sparql-endpoint")
+    store = QuadStore(spark, load_quads(spark, args.sf_dir)
+                      if args.sf_dir else None)
+    engine = Engine(spark, store)
+    if args.query:
+        code, payload = handle_request(engine, args.query)
+        print(payload)
+        raise SystemExit(0 if code == 200 else 1)
+    serve(engine, args.port)
+
+
+if __name__ == "__main__":
+    main()

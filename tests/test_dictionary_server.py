@@ -1,0 +1,63 @@
+"""Dictionary-encoding round trip + HTTP endpoint handler tests."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+
+def test_dictionary_roundtrip_join_equivalence(spark, quads):
+    from graphdb_free_mocha_sa_spark.dictionary import (
+        build_term_dict, decode_ids, encode_quads_ids)
+    d = build_term_dict(quads).cache()
+    # every term got exactly one id
+    assert d.groupBy("term").count().where(F.col("count") > 1).isEmpty()
+    enc = encode_quads_ids(quads, d).cache()
+    assert enc.count() == quads.count()
+
+    # the same star join on ids matches the string-join answer:
+    # orders -> customer via o_custkey
+    p_dict = {r["term"]: r["id"] for r in
+              d.where(F.col("term").isin("urn:x:p/o_custkey",
+                                         "urn:x:p/c_nationkey")).collect()}
+    e1 = enc.where(F.col("p_id") == p_dict["urn:x:p/o_custkey"]) \
+            .select(F.col("s_id").alias("o"), F.col("o_id").alias("cust"))
+    e2 = enc.where(F.col("p_id") == p_dict["urn:x:p/c_nationkey"]) \
+            .select(F.col("s_id").alias("cust"), F.col("o_id").alias("nat"))
+    got = decode_ids(e1.join(e2, "cust"), d,
+                     {"o": "o_t", "nat": "nat_t"}) \
+        .select("o_t", "nat_t")
+    want = (quads.where(F.col("p") == "urn:x:p/o_custkey")
+            .select(F.col("s").alias("o_t"), F.col("o_lex").alias("cust"))
+            .join(quads.where(F.col("p") == "urn:x:p/c_nationkey")
+                  .select(F.col("s").alias("cust"),
+                          F.col("o_lex").alias("nat_t")), "cust")
+            .select("o_t", "nat_t"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    d.unpersist(); enc.unpersist()
+
+
+def test_http_handler_query_update_sentinel(spark):
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.server import handle_request
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark))
+
+    code, out = handle_request(eng, 'INSERT DATA { <urn:s> <urn:p> "v" }')
+    assert code == 200 and json.loads(out)["ok"]
+
+    code, out = handle_request(eng, 'SELECT ?s WHERE { ?s <urn:p> "v" }')
+    body = json.loads(out)
+    assert code == 200
+    assert body["results"]["bindings"][0]["s"]["value"] == "urn:s"
+
+    # form-encoded query
+    code, out = handle_request(
+        eng, "query=SELECT%20%3Fs%20WHERE%20%7B%20%3Fs%20%3Furn%3Ap%20%3Fo%20%7D",
+        "application/x-www-form-urlencoded")
+    assert code == 200
+
+    # broken query -> the reference's sentinel shape, not a 500
+    code, out = handle_request(eng, "SELECT WHERE garbage {{{")
+    assert code == 200 and "XXX" in out
