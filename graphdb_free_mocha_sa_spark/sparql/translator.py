@@ -22,6 +22,7 @@ xsd:long for fixture integers).
 
 from __future__ import annotations
 
+import itertools
 import re
 from typing import Callable, Optional
 
@@ -120,10 +121,20 @@ class Translator:
         for old, new in ren.items():
             r2 = r2.withColumnRenamed(old, new)
 
+        # vars that may be UNBOUND on either side join under SPARQL
+        # compatibility semantics (unbound matches anything, values merge)
+        compat = {v for v in shared
+                  if _maybe_unbound(left, v) or _maybe_unbound(right, v)}
+
         cond = F.lit(True)
         for v in shared:
-            cond = cond & (left[v].eqNullSafe(r2[v + suffix]) if how in ("left_anti",)
-                           else (left[v] == r2[v + suffix]))
+            if v in compat and how not in ("left_anti", "left_semi"):
+                cond = cond & (left[v].isNull() | r2[v + suffix].isNull()
+                               | (left[v] == r2[v + suffix]))
+            elif how in ("left_anti",):
+                cond = cond & left[v].eqNullSafe(r2[v + suffix])
+            else:
+                cond = cond & (left[v] == r2[v + suffix])
         if extra is not None:
             def resolver(name: str) -> TCol:
                 if name in shared or name in lvars:
@@ -139,6 +150,21 @@ class Translator:
         joined = left.join(r2, cond, how)
         if how in ("left_anti", "left_semi"):
             return joined
+        if compat:
+            # merge each compat var's families: bound side wins
+            merged = []
+            for c in joined.columns:
+                root = c.split("__", 1)[0]
+                if c.startswith("__mu_"):
+                    merged.append(F.col(c))
+                elif root in compat and not c.endswith(suffix):
+                    merged.append(F.coalesce(joined[c], joined[c + suffix])
+                                  .alias(c))
+                elif c.endswith(suffix):
+                    continue
+                else:
+                    merged.append(F.col(c))
+            return joined.select(*merged)
         # drop duplicated shared families from the right
         return joined.drop(*[c + suffix for v in shared for c in var_cols(v)])
 
@@ -245,7 +271,10 @@ class Translator:
             if node.expr is not None:
                 expr = node.expr
                 extra = lambda resolver: self._eval(expr, resolver, {}).ebv()
-            return self._join(left, right, "left_outer", extra)
+            out = self._join(left, right, "left_outer", extra)
+            # right-only vars are unbound wherever the OPTIONAL didn't match
+            return _mark_maybe_unbound(
+                out, sorted(set(var_names(right)) - set(var_names(left))))
         if isinstance(node, A.Union):
             l = self.translate(node.left, gctx)
             r = self.translate(node.right, gctx)
@@ -289,12 +318,16 @@ class Translator:
                        StructField(v + "__lang", StringType()),
                        StructField(v + "__num", DoubleType()),
                        StructField(v + "__ts", TimestampType())]
+        undef_vars = set()
         for row in node.rows:
             vals: list = []
-            for term in row:
+            for v, term in zip(node.variables, row):
+                if term is None:
+                    undef_vars.add(v)
                 vals.extend((None,) * 6 if term is None else term_parts_py(term))
             rows.append(tuple(vals))
-        return self.spark.createDataFrame(rows, StructType(fields))
+        df = self.spark.createDataFrame(rows, StructType(fields))
+        return _mark_maybe_unbound(df, sorted(undef_vars))
 
     # ------------------------------------------------------------ EXISTS
 
@@ -657,7 +690,28 @@ def _with_family(df: DataFrame, name: str, t: TCol) -> DataFrame:
     })
 
 
+_MU_SEQ = itertools.count()
+
+
+def _mark_maybe_unbound(df: DataFrame, vs) -> DataFrame:
+    """Tag vars that may be UNBOUND in some rows (from UNION padding,
+    OPTIONAL right sides, or VALUES UNDEF). Later joins switch those vars
+    to SPARQL *compatibility* semantics (unbound joins anything) instead of
+    the fast strict equi-join — only where actually needed, so plain BGP
+    joins keep their hash-join path."""
+    for v in vs:
+        df = df.withColumn(f"__mu_{v}_{next(_MU_SEQ)}", F.lit(True))
+    return df
+
+
+def _maybe_unbound(df: DataFrame, v: str) -> bool:
+    return any(c.startswith(f"__mu_{v}_") for c in df.columns)
+
+
 def _union_pad(l: DataFrame, r: DataFrame) -> DataFrame:
+    lv, rv = set(var_names(l)), set(var_names(r))
+    l = _mark_maybe_unbound(l, sorted(rv - lv))
+    r = _mark_maybe_unbound(r, sorted(lv - rv))
     return l.unionByName(r, allowMissingColumns=True) if set(l.columns) != set(r.columns) \
         else l.unionByName(r)
 

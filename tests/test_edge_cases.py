@@ -30,7 +30,8 @@ def eng(spark):
 
 
 def _rows(eng, q, spec):
-    return sorted(tuple(r) for r in eng.query(q).finalize(spec).collect())
+    return sorted((tuple(r) for r in eng.query(q).finalize(spec).collect()),
+                  key=lambda t: tuple((x is None, x) for x in t))
 
 
 # ------------------------------------------------ MINUS disjoint variables
@@ -174,3 +175,84 @@ def eng_fixtures(spark, quads):
     from graphdb_free_mocha_sa_spark.engine import Engine
     from graphdb_free_mocha_sa_spark.store import QuadStore
     return Engine(spark, QuadStore(spark, quads)), None
+
+
+# ------------------------------------------------ second batch: translation traps
+
+
+def test_optional_with_correlated_filter(eng):
+    """FILTER inside OPTIONAL referencing an outer var is part of the
+    left-join condition, NOT a post-filter (SPARQL spec §8.3 LeftJoin)."""
+    got = _rows(eng, """
+        SELECT ?s ?q WHERE {
+          ?s <urn:p> ?v .
+          OPTIONAL { ?s <urn:q> ?q . FILTER(?v < 2) }
+        }""", {"s": "str", "q": "str"})
+    # s1 (v=1) keeps its q="a"; s2 (v=2) keeps the row with q unbound
+    assert got == [("urn:s1", "a"), ("urn:s2", None), ("urn:s3", None)]
+
+
+def test_union_disjoint_vars_null_padding(eng):
+    got = _rows(eng, """
+        SELECT ?a ?b WHERE {
+          { ?s <urn:q> ?a } UNION { ?s <urn:str> ?b }
+        }""", {"a": "str", "b": "str"})
+    assert got == [("a", None), ("b", None), (None, "notanumber")]
+
+
+def test_implicit_group_on_empty_input(eng):
+    """Aggregate over zero rows still yields ONE row (COUNT=0)."""
+    got = _rows(eng, """
+        SELECT (COUNT(*) AS ?n) WHERE { ?s <urn:nosuchpred> ?v }""",
+        {"n": "int"})
+    assert got == [(0,)]
+
+
+def test_order_by_expression(eng):
+    got = [r[0] for r in eng.query("""
+        SELECT ?s WHERE { ?s <urn:p> ?v } ORDER BY DESC(?v * 2 + 1)
+    """).finalize({"s": "str"}).collect()]
+    assert got == ["urn:s3", "urn:s2", "urn:s1"]
+
+
+def test_blank_node_in_data_and_pattern(spark):
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    e = Engine(spark, QuadStore(spark))
+    e.update("""INSERT DATA {
+        _:b1 <urn:name> "anon1" . _:b1 <urn:age> 30 .
+        <urn:real> <urn:name> "named" }""")
+    # bnode in a query pattern behaves as a non-projected variable
+    got = sorted(r[0] for r in e.query("""
+        SELECT ?n WHERE { _:x <urn:name> ?n . _:x <urn:age> 30 }
+    """).finalize({"n": "str"}).collect())
+    assert got == ["anon1"]
+
+
+def test_reduced_accepted(eng):
+    got = _rows(eng, """
+        SELECT REDUCED ?v WHERE { ?s <urn:p> ?v }""", {"v": "int"})
+    assert len(got) <= 3 and set(got) == {(1,), (2,), (3,)}
+
+
+def test_nested_optional(eng):
+    got = _rows(eng, """
+        SELECT ?s ?q ?m WHERE {
+          ?s <urn:p> ?v .
+          OPTIONAL {
+            ?s <urn:q> ?q .
+            OPTIONAL { ?s <urn:mixed> ?m . FILTER(isIRI(?m)) }
+          }
+        }""", {"s": "str", "q": "str", "m": "str"})
+    assert got == [("urn:s1", "a", "urn:anIri"),
+                   ("urn:s2", "b", None),
+                   ("urn:s3", None, None)]
+
+
+def test_values_with_undef(eng):
+    got = _rows(eng, """
+        SELECT ?s ?v WHERE {
+          ?s <urn:p> ?v .
+          VALUES (?s ?v) { (<urn:s1> UNDEF) (UNDEF 3) }
+        }""", {"s": "str", "v": "int"})
+    assert got == [("urn:s1", 1), ("urn:s3", 3)]
