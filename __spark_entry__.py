@@ -484,6 +484,42 @@ def q_b34_clear_graph(spark, sf_dir):
     return eng.query('SELECT ?s WHERE { ?s <urn:p> ?v }').finalize({"s": "str"})
 
 
+def q_a6_versioned_bulk_load(spark, sf_dir):
+    """A6: versioned bulk load — each load lands in graph
+    http://graph.version.N (GraphDBSystemAdapter.java:318), version-N reads
+    are partition-pruned g <= version filters."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.model import QUAD_SCHEMA
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    store = QuadStore(spark)
+    mk = lambda rows: spark.createDataFrame(
+        [("", s, p, o, None, None, None, None) for s, p, o in rows],
+        QUAD_SCHEMA)
+    store.load_version(mk([("urn:v0a", "urn:p", "x"),
+                           ("urn:v0b", "urn:p", "y")]))
+    store.load_version(mk([("urn:v1a", "urn:p", "z")]))
+    eng = Engine(spark, store)
+    return eng.query("""
+        SELECT ?g (COUNT(*) AS ?cnt) WHERE { GRAPH ?g { ?s ?p ?o } }
+        GROUP BY ?g""").finalize({"g": "str", "cnt": "int"})
+
+
+def q_a8_insert_with_rewrite(spark, sf_dir):
+    """A8: the reference's streaming-INSERT rewrite (INSERT ... WITH <g> ->
+    INSERT DATA { GRAPH <g> { ... } }, GraphDBSystemAdapter.java:192-195)."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    from graphdb_free_mocha_sa_spark.update import rewrite_insert_with
+    eng = Engine(spark, QuadStore(spark))
+    # trailer is exactly 13 chars — the reference strips substring(0, len-13)
+    raw = ('INSERT WITH <urn:streamg> '
+           '{ <urn:e1> <urn:val> 10 . <urn:e2> <urn:val> 20 } WHERE {    }')
+    eng.update(rewrite_insert_with(raw))
+    return eng.query("""
+        SELECT ?s ?v WHERE { GRAPH <urn:streamg> { ?s <urn:val> ?v } }
+    """).finalize({"s": "str", "v": "int"})
+
+
 # ---- inference (closed-form oracles)
 
 def q_b40_inference_subclass(spark, sf_dir):
@@ -849,6 +885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b33_load": q_b33_load,
         "b34_clear_graph": q_b34_clear_graph,
         "b36_copy_add_graph": q_b36_copy_add_graph,
+        "a6_versioned_bulk_load": q_a6_versioned_bulk_load,
+        "a8_insert_with_rewrite": q_a8_insert_with_rewrite,
         "b40_inference_subclass": q_b40_inference_subclass,
         "b40_inference_rules": q_b40_inference_rules,
         "b41_sameas_cc": q_b41_sameas_cc,
@@ -1106,6 +1144,11 @@ def oracle_sql() -> dict[str, str]:
         "b34_clear_graph": "SELECT 'urn:k' AS s",
         "b36_copy_add_graph": """
             SELECT * FROM (VALUES ('urn:a', 1), ('urn:b', 2)) t(s, v)""",
+        "a6_versioned_bulk_load": """
+            SELECT * FROM (VALUES ('http://graph.version.0', 2),
+                                  ('http://graph.version.1', 1)) t(g, cnt)""",
+        "a8_insert_with_rewrite": """
+            SELECT * FROM (VALUES ('urn:e1', 10), ('urn:e2', 20)) t(s, v)""",
         "b40_inference_subclass": """
             SELECT * FROM (VALUES
               ('urn:x','urn:C0'),('urn:x','urn:C1'),('urn:x','urn:C2'),

@@ -115,24 +115,38 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.999,
                           id_col: str = "vec_id") -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos >= threshold).
 
-    Brute-force all-pairs baseline (exact, SQL-oracle-checkable). Each vector
-    is L2-normalized ONCE (linear pass), so the quadratic stage is a bare dot
-    product, evaluated by an Arrow-batched pandas UDF (numpy einsum per
-    batch). At 100 TB the same verify step runs on LSH- or IVF-bucketed
-    candidate pairs instead of all pairs (compose with hyperplane_bits /
-    ivf_topk bucketing); the all-pairs form is the correctness reference.
+    Exact all-pairs via **block matrix multiply**: the L2-normalized corpus
+    is broadcast once (N×d floats); each partition computes its block's
+    similarity matrix against it with one numpy matmul inside mapInPandas
+    and emits only the above-threshold pairs — the quadratic pair set is
+    never materialized or shuffled. This is the archetypal one-side-tiled
+    brute force; at 100 TB the broadcast side becomes LSH/IVF bucket tiles
+    (hyperplane_bits / ivf_topk) and the same kernel verifies per tile.
     """
-    normed = df.select(
-        F.col(id_col),
-        F.transform(vec_col, lambda x: x / _norm(F.col(vec_col)))
-        .alias("__nv"))
-    a = normed.select(F.col(id_col).alias("id_a"), F.col("__nv").alias("__va"))
-    b = normed.select(F.col(id_col).alias("id_b"), F.col("__nv").alias("__vb"))
-    dot = _pair_dot_pandas()
-    return (a.join(b, F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", dot("__va", "__vb").alias("cos"))
-            .where(F.col("cos") >= threshold)
-            .select("id_a", "id_b"))
+    spark = df.sparkSession
+    normed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    pdf_all = normed.toPandas()
+    ids_all = pdf_all["id"].to_numpy()
+    M = np.vstack(pdf_all["v"].to_numpy()).astype("float64")
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids_all)
+    b_mat = spark.sparkContext.broadcast(M)
+
+    def block(batches):
+        oids, omat = b_ids.value, b_mat.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.vstack(pdf["v"].to_numpy()).astype("float64")
+            A /= np.linalg.norm(A, axis=1, keepdims=True)
+            sims = A @ omat.T
+            ai = pdf["id"].to_numpy()
+            ii, jj = np.nonzero(sims >= threshold)
+            ia, ib = ai[ii], oids[jj]
+            keep = ia < ib
+            yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep]})
+
+    return normed.mapInPandas(block, "id_a long, id_b long")
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 16, n_probe: int = 4,
