@@ -64,6 +64,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    # JVM/codegen warmup on a trivial job so the first headliner doesn't
+    # absorb cold-start cost (we measure the engine, not JIT warmup).
+    spark.range(1000).selectExpr("sum(id)").write.format("noop") \
+        .mode("overwrite").save()
+
     # Encode + cache the RDF quad view of the star schema once, timed.
     t0 = time.time()
     entry_mod._engine(spark, sf_dir).store.df.count()

@@ -137,24 +137,41 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.8) -> DataFrame:
-    """Exact n-gram Jaccard similarity join (brute force within length blocks).
+    """Exact n-gram Jaccard similarity join via an inverted shingle index.
 
-    Blocking on shingle-count bucket keeps the self-join from being a full
-    cross product; the oracle variant is expressible in SQL so this row is
-    driver-checkable. For 100 TB use minhash_lsh_candidates instead.
+    Relational form (explode → self-join on the shingle hash → count
+    intersections → |A∪B| = |A|+|B|-|A∩B|): every step is a codegen'd
+    hash join/aggregate, no per-row array intersection. Pair work is
+    proportional to actual shingle collisions, not to block sizes. For
+    100 TB add PPJoin-style prefix filtering or use
+    minhash_lsh_candidates; semantics here are exactly SQL-expressible
+    (driver-checkable).
     """
-    base = (df.select(F.col(id_col).alias("id"),
-                      word_shingles(F.col(text_col), n).alias("sh"))
-            .where(F.size("sh") > 0)
-            .withColumn("blk", F.floor(F.log2(F.size("sh") + 1))))
-    l, r = base.alias("l"), base.alias("r")
-    cand = l.join(r, (F.col("l.blk") == F.col("r.blk"))
-                  & (F.col("l.id") < F.col("r.id")))
-    inter = F.size(F.array_intersect("l.sh", "r.sh")).cast("double")
-    union = F.size(F.array_union("l.sh", "r.sh")).cast("double")
-    return (cand.select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                        (inter / union).alias("jaccard"))
-            .where(F.col("jaccard") >= threshold))
+    spark = df.sparkSession
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    sh = (df.select(F.col(id_col).alias("id"),
+                    F.explode(word_shingles(F.col(text_col), n))
+                    .alias("shingle"))
+          .select("id", F.xxhash64("shingle").alias("h"))
+          .dropDuplicates(["id", "h"]))
+    sizes = sh.groupBy("id").count()
+    inter = (sh.alias("a")
+             .join(sh.alias("b"), (F.col("a.h") == F.col("b.h"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    jac = (inter
+           .join(sizes.select(F.col("id").alias("id_a"),
+                              F.col("count").alias("na")), "id_a")
+           .join(sizes.select(F.col("id").alias("id_b"),
+                              F.col("count").alias("nb")), "id_b")
+           .select("id_a", "id_b",
+                   (F.col("inter").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("inter")))
+                   .alias("jaccard")))
+    return jac.where(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------- SimHash
