@@ -77,6 +77,12 @@ def _sel_identity():
 def transitive_closure(pairs: DataFrame) -> DataFrame:
     """Semi-naive reachability over distinct (s,o) pairs."""
     edges = pairs.dropDuplicates(["s", "o"]).localCheckpoint()
+    # Small graphs don't need 32-way shuffles per iteration — task-launch
+    # overhead dominates. Size once (free after the checkpoint) and coalesce
+    # the loop's parallelism to match; big graphs keep full parallelism.
+    n_edges = edges.count()
+    if n_edges < 100_000:
+        edges = edges.repartition(4).localCheckpoint()
     # joined frontier: delta.o == edges.s
     e2 = edges.select(
         F.col("s").alias("__m"),
