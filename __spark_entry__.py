@@ -441,6 +441,20 @@ def q_func_lang_terms(spark, sf_dir):
                         "same": "bool", "tagged": "str", "typed": "str"})
 
 
+def q_func_nondeterministic(spark, sf_dir):
+    """UUID/STRUUID/RAND/NOW/BNODE (SPARQL §17.4 nondeterministic builtins —
+    values are fresh per call, so rows-only; invariants asserted here via
+    derived booleans that ARE deterministic)."""
+    return _sparql(spark, sf_dir, """
+        SELECT ?s ?uuid_ok ?rand_ok ?now_ok WHERE {
+          ?s x:r_name ?n .
+          BIND(STRSTARTS(STR(UUID()), "urn:uuid:") AS ?uuid_ok)
+          BIND(RAND() >= 0 && RAND() < 1 AS ?rand_ok)
+          BIND(YEAR(NOW()) >= 2024 AS ?now_ok)
+        }""", {"s": "str", "uuid_ok": "bool", "rand_ok": "bool",
+               "now_ok": "bool"})
+
+
 def q_b30_insert_data(spark, sf_dir):
     from graphdb_free_mocha_sa_spark.engine import Engine
     from graphdb_free_mocha_sa_spark.store import QuadStore
@@ -879,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "func_casts": q_func_casts,
         "func_terms": q_func_terms,
         "func_lang_terms": q_func_lang_terms,
+        "func_nondeterministic": q_func_nondeterministic,
         "b30_insert_data": q_b30_insert_data,
         "b31_delete_data": q_b31_delete_data,
         "b32_modify_where": q_b32_modify_where,
@@ -1121,6 +1136,10 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS isi, TRUE AS isl,
                    'http://www.w3.org/2001/XMLSchema#string' AS dt
             FROM nation""",
+        "func_nondeterministic": """
+            SELECT 'urn:x:region/' || r_regionkey AS s,
+                   TRUE AS uuid_ok, TRUE AS rand_ok, TRUE AS now_ok
+            FROM region""",
         "func_lang_terms": """
             SELECT * FROM (VALUES
               ('urn:d1', 'en', TRUE,  TRUE, 'hello',   'hello'),
