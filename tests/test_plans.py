@@ -1,0 +1,76 @@
+"""Physical-plan quality regression tests (SURVEY §4; SCALE.md).
+
+Asserts the plans Catalyst actually emits keep the properties the 100 TB
+design depends on: predicate pushdown into the scan, broadcast joins for
+selective patterns, parquet filter pushdown + column pruning for relational
+queries, and whole-stage codegen on the hot paths. A refactor that silently
+turns these into full scans or shuffles both sides should fail here, not in
+a cluster bill.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_bgp_join_broadcasts_and_pushes_predicate(spark, quads):
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark, quads))
+    df = eng.query("""
+        SELECT ?o ?cust WHERE {
+          ?o <urn:x:p/o_custkey> ?cust .
+          ?o <urn:x:p/o_orderstatus> "F" .
+        }""").finalize({"o": "str", "cust": "str"})
+    df.collect()  # let AQE finalize
+    plan = _plan(df)
+    # each triple pattern's constant lands in the scan's filter, and the
+    # pattern join is a broadcast hash join (selective side broadcast)
+    assert "urn:x:p/o_custkey" in plan
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_parquet_scan_prunes_columns_and_pushes_filters(spark):
+    df = (spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+          .where(F.col("o_totalprice") > 100000)
+          .select("o_orderkey"))
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" \
+        in plan, plan
+    # ReadSchema carries only the referenced columns, not the whole row
+    rs = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "o_orderkey" in rs and "o_comment" not in rs and "o_custkey" not in rs
+
+
+def test_relational_join_uses_whole_stage_codegen(spark, tables):
+    df = (tables["lineitem"]
+          .join(F.broadcast(tables["supplier"]),
+                tables["lineitem"].l_suppkey == tables["supplier"].s_suppkey)
+          .groupBy("s_nationkey").agg(F.sum("l_quantity").alias("q")))
+    df.collect()  # finalize AQE so codegen stages are annotated
+    plan = _plan(df)
+    assert "WholeStageCodegen" in plan or "*(" in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan
+    # column pruning reached both parquet scans
+    assert "l_comment" not in plan and "s_comment" not in plan
+
+
+def test_aggregate_is_partial_then_final(spark, tables):
+    df = tables["orders"].groupBy("o_orderstatus").count()
+    plan = _plan(df)
+    # map-side partial aggregation must precede the exchange
+    first_agg = plan.index("HashAggregate")
+    assert "partial_count" in plan[first_agg:] or "partial" in plan, plan
