@@ -124,3 +124,31 @@ class QuadStore:
     @classmethod
     def read_parquet(cls, spark: SparkSession, path: str) -> "QuadStore":
         return cls(spark, spark.read.parquet(path))
+
+
+# ---------------------------------------------------------------- durable layout
+
+
+def persist_quads(quads: DataFrame, path: str,
+                  graph_partitioned: bool = True) -> None:
+    """Write the quad table in the durable 100 TB layout: Parquet
+    partitioned by ``g`` — GRAPH/version-pinned queries then read only
+    matching partitions (partition pruning = the reference's context index,
+    repo-config.ttl:29). Graph IRIs are hex-encoded into the partition
+    value to stay filesystem-safe; ``load_persisted_quads`` restores them.
+
+    (Bucketing by ``s`` additionally applies when writing through a
+    catalog table — ``df.write.bucketBy(n, "s").sortBy("s")`` — which
+    needs a metastore; the partition layout alone is self-describing.)
+    """
+    enc = quads.withColumn(
+        "g_part", F.hex(F.col("g").cast("binary")))
+    (enc.write.mode("overwrite").partitionBy("g_part").parquet(path))
+
+
+def load_persisted_quads(spark: SparkSession, path: str) -> DataFrame:
+    """Read the durable layout back; ``g`` is restored from the partition
+    value so filters on ``g`` become PartitionFilters in the scan."""
+    df = spark.read.parquet(path)
+    return (df.withColumn("g", F.unhex(F.col("g_part")).cast("string"))
+            .drop("g_part") if "g_part" in df.columns else df)

@@ -119,3 +119,25 @@ def test_turtle_reader(spark, tmp_path):
     assert ("urn:ex:a", "urn:ex:name", "Alice") in rows
     assert ("urn:ex:a", "urn:ex:knows", "urn:ex:b") in rows
     assert df.filter(F.col("o_num") == 30.0).count() == 1
+
+
+def test_persisted_quads_partition_pruning(spark, quads, tmp_path):
+    """The durable parquet layout must turn graph filters into partition
+    pruning — a version-pinned read touches one partition, not the table."""
+    from graphdb_free_mocha_sa_spark.store import (load_persisted_quads,
+                                                   persist_quads)
+    path = str(tmp_path / "quads_table")
+    small = quads.limit(0).unionByName(quads.where(F.col("p").endswith("r_name")))
+    extra = small.withColumn("g", F.lit("http://graph.version.1"))
+    persist_quads(small.unionByName(extra), path)
+
+    back = load_persisted_quads(spark, path)
+    pinned = back.where(F.col("g") == "http://graph.version.0")
+    plan = pinned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the g predicate must appear among partition filters (on the encoded col)
+    pf = plan.split("PartitionFilters:", 1)[1].splitlines()[0]
+    assert "g_part" in pf, pf
+    # round trip preserves content
+    assert pinned.count() == small.count()
+    assert back.count() == 2 * small.count()
