@@ -586,13 +586,20 @@ class Translator:
             shim = A.SelectQuery([], q.pattern, order_by=q.order_by,
                                  limit=q.limit, offset=q.offset)
             df = self.translate_select(shim)
+        # template bnodes are FRESH per solution (SPARQL 1.1 §16.2.1): scope
+        # each label to a per-row id shared across the template's triples
+        df = df.withColumn("__cid", F.monotonically_increasing_id())
         pieces = []
         for tp in q.template:
             cols = []
             for term, name in ((tp.s, "s"), (tp.p, "p"), (tp.o, "o")):
                 if isinstance(term, A.PLink):
                     term = A.IRI(term.iri)
-                if isinstance(term, A.Var):
+                if isinstance(term, A.BNode):
+                    fresh = F.concat(F.lit(f"_:{term.label}_"),
+                                     F.col("__cid").cast("string"))
+                    fam = TCol(lex=fresh)
+                elif isinstance(term, A.Var):
                     fam = _fam_tcol(df, term.name)
                 else:
                     fam = TCol.from_term(term)
