@@ -837,6 +837,22 @@ def q_ext_multimodal(spark, sf_dir):
     return feats.select("media_id", "kind", "n_bytes")
 
 
+def q_ext_multimodal_transform(spark, sf_dir):
+    """Multimodal resize + frame-sample plumbing (Arrow-batched kernels over
+    binary columns; engine-local bytes, so rows-only — determinism and batch
+    shapes asserted in tests/test_ext_operators.py)."""
+    from graphdb_free_mocha_sa_spark.operators.multimodal import (
+        resize_images, sample_frames, synthesize_media)
+    media = synthesize_media(spark, 48)
+    resized = resize_images(media, 8, 8).select(
+        "media_id", F.length("content").alias("n_bytes"))
+    frames = (sample_frames(media, every_n=30)
+              .groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames")))
+    return (resized.join(frames, "media_id", "left")
+            .select("media_id", "n_bytes",
+                    F.coalesce("n_frames", F.lit(0)).alias("n_frames")))
+
+
 # =====================================================================
 # contract
 # =====================================================================
@@ -929,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_stream_sliding": q_ext_stream_sliding,
         "ext_stream_session": q_ext_stream_session,
         "ext_multimodal": q_ext_multimodal,
+        "ext_multimodal_transform": q_ext_multimodal_transform,
     }
 
 
