@@ -94,13 +94,8 @@ class Schema:
         self.symmetric = sym
 
 
-def owl_horst_closure(spark: SparkSession, quads: DataFrame,
-                      graph: str = INFERRED_GRAPH) -> DataFrame:
-    """Materialize the OWL-Horst-subset closure; returns ONLY inferred quads.
-
-    Queries then read ``quads ∪ inferred`` (SURVEY §1.4 'quads_inferred').
-    """
-    schema = Schema(quads)
+def _rule_applier(spark: SparkSession, schema: Schema, graph: str):
+    """One-step rule application closure for a fixed (already-closed) TBox."""
     g = F.lit(graph)
 
     def df_of(pairs: set[tuple[str, str]], a: str, b: str) -> DataFrame:
@@ -160,6 +155,51 @@ def owl_horst_closure(spark: SparkSession, quads: DataFrame,
             out = out.unionByName(piece)
         return out.select(*QUAD_COLS)
 
+    return apply_rules
+
+
+def _anti_known(new: DataFrame, known: DataFrame) -> DataFrame:
+    return (new.dropDuplicates(["s", "p", "o_lex", "o_dt", "o_lang"])
+            .join(known.select("s", "p", "o_lex").withColumnRenamed("s", "__ks")
+                  .withColumnRenamed("p", "__kp").withColumnRenamed("o_lex", "__ko"),
+                  (F.col("s") == F.col("__ks")) & (F.col("p") == F.col("__kp"))
+                  & (F.col("o_lex") == F.col("__ko")), "left_anti"))
+
+
+def _trans_step(delta: DataFrame, known: DataFrame, props, graph: str) -> DataFrame | None:
+    """One transitive-chaining step: delta edges extend known chains on both
+    sides (semi-naive: only chains through the delta are recomputed)."""
+    g = F.lit(graph)
+    out = None
+    for p in sorted(props):
+        d = delta.filter((F.col("p") == p) & F.col("o_dt").isNull()) \
+                 .select(F.col("s").alias("ds"), F.col("o_lex").alias("do"))
+        k = known.filter((F.col("p") == p) & F.col("o_dt").isNull()) \
+                 .select(F.col("s").alias("ks"), F.col("o_lex").alias("ko"))
+        fwd = d.join(k, F.col("do") == F.col("ks")).select(
+            F.col("ds").alias("s"), F.col("ko").alias("o_lex"))
+        bwd = k.join(d, F.col("ko") == F.col("ds")).select(
+            F.col("ks").alias("s"), F.col("do").alias("o_lex"))
+        both = fwd.unionByName(bwd).dropDuplicates().select(
+            g.alias("g"), "s", F.lit(p).alias("p"), "o_lex",
+            F.lit(None).cast("string").alias("o_dt"),
+            F.lit(None).cast("string").alias("o_lang"),
+            F.lit(None).cast("double").alias("o_num"),
+            F.lit(None).cast("timestamp").alias("o_ts")).select(*QUAD_COLS)
+        out = both if out is None else out.unionByName(both)
+    return out
+
+
+def owl_horst_closure(spark: SparkSession, quads: DataFrame,
+                      graph: str = INFERRED_GRAPH) -> DataFrame:
+    """Materialize the OWL-Horst-subset closure; returns ONLY inferred quads.
+
+    Queries then read ``quads ∪ inferred`` (SURVEY §1.4 'quads_inferred').
+    """
+    schema = Schema(quads)
+    g = F.lit(graph)
+    apply_rules = _rule_applier(spark, schema, graph)
+
     # transitive properties: closure per property via the path engine
     trans_pieces: list[DataFrame] = []
     if schema.transitive:
@@ -180,12 +220,7 @@ def owl_horst_closure(spark: SparkSession, quads: DataFrame,
         if trans_pieces and i == 0:
             for tp in trans_pieces:
                 new = new.unionByName(tp)
-        new = (new.dropDuplicates(["s", "p", "o_lex", "o_dt", "o_lang"])
-               .join(known.select("s", "p", "o_lex").withColumnRenamed("s", "__ks")
-                     .withColumnRenamed("p", "__kp").withColumnRenamed("o_lex", "__ko"),
-                     (F.col("s") == F.col("__ks")) & (F.col("p") == F.col("__kp"))
-                     & (F.col("o_lex") == F.col("__ko")), "left_anti")
-               .localCheckpoint())
+        new = _anti_known(new, known).localCheckpoint()
         if new.isEmpty():
             break
         inferred = new if inferred is None else inferred.unionByName(new)
@@ -197,6 +232,55 @@ def owl_horst_closure(spark: SparkSession, quads: DataFrame,
     if inferred is None:
         return spark.createDataFrame([], quads.schema).select(*QUAD_COLS)
     return inferred.dropDuplicates(["s", "p", "o_lex", "o_dt", "o_lang"])
+
+
+TBOX_PREDS = (SUBCLASS, SUBPROP, DOMAIN, RANGE, INVERSE)
+
+
+def owl_horst_increment(spark: SparkSession, base: DataFrame,
+                        inferred: DataFrame, delta: DataFrame,
+                        graph: str = INFERRED_GRAPH) -> DataFrame | None:
+    """Incremental closure maintenance for a streaming ABox delta (EP2
+    parity: the reference appends statements + incremental inference,
+    SURVEY §3 EP2 step 3).
+
+    Returns the NEW inferred quads derivable from ``delta`` against the
+    existing ``base ∪ inferred`` closure, or ``None`` when the delta touches
+    the TBox (schema change ⇒ caller re-materializes from scratch — the
+    standard practical compromise; rules may invalidate, not just extend).
+    Work per micro-batch is proportional to the delta's consequences, never
+    to the full ABox.
+    """
+    tbox_delta = delta.filter(
+        F.col("p").isin(*TBOX_PREDS)
+        | ((F.col("p") == RDF_TYPE)
+           & F.col("o_lex").isin(TRANSITIVE, SYMMETRIC)))
+    if not tbox_delta.isEmpty():
+        return None
+    known = base.select(*QUAD_COLS)
+    if inferred is not None:
+        known = known.unionByName(inferred.select(*QUAD_COLS))
+    schema = Schema(known)
+    apply_rules = _rule_applier(spark, schema, graph)
+
+    new_inferred = None
+    d = delta.select(*QUAD_COLS).localCheckpoint()
+    # the delta facts are part of the known world (delta×delta chains must
+    # resolve, and delta facts themselves are base data, not inferences)
+    known = known.unionByName(d)
+    for _ in range(MAX_ITERS):
+        new = apply_rules(d)
+        ts = _trans_step(d, known, schema.transitive, graph)
+        if ts is not None:
+            new = new.unionByName(ts)
+        new = _anti_known(new, known).localCheckpoint()
+        if new.isEmpty():
+            return new_inferred
+        new_inferred = (new if new_inferred is None
+                        else new_inferred.unionByName(new))
+        known = known.unionByName(new).localCheckpoint()
+        d = new
+    raise RuntimeError(f"incremental inference did not converge in {MAX_ITERS} iterations")
 
 
 def sameas_components(spark: SparkSession, quads: DataFrame) -> DataFrame:

@@ -63,7 +63,22 @@ class QuadStore:
     # -- writes ---------------------------------------------------------
 
     def add_quads(self, quads: DataFrame):
-        self._swap(self._df.unionByName(quads.select(*QUAD_COLS)))
+        delta = quads.select(*QUAD_COLS)
+        if self._inferred is not None:
+            # closure is live: maintain it incrementally (EP2 parity — the
+            # reference applies incremental inference on streaming INSERTs)
+            from graphdb_free_mocha_sa_spark.operators.inference import (
+                owl_horst_increment)
+            new_inf = owl_horst_increment(self.spark, self._df,
+                                          self._inferred, delta)
+            with self._lock:
+                self._df = self._df.unionByName(delta)
+            if new_inf is None:              # TBox changed: re-materialize
+                self.materialize_inference()
+            elif not new_inf.isEmpty():
+                self._inferred = self._inferred.unionByName(new_inf)
+            return
+        self._swap(self._df.unionByName(delta))
 
     def delete_quads(self, quads: DataFrame):
         victim = quads.select(*QUAD_COLS)

@@ -142,3 +142,45 @@ def test_path_plus_converges_on_cycle(spark):
     eng = Engine(spark, QuadStore(spark, mk_quads(spark, triples)))
     got = run_vals(eng, "SELECT ?x WHERE { <urn:c1> <urn:n>+ ?x }")
     assert got == ["urn:c1", "urn:c2", "urn:c3"]
+
+
+def test_incremental_inference_on_streaming_insert(spark):
+    """EP2 parity: after materialize_inference, add_quads maintains the
+    closure incrementally — new facts trigger new inferences without a full
+    re-materialization; a TBox delta forces one."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    store = QuadStore(spark)
+    eng = Engine(store.spark, store, use_inference=True)
+    eng.update("""INSERT DATA {
+      <urn:C0> <http://www.w3.org/2000/01/rdf-schema#subClassOf> <urn:C1> .
+      <urn:partOf> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>
+          <http://www.w3.org/2002/07/owl#TransitiveProperty> .
+      <urn:x> <urn:partOf> <urn:y> . }""")
+    store.materialize_inference()
+
+    def types_of(i):
+        return sorted(r[0] for r in eng.query(
+            f"SELECT ?c WHERE {{ <{i}> "
+            "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> ?c }")
+            .finalize({"c": "str"}).collect())
+
+    def partof(s):
+        return sorted(r[0] for r in eng.query(
+            f"SELECT ?o WHERE {{ <{s}> <urn:partOf> ?o }}")
+            .finalize({"o": "str"}).collect())
+
+    # streaming ABox inserts: subclass rule + transitive chaining both fire
+    eng.update("INSERT DATA { <urn:i1> "
+               "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <urn:C0> }")
+    assert types_of("urn:i1") == ["urn:C0", "urn:C1"]
+
+    eng.update("INSERT DATA { <urn:y> <urn:partOf> <urn:z> }")
+    assert partof("urn:x") == ["urn:y", "urn:z"]
+    eng.update("INSERT DATA { <urn:z> <urn:partOf> <urn:w> }")
+    assert partof("urn:x") == ["urn:w", "urn:y", "urn:z"]
+
+    # TBox delta: closure re-materialized, old instances reclassified
+    eng.update("INSERT DATA { <urn:C1> "
+               "<http://www.w3.org/2000/01/rdf-schema#subClassOf> <urn:C2> }")
+    assert types_of("urn:i1") == ["urn:C0", "urn:C1", "urn:C2"]
