@@ -56,9 +56,14 @@ class QuadStore:
     def version(self) -> int:
         return self._version
 
-    def _swap(self, new_df: DataFrame):
+    def _mutate(self, fn):
+        """Atomic read-modify-write: the transform reads the CURRENT
+        snapshot inside the lock, so concurrent writers can't lose updates
+        (the reference serializes writers with its write-pref lock,
+        GraphDBSystemAdapter.java:82,227 — same guarantee, shorter critical
+        section: only driver-side plan building happens under the lock)."""
         with self._lock:
-            self._df = new_df
+            self._df = fn(self._df)
 
     # -- writes ---------------------------------------------------------
 
@@ -71,14 +76,13 @@ class QuadStore:
                 owl_horst_increment)
             new_inf = owl_horst_increment(self.spark, self._df,
                                           self._inferred, delta)
-            with self._lock:
-                self._df = self._df.unionByName(delta)
+            self._mutate(lambda df: df.unionByName(delta))
             if new_inf is None:              # TBox changed: re-materialize
                 self.materialize_inference()
             elif not new_inf.isEmpty():
                 self._inferred = self._inferred.unionByName(new_inf)
             return
-        self._swap(self._df.unionByName(delta))
+        self._mutate(lambda df: df.unionByName(delta))
 
     def delete_quads(self, quads: DataFrame):
         victim = quads.select(*QUAD_COLS)
@@ -88,40 +92,46 @@ class QuadStore:
             cond = cond & (F.col(c) == F.col("__d_" + c))
         cond = cond & (F.col("o_dt").eqNullSafe(F.col("__d_o_dt"))) \
                     & (F.col("o_lang").eqNullSafe(F.col("__d_o_lang")))
-        self._swap(self._df.join(ren, cond, "left_anti"))
+        self._mutate(lambda df: df.join(ren, cond, "left_anti"))
 
     def load_version(self, quads: DataFrame, graph: Optional[str] = None) -> str:
         """Atomic versioned bulk load; returns the graph IRI used."""
-        graph = graph or f"{GRAPH_VERSION_PREFIX}{self._version}"
-        staged = quads.select(
-            F.lit(graph).alias("g"), *[F.col(c) for c in QUAD_COLS if c != "g"])
-        self._swap(self._df.unionByName(staged))
-        self._version += 1
+        with self._lock:
+            graph = graph or f"{GRAPH_VERSION_PREFIX}{self._version}"
+            staged = quads.select(
+                F.lit(graph).alias("g"),
+                *[F.col(c) for c in QUAD_COLS if c != "g"])
+            self._df = self._df.unionByName(staged)
+            self._version += 1
         return graph
 
     def clear_graph(self, target: str):
         """CLEAR/DROP GRAPH <g> | DEFAULT | NAMED | ALL (B34)."""
         if target == "ALL":
-            self._swap(self.spark.createDataFrame([], QUAD_SCHEMA))
+            self._mutate(
+                lambda df: self.spark.createDataFrame([], QUAD_SCHEMA))
         elif target == "DEFAULT":
-            self._swap(self._df.filter(F.col("g") != DEFAULT_GRAPH))
+            self._mutate(lambda df: df.filter(F.col("g") != DEFAULT_GRAPH))
         elif target == "NAMED":
-            self._swap(self._df.filter(F.col("g") == DEFAULT_GRAPH))
+            self._mutate(lambda df: df.filter(F.col("g") == DEFAULT_GRAPH))
         else:
-            self._swap(self._df.filter(F.col("g") != target))
+            self._mutate(lambda df: df.filter(F.col("g") != target))
 
     def copy_graph(self, op: str, src: Optional[str], dst: Optional[str]):
         s = src or DEFAULT_GRAPH
         d = dst or DEFAULT_GRAPH
         if s == d:
             return
-        moved = self._df.filter(F.col("g") == s).withColumn("g", F.lit(d))
-        base = self._df
-        if op in ("COPY", "MOVE"):
-            base = base.filter(F.col("g") != d)
-        if op == "MOVE":
-            base = base.filter(F.col("g") != s)
-        self._swap(base.unionByName(moved.select(*QUAD_COLS)))
+        def xform(df: DataFrame) -> DataFrame:
+            moved = df.filter(F.col("g") == s).withColumn("g", F.lit(d))
+            base = df
+            if op in ("COPY", "MOVE"):
+                base = base.filter(F.col("g") != d)
+            if op == "MOVE":
+                base = base.filter(F.col("g") != s)
+            return base.unionByName(moved.select(*QUAD_COLS))
+
+        self._mutate(xform)
 
     # -- inference ------------------------------------------------------
 
