@@ -256,3 +256,46 @@ def test_values_with_undef(eng):
           VALUES (?s ?v) { (<urn:s1> UNDEF) (UNDEF 3) }
         }""", {"s": "str", "v": "int"})
     assert got == [("urn:s1", 1), ("urn:s3", 3)]
+
+
+def test_random_filter_optional_vs_oracle(eng_fixtures, duck, quads):
+    """Random pattern+FILTER(+OPTIONAL) queries vs DuckDB oracle — extends
+    the BGP sweep to the operators where translation subtleties live."""
+    engine, _ = eng_fixtures
+    _duck_quads(duck, quads)
+    rng = random.Random(42)
+    ops = [(">", ">"), ("<", "<"), (">=", ">="), ("<=", "<=")]
+    for case in range(10):
+        thr = rng.choice([0, 1000, 5000, 9000])
+        op, sqlop = rng.choice(ops)
+        use_opt = rng.random() < 0.5
+        if use_opt:
+            sparql = f"""SELECT ?c ?bal ?n WHERE {{
+                ?c <urn:x:p/c_acctbal> ?bal . FILTER(?bal {op} {thr})
+                OPTIONAL {{ ?c <urn:x:p/c_nationkey> ?nk .
+                            ?nk <urn:x:p/n_name> ?n . }} }}"""
+            sql = f"""
+                SELECT t0.s AS c, t0.o_lex AS bal, t2.o_lex AS n
+                FROM quads_t t0
+                LEFT JOIN (SELECT t1.s AS cs, t2i.o_lex
+                           FROM quads_t t1
+                           JOIN quads_t t2i ON t1.o_lex = t2i.s
+                            AND t2i.p = 'urn:x:p/n_name'
+                           WHERE t1.p = 'urn:x:p/c_nationkey') t2
+                  ON t0.s = t2.cs
+                WHERE t0.p = 'urn:x:p/c_acctbal'
+                  AND CAST(t0.o_lex AS DOUBLE) {sqlop} {thr}"""
+            spec = {"c": "str", "bal": "str", "n": "str"}
+        else:
+            sparql = f"""SELECT ?c ?bal WHERE {{
+                ?c <urn:x:p/c_acctbal> ?bal . FILTER(?bal {op} {thr}) }}"""
+            sql = f"""
+                SELECT s AS c, o_lex AS bal FROM quads_t
+                WHERE p = 'urn:x:p/c_acctbal'
+                  AND CAST(o_lex AS DOUBLE) {sqlop} {thr}"""
+            spec = {"c": "str", "bal": "str"}
+        got = sorted((tuple(r) for r in engine.query(sparql)
+                      .finalize(spec).collect()), key=str)
+        want = sorted((tuple(r) for r in duck.execute(sql).fetchall()),
+                      key=str)
+        assert got == want, f"case {case} ({op} {thr}, opt={use_opt})"
