@@ -212,7 +212,10 @@ def owl_horst_closure(spark: SparkSession, quads: DataFrame,
                 F.col("o__lang").alias("o_lang"), F.col("o__num").alias("o_num"),
                 F.col("o__ts").alias("o_ts")))
 
-    known = quads.select(*QUAD_COLS)
+    known = quads.select(*QUAD_COLS).localCheckpoint()
+    # small ABoxes don't amortize wide shuffles per iteration (cf. paths.py)
+    if known.count() < 100_000:
+        known = known.repartition(4).localCheckpoint()
     inferred = None
     delta = known
     for i in range(MAX_ITERS):
