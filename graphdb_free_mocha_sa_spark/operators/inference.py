@@ -223,6 +223,13 @@ def owl_horst_closure(spark: SparkSession, quads: DataFrame,
         if trans_pieces and i == 0:
             for tp in trans_pieces:
                 new = new.unionByName(tp)
+        elif i > 0:
+            # rdfp4 completeness: transitive-property edges DERIVED during the
+            # fixpoint (via subPropertyOf/inverseOf/symmetry) must keep
+            # chaining — mirror owl_horst_increment's per-iteration step
+            ts = _trans_step(delta, known, schema.transitive, graph)
+            if ts is not None:
+                new = new.unionByName(ts)
         new = _anti_known(new, known).localCheckpoint()
         if new.isEmpty():
             break

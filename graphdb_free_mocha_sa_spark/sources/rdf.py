@@ -33,9 +33,11 @@ def read_ntriples(spark: SparkSession, path: str, graph: str) -> DataFrame:
     lines = spark.read.text(path).filter(
         (F.length(F.trim(F.col("value"))) > 0) & ~F.trim(F.col("value")).startswith("#"))
     v = F.col("value")
-    s = F.coalesce(F.regexp_extract(v, r"^\s*<([^>]*)>", 1),
-                   F.regexp_extract(v, r"^\s*(_:\S+)", 1))
-    s = F.when(F.length(s) > 0, s)
+    # regexp_extract yields '' (not NULL) on no-match, so coalesce would never
+    # fall through to the bnode alternative — chain on length instead.
+    s_iri = F.regexp_extract(v, r"^\s*<([^>]*)>", 1)
+    s_bn = F.regexp_extract(v, r"^\s*(_:\S+)", 1)
+    s = F.when(F.length(s_iri) > 0, s_iri).when(F.length(s_bn) > 0, s_bn)
     p = F.regexp_extract(v, r"^\s*(?:<[^>]*>|_:\S+)\s+<([^>]*)>", 1)
     rest = F.regexp_extract(v, r"^\s*(?:<[^>]*>|_:\S+)\s+<[^>]*>\s+(.*?)\s*\.\s*$", 1)
 

@@ -201,8 +201,15 @@ class Translator:
                 if isinstance(term, A.Literal) and (term.dt in NUMERIC_DTS):
                     df = df.filter(F.col("o_num") == float(term.lex))
                 elif isinstance(term, A.Literal):
-                    df = df.filter((F.col("o_lex") == term.lex)
-                                   & (F.col("o_dt") == (term.dt or "http://www.w3.org/2001/XMLSchema#string")))
+                    cond = ((F.col("o_lex") == term.lex)
+                            & (F.col("o_dt") == (term.dt or "http://www.w3.org/2001/XMLSchema#string")))
+                    # "chat"@fr must not match "chat"@en: both carry
+                    # rdf:langString as o_dt, so the tag itself must be compared
+                    if term.lang:
+                        cond = cond & (F.lower(F.col("o_lang")) == term.lang.lower())
+                    else:
+                        cond = cond & F.col("o_lang").isNull()
+                    df = df.filter(cond)
                 else:
                     df = df.filter(F.col("o_dt").isNull() & (F.col("o_lex") == term.value))
             else:
@@ -221,6 +228,10 @@ class Translator:
             gv = gctx[1:]
             if gv not in bound:
                 bound[gv] = "g"
+            else:
+                # GRAPH ?g { ?g ?p ?o }: the graph name must equal the value
+                # already bound at the triple position — keep the constraint
+                df = df.filter(F.col("g") == _pos_key(bound[gv]))
 
         for v, pos in bound.items():
             sel.extend(_pos_family(pos, v))

@@ -93,6 +93,7 @@ class QuadStore:
         cond = cond & (F.col("o_dt").eqNullSafe(F.col("__d_o_dt"))) \
                     & (F.col("o_lang").eqNullSafe(F.col("__d_o_lang")))
         self._mutate(lambda df: df.join(ren, cond, "left_anti"))
+        self._retract_inference()
 
     def load_version(self, quads: DataFrame, graph: Optional[str] = None) -> str:
         """Atomic versioned bulk load; returns the graph IRI used."""
@@ -116,6 +117,7 @@ class QuadStore:
             self._mutate(lambda df: df.filter(F.col("g") == DEFAULT_GRAPH))
         else:
             self._mutate(lambda df: df.filter(F.col("g") != target))
+        self._retract_inference()
 
     def copy_graph(self, op: str, src: Optional[str], dst: Optional[str]):
         s = src or DEFAULT_GRAPH
@@ -132,8 +134,17 @@ class QuadStore:
             return base.unionByName(moved.select(*QUAD_COLS))
 
         self._mutate(xform)
+        self._retract_inference()
 
     # -- inference ------------------------------------------------------
+
+    def _retract_inference(self):
+        """Deletes can invalidate derived triples: GraphDB retracts inferred
+        statements when their premises go (repo-config.ttl inference on
+        delete). Forward closure is not invertible without provenance, so
+        re-materialize from the surviving base facts."""
+        if self._inferred is not None:
+            self.materialize_inference()
 
     def materialize_inference(self):
         """Forward-chaining closure maintained alongside base data (B40)."""

@@ -1,0 +1,139 @@
+"""Round-2 regression tests for the round-1 ADVICE findings.
+
+Each test pins one verified bug: bnode-subject N-Triples lines silently
+dropped, language-tagged literal constants matching across tags, deletes
+leaving stale inferred triples, GRAPH ?g losing the equality constraint when
+?g also appears in the triple pattern, and transitive edges derived mid-
+fixpoint never chaining (rdfp4 completeness).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdb_free_mocha_sa_spark.model import OWL, QUAD_SCHEMA, RDF_TYPE, RDFS
+
+
+@pytest.fixture()
+def fresh_eng(spark):
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    return Engine(spark, QuadStore(spark))
+
+
+def _rows(eng, q, spec):
+    return sorted((tuple(r) for r in eng.query(q).finalize(spec).collect()),
+                  key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+# ---------------------------------------------- ADVICE high: bnode NT subjects
+
+
+def test_ntriples_bnode_subject_not_dropped(spark, tmp_path):
+    """regexp_extract returns '' (not NULL) on no-match, so the old coalesce
+    never reached the _:bnode alternative and the row vanished."""
+    from graphdb_free_mocha_sa_spark.sources.rdf import read_ntriples
+    nt = tmp_path / "bn.nt"
+    nt.write_text(
+        '<urn:a> <urn:p> <urn:b> .\n'
+        '_:x1 <urn:p> <urn:c> .\n'
+        '<urn:a> <urn:q> "lit" .\n'
+        '_:x1 <urn:q> "v"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+        '<urn:d> <urn:p> _:x1 .\n')
+    df = read_ntriples(spark, str(nt), "urn:g")
+    assert df.count() == 5
+    subjects = {r.s for r in df.select("s").collect()}
+    assert "_:x1" in subjects
+
+
+# ---------------------------------------------- ADVICE med: lang-tag matching
+
+
+def test_lang_tagged_literal_constant_respects_tag(fresh_eng):
+    fresh_eng.update("""INSERT DATA {
+        <urn:s1> <urn:label> "chat"@en .
+        <urn:s2> <urn:label> "chat"@fr .
+        <urn:s3> <urn:label> "chat" . }""")
+    got = _rows(fresh_eng, 'SELECT ?s WHERE { ?s <urn:label> "chat"@fr }',
+                {"s": "str"})
+    assert got == [("urn:s2",)]
+    # plain (untagged) literal must not match either tagged form
+    got = _rows(fresh_eng, 'SELECT ?s WHERE { ?s <urn:label> "chat" }',
+                {"s": "str"})
+    assert got == [("urn:s3",)]
+
+
+# ------------------------------------- ADVICE med: delete retracts inference
+
+
+def test_delete_retracts_inferred_triples(spark):
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    SC = RDFS + "subClassOf"
+    rows = [("urn:g", "urn:Dog", SC, "urn:Animal", None, None, None, None),
+            ("urn:g", "urn:rex", RDF_TYPE, "urn:Dog", None, None, None, None)]
+    store = QuadStore(spark, spark.createDataFrame(rows, QUAD_SCHEMA))
+    store.materialize_inference()
+    inf = store.df_with_inference().filter(
+        (F.col("s") == "urn:rex") & (F.col("o_lex") == "urn:Animal"))
+    assert inf.count() == 1
+    # delete the premise: rex is no longer a Dog, so rex:Animal must go too
+    victim = spark.createDataFrame(
+        [("urn:g", "urn:rex", RDF_TYPE, "urn:Dog", None, None, None, None)],
+        QUAD_SCHEMA)
+    store.delete_quads(victim)
+    inf = store.df_with_inference().filter(
+        (F.col("s") == "urn:rex") & (F.col("o_lex") == "urn:Animal"))
+    assert inf.count() == 0
+
+
+def test_clear_graph_retracts_inferred_triples(spark):
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    SC = RDFS + "subClassOf"
+    rows = [("urn:tbox", "urn:Dog", SC, "urn:Animal", None, None, None, None),
+            ("urn:abox", "urn:rex", RDF_TYPE, "urn:Dog", None, None, None, None)]
+    store = QuadStore(spark, spark.createDataFrame(rows, QUAD_SCHEMA))
+    store.materialize_inference()
+    store.clear_graph("urn:abox")
+    derived = store.df_with_inference().filter(
+        (F.col("s") == "urn:rex") & (F.col("o_lex") == "urn:Animal"))
+    assert derived.count() == 0
+
+
+# ------------------------------- ADVICE low: GRAPH ?g repeated in the pattern
+
+
+def test_graph_var_repeated_in_triple_constrains(fresh_eng):
+    fresh_eng.update("""INSERT DATA {
+        GRAPH <urn:g1> { <urn:g1> <urn:p> "self" .
+                         <urn:other> <urn:p> "stray" . }
+        GRAPH <urn:g2> { <urn:g1> <urn:p> "cross" . } }""")
+    # graph name must EQUAL the subject: only the (g1, g1) row qualifies
+    got = _rows(fresh_eng,
+                "SELECT ?o WHERE { GRAPH ?g { ?g <urn:p> ?o } }",
+                {"o": "str"})
+    assert got == [("self",)]
+
+
+# --------------------------- ADVICE low: derived transitive edges must chain
+
+
+def test_transitive_edges_derived_mid_fixpoint_chain(spark):
+    """Edges of a transitive property that only APPEAR via subPropertyOf must
+    still participate in the transitive closure (rdfp4 after rdfs7)."""
+    from graphdb_free_mocha_sa_spark.operators.inference import owl_horst_closure
+    SP = RDFS + "subPropertyOf"
+    triples = [
+        ("urn:part", RDF_TYPE, OWL + "TransitiveProperty"),
+        ("urn:directPart", SP, "urn:part"),
+        # NO base urn:part edges at all — they only arise via rdfs7
+        ("urn:a", "urn:directPart", "urn:b"),
+        ("urn:b", "urn:directPart", "urn:c"),
+        ("urn:c", "urn:directPart", "urn:d"),
+    ]
+    rows = [("urn:g", s, p, o, None, None, None, None) for s, p, o in triples]
+    inferred = owl_horst_closure(spark, spark.createDataFrame(rows, QUAD_SCHEMA))
+    got = {(r.s, r.p, r.o_lex) for r in inferred.collect()}
+    assert ("urn:a", "urn:part", "urn:b") in got       # rdfs7
+    assert ("urn:a", "urn:part", "urn:c") in got       # rdfp4 over derived edges
+    assert ("urn:a", "urn:part", "urn:d") in got       # depth 3
