@@ -591,6 +591,25 @@ def q_b41_sameas_cc(spark, sf_dir):
     return sameas_components(spark, quads)
 
 
+def q_b41_sameas_query(spark, sf_dir):
+    """sameAs expansion inside SPARQL query answering (repo-config.ttl:45):
+    facts asserted about <urn:alice2> are visible via <urn:alice1>, and the
+    object expands to every member of its class too."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark))
+    eng.update("""INSERT DATA {
+        <urn:alice1> <http://www.w3.org/2002/07/owl#sameAs> <urn:alice2> .
+        <urn:nyc> <http://www.w3.org/2002/07/owl#sameAs> <urn:newyork> .
+        <urn:alice2> <urn:livesIn> <urn:nyc> .
+        <urn:alice1> <urn:age> 34 .
+        <urn:bob> <urn:livesIn> <urn:berlin> . }""")
+    return eng.query("""
+        SELECT ?who ?city ?age WHERE {
+          ?who <urn:livesIn> ?city . ?who <urn:age> ?age .
+        }""").finalize({"who": "str", "city": "str", "age": "int"})
+
+
 # =====================================================================
 # Relational / analytics surface (bench headliners + EXT rows)
 # =====================================================================
@@ -921,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b40_inference_subclass": q_b40_inference_subclass,
         "b40_inference_rules": q_b40_inference_rules,
         "b41_sameas_cc": q_b41_sameas_cc,
+        "b41_sameas_query": q_b41_sameas_query,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
@@ -1212,6 +1232,13 @@ def oracle_sql() -> dict[str, str]:
               ('urn:b1','urn:b1'),('urn:b2','urn:b1'),
               ('urn:c1','urn:c1'),('urn:c2','urn:c1'),('urn:c3','urn:c1'),
               ('urn:c4','urn:c1')) t(term, canon)""",
+        "b41_sameas_query": """
+            SELECT * FROM (VALUES
+              ('urn:alice1', 'urn:nyc', CAST(34 AS BIGINT)),
+              ('urn:alice1', 'urn:newyork', CAST(34 AS BIGINT)),
+              ('urn:alice2', 'urn:nyc', CAST(34 AS BIGINT)),
+              ('urn:alice2', 'urn:newyork', CAST(34 AS BIGINT))
+            ) t(who, city, age)""",
         "tpch_q1_pricing": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -69,9 +69,15 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").write.format("noop") \
         .mode("overwrite").save()
 
-    # Encode + cache the RDF quad view of the star schema once, timed.
+    # Encode + cache the RDF quad view of the star schema once, timed —
+    # including the term-dictionary build + id-encoding (the engine's
+    # load-time entity-index construction), so per-query timings measure
+    # query execution only.
     t0 = time.time()
-    entry_mod._engine(spark, sf_dir).store.df.count()
+    eng = entry_mod._engine(spark, sf_dir)
+    eng.store.df.count()
+    if getattr(eng, "encoded", False):
+        eng._encoded_state()
     timings["rdf_load"] = round(time.time() - t0, 3)
 
     for name in HEADLINERS:

@@ -49,6 +49,62 @@ def encode_quads_ids(quads: DataFrame, term_dict: DataFrame) -> DataFrame:
     return iri_o.unionByName(lit_o).drop("g", "s", "p")
 
 
+def build_term_dict_full(quads: DataFrame) -> DataFrame:
+    """``dict(id BIGINT, term STRING, lex, dt, lang, num, ts)`` over EVERY
+    term — IRIs, bnodes, graph names AND literals (keyed by canonical term
+    key, mirroring :func:`model.canonical_object_key`).
+
+    This is the engine's entity index (reference: 32-bit entity ids,
+    repo-config.ttl:22-23, scaled to 64-bit): the query path joins on ``id``
+    and decodes back to full term families only at projection. Carrying the
+    literal family columns in the dictionary makes the decode a single join.
+
+    Ids come from ``monotonically_increasing_id`` — unique, not dense, no
+    global coordination. Callers MUST materialize (localCheckpoint/cache)
+    the result before deriving encodings from it: the id assignment is not
+    stable across recomputation.
+    """
+    from graphdb_free_mocha_sa_spark.model import canonical_object_key
+    spg = None
+    for pos in ("s", "p", "g"):
+        piece = quads.select(F.col(pos).alias("term"))
+        spg = piece if spg is None else spg.unionByName(piece)
+    spg = spg.select(
+        "term", F.col("term").alias("lex"),
+        F.lit(None).cast("string").alias("dt"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("double").alias("num"),
+        F.lit(None).cast("timestamp").alias("ts"))
+    objs = quads.select(
+        canonical_object_key().alias("term"), F.col("o_lex").alias("lex"),
+        F.col("o_dt").alias("dt"), F.col("o_lang").alias("lang"),
+        F.col("o_num").alias("num"), F.col("o_ts").alias("ts"))
+    return (spg.unionByName(objs).dropDuplicates(["term"])
+            .withColumn("id", F.monotonically_increasing_id()))
+
+
+def encode_quads(quads: DataFrame, term_dict: DataFrame) -> DataFrame:
+    """Quad table re-keyed to BIGINT ids: ``(g_id, s_id, p_id, o_id)`` —
+    every position, literals included — with the object's literal family
+    (``o_lex/o_dt/o_lang/o_num/o_ts``) kept INLINE so value predicates
+    (range filters, lang tags) stay pushdown-able without a dictionary join.
+
+    BGP joins then shuffle 8-byte longs instead of ~60-byte IRI strings
+    (the reference's entity-id join design, SURVEY §1.4).
+    """
+    from graphdb_free_mocha_sa_spark.model import canonical_object_key
+    d = term_dict.select("term", "id")
+    out = quads
+    for pos in ("g", "s", "p"):
+        out = out.join(d.withColumnsRenamed({"term": pos, "id": f"{pos}_id"}),
+                       pos)
+    out = out.withColumn("__okey", canonical_object_key())
+    out = out.join(d.withColumnsRenamed({"term": "__okey", "id": "o_id"}),
+                   "__okey")
+    return out.select("g_id", "s_id", "p_id", "o_id",
+                      "o_lex", "o_dt", "o_lang", "o_num", "o_ts")
+
+
 def decode_ids(df: DataFrame, term_dict: DataFrame,
                cols: dict[str, str]) -> DataFrame:
     """Join term strings back for the given ``{id_col: out_col}`` mapping."""

@@ -31,21 +31,118 @@ class SelectResult:
 
 
 class Engine:
+    """SPARQL front door.
+
+    ``encoded=True`` (default) runs SELECT/ASK/CONSTRUCT through the BIGINT
+    term-dictionary path (reference: 32-bit entity ids,
+    repo-config.ttl:22-23): the quad table and every BGP join key are
+    dictionary ids; term strings are decoded only at projection. The
+    dictionary + encoded table are built once per store version and cached
+    (the reference's load-time entity-index build). DESCRIBE and the update
+    path stay on the string representation.
+    """
+
     def __init__(self, spark: SparkSession, store: QuadStore,
-                 use_inference: bool = False):
+                 use_inference: bool = False, encoded: bool = True,
+                 use_sameas: bool = True):
         self.spark = spark
         self.store = store
         self.use_inference = use_inference
+        self.encoded = encoded
+        self.use_sameas = use_sameas
         self._updates = UpdateExecutor(store)
+        self._enc = None                      # (basis, term_dict, enc_quads)
+        self._const_ids: dict = {}
+        self._sameas = None                   # (basis, expanded_quads)
+
+    def _basis(self) -> tuple:
+        """Identity of the current store snapshot (objects held, not id()s —
+        id values can be recycled after GC)."""
+        return (self.store.df,
+                self.store._inferred if self.use_inference else None)
 
     def _quads(self) -> DataFrame:
-        return self.store.df_with_inference() if self.use_inference else self.store.df
+        base = (self.store.df_with_inference() if self.use_inference
+                else self.store.df)
+        if not self.use_sameas:
+            return base
+        return self._sameas_view(base)
+
+    def _sameas_view(self, base: DataFrame) -> DataFrame:
+        """sameAs-expanded read view (reference: repo-config.ttl:45 —
+        sameAs enabled). Cached per store snapshot; stores with no
+        owl:sameAs assertions short-circuit to the raw snapshot."""
+        basis = self._basis()
+        if self._sameas is not None and self._sameas[0][0] is basis[0] \
+                and self._sameas[0][1] is basis[1]:
+            return self._sameas[1]
+        from pyspark.sql import functions as F
+        from graphdb_free_mocha_sa_spark.operators.inference import (
+            SAMEAS, expand_sameas, sameas_components)
+        has = not base.filter((F.col("p") == SAMEAS)
+                              & F.col("o_dt").isNull()).isEmpty()
+        if not has:
+            view = base
+        else:
+            comp = sameas_components(self.spark, base)
+            view = expand_sameas(base, comp).localCheckpoint()
+        self._sameas = (basis, view)
+        return view
+
+    # -- encoded-path state ---------------------------------------------
+
+    def _encoded_state(self):
+        """Dictionary + id-encoded quads for the CURRENT store snapshot,
+        rebuilt (and the constant-id cache dropped) whenever the snapshot
+        identity changes. localCheckpoint pins the nondeterministic
+        monotonically_increasing_id assignment."""
+        basis = self._basis()
+        if self._enc is None or self._enc[0][0] is not basis[0] \
+                or self._enc[0][1] is not basis[1]:
+            from graphdb_free_mocha_sa_spark.dictionary import (
+                build_term_dict_full, encode_quads)
+            quads = self._quads()
+            term_dict = build_term_dict_full(quads).localCheckpoint()
+            enc = encode_quads(quads, term_dict).localCheckpoint()
+            self._enc = (basis, term_dict, enc)
+            self._const_ids = {}
+        return self._enc[1], self._enc[2]
+
+    def _lookup_id(self, term_key: str):
+        """term→id for one constant (cached; single-row driver lookup)."""
+        if term_key not in self._const_ids:
+            from pyspark.sql import functions as F
+            rows = (self._enc[1].filter(F.col("term") == term_key)
+                    .select("id").collect())
+            self._const_ids[term_key] = rows[0][0] if rows else None
+        return self._const_ids[term_key]
+
+    def _prefetch_consts(self, q) -> None:
+        """One batched dictionary lookup for every constant in the query."""
+        from pyspark.sql import functions as F
+        from graphdb_free_mocha_sa_spark.sparql.translator import collect_const_terms
+        missing = [k for k in collect_const_terms(q) if k not in self._const_ids]
+        if not missing:
+            return
+        found = {r["term"]: r["id"]
+                 for r in (self._enc[1].filter(F.col("term").isin(missing))
+                           .select("term", "id").collect())}
+        for k in missing:
+            self._const_ids[k] = found.get(k)
 
     def query(self, sparql: str):
         q = parse_query(sparql)
-        tr = Translator(self.spark, self._quads(),
-                        getattr(q, "dataset_default", None),
-                        getattr(q, "dataset_named", None))
+        if self.encoded and not isinstance(q, A.DescribeQuery):
+            term_dict, enc_quads = self._encoded_state()
+            self._prefetch_consts(q)
+            tr = Translator(self.spark, enc_quads,
+                            getattr(q, "dataset_default", None),
+                            getattr(q, "dataset_named", None),
+                            term_dict=term_dict, lookup_id=self._lookup_id)
+        else:
+            tr = Translator(self.spark, self._quads(),
+                            getattr(q, "dataset_default", None),
+                            getattr(q, "dataset_named", None))
         if isinstance(q, A.SelectQuery):
             df = tr.translate_select(q)
             vs = [v for v in df.columns if "__" not in v]

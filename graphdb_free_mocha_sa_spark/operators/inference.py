@@ -205,7 +205,7 @@ def owl_horst_closure(spark: SparkSession, quads: DataFrame,
     if schema.transitive:
         from graphdb_free_mocha_sa_spark.operators.paths import transitive_closure, _link
         for p in sorted(schema.transitive):
-            closed = transitive_closure(_link(quads, p))
+            closed = transitive_closure(_link(quads, p, None))
             trans_pieces.append(closed.select(
                 g.alias("g"), F.col("s"), F.lit(p).alias("p"),
                 F.col("o__lex").alias("o_lex"), F.col("o__dt").alias("o_dt"),
@@ -291,6 +291,42 @@ def owl_horst_increment(spark: SparkSession, base: DataFrame,
         known = known.unionByName(new).localCheckpoint()
         d = new
     raise RuntimeError(f"incremental inference did not converge in {MAX_ITERS} iterations")
+
+
+def expand_sameas(quads: DataFrame, comp: DataFrame) -> DataFrame:
+    """owl:sameAs expansion on read (B41 → query answering; reference:
+    ``owlim:disable-sameAs "false"``, repo-config.ttl:45 — GraphDB answers
+    queries over the sameAs-merged graph, enumerating every equivalent IRI).
+
+    ``comp`` is the (term, canon) equivalence dictionary from
+    :func:`sameas_components`. Every quad becomes visible with its subject /
+    IRI-object replaced by EACH member of the respective equivalence class
+    (identity included); terms outside any class pass through untouched.
+    Output is deduplicated (RDF set semantics — two members may assert the
+    same triple).
+
+    Scale shape: two equi-joins against the class dictionary per position
+    (broadcast when cliques are small — the usual case) + one dedup shuffle;
+    expansion factor is bounded by clique size, never all-pairs.
+    """
+    mem = comp.select(F.col("canon").alias("__c"), F.col("term").alias("__m"))
+
+    s_map = comp.select(F.col("term").alias("s"), F.col("canon").alias("__c"))
+    touched = (quads.join(s_map, "s").join(mem, "__c")
+               .withColumn("s", F.col("__m")).drop("__c", "__m"))
+    untouched = quads.join(s_map.select("s"), "s", "left_anti")
+    q2 = touched.select(*QUAD_COLS).unionByName(untouched.select(*QUAD_COLS))
+
+    o_map = comp.select(F.col("term").alias("o_lex"), F.col("canon").alias("__c"))
+    iris = q2.filter(F.col("o_dt").isNull())
+    lits = q2.filter(F.col("o_dt").isNotNull())
+    o_touched = (iris.join(o_map, "o_lex").join(mem, "__c")
+                 .withColumn("o_lex", F.col("__m")).drop("__c", "__m"))
+    o_untouched = iris.join(o_map.select("o_lex"), "o_lex", "left_anti")
+    out = (o_touched.select(*QUAD_COLS)
+           .unionByName(o_untouched.select(*QUAD_COLS))
+           .unionByName(lits.select(*QUAD_COLS)))
+    return out.dropDuplicates(["g", "s", "p", "o_lex", "o_dt", "o_lang"])
 
 
 def sameas_components(spark: SparkSession, quads: DataFrame) -> DataFrame:

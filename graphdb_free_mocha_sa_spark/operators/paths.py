@@ -11,12 +11,17 @@ Per-iteration `localCheckpoint()` truncates lineage so plans stay O(1) deep;
 on a production cluster swap for `checkpoint()` to reliable storage. All data
 stays distributed — the driver only sees per-iteration emptiness checks.
 
-Pair DataFrames carry the two endpoint term families named ``s`` and ``o``
-(same flat family layout the translator uses), deduplicated on the canonical
-keys — `+`/`*` have set semantics per the SPARQL spec.
+Pair DataFrames carry the two endpoint families named ``s`` and ``o``.
+In **string mode** that is the full flat family layout the translator uses,
+deduplicated on canonical keys. In **encoded mode** (quads carry
+``s_id/p_id/o_id`` and a ``lookup_id`` callback is supplied) pairs are
+key-only — every fixpoint iteration joins and shuffles 8-byte BIGINTs, the
+scale path for deep closures.
 """
 
 from __future__ import annotations
+
+from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,7 +33,15 @@ MAX_ITERS = 64
 CHECKPOINT_EVERY = 4
 
 
-def _s_family():
+def _sufs(df: DataFrame) -> list[str]:
+    """Family suffixes actually present on a pair DataFrame ([''] in
+    encoded key-only mode, the full family in string mode)."""
+    return [suf for suf in VAR_SUFFIXES if ("o" + suf) in df.columns]
+
+
+def _s_family(enc: bool):
+    if enc:
+        return [F.col("s_id").alias("s")]
     c = F.col("s")
     return [c.alias("s"), c.alias("s__lex"),
             F.lit(None).cast("string").alias("s__dt"),
@@ -37,7 +50,9 @@ def _s_family():
             F.lit(None).cast("timestamp").alias("s__ts")]
 
 
-def _o_family():
+def _o_family(enc: bool):
+    if enc:
+        return [F.col("o_id").alias("o")]
     from graphdb_free_mocha_sa_spark.model import canonical_object_key
     return [canonical_object_key().alias("o"),
             F.col("o_lex").alias("o__lex"), F.col("o_dt").alias("o__dt"),
@@ -45,37 +60,44 @@ def _o_family():
             F.col("o_ts").alias("o__ts")]
 
 
+def _is_enc(quads: DataFrame) -> bool:
+    return "s_id" in quads.columns
+
+
 def _swap(df: DataFrame) -> DataFrame:
     sel = []
-    for suf in VAR_SUFFIXES:
+    for suf in _sufs(df):
         sel.append(F.col("o" + suf).alias("s" + suf))
         sel.append(F.col("s" + suf).alias("o" + suf))
     return df.select(*sel)
 
 
-def _link(quads: DataFrame, iri: str) -> DataFrame:
-    return quads.filter(F.col("p") == iri).select(*_s_family(), *_o_family())
+def _link(quads: DataFrame, iri: str,
+          lookup_id: Optional[Callable[[str], Optional[int]]]) -> DataFrame:
+    enc = _is_enc(quads)
+    if enc:
+        pid = lookup_id(iri) if lookup_id else None
+        flt = (F.col("p_id") == pid) if pid is not None else F.lit(False)
+        return quads.filter(flt).select(*_s_family(True), *_o_family(True))
+    return quads.filter(F.col("p") == iri).select(*_s_family(False), *_o_family(False))
 
 
 def _nodes(quads: DataFrame) -> DataFrame:
     """All graph nodes (subjects ∪ objects) as an identity-pair DataFrame."""
-    subs = quads.select(*_s_family())
-    objs = quads.select(*_o_family())
-    objs = objs.select(*[F.col("o" + suf).alias("s" + suf) for suf in VAR_SUFFIXES])
+    enc = _is_enc(quads)
+    subs = quads.select(*_s_family(enc))
+    objs = quads.select(*_o_family(enc))
+    sufs = _sufs(objs)
+    objs = objs.select(*[F.col("o" + suf).alias("s" + suf) for suf in sufs])
     nodes = subs.unionByName(objs).dropDuplicates(["s"])
-    sel = list(_sel_identity())
+    sel = [F.col("s" + suf) for suf in sufs] + \
+          [F.col("s" + suf).alias("o" + suf) for suf in sufs]
     return nodes.select(*sel)
-
-
-def _sel_identity():
-    for suf in VAR_SUFFIXES:
-        yield F.col("s" + suf)
-    for suf in VAR_SUFFIXES:
-        yield F.col("s" + suf).alias("o" + suf)
 
 
 def transitive_closure(pairs: DataFrame) -> DataFrame:
     """Semi-naive reachability over distinct (s,o) pairs."""
+    sufs = _sufs(pairs)
     edges = pairs.dropDuplicates(["s", "o"]).localCheckpoint()
     # Small graphs don't need 32-way shuffles per iteration — task-launch
     # overhead dominates. Size once (free after the checkpoint) and coalesce
@@ -86,13 +108,13 @@ def transitive_closure(pairs: DataFrame) -> DataFrame:
     # joined frontier: delta.o == edges.s
     e2 = edges.select(
         F.col("s").alias("__m"),
-        *[F.col("o" + suf).alias("__e_o" + suf) for suf in VAR_SUFFIXES])
+        *[F.col("o" + suf).alias("__e_o" + suf) for suf in sufs])
     acc = edges
     delta = edges
     for i in range(MAX_ITERS):
         stepped = (delta.join(e2, delta["o"] == e2["__m"])
-                   .select(*[F.col("s" + suf) for suf in VAR_SUFFIXES],
-                           *[F.col("__e_o" + suf).alias("o" + suf) for suf in VAR_SUFFIXES])
+                   .select(*[F.col("s" + suf) for suf in sufs],
+                           *[F.col("__e_o" + suf).alias("o" + suf) for suf in sufs])
                    .dropDuplicates(["s", "o"]))
         new = stepped.join(acc.select(F.col("s").alias("__as"), F.col("o").alias("__ao")),
                            (stepped["s"] == F.col("__as")) & (stepped["o"] == F.col("__ao")),
@@ -107,25 +129,27 @@ def transitive_closure(pairs: DataFrame) -> DataFrame:
     raise RuntimeError(f"path closure did not converge in {MAX_ITERS} iterations")
 
 
-def eval_path(spark: SparkSession, quads: DataFrame, path) -> DataFrame:
+def eval_path(spark: SparkSession, quads: DataFrame, path,
+              lookup_id: Optional[Callable[[str], Optional[int]]] = None) -> DataFrame:
     """Evaluate a property path to an (s-family, o-family) pair DataFrame."""
     if isinstance(path, A.PLink):
-        return _link(quads, path.iri)
+        return _link(quads, path.iri, lookup_id)
     if isinstance(path, A.PInv):
-        return _swap(eval_path(spark, quads, path.path))
+        return _swap(eval_path(spark, quads, path.path, lookup_id))
     if isinstance(path, A.PSeq):
-        l = eval_path(spark, quads, path.left)
-        r = eval_path(spark, quads, path.right)
+        l = eval_path(spark, quads, path.left, lookup_id)
+        r = eval_path(spark, quads, path.right, lookup_id)
+        sufs = _sufs(l)
         r2 = r.select(F.col("s").alias("__m"),
-                      *[F.col("o" + suf).alias("__r_o" + suf) for suf in VAR_SUFFIXES])
+                      *[F.col("o" + suf).alias("__r_o" + suf) for suf in sufs])
         return (l.join(r2, l["o"] == r2["__m"])
-                .select(*[F.col("s" + suf) for suf in VAR_SUFFIXES],
-                        *[F.col("__r_o" + suf).alias("o" + suf) for suf in VAR_SUFFIXES]))
+                .select(*[F.col("s" + suf) for suf in sufs],
+                        *[F.col("__r_o" + suf).alias("o" + suf) for suf in sufs]))
     if isinstance(path, A.PAlt):
-        return (eval_path(spark, quads, path.left)
-                .unionByName(eval_path(spark, quads, path.right)))
+        return (eval_path(spark, quads, path.left, lookup_id)
+                .unionByName(eval_path(spark, quads, path.right, lookup_id)))
     if isinstance(path, A.PMod):
-        inner = eval_path(spark, quads, path.path)
+        inner = eval_path(spark, quads, path.path, lookup_id)
         if path.mod == "+":
             return transitive_closure(inner)
         if path.mod == "*":
@@ -134,15 +158,26 @@ def eval_path(spark: SparkSession, quads: DataFrame, path) -> DataFrame:
             return inner.unionByName(_nodes(quads)).dropDuplicates(["s", "o"])
         raise ValueError(path.mod)
     if isinstance(path, A.PNeg):
+        enc = _is_enc(quads)
+
+        def neg_filter(df: DataFrame, iris) -> DataFrame:
+            if not iris:
+                return df
+            if enc:
+                # terms absent from the dictionary cannot occur as predicates,
+                # so they impose no constraint
+                ids = [i for i in ((lookup_id(x) if lookup_id else None)
+                                   for x in iris) if i is not None]
+                return df.filter(~F.col("p_id").isin(ids)) if ids else df
+            return df.filter(~F.col("p").isin(*iris))
+
         pieces = []
         if path.forward or not path.inverse:
-            fwd = quads
-            if path.forward:
-                fwd = fwd.filter(~F.col("p").isin(*path.forward))
-            pieces.append(fwd.select(*_s_family(), *_o_family()))
+            fwd = neg_filter(quads, path.forward)
+            pieces.append(fwd.select(*_s_family(enc), *_o_family(enc)))
         if path.inverse:
-            inv = quads.filter(~F.col("p").isin(*path.inverse))
-            pieces.append(_swap(inv.select(*_s_family(), *_o_family())))
+            inv = neg_filter(quads, path.inverse)
+            pieces.append(_swap(inv.select(*_s_family(enc), *_o_family(enc))))
         out = pieces[0]
         for piece in pieces[1:]:
             out = out.unionByName(piece)

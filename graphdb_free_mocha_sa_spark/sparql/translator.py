@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from graphdb_free_mocha_sa_spark.model import (NUMERIC_DTS, VAR_SUFFIXES,
                                                XSD_BOOLEAN, XSD_DATETIME,
+                                               canonical_key_from_parts,
                                                canonical_object_key, var_cols)
 from graphdb_free_mocha_sa_spark.sparql import algebra as A
 from graphdb_free_mocha_sa_spark.sparql.functions import TCol, binary, builtin, unary
@@ -68,14 +69,90 @@ def term_parts_py(term) -> tuple:
 
 
 class Translator:
+    """Algebra → DataFrame. Two quad representations:
+
+    * **string mode** (default): ``quads(g,s,p,o_lex,...)`` — var keys are
+      canonical term strings.
+    * **encoded mode** (``term_dict`` given): ``quads(g_id,s_id,p_id,o_id,
+      o_lex,...)`` — var keys are BIGINT dictionary ids (the reference's
+      entity-id join design, repo-config.ttl:22-23). Scans bind s/p/g vars
+      *lazily* (id key only, no term family); object vars keep the literal
+      family inline. Every BGP/OPTIONAL/MINUS join, DISTINCT and GROUP BY
+      then shuffles 8-byte longs. Term families are materialized only where
+      an expression, ORDER BY, UNION alignment or the final projection needs
+      them (``_ensure_family``/``_string_rep`` — a dictionary decode join on
+      the post-join, usually tiny, solution set).
+    """
+
     def __init__(self, spark: SparkSession, quads: DataFrame,
                  dataset_default: Optional[list[str]] = None,
-                 dataset_named: Optional[list[str]] = None):
+                 dataset_named: Optional[list[str]] = None,
+                 term_dict: Optional[DataFrame] = None,
+                 lookup_id: Optional[Callable[[str], Optional[int]]] = None):
         self.spark = spark
         self.quads = quads
         self.dataset_default = dataset_default or []
         self.dataset_named = dataset_named or []
+        self.term_dict = term_dict
+        self.encoded = term_dict is not None
+        self._lookup = lookup_id
         self._n = 0
+
+    # ---------------------------------------------------- encoded-mode utils
+
+    def lookup_id(self, term_key: str) -> Optional[int]:
+        """Dictionary id for a constant term's canonical key (None = the term
+        does not occur in the data, i.e. the pattern cannot match)."""
+        return self._lookup(term_key) if self._lookup else None
+
+    def _ensure_family(self, df: DataFrame, names) -> DataFrame:
+        """Decode term families for lazy (id-keyed, family-less) vars via a
+        dictionary join; the BIGINT key column is left untouched."""
+        if not self.encoded:
+            return df
+        for v in names:
+            if v not in df.columns or v + "__lex" in df.columns:
+                continue
+            if dict(df.dtypes).get(v) != "bigint":
+                continue
+            tag = self._uniq("__dec")
+            d = self.term_dict.select(
+                F.col("id").alias(tag),
+                F.col("lex").alias(v + "__lex"), F.col("dt").alias(v + "__dt"),
+                F.col("lang").alias(v + "__lang"), F.col("num").alias(v + "__num"),
+                F.col("ts").alias(v + "__ts"))
+            df = df.join(d, df[v] == F.col(tag), "left").drop(tag)
+        return df
+
+    def _string_rep(self, df: DataFrame, names) -> DataFrame:
+        """Normalize vars to the string representation: term family present
+        AND the key re-computed as the canonical term string. Required before
+        expression evaluation / ORDER BY (both compare canonical keys) and
+        when an id-keyed var meets a computed (string-keyed) var."""
+        if not self.encoded:
+            return df
+        df = self._ensure_family(df, names)
+        dtypes = dict(df.dtypes)
+        rekey = {}
+        for v in names:
+            if v in df.columns and dtypes.get(v) == "bigint":
+                rekey[v] = canonical_key_from_parts(
+                    F.col(v + "__lex"), F.col(v + "__dt"), F.col(v + "__lang"))
+        return df.withColumns(rekey) if rekey else df
+
+    def _normalize_shared(self, left: DataFrame, right: DataFrame,
+                          shared) -> tuple[DataFrame, DataFrame]:
+        """Where a shared var is id-keyed on one side and string-keyed on the
+        other (scan var meets BIND/VALUES var), fall back to string keys on
+        both sides so the join compares canonical terms."""
+        if not self.encoded or not shared:
+            return left, right
+        lt, rt = dict(left.dtypes), dict(right.dtypes)
+        mismatch = [v for v in shared if lt.get(v) != rt.get(v)]
+        if mismatch:
+            left = self._string_rep(left, mismatch)
+            right = self._string_rep(right, mismatch)
+        return left, right
 
     # ------------------------------------------------------------ utils
 
@@ -89,6 +166,19 @@ class Translator:
     def _graph_scan(self, gctx) -> DataFrame:
         """quads restricted by graph context + dataset clause."""
         df = self.quads
+        if self.encoded:
+            def g_in(names):
+                ids = [i for i in (self.lookup_id(n) for n in names)
+                       if i is not None]
+                return F.col("g_id").isin(ids) if ids else F.lit(False)
+            if gctx is None:
+                return df.filter(g_in(self.dataset_default)) \
+                    if self.dataset_default else df
+            if isinstance(gctx, str) and not gctx.startswith("?"):
+                return df.filter(g_in([gctx]))
+            if self.dataset_named:
+                df = df.filter(g_in(self.dataset_named))
+            return df
         if gctx is None:
             if self.dataset_default:
                 df = df.filter(F.col("g").isin(self.dataset_default))
@@ -112,6 +202,7 @@ class Translator:
         """
         lvars, rvars = set(var_names(left)), set(var_names(right))
         shared = sorted(lvars & rvars)
+        left, right = self._normalize_shared(left, right, shared)
         suffix = self._uniq("__RJ")
         ren = {}
         for v in shared:
@@ -198,6 +289,9 @@ class Translator:
                 else:
                     bound[term.name] = pos
             elif pos == "o":
+                # literal family columns are inline in BOTH representations,
+                # so object constants always filter on the value columns
+                # (pushdown-able to the parquet scan)
                 if isinstance(term, A.Literal) and (term.dt in NUMERIC_DTS):
                     df = df.filter(F.col("o_num") == float(term.lex))
                 elif isinstance(term, A.Literal):
@@ -212,15 +306,26 @@ class Translator:
                     df = df.filter(cond)
                 else:
                     df = df.filter(F.col("o_dt").isNull() & (F.col("o_lex") == term.value))
+            elif self.encoded:
+                i = self.lookup_id(term.value)
+                df = df.filter(F.col(pos + "_id") == i) if i is not None \
+                    else df.filter(F.lit(False))
             else:
                 df = df.filter(F.col(pos) == term.value)
 
         def _pos_key(pos: str) -> Column:
+            if self.encoded:
+                return F.col(pos + "_id")
             return canonical_object_key() if pos == "o" else F.col(pos)
 
         bind(tp.s, "s")
         if pred is not None:
-            df = df.filter(F.col("p") == pred)
+            if self.encoded:
+                i = self.lookup_id(pred)
+                df = df.filter(F.col("p_id") == i) if i is not None \
+                    else df.filter(F.lit(False))
+            else:
+                df = df.filter(F.col("p") == pred)
         elif isinstance(p, A.Var):
             bind(p, "p")
         bind(tp.o, "o")
@@ -231,32 +336,41 @@ class Translator:
             else:
                 # GRAPH ?g { ?g ?p ?o }: the graph name must equal the value
                 # already bound at the triple position — keep the constraint
-                df = df.filter(F.col("g") == _pos_key(bound[gv]))
+                df = df.filter(_pos_key("g") == _pos_key(bound[gv]))
 
         for v, pos in bound.items():
-            sel.extend(_pos_family(pos, v))
+            sel.extend(_pos_family_enc(pos, v) if self.encoded
+                       else _pos_family(pos, v))
         if not sel:
             sel = [F.lit(1).alias(self._uniq("__one"))]
         return df.select(*sel)
 
     def _scan_path(self, tp: A.TriplePattern, gctx) -> DataFrame:
         from graphdb_free_mocha_sa_spark.operators.paths import eval_path
-        pairs = eval_path(self.spark, self._graph_scan(gctx), tp.p)
-        # pairs has families for internal vars "s" and "o"
+        pairs = eval_path(self.spark, self._graph_scan(gctx), tp.p,
+                          lookup_id=self.lookup_id if self.encoded else None)
+        # pairs carries endpoint families "s"/"o" (key-only in encoded mode —
+        # the whole fixpoint then shuffles 8-byte ids)
+        sufs = [suf for suf in VAR_SUFFIXES if ("o" + suf) in pairs.columns]
         df = pairs
         out_cols: list[Column] = []
         for term, pos in ((tp.s, "s"), (tp.o, "o")):
             if isinstance(term, A.BNode):
                 term = A.Var("__bnp_" + term.label)
             if isinstance(term, A.Var):
-                for suf in VAR_SUFFIXES:
+                for suf in sufs:
                     out_cols.append(F.col(pos + suf).alias(term.name + suf))
             else:
                 key = term_parts_py(term)[0]
-                df = df.filter(F.col(pos) == key)
+                if self.encoded:
+                    i = self.lookup_id(key)
+                    df = df.filter(F.col(pos) == i) if i is not None \
+                        else df.filter(F.lit(False))
+                else:
+                    df = df.filter(F.col(pos) == key)
         if isinstance(tp.s, A.Var) and isinstance(tp.o, A.Var) and tp.s.name == tp.o.name:
             df = df.filter(F.col("s") == F.col("o"))
-            out_cols = [F.col("s" + suf).alias(tp.s.name + suf) for suf in VAR_SUFFIXES]
+            out_cols = [F.col("s" + suf).alias(tp.s.name + suf) for suf in sufs]
         if not out_cols:
             out_cols = [F.lit(1).alias(self._uniq("__one"))]
         return df.select(*out_cols)
@@ -281,6 +395,10 @@ class Translator:
             extra = None
             if node.expr is not None:
                 expr = node.expr
+                if self.encoded:
+                    ev = _expr_vars(expr)
+                    left = self._string_rep(left, ev & set(var_names(left)))
+                    right = self._string_rep(right, ev & set(var_names(right)))
                 extra = lambda resolver: self._eval(expr, resolver, {}).ebv()
             out = self._join(left, right, "left_outer", extra)
             # right-only vars are unbound wherever the OPTIONAL didn't match
@@ -289,6 +407,8 @@ class Translator:
         if isinstance(node, A.Union):
             l = self.translate(node.left, gctx)
             r = self.translate(node.right, gctx)
+            if self.encoded:
+                l, r = self._align_union(l, r)
             return _union_pad(l, r)
         if isinstance(node, A.Minus):
             left = self.translate(node.left, gctx)
@@ -301,11 +421,15 @@ class Translator:
             df = self.translate(node.pattern, gctx)
             expr = node.expr
             df, exists_map, flags = self._materialize_exists(expr, df, gctx)
+            if self.encoded:
+                df = self._string_rep(df, _expr_vars(expr))
             cond = self._eval(expr, _df_resolver(df), exists_map).ebv()
             return df.filter(cond).drop(*flags)
         if isinstance(node, A.Extend):
             df = self.translate(node.pattern, gctx)
             df, exists_map, flags = self._materialize_exists(node.expr, df, gctx)
+            if self.encoded:
+                df = self._string_rep(df, _expr_vars(node.expr))
             t = self._eval(node.expr, _df_resolver(df), exists_map)
             return _with_family(df, node.var, t).drop(*flags)
         if isinstance(node, A.ValuesTable):
@@ -317,6 +441,17 @@ class Translator:
         if isinstance(node, A.SubSelect):
             return self.translate_select(node.query)
         raise TypeError(f"unknown pattern node {node!r}")
+
+    def _align_union(self, l: DataFrame, r: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """UNION branches must agree per shared var on key dtype AND family
+        presence (NULL-padding a lazy var's family would fake unboundness)."""
+        shared = sorted(set(var_names(l)) & set(var_names(r)))
+        l, r = self._normalize_shared(l, r, shared)
+        for v in shared:
+            if (v + "__lex" in l.columns) != (v + "__lex" in r.columns):
+                l = self._ensure_family(l, [v])
+                r = self._ensure_family(r, [v])
+        return l, r
 
     def _values_df(self, node: A.ValuesTable) -> DataFrame:
         from pyspark.sql.types import (DoubleType, StringType, StructField,
@@ -351,6 +486,7 @@ class Translator:
         for node in nodes:
             right = self.translate(node.pattern, gctx)
             shared = sorted(set(var_names(df)) & set(var_names(right)))
+            df, right = self._normalize_shared(df, right, shared)
             flag = self._uniq("__ex")
             if shared:
                 rightd = (right.select([F.col(v).alias(v + flag) for v in shared])
@@ -424,6 +560,18 @@ class Translator:
         def eval_post(e) -> TCol:
             return self._eval_with_aggs(e, df, agg_ids)
 
+        if self.encoded:
+            # vars referenced by post-aggregation expressions (HAVING,
+            # projection exprs) need term families; aggregate outputs are
+            # already string-rep (built by _group_aggregate)
+            post_vars: set[str] = set()
+            for h in q.having:
+                post_vars |= _expr_vars(h)
+            for name, e in q.projections:
+                if e is not None and not (isinstance(e, A.EVar) and e.name == name):
+                    post_vars |= _expr_vars(e)
+            df = self._string_rep(df, post_vars)
+
         # HAVING
         for h in q.having:
             df = df.filter(self._eval_with_aggs(h, df, agg_ids).ebv())
@@ -450,7 +598,25 @@ class Translator:
                 sort_cols.extend(t.order_keys(asc))
             return d.orderBy(*sort_cols)
 
-        if q.distinct or q.reduced:
+        if self.encoded:
+            order_vars: set[str] = set()
+            for e, _ in q.order_by:
+                order_vars |= _expr_vars(e)
+            if q.distinct or q.reduced:
+                # dedup FIRST on the compact id keys, decode the (smaller)
+                # distinct set, then order/project
+                avail = [c for v in proj_vars for c in var_cols(v)
+                         if c in df.columns]
+                df = df.select(*avail).dropDuplicates(proj_vars)
+                df = self._string_rep(df, set(proj_vars) | order_vars)
+                if q.order_by:
+                    df = apply_order(df)
+            else:
+                df = self._string_rep(df, set(proj_vars) | order_vars)
+                if q.order_by:
+                    df = apply_order(df)
+            df = df.select(*[F.col(c) for c in keep])
+        elif q.distinct or q.reduced:
             # project → dedup → order (ORDER BY may only use projected vars here)
             df = df.select(*[F.col(c) for c in keep]).dropDuplicates(proj_vars)
             if q.order_by:
@@ -491,6 +657,17 @@ class Translator:
 
     def _group_aggregate(self, df: DataFrame, q: A.SelectQuery,
                          aggs: list[A.EAgg]) -> tuple[DataFrame, dict[int, str]]:
+        if self.encoded:
+            # aggregate inputs and computed group keys evaluate expressions →
+            # they need string-rep families; plain-var group keys stay on ids
+            pre: set[str] = set()
+            for name, e in q.group_by:
+                if not (isinstance(e, A.EVar) and (name is None or name == e.name)):
+                    pre |= _expr_vars(e)
+            for node in aggs:
+                if node.expr is not None:
+                    pre |= _expr_vars(node.expr)
+            df = self._string_rep(df, pre)
         # computed group keys become bound vars first
         group_vars: list[str] = []
         for i, (name, e) in enumerate(q.group_by):
@@ -550,7 +727,8 @@ class Translator:
             else:
                 raise ValueError(f"unknown aggregate {func}")
 
-        gcols = [F.col(c) for v in group_vars for c in var_cols(v)]
+        gcols = [F.col(c) for v in group_vars for c in var_cols(v)
+                 if c in df.columns]
         if gcols:
             out = df.groupBy(*gcols).agg(*agg_cols) if agg_cols else df.select(*gcols).dropDuplicates(group_vars)
         else:
@@ -597,6 +775,10 @@ class Translator:
             shim = A.SelectQuery([], q.pattern, order_by=q.order_by,
                                  limit=q.limit, offset=q.offset)
             df = self.translate_select(shim)
+        if self.encoded:
+            tvars = {t.name for tp in q.template for t in (tp.s, tp.p, tp.o)
+                     if isinstance(t, A.Var)}
+            df = self._string_rep(df, tvars)
         # template bnodes are FRESH per solution (SPARQL 1.1 §16.2.1): scope
         # each label to a per-row id shared across the template's triples
         df = df.withColumn("__cid", F.monotonically_increasing_id())
@@ -682,6 +864,120 @@ def _pos_family(pos: str, v: str) -> list[Column]:
             F.lit(None).cast("string").alias(v + "__lang"),
             F.lit(None).cast("double").alias(v + "__num"),
             F.lit(None).cast("timestamp").alias(v + "__ts")]
+
+
+def _pos_family_enc(pos: str, v: str) -> list[Column]:
+    """Encoded-mode scan emission: s/p/g vars are id-key-only (lazy — the
+    family is decoded on demand); object vars keep the inline literal family
+    (prunable by Catalyst when unused) under the id key."""
+    if pos == "o":
+        return [F.col("o_id").alias(v),
+                F.col("o_lex").alias(v + "__lex"), F.col("o_dt").alias(v + "__dt"),
+                F.col("o_lang").alias(v + "__lang"), F.col("o_num").alias(v + "__num"),
+                F.col("o_ts").alias(v + "__ts")]
+    return [F.col(pos + "_id").alias(v)]
+
+
+def _expr_vars(e, include_agg: bool = False) -> set[str]:
+    """Variable names whose term families an expression will access.
+    EExists patterns are excluded (resolved via flag joins); EAgg bodies are
+    excluded by default (aggregate outputs are built pre-materialized)."""
+    out: set[str] = set()
+
+    def walk(x):
+        if isinstance(x, A.EVar):
+            out.add(x.name)
+        elif isinstance(x, A.EBinary):
+            walk(x.left)
+            walk(x.right)
+        elif isinstance(x, A.EUnary):
+            walk(x.expr)
+        elif isinstance(x, A.EFunc):
+            for a in x.args:
+                walk(a)
+        elif isinstance(x, A.EIn):
+            walk(x.expr)
+            for a in x.items:
+                walk(a)
+        elif isinstance(x, A.EAgg) and include_agg and x.expr is not None:
+            walk(x.expr)
+
+    walk(e)
+    return out
+
+
+def collect_const_terms(q) -> set[str]:
+    """Canonical keys of every constant term a query can push into a scan —
+    subjects/predicates/objects/graphs in triple patterns, path links and
+    negated sets, GRAPH IRIs, FROM/FROM NAMED. Used by encoded mode to batch
+    the term→id dictionary lookups into ONE driver round-trip per query."""
+    keys: set[str] = set()
+
+    def add_term(t):
+        if isinstance(t, (A.IRI, A.Literal)):
+            keys.add(term_parts_py(t)[0])
+
+    def walk_path(p):
+        if isinstance(p, A.PLink):
+            keys.add(p.iri)
+        elif isinstance(p, A.PInv):
+            walk_path(p.path)
+        elif isinstance(p, (A.PSeq, A.PAlt)):
+            walk_path(p.left)
+            walk_path(p.right)
+        elif isinstance(p, A.PMod):
+            walk_path(p.path)
+        elif isinstance(p, A.PNeg):
+            keys.update(p.forward)
+            keys.update(p.inverse)
+
+    def walk_expr(e):
+        _walk_expr(e, lambda x: walk(x.pattern) if isinstance(x, A.EExists) else None)
+
+    def walk(node):
+        if node is None:
+            return
+        if isinstance(node, A.BGP):
+            for tp in node.triples:
+                add_term(tp.s)
+                if isinstance(tp.p, A.Var):
+                    pass
+                else:
+                    walk_path(tp.p)
+                add_term(tp.o)
+        elif isinstance(node, (A.Join, A.Union, A.Minus, A.LeftJoin)):
+            walk(node.left)
+            walk(node.right)
+            if isinstance(node, A.LeftJoin) and node.expr is not None:
+                walk_expr(node.expr)
+        elif isinstance(node, A.Filter):
+            walk(node.pattern)
+            walk_expr(node.expr)
+        elif isinstance(node, A.Extend):
+            walk(node.pattern)
+            walk_expr(node.expr)
+        elif isinstance(node, A.GraphPat):
+            if isinstance(node.graph, A.IRI):
+                keys.add(node.graph.value)
+            walk(node.pattern)
+        elif isinstance(node, A.SubSelect):
+            walk_query(node.query)
+        # ValuesTable: constants stay string-keyed (string-join fallback)
+
+    def walk_query(qq):
+        walk(getattr(qq, "pattern", None))
+        for e in getattr(qq, "having", []) or []:
+            walk_expr(e)
+        for name, e in getattr(qq, "projections", []) or []:
+            if e is not None:
+                walk_expr(e)
+        for e, _ in getattr(qq, "order_by", []) or []:
+            walk_expr(e)
+        keys.update(getattr(qq, "dataset_default", []) or [])
+        keys.update(getattr(qq, "dataset_named", []) or [])
+
+    walk_query(q)
+    return keys
 
 
 def _fam_tcol(df: DataFrame, name: str, suffix: str = "") -> TCol:

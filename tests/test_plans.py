@@ -26,9 +26,11 @@ def _optimized(df) -> str:
 
 
 def test_bgp_join_broadcasts_and_pushes_predicate(spark, quads):
+    """String-mode plan quality: constant predicates land in the scan filter
+    and the pattern join broadcasts (encoded mode is covered separately)."""
     from graphdb_free_mocha_sa_spark.engine import Engine
     from graphdb_free_mocha_sa_spark.store import QuadStore
-    eng = Engine(spark, QuadStore(spark, quads))
+    eng = Engine(spark, QuadStore(spark, quads), encoded=False)
     df = eng.query("""
         SELECT ?o ?cust WHERE {
           ?o <urn:x:p/o_custkey> ?cust .
@@ -41,6 +43,54 @@ def test_bgp_join_broadcasts_and_pushes_predicate(spark, quads):
     assert "urn:x:p/o_custkey" in plan
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "SortMergeJoin" not in plan
+
+
+def test_encoded_bgp_joins_on_bigint_ids(spark, quads):
+    """Encoded mode: BGP join keys are 8-byte dictionary ids (LongType), the
+    constant predicate is an id equality filter, and the join is still a
+    hash join — the 100 TB shuffle-width design (reference entity ids,
+    repo-config.ttl:22-23)."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    from graphdb_free_mocha_sa_spark.sparql.parser import parse_query
+    from graphdb_free_mocha_sa_spark.sparql.translator import Translator
+
+    eng = Engine(spark, QuadStore(spark, quads))
+    term_dict, enc_quads = eng._encoded_state()
+    q = parse_query("""
+        SELECT ?o ?cust WHERE {
+          ?o <urn:x:p/o_custkey> ?cust .
+          ?o <urn:x:p/o_orderstatus> "F" .
+        }""")
+    eng._prefetch_consts(q)
+    tr = Translator(spark, enc_quads, term_dict=term_dict,
+                    lookup_id=eng._lookup_id)
+    bgp = tr.translate(q.pattern)
+    # every var key column pre-projection is a BIGINT id
+    kinds = {f.name: f.dataType.simpleString() for f in bgp.schema.fields
+             if "__" not in f.name}
+    assert kinds == {"o": "bigint", "cust": "bigint"}, kinds
+    bgp.collect()
+    plan = _plan(bgp)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the constant predicate was resolved to a dictionary id filter
+    pid = eng._lookup_id("urn:x:p/o_custkey")
+    assert pid is not None and f"p_id#" in plan
+
+    # full pipeline: same query through Engine matches string mode
+    enc_rows = sorted(
+        tuple(r) for r in eng.query(
+            "SELECT ?o ?cust WHERE { ?o <urn:x:p/o_custkey> ?cust . "
+            "?o <urn:x:p/o_orderstatus> \"F\" . }"
+        ).finalize({"o": "str", "cust": "str"}).collect())
+    str_eng = Engine(spark, QuadStore(spark, quads), encoded=False)
+    str_rows = sorted(
+        tuple(r) for r in str_eng.query(
+            "SELECT ?o ?cust WHERE { ?o <urn:x:p/o_custkey> ?cust . "
+            "?o <urn:x:p/o_orderstatus> \"F\" . }"
+        ).finalize({"o": "str", "cust": "str"}).collect())
+    assert enc_rows == str_rows and len(enc_rows) > 0
 
 
 def test_parquet_scan_prunes_columns_and_pushes_filters(spark):

@@ -115,6 +115,37 @@ def test_graph_var_repeated_in_triple_constrains(fresh_eng):
     assert got == [("self",)]
 
 
+# ------------------------------------------- sameAs expansion on query read
+
+
+def test_sameas_expansion_in_query_answering(fresh_eng):
+    """owl:sameAs merges identities transparently for queries (reference:
+    repo-config.ttl:45 sameAs enabled): facts about one member are visible
+    through every member, subjects and IRI objects alike."""
+    fresh_eng.update("""INSERT DATA {
+        <urn:alice1> <http://www.w3.org/2002/07/owl#sameAs> <urn:alice2> .
+        <urn:nyc> <http://www.w3.org/2002/07/owl#sameAs> <urn:newyork> .
+        <urn:alice2> <urn:livesIn> <urn:nyc> .
+        <urn:alice1> <urn:age> 34 . }""")
+    got = _rows(fresh_eng, """
+        SELECT ?who ?city WHERE { ?who <urn:livesIn> ?city .
+                                  ?who <urn:age> 34 }""",
+                {"who": "str", "city": "str"})
+    assert got == [("urn:alice1", "urn:newyork"), ("urn:alice1", "urn:nyc"),
+                   ("urn:alice2", "urn:newyork"), ("urn:alice2", "urn:nyc")]
+
+
+def test_sameas_disabled_engine_sees_raw_graph(spark):
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark), use_sameas=False)
+    eng.update("""INSERT DATA {
+        <urn:a> <http://www.w3.org/2002/07/owl#sameAs> <urn:b> .
+        <urn:b> <urn:p> 1 . }""")
+    got = _rows(eng, "SELECT ?s WHERE { ?s <urn:p> 1 }", {"s": "str"})
+    assert got == [("urn:b",)]
+
+
 # --------------------------- ADVICE low: derived transitive edges must chain
 
 
