@@ -203,6 +203,19 @@ class Translator:
         lvars, rvars = set(var_names(left)), set(var_names(right))
         shared = sorted(lvars & rvars)
         left, right = self._normalize_shared(left, right, shared)
+
+        # vars that may be UNBOUND on either side join under SPARQL
+        # compatibility semantics (unbound matches anything, values merge)
+        compat = {v for v in shared
+                  if _maybe_unbound(left, v) or _maybe_unbound(right, v)}
+        if self.encoded:
+            # the compat merge coalesces FAMILY columns across sides — both
+            # sides must agree on family presence for those vars
+            for v in compat:
+                if (v + "__lex" in left.columns) != (v + "__lex" in right.columns):
+                    left = self._ensure_family(left, [v])
+                    right = self._ensure_family(right, [v])
+
         suffix = self._uniq("__RJ")
         ren = {}
         for v in shared:
@@ -212,33 +225,41 @@ class Translator:
         for old, new in ren.items():
             r2 = r2.withColumnRenamed(old, new)
 
-        # vars that may be UNBOUND on either side join under SPARQL
-        # compatibility semantics (unbound matches anything, values merge)
-        compat = {v for v in shared
-                  if _maybe_unbound(left, v) or _maybe_unbound(right, v)}
-
-        cond = F.lit(True)
-        for v in shared:
-            if v in compat and how not in ("left_anti", "left_semi"):
-                cond = cond & (left[v].isNull() | r2[v + suffix].isNull()
-                               | (left[v] == r2[v + suffix]))
-            elif how in ("left_anti",):
-                cond = cond & left[v].eqNullSafe(r2[v + suffix])
-            else:
-                cond = cond & (left[v] == r2[v + suffix])
-        if extra is not None:
-            def resolver(name: str) -> TCol:
-                if name in shared or name in lvars:
-                    return _fam_tcol(left, name)
-                return _fam_tcol(r2, name, suffix if name in shared else "")
-            cond = cond & extra(resolver)
-
         if not shared and extra is None and how == "inner":
             return left.crossJoin(right)
         if not shared and how in ("left_anti", "left_semi"):
             # no shared vars: MINUS keeps everything (SPARQL compat edge case)
             return left if how == "left_anti" else left
-        joined = left.join(r2, cond, how)
+
+        if how == "inner" and extra is None and len(compat) == 1:
+            # Compatibility semantics via a UNION of EQUI-joins instead of a
+            # non-equi OR-condition (which Catalyst can only execute as a
+            # BroadcastNestedLoopJoin — O(n·m) at scale). Partition both
+            # sides on boundness of the compat var: bound⋈bound is a hash
+            # equi-join (the bulk of the data); the unbound slivers — rows
+            # where OPTIONAL/UNION/UNDEF left the var unbound, typically
+            # tiny — match anything, i.e. join on the remaining strict keys
+            # only. Multi-compat-var joins (4^k pieces) keep the fallback.
+            joined = self._compat_union_join(left, r2, next(iter(compat)),
+                                             [u for u in shared
+                                              if u not in compat], suffix)
+        else:
+            cond = F.lit(True)
+            for v in shared:
+                if v in compat and how not in ("left_anti", "left_semi"):
+                    cond = cond & (left[v].isNull() | r2[v + suffix].isNull()
+                                   | (left[v] == r2[v + suffix]))
+                elif how in ("left_anti",):
+                    cond = cond & left[v].eqNullSafe(r2[v + suffix])
+                else:
+                    cond = cond & (left[v] == r2[v + suffix])
+            if extra is not None:
+                def resolver(name: str) -> TCol:
+                    if name in shared or name in lvars:
+                        return _fam_tcol(left, name)
+                    return _fam_tcol(r2, name, suffix if name in shared else "")
+                cond = cond & extra(resolver)
+            joined = left.join(r2, cond, how)
         if how in ("left_anti", "left_semi"):
             return joined
         if compat:
@@ -258,6 +279,31 @@ class Translator:
             return joined.select(*merged)
         # drop duplicated shared families from the right
         return joined.drop(*[c + suffix for v in shared for c in var_cols(v)])
+
+    def _compat_union_join(self, left: DataFrame, r2: DataFrame, v: str,
+                           strict: list[str], suffix: str) -> DataFrame:
+        """(bound⋈bound on v) ∪ (bound×unbound) ∪ (unbound×bound) ∪
+        (unbound×unbound), each an equi-join on the strict shared vars.
+        The four pieces partition the row pairs, so no duplicates arise."""
+        def strict_cond(l: DataFrame, r: DataFrame) -> Column:
+            c = F.lit(True)
+            for u in strict:
+                c = c & (l[u] == r[u + suffix])
+            return c
+
+        lb, ln = left.filter(left[v].isNotNull()), left.filter(left[v].isNull())
+        rb = r2.filter(r2[v + suffix].isNotNull())
+        rn = r2.filter(r2[v + suffix].isNull())
+        pieces = [
+            lb.join(rb, strict_cond(lb, rb) & (lb[v] == rb[v + suffix]), "inner"),
+            lb.join(rn, strict_cond(lb, rn), "inner"),
+            ln.join(rb, strict_cond(ln, rb), "inner"),
+            ln.join(rn, strict_cond(ln, rn), "inner"),
+        ]
+        out = pieces[0]
+        for piece in pieces[1:]:
+            out = out.unionByName(piece)
+        return out
 
     # ------------------------------------------------------------ scans
 
@@ -413,10 +459,29 @@ class Translator:
         if isinstance(node, A.Minus):
             left = self.translate(node.left, gctx)
             right = self.translate(node.right, gctx)
-            shared = set(var_names(left)) & set(var_names(right))
+            shared = sorted(set(var_names(left)) & set(var_names(right)))
             if not shared:
                 return left
-            return self._join(left, right, "left_anti")
+            if not any(_maybe_unbound(left, v) or _maybe_unbound(right, v)
+                       for v in shared):
+                # all shared vars always bound: removal condition reduces to
+                # plain equality — fast equi anti-join
+                return self._join(left, right, "left_anti")
+            # SPARQL 1.1 §8.3 spec-exact MINUS: μ is removed iff some μ′ is
+            # compatible AND dom(μ)∩dom(μ′)≠∅ — i.e. every shared var is
+            # unbound-on-a-side or equal, AND at least one is bound on BOTH.
+            # (A both-unbound var does NOT create domain overlap.)
+            left, right = self._normalize_shared(left, right, shared)
+            suffix = self._uniq("__MN")
+            r2 = right.select(*[F.col(v).alias(v + suffix) for v in shared]) \
+                      .dropDuplicates()
+            compat_c = F.lit(True)
+            overlap = F.lit(False)
+            for v in shared:
+                lc, rc = left[v], r2[v + suffix]
+                compat_c = compat_c & (lc.isNull() | rc.isNull() | (lc == rc))
+                overlap = overlap | (lc.isNotNull() & rc.isNotNull())
+            return left.join(r2, compat_c & overlap, "left_anti")
         if isinstance(node, A.Filter):
             df = self.translate(node.pattern, gctx)
             expr = node.expr

@@ -93,6 +93,31 @@ def test_encoded_bgp_joins_on_bigint_ids(spark, quads):
     assert enc_rows == str_rows and len(enc_rows) > 0
 
 
+def test_compat_join_bulk_path_is_hash_join(spark):
+    """A maybe-unbound shared var (OPTIONAL-then-join) used to force the
+    WHOLE join into a BroadcastNestedLoopJoin via a non-equi OR-condition.
+    The union-of-equi-joins rewrite must keep the bound⋈bound bulk on a
+    hash join; only the (typically tiny) unbound slivers may nest-loop."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark))
+    eng.update("""INSERT DATA {
+        <urn:a> <urn:p> <urn:m1> . <urn:b> <urn:p> <urn:m2> .
+        <urn:c> <urn:q> 1 .
+        <urn:m1> <urn:r> "x" . <urn:m2> <urn:r> "y" . }""")
+    df = eng.query("""
+        SELECT ?s ?v WHERE {
+          { ?s <urn:q> 1 } UNION { ?s <urn:p> ?m }
+          ?m <urn:r> ?v .
+        }""").finalize({"s": "str", "v": "str"})
+    rows = sorted((r[0], r[1]) for r in df.collect())
+    # unbound ?m (from the UNION's left branch) matches anything
+    assert rows == [("urn:a", "x"), ("urn:b", "y"),
+                    ("urn:c", "x"), ("urn:c", "y")]
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan[:3000]
+
+
 def test_parquet_scan_prunes_columns_and_pushes_filters(spark):
     df = (spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
           .where(F.col("o_totalprice") > 100000)

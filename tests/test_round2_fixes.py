@@ -115,6 +115,47 @@ def test_graph_var_repeated_in_triple_constrains(fresh_eng):
     assert got == [("self",)]
 
 
+# ------------------------------------ spec-exact MINUS (SPARQL 1.1 §8.3)
+
+
+def test_minus_both_unbound_shared_var_is_domain_disjoint(fresh_eng):
+    """A var unbound in BOTH solutions is in neither domain, so the domains
+    are disjoint and MINUS must remove NOTHING (the old eqNullSafe treated
+    NULL=NULL as a match and wrongly removed the row)."""
+    fresh_eng.update("""INSERT DATA {
+        <urn:s1> <urn:p> 1 . <urn:s2> <urn:p> 2 .
+        <urn:s2> <urn:q> 7 . }""")
+    got = _rows(fresh_eng, """
+        SELECT ?s WHERE {
+          ?s <urn:p> ?v OPTIONAL { ?s <urn:q> ?x }
+          MINUS { VALUES ?x { UNDEF } }
+        }""", {"s": "str"})
+    assert got == [("urn:s1",), ("urn:s2",)]
+
+
+def test_minus_removes_when_any_shared_var_overlaps(fresh_eng):
+    """Compatibility ignores vars unbound on a side: (x=1, y unbound) IS
+    compatible with (x=1, y=2) and overlaps on x → removed. (x=2,y=2) is
+    incompatible on x → kept."""
+    got = _rows(fresh_eng, """
+        SELECT ?x ?y WHERE {
+          VALUES (?x ?y) { (1 UNDEF) (2 2) }
+          MINUS { VALUES (?x ?y) { (1 2) } }
+        }""", {"x": "int", "y": "int"})
+    assert got == [(2, 2)]
+
+
+def test_minus_bound_vs_unbound_still_kept_when_disjoint(fresh_eng):
+    """Left x unbound vs right x bound: x is in only one domain; with no
+    other shared var the domains are disjoint → kept."""
+    got = _rows(fresh_eng, """
+        SELECT ?x WHERE {
+          VALUES ?x { UNDEF 5 }
+          MINUS { VALUES ?x { 5 } }
+        }""", {"x": "int"})
+    assert got == [(None,)]
+
+
 # ------------------------------------------- sameAs expansion on query read
 
 
