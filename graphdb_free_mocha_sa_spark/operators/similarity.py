@@ -112,82 +112,224 @@ def _pair_dot_pandas():
 
 def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.999,
                           vec_col: str = "embedding",
-                          id_col: str = "vec_id") -> DataFrame:
+                          id_col: str = "vec_id",
+                          block_rows: int = 20_000) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos >= threshold).
 
-    Exact all-pairs via **block matrix multiply**: the L2-normalized corpus
-    is broadcast once (N×d floats); each partition computes its block's
-    similarity matrix against it with one numpy matmul inside mapInPandas
-    and emits only the above-threshold pairs — the quadratic pair set is
-    never materialized or shuffled. This is the archetypal one-side-tiled
-    brute force; at 100 TB the broadcast side becomes LSH/IVF bucket tiles
-    (hyperplane_bits / ivf_topk) and the same kernel verifies per tile.
+    Exact all-pairs via **distributed block-pair matrix multiply** — nothing
+    is ever collected to the driver. The corpus is hashed into B ≈ N /
+    ``block_rows`` blocks; every unordered block pair (bi ≤ bj) becomes one
+    task holding the two blocks' vectors (each row is replicated B ways —
+    O(N·B) shuffle versus the O(N²) pair join it replaces). Inside the task
+    a single numpy matmul scores the 2 blocks and only above-threshold id
+    pairs are emitted, so the quadratic similarity matrix exists one tile at
+    a time in executor memory. Block size caps tile memory (~block_rows²
+    floats transient, block_rows·d resident) independent of corpus size.
     """
-    spark = df.sparkSession
     normed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    pdf_all = normed.toPandas()
-    ids_all = pdf_all["id"].to_numpy()
-    M = np.vstack(pdf_all["v"].to_numpy()).astype("float64")
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids_all)
-    b_mat = spark.sparkContext.broadcast(M)
+    n = normed.count()
+    n_blocks = max(1, -(-n // block_rows))
+    rep = (normed
+           .withColumn("__b", F.pmod(F.xxhash64(F.col("id")), n_blocks).cast("int"))
+           .withColumn("__j", F.explode(F.array(*[F.lit(i) for i in range(n_blocks)])))
+           .select(F.least("__b", "__j").alias("__bi"),
+                   F.greatest("__b", "__j").alias("__bj"), "id", "v", "__b"))
 
-    def block(batches):
-        oids, omat = b_ids.value, b_mat.value
+    def tile(key, pdf):
+        bi, bj = int(key[0]), int(key[1])
+
+        def prep(part):
+            ids = part["id"].to_numpy()
+            M = np.vstack(part["v"].to_numpy()).astype("float64")
+            M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            return ids, M
+
+        if not len(pdf):
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        if bi == bj:
+            ids, M = prep(pdf)
+            sims = M @ M.T
+        else:
+            a = pdf[pdf["__b"] == bi]
+            b = pdf[pdf["__b"] == bj]
+            if not len(a) or not len(b):
+                return pd.DataFrame({"id_a": [], "id_b": []})
+            ids, M = prep(a)
+            idsb, Mb = prep(b)
+            sims = M @ Mb.T
+        ii, jj = np.nonzero(sims >= threshold)
+        ia = ids[ii]
+        ib = (ids if bi == bj else idsb)[jj]
+        if bi == bj:
+            # full symmetric matrix: keep each unordered pair once, drop self
+            keep = ia < ib
+            lo, hi = ia[keep], ib[keep]
+        else:
+            # cross-block: each unordered pair appears exactly once
+            lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
+
+    return rep.groupBy("__bi", "__bj").applyInPandas(tile, "id_a long, id_b long")
+
+def _l2n(M: "np.ndarray") -> "np.ndarray":
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16, iters: int = 4,
+                     vec_col: str = "embedding", seed: int = 42) -> "np.ndarray":
+    """Distributed spherical (cosine) k-means coarse quantizer.
+
+    Init: a sampled subset (≤ ``n_centroids`` rows collected — the only
+    driver materialization anywhere in the IVF path). Each Lloyd iteration
+    is one distributed pass: executors compute per-partition assignment
+    partial sums against the broadcast centroid matrix (one numpy matmul
+    per Arrow batch), a groupBy reduces the ≤ partitions×n_centroids
+    partials, and only the ``n_centroids`` new centroid rows come back.
+    """
+    spark = corpus.sparkSession
+    n = corpus.count()
+    if n == 0:
+        raise ValueError("empty corpus")
+    frac = min(1.0, (n_centroids * 20.0) / n)
+    init = (corpus.select(F.col(vec_col).alias("v"))
+            .sample(False, frac, seed).limit(n_centroids).collect())
+    C = _l2n(np.vstack([r["v"] for r in init]).astype("float64"))
+    vecs = corpus.select(F.col(vec_col).alias("v"))
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(C)
+
+        def partials(batches):
+            Cm = bc.value
+            sums = np.zeros_like(Cm)
+            cnts = np.zeros(len(Cm), dtype="int64")
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                A = _l2n(np.vstack(pdf["v"].to_numpy()).astype("float64"))
+                lab = (A @ Cm.T).argmax(1)
+                np.add.at(sums, lab, A)
+                np.add.at(cnts, lab, 1)
+            out = pd.DataFrame({"cid": np.arange(len(Cm), dtype="int32"),
+                                "s": list(sums), "c": cnts})
+            yield out[out["c"] > 0]
+
+        def reduce_mean(key, pdf):
+            s = np.vstack(pdf["s"].to_numpy()).sum(axis=0)
+            return pd.DataFrame({"cid": [int(key[0])], "cv": [list(s / pdf["c"].sum())]})
+
+        rows = (vecs.mapInPandas(partials, "cid int, s array<double>, c long")
+                .groupBy("cid").applyInPandas(reduce_mean, "cid int, cv array<double>")
+                .collect())                    # ≤ n_centroids rows
+        C_new = C.copy()                       # empty clusters keep position
+        for r in rows:
+            C_new[r["cid"]] = r["cv"]
+        C = _l2n(C_new)
+    return C
+
+
+def _assign_cid(df: DataFrame, C: "np.ndarray", vec_col: str) -> DataFrame:
+    """Append ``__cid`` = argmax-cosine centroid, one matmul per Arrow batch."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(C)
+    out_schema = StructType(df.schema.fields + [StructField("__cid", IntegerType())])
+
+    def assign(batches):
+        Cm = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            A = np.vstack(pdf["v"].to_numpy()).astype("float64")
-            A /= np.linalg.norm(A, axis=1, keepdims=True)
-            sims = A @ omat.T
-            ai = pdf["id"].to_numpy()
-            ii, jj = np.nonzero(sims >= threshold)
-            ia, ib = ai[ii], oids[jj]
-            keep = ia < ib
-            yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep]})
+            A = _l2n(np.vstack(pdf[vec_col].to_numpy()).astype("float64"))
+            pdf = pdf.copy()
+            pdf["__cid"] = (A @ Cm.T).argmax(1).astype("int32")
+            yield pdf
 
-    return normed.mapInPandas(block, "id_a long, id_b long")
+    return df.mapInPandas(assign, out_schema)
+
+
+def _probe_cids(queries: DataFrame, C: "np.ndarray", n_probe: int,
+                vec_col: str) -> DataFrame:
+    """Explode each query to its ``n_probe`` nearest centroid ids."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast(C)
+    out_schema = StructType(queries.schema.fields + [StructField("__cid", IntegerType())])
+
+    def probe(batches):
+        Cm = bc.value
+        m = min(n_probe, len(Cm))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _l2n(np.vstack(pdf[vec_col].to_numpy()).astype("float64"))
+            order = np.argsort(-(A @ Cm.T), axis=1)[:, :m]
+            rep = pdf.iloc[np.repeat(np.arange(len(pdf)), m)].copy()
+            rep["__cid"] = order.ravel().astype("int32")
+            yield rep
+
+    return queries.mapInPandas(probe, out_schema)
+
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 16, n_probe: int = 4,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             query_id_col: str = "query_id") -> DataFrame:
-    """IVF-style approximate top-k cosine search (E2 scale path).
+             query_id_col: str = "query_id", iters: int = 4) -> DataFrame:
+    """IVF approximate top-k cosine search (E2 scale path).
 
-    Coarse quantizer: ``n_centroids`` stride-sampled corpus vectors (cheap,
-    deterministic stand-in for k-means — swap in trained centroids at will).
-    Corpus vectors are assigned to their nearest centroid with a pure-JVM
-    expression over a literal centroid array (no shuffle, no Python); each
-    query probes its ``n_probe`` nearest centroid buckets and brute-forces
-    only those. At 100 TB the corpus is written partitioned by ``__cid`` so
-    a probe reads only matching partitions.
+    Coarse quantizer: distributed spherical k-means (:func:`kmeans_centroids`
+    — broadcast centroid matrix, per-partition partial sums; the driver only
+    ever sees ``n_centroids`` rows). Corpus vectors are bucketed by nearest
+    centroid; each query probes its ``n_probe`` nearest buckets and
+    brute-forces only those candidates. For a persisted index with real
+    partition pruning see :func:`write_ivf_index` / :func:`ivf_probe_index`.
     """
-    ids = [r[0] for r in
-           corpus.select(id_col).orderBy(id_col).limit(100000).collect()]
-    stride = max(len(ids) // n_centroids, 1)
-    cent_ids = set(ids[::stride][:n_centroids])
-    cents = corpus.where(F.col(id_col).isin(*cent_ids)) \
-                  .select(id_col, vec_col).collect()
-    cent_lit = F.array(*[
-        F.struct(F.lit(int(r[0])).alias("cid"),
-                 F.array(*[F.lit(float(x)) for x in r[1]]).alias("cv"))
-        for r in cents])
-
-    def scored(vec):
-        return F.transform(cent_lit, lambda c: F.struct(
-            cosine(vec, c["cv"]).alias("score"), c["cid"].alias("cid")))
-
-    assigned = corpus.withColumn(
-        "__cid", F.array_max(scored(F.col(vec_col)))["cid"])
-
-    probes = queries.select(
-        query_id_col, F.col(vec_col).alias("__qv"),
-        F.explode(F.transform(
-            F.slice(F.reverse(F.array_sort(scored(F.col(vec_col)))),
-                    1, n_probe),
-            lambda s: s["cid"])).alias("__cid"))
-
+    C = kmeans_centroids(corpus, n_centroids, iters, vec_col)
+    assigned = _assign_cid(corpus, C, vec_col)
+    probes = _probe_cids(
+        queries.select(query_id_col, F.col(vec_col).alias("__qv")),
+        C, n_probe, "__qv")
     cand = assigned.join(F.broadcast(probes), "__cid").select(
+        query_id_col, id_col,
+        cosine(F.col("__qv"), F.col(vec_col)).alias("cos"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def write_ivf_index(corpus: DataFrame, path: str, n_centroids: int = 16,
+                    iters: int = 4, vec_col: str = "embedding") -> "np.ndarray":
+    """Persist the IVF index in the 100 TB layout: corpus parquet written
+    ``partitionBy("__cid")`` (a probe then reads ONLY its bucket partitions —
+    verified as PartitionFilters in the scan) plus a tiny centroids table."""
+    C = kmeans_centroids(corpus, n_centroids, iters, vec_col)
+    assigned = _assign_cid(corpus, C, vec_col)
+    assigned.write.mode("overwrite").partitionBy("__cid").parquet(path + "/corpus")
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(C)],
+        "cid int, cv array<double>")
+    cent.write.mode("overwrite").parquet(path + "/centroids")
+    return C
+
+
+def ivf_probe_index(spark, path: str, queries: DataFrame, k: int = 5,
+                    n_probe: int = 4, vec_col: str = "embedding",
+                    id_col: str = "vec_id",
+                    query_id_col: str = "query_id") -> DataFrame:
+    """Query a persisted IVF index; the bucket filter prunes parquet
+    partitions (the scan never touches non-probed buckets)."""
+    cent_rows = spark.read.parquet(path + "/centroids").collect()  # ≤ C rows
+    C = np.zeros((len(cent_rows), len(cent_rows[0]["cv"])))
+    for r in cent_rows:
+        C[r["cid"]] = r["cv"]
+    probes = _probe_cids(
+        queries.select(query_id_col, F.col(vec_col).alias("__qv")),
+        C, n_probe, "__qv")
+    probe_set = [int(r["__cid"]) for r in probes.select("__cid").distinct().collect()]
+    corpus = (spark.read.parquet(path + "/corpus")
+              .filter(F.col("__cid").isin(probe_set)))   # PartitionFilters
+    cand = corpus.join(F.broadcast(probes), "__cid").select(
         query_id_col, id_col,
         cosine(F.col("__qv"), F.col(vec_col)).alias("cos"))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))

@@ -186,6 +186,39 @@ def test_multimodal_plumbing(spark):
         extract_features(media, decode="real")
 
 
+# ------------------------------------------- distributed near-dup block pairs
+
+
+def test_cosine_near_dup_multi_block_matches_single_block(spark, embeddings):
+    """The block-pair decomposition must be exact: forcing many blocks
+    (cross-block tiles included) yields the same pair set as one tile, and
+    both match an injected-duplicate ground truth."""
+    from graphdb_free_mocha_sa_spark.operators.similarity import (
+        cosine_near_dup_pairs)
+    dups = embeddings.limit(10).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label")
+    corpus = embeddings.unionByName(dups)
+    one = sorted(tuple(r) for r in
+                 cosine_near_dup_pairs(corpus, 0.999).collect())
+    many = sorted(tuple(r) for r in
+                  cosine_near_dup_pairs(corpus, 0.999, block_rows=64).collect())
+    assert one == many
+    assert len(one) >= 10          # every injected copy pairs its original
+
+
+def test_near_dup_plan_has_no_driver_materialization(spark, embeddings):
+    """The operator must stay distributed end-to-end — its result is a plain
+    DataFrame whose lineage starts at the parquet scan (pre-fix, the corpus
+    took a toPandas() round trip through the driver)."""
+    from graphdb_free_mocha_sa_spark.operators.similarity import (
+        cosine_near_dup_pairs)
+    df = cosine_near_dup_pairs(embeddings, 0.999)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # lineage reaches a real scan (LogicalRDD/parquet relation), not a
+    # driver-built LocalRelation of collected rows
+    assert "LocalRelation" not in plan, plan[:1500]
+
+
 # ------------------------------------------------------------ IVF ANN
 
 
@@ -204,3 +237,27 @@ def test_ivf_topk_recall(spark):
     # construction), and recall against exact search must be usable
     assert all((i, i) in ivf for i in range(8))
     assert len(ivf & bf) / len(bf) >= 0.5
+
+
+def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
+    """write_ivf_index lays the corpus out partitionBy(__cid); probing reads
+    only the probed buckets — PartitionFilters on __cid in the parquet scan
+    (the reference's context-index analogue for ANN)."""
+    from graphdb_free_mocha_sa_spark.operators.similarity import (
+        brute_force_topk, ivf_probe_index, write_ivf_index)
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(e, path, n_centroids=8)
+    res = ivf_probe_index(spark, path, q, k=5, n_probe=3)
+    got = {(r.query_id, r.vec_id)
+           for r in res.select("query_id", "vec_id").collect()}
+    assert all((i, i) in got for i in range(8))
+    bf = {(r.query_id, r.vec_id)
+          for r in brute_force_topk(e, q, k=5)
+          .select("query_id", "vec_id").collect()}
+    assert len(got & bf) / len(bf) >= 0.5
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:", 1)
+    assert len(pf) == 2 and "__cid" in pf[1][:200], plan[:2000]
