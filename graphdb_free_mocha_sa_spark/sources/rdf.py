@@ -71,14 +71,16 @@ def read_ntriples(spark: SparkSession, path: str, graph: str) -> DataFrame:
                 & F.col("o_lex").isNotNull()))
 
 
-_PREFIX_RE = re.compile(r'@prefix\s+([A-Za-z0-9_-]*):\s*<([^>]*)>\s*\.')
-
-
 def read_turtle(spark: SparkSession, path: str, graph: str) -> DataFrame:
-    """Turtle-subset reader: driver-parsed prefixes + distributed statement parse."""
-    head = "\n".join(r.value for r in spark.read.text(path).limit(200).collect())
-    prefixes = dict(_PREFIX_RE.findall(head))
+    """Full Turtle reader (sources/turtle.py tokenizer + recursive-descent
+    parser: multi-line statements, ``[...]`` property lists, ``(...)``
+    collections, long strings, numeric/boolean shorthand, @base).
 
+    Turtle is not line-splittable, so the parse unit is one FILE
+    (``wholetext``) — a directory of Turtle files parses in parallel, one
+    task per file. Line-delimited bulk data should ship N-Triples (the
+    regex fast path above, splittable at arbitrary byte offsets).
+    """
     from pyspark.sql.types import (DoubleType, StringType, StructField,
                                    StructType, TimestampType)
     schema = StructType([
@@ -88,72 +90,28 @@ def read_turtle(spark: SparkSession, path: str, graph: str) -> DataFrame:
         StructField("o_num", DoubleType()), StructField("o_ts", TimestampType()),
     ])
 
-    def parse_partition(rows):
+    def parse_files(rows):
         import datetime as _dt
-        term_re = re.compile(
-            r'<[^>]*>|_:\S+|"(?:[^"\\]|\\.)*"(?:@[A-Za-z0-9-]+|\^\^<[^>]*>|\^\^[A-Za-z0-9_-]*:[A-Za-z0-9_.-]+)?'
-            r'|[A-Za-z0-9_-]*:[A-Za-z0-9_.-]*|\ba\b|[;,.]')
 
-        def resolve(tok):
-            if tok.startswith("<"):
-                return tok[1:-1]
-            if tok == "a":
-                return "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
-            ns, _, local = tok.partition(":")
-            return prefixes.get(ns, ns + ":") + local if ":" in tok else tok
+        from graphdb_free_mocha_sa_spark.sources.turtle import parse_turtle
 
-        def obj_parts(tok):
-            if tok.startswith('"'):
-                m = re.match(r'^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9-]+)|\^\^(\S+))?$', tok)
-                lex = m.group(1).replace('\\"', '"').replace("\\n", "\n")
-                lang, dtt = m.group(2), m.group(3)
-                dt = resolve(dtt) if dtt else (
-                    "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString" if lang
-                    else XSD_STRING)
-                num = float(lex) if dt in NUMERIC_DTS else None
-                ts = None
-                if dt == XSD_DATETIME:
+        for row in rows:
+            for s, p, (lex, dt, lang) in parse_turtle(row.value):
+                num = ts = None
+                if dt in NUMERIC_DTS:
+                    try:
+                        num = float(lex)
+                    except ValueError:
+                        num = None
+                elif dt == XSD_DATETIME:
                     try:
                         ts = _dt.datetime.fromisoformat(lex)
                     except ValueError:
-                        pass
-                return (lex, dt, lang, num, ts)
-            return (resolve(tok), None, None, None, None)
-
-        for row in rows:
-            line = row.value.strip()
-            if not line or line.startswith(("#", "@prefix", "@base", "PREFIX", "BASE")):
-                continue
-            toks = term_re.findall(line)
-            if len(toks) < 3:
-                continue
-            s = resolve(toks[0])
-            i, p = 1, None
-            while i < len(toks):
-                tok = toks[i]
-                if tok == ".":
-                    break
-                if tok == ";":
-                    p = None
-                    i += 1
-                    continue
-                if tok == ",":
-                    i += 1
-                    continue
-                if p is None:
-                    p = resolve(tok)
-                    i += 1
-                    continue
-                lex, dt, lang, num, ts = obj_parts(tok)
+                        ts = None
                 yield (graph, s, p, lex, dt, lang, num, ts)
-                # next token decides whether p resets (';') or stays (',')
-                if i + 1 < len(toks) and toks[i + 1] == ";":
-                    p = None
-                    i += 1
-                i += 1
 
-    lines = spark.read.text(path)
-    return spark.createDataFrame(lines.rdd.mapPartitions(parse_partition), schema) \
+    files = spark.read.text(path, wholetext=True)
+    return spark.createDataFrame(files.rdd.mapPartitions(parse_files), schema) \
         .select(*QUAD_COLS)
 
 

@@ -1,0 +1,324 @@
+"""Full Turtle parser (SURVEY B50; reference bulk-loads arbitrary Turtle,
+``RDFFormat.TURTLE`` at GraphDBSystemAdapter.java:286).
+
+A real tokenizer + recursive-descent parser covering the Turtle grammar the
+subset reader could not: multi-line statements, blank-node property lists
+``[...]``, collections ``(...)``, triple-quoted long strings, numeric /
+boolean shorthand literals, SPARQL-style PREFIX/BASE, ``@base`` relative-IRI
+resolution, escapes.
+
+Spark integration (see :func:`graphdb_free_mocha_sa_spark.sources.rdf
+.read_turtle`): Turtle is NOT line-splittable, so each FILE is one parse
+unit — ``spark.read.text(wholetext=True)`` distributes per-file parses
+across executors. Bulk loads that need intra-file parallelism should ship
+N-Triples (line-delimited, arbitrarily splittable — the fast path in
+rdf.py). Labeled blank nodes keep their labels (single-file load
+semantics); generated ones (property lists / collections) are scoped by a
+content hash so multi-file loads cannot collide.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+_TOKEN = re.compile(
+    r"""
+      (?P<COMMENT>\#[^\n]*)
+    | (?P<WS>\s+)
+    | (?P<LONGSTR2>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\")
+    | (?P<LONGSTR1>'''(?:[^'\\]|\\.|'(?!''))*''')
+    | (?P<STR2>"(?:[^"\\\n]|\\.)*")
+    | (?P<STR1>'(?:[^'\\\n]|\\.)*')
+    | (?P<IRI><[^<>"{}|^`\\\x00-\x20]*>)
+    | (?P<BNODE>_:[A-Za-z0-9][A-Za-z0-9_.-]*)
+    | (?P<ATKW>@prefix\b|@base\b)
+    | (?P<LANG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
+    | (?P<DOUBLE>[+-]?(?:\d+\.\d*|\.\d+|\d+)[eE][+-]?\d+)
+    | (?P<DECIMAL>[+-]?(?:\d+\.\d+|\.\d+))
+    | (?P<INTEGER>[+-]?\d+)
+    | (?P<DTMARK>\^\^)
+    | (?P<PUNCT>[.;,\[\]()])
+    | (?P<PNAME>(?:[A-Za-z][A-Za-z0-9_.-]*)?:(?:[A-Za-z0-9_%](?:[A-Za-z0-9_.%-]*[A-Za-z0-9_%-])?)?)
+    | (?P<KW>\b(?:a|true|false|PREFIX|BASE)\b)
+    """,
+    re.X,
+)
+
+_ESCAPES = {"t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f",
+            '"': '"', "'": "'", "\\": "\\"}
+
+
+def _unescape(s: str) -> str:
+    out, i = [], 0
+    while i < len(s):
+        c = s[i]
+        if c != "\\":
+            out.append(c)
+            i += 1
+            continue
+        nxt = s[i + 1]
+        if nxt in _ESCAPES:
+            out.append(_ESCAPES[nxt])
+            i += 2
+        elif nxt == "u":
+            out.append(chr(int(s[i + 2:i + 6], 16)))
+            i += 6
+        elif nxt == "U":
+            out.append(chr(int(s[i + 2:i + 10], 16)))
+            i += 10
+        else:
+            out.append(nxt)
+            i += 2
+    return "".join(out)
+
+
+class _Tok:
+    __slots__ = ("kind", "value")
+
+    def __init__(self, kind: str, value: str):
+        self.kind = kind
+        self.value = value
+
+    def __repr__(self):
+        return f"{self.kind}({self.value!r})"
+
+
+def _tokenize(text: str) -> list[_Tok]:
+    toks, pos = [], 0
+    n = len(text)
+    while pos < n:
+        m = _TOKEN.match(text, pos)
+        if m is None:
+            raise ValueError(f"turtle: cannot tokenize at {text[pos:pos+40]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind in ("COMMENT", "WS"):
+            continue
+        toks.append(_Tok(kind, m.group()))
+    return toks
+
+
+class TurtleParser:
+    """One document → iterator of (s, p, (lex, dt, lang)) triples."""
+
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self.base: str | None = None
+        self._bn = 0
+        self._scope = f"{zlib.crc32(text.encode()):08x}"
+
+    # -- token stream ---------------------------------------------------
+
+    def _peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def _next(self):
+        t = self._peek()
+        if t is None:
+            raise ValueError("turtle: unexpected end of input")
+        self.i += 1
+        return t
+
+    def _expect(self, value: str):
+        t = self._next()
+        if t.value != value:
+            raise ValueError(f"turtle: expected {value!r}, got {t!r}")
+
+    # -- terms ----------------------------------------------------------
+
+    def _fresh_bnode(self) -> str:
+        self._bn += 1
+        return f"_:gen{self._scope}_{self._bn}"
+
+    def _resolve_iri(self, raw: str) -> str:
+        iri = _unescape(raw[1:-1])
+        if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
+            return self.base + iri
+        return iri
+
+    def _resolve_pname(self, raw: str) -> str:
+        ns, _, local = raw.partition(":")
+        if ns not in self.prefixes:
+            raise ValueError(f"turtle: undefined prefix {ns!r}:")
+        return self.prefixes[ns] + local.replace("\\", "")
+
+    # -- grammar --------------------------------------------------------
+
+    def parse(self):
+        while self._peek() is not None:
+            t = self._peek()
+            if t.kind == "ATKW" or (t.kind == "KW" and t.value in ("PREFIX", "BASE")):
+                yield from self._directive()
+            else:
+                yield from self._triples()
+                self._expect(".")
+
+    def _directive(self):
+        t = self._next()
+        sparql_style = t.kind == "KW"
+        if t.value.lower().lstrip("@") == "prefix":
+            pn = self._next()
+            if pn.kind != "PNAME" or not pn.value.endswith(":"):
+                raise ValueError(f"turtle: bad prefix name {pn!r}")
+            iri_tok = self._next()
+            if iri_tok.kind != "IRI":
+                raise ValueError(f"turtle: bad prefix IRI {iri_tok!r}")
+            self.prefixes[pn.value[:-1]] = self._resolve_iri(iri_tok.value)
+        else:
+            iri_tok = self._next()
+            if iri_tok.kind != "IRI":
+                raise ValueError(f"turtle: bad base IRI {iri_tok!r}")
+            self.base = _unescape(iri_tok.value[1:-1])
+        if not sparql_style:
+            self._expect(".")
+        return iter(())
+
+    def _triples(self):
+        t = self._peek()
+        if t.kind == "PUNCT" and t.value == "[":
+            subj, emitted = self._bnode_prop_list()
+            yield from emitted
+            if self._peek() is not None and self._peek().value != ".":
+                yield from self._predicate_object_list(subj)
+        elif t.kind == "PUNCT" and t.value == "(":
+            subj, emitted = self._collection()
+            yield from emitted
+            yield from self._predicate_object_list(subj)
+        else:
+            subj = self._subject()
+            yield from self._predicate_object_list(subj)
+
+    def _subject(self) -> str:
+        t = self._next()
+        if t.kind == "IRI":
+            return self._resolve_iri(t.value)
+        if t.kind == "PNAME":
+            return self._resolve_pname(t.value)
+        if t.kind == "BNODE":
+            return t.value
+        raise ValueError(f"turtle: bad subject {t!r}")
+
+    def _verb(self) -> str:
+        t = self._next()
+        if t.kind == "KW" and t.value == "a":
+            return RDF + "type"
+        if t.kind == "IRI":
+            return self._resolve_iri(t.value)
+        if t.kind == "PNAME":
+            return self._resolve_pname(t.value)
+        raise ValueError(f"turtle: bad predicate {t!r}")
+
+    def _predicate_object_list(self, subj: str):
+        while True:
+            p = self._verb()
+            while True:
+                obj, emitted = self._object()
+                yield from emitted
+                yield (subj, p, obj)
+                nt = self._peek()
+                if nt is not None and nt.value == ",":
+                    self._next()
+                    continue
+                break
+            nt = self._peek()
+            if nt is not None and nt.value == ";":
+                self._next()
+                # ';' may trail before '.', ']' — only continue on a verb
+                nt = self._peek()
+                while nt is not None and nt.value == ";":
+                    self._next()
+                    nt = self._peek()
+                if nt is None or nt.value in (".", "]"):
+                    return
+                continue
+            return
+
+    def _object(self):
+        """Returns ((lex, dt, lang), emitted_triples_iterable)."""
+        t = self._peek()
+        if t.kind == "PUNCT" and t.value == "[":
+            node, emitted = self._bnode_prop_list()
+            return (node, None, None), emitted
+        if t.kind == "PUNCT" and t.value == "(":
+            node, emitted = self._collection()
+            return (node, None, None), emitted
+        self._next()
+        if t.kind == "IRI":
+            return (self._resolve_iri(t.value), None, None), ()
+        if t.kind == "PNAME":
+            return (self._resolve_pname(t.value), None, None), ()
+        if t.kind == "BNODE":
+            return (t.value, None, None), ()
+        if t.kind in ("LONGSTR2", "LONGSTR1", "STR2", "STR1"):
+            q = 3 if t.kind.startswith("LONG") else 1
+            lex = _unescape(t.value[q:-q])
+            nt = self._peek()
+            if nt is not None and nt.kind == "LANG":
+                self._next()
+                return (lex, RDF + "langString", nt.value[1:].lower()), ()
+            if nt is not None and nt.kind == "DTMARK":
+                self._next()
+                dt_tok = self._next()
+                if dt_tok.kind == "IRI":
+                    dt = self._resolve_iri(dt_tok.value)
+                elif dt_tok.kind == "PNAME":
+                    dt = self._resolve_pname(dt_tok.value)
+                else:
+                    raise ValueError(f"turtle: bad datatype {dt_tok!r}")
+                return (lex, dt, None), ()
+            return (lex, XSD + "string", None), ()
+        if t.kind == "INTEGER":
+            return (t.value, XSD + "integer", None), ()
+        if t.kind == "DECIMAL":
+            return (t.value, XSD + "decimal", None), ()
+        if t.kind == "DOUBLE":
+            return (t.value, XSD + "double", None), ()
+        if t.kind == "KW" and t.value in ("true", "false"):
+            return (t.value, XSD + "boolean", None), ()
+        raise ValueError(f"turtle: bad object {t!r}")
+
+    def _bnode_prop_list(self):
+        self._expect("[")
+        node = self._fresh_bnode()
+        if self._peek() is not None and self._peek().value == "]":
+            self._next()
+            return node, ()
+        emitted = list(self._predicate_object_list(node))
+        self._expect("]")
+        return node, emitted
+
+    def _collection(self):
+        self._expect("(")
+        items = []
+        emitted: list = []
+        while True:
+            t = self._peek()
+            if t is None:
+                raise ValueError("turtle: unterminated collection")
+            if t.kind == "PUNCT" and t.value == ")":
+                self._next()
+                break
+            obj, em = self._object()
+            emitted.extend(em)
+            items.append(obj)
+        if not items:
+            return RDF + "nil", emitted
+        nodes = [self._fresh_bnode() for _ in items]
+        for i, (node, obj) in enumerate(zip(nodes, items)):
+            emitted.append((node, RDF + "first", obj))
+            rest = (nodes[i + 1], None, None) if i + 1 < len(nodes) \
+                else (RDF + "nil", None, None)
+            emitted.append((node, RDF + "rest", rest))
+        return nodes[0], emitted
+
+
+def parse_turtle(text: str):
+    """Iterate (s, p, (o_lex, o_dt, o_lang)) triples of one Turtle document.
+    Objects that are IRIs/bnodes have ``o_dt`` and ``o_lang`` None."""
+    yield from TurtleParser(text).parse()

@@ -115,6 +115,85 @@ def test_graph_var_repeated_in_triple_constrains(fresh_eng):
     assert got == [("self",)]
 
 
+# ------------------------------------------------------- full Turtle parser
+
+
+def test_full_turtle_reader(spark, tmp_path):
+    """Multi-line statements, nested bnode property lists, collections,
+    long strings, numeric/boolean shorthand, @base-relative IRIs."""
+    from graphdb_free_mocha_sa_spark.model import RDF
+    from graphdb_free_mocha_sa_spark.sources.rdf import read_turtle
+    p = tmp_path / "full.ttl"
+    p.write_text("""
+@base <urn:base:> .
+@prefix ex: <urn:ex:> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+
+ex:alice a ex:Person ;
+    ex:name "Alice" ;
+    ex:age 34 ;
+    ex:score 1.5 ;
+    ex:active true ;
+    ex:bio \"\"\"line one
+line "quoted" two\"\"\" ;
+    ex:knows [ ex:name "Bob" ;
+               ex:address [ ex:city "Berlin" ] ] ;
+    ex:langs ( "en" "fr" ) ;
+    ex:site <relative/path> .
+""")
+    df = read_turtle(spark, str(p), "urn:g")
+    rows = {(r.s, r.p, r.o_lex) for r in df.collect()}
+    by_sp = {(s, pred): o for s, pred, o in rows}
+
+    assert by_sp[("urn:ex:alice", RDF + "type")] == "urn:ex:Person"
+    assert by_sp[("urn:ex:alice", "urn:ex:name")] == "Alice"
+    assert df.filter((F.col("p") == "urn:ex:age")
+                     & (F.col("o_num") == 34.0)).count() == 1
+    assert df.filter((F.col("p") == "urn:ex:score")
+                     & (F.col("o_num") == 1.5)).count() == 1
+    assert by_sp[("urn:ex:alice", "urn:ex:active")] == "true"
+    assert by_sp[("urn:ex:alice", "urn:ex:bio")] == 'line one\nline "quoted" two'
+    # @base resolution of a relative IRI object
+    assert by_sp[("urn:ex:alice", "urn:ex:site")] == "urn:base:relative/path"
+
+    # nested bnode property lists: alice -> ?b1 (name Bob) -> ?b2 (city)
+    b1 = by_sp[("urn:ex:alice", "urn:ex:knows")]
+    assert b1.startswith("_:") and by_sp[(b1, "urn:ex:name")] == "Bob"
+    b2 = by_sp[(b1, "urn:ex:address")]
+    assert b2.startswith("_:") and by_sp[(b2, "urn:ex:city")] == "Berlin"
+
+    # collection ( "en" "fr" ) → rdf:first/rest chain ending in rdf:nil
+    head = by_sp[("urn:ex:alice", "urn:ex:langs")]
+    assert by_sp[(head, RDF + "first")] == "en"
+    nxt = by_sp[(head, RDF + "rest")]
+    assert by_sp[(nxt, RDF + "first")] == "fr"
+    assert by_sp[(nxt, RDF + "rest")] == RDF + "nil"
+
+
+def test_turtle_round_trip_through_store(spark, tmp_path):
+    """Load a nested Turtle file through the LOAD update path and query it."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    p = tmp_path / "rt.ttl"
+    p.write_text(
+        "@prefix ex: <urn:ex:> .\n"
+        "ex:doc ex:authors ( ex:a ex:b ) ;\n"
+        "       ex:meta [ ex:year 2024 ] .\n")
+    eng = Engine(spark, QuadStore(spark))
+    eng.update(f"LOAD <file://{p}> INTO GRAPH <urn:t>")
+    got = sorted(tuple(r) for r in eng.query("""
+        SELECT ?y WHERE { GRAPH <urn:t> {
+            ?d <urn:ex:meta> ?m . ?m <urn:ex:year> ?y } }
+    """).finalize({"y": "int"}).collect())
+    assert got == [(2024,)]
+    first = eng.query("""
+        SELECT ?a WHERE { GRAPH <urn:t> {
+          ?d <urn:ex:authors> ?l .
+          ?l <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> ?a } }
+    """).finalize({"a": "str"}).collect()
+    assert [r[0] for r in first] == ["urn:ex:a"]
+
+
 # ------------------------------------ spec-exact MINUS (SPARQL 1.1 §8.3)
 
 

@@ -54,3 +54,25 @@ def test_stream_insert_ingest(spark, tmp_path):
     got = store.df.filter(F.col("g") == "urn:stream")
     assert got.count() == 6
     assert got.agg(F.sum("o_num")).collect()[0][0] == 15.0
+
+
+def test_stream_mixed_batch_falls_back_to_serial(spark, tmp_path):
+    """A micro-batch containing a pattern update must keep per-message
+    execution (the batched fast path only fires for pure INSERT DATA)."""
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    from graphdb_free_mocha_sa_spark.streaming.ingest import stream_inserts_from_files
+    updates = tmp_path / "updates"
+    updates.mkdir()
+    for i in range(4):
+        (updates / f"a{i}.ru").write_text(
+            f'INSERT DATA {{ <urn:e{i}> <urn:val> {i} }}')
+    # delete targets a pre-seeded quad so intra-batch order doesn't matter
+    (updates / "z_del.ru").write_text('DELETE DATA { <urn:e9> <urn:val> 9 }')
+    store = QuadStore(spark)
+    UpdateExecutor = __import__(
+        "graphdb_free_mocha_sa_spark.update", fromlist=["UpdateExecutor"]
+    ).UpdateExecutor
+    UpdateExecutor(store).execute('INSERT DATA { <urn:e9> <urn:val> 9 }')
+    stream_inserts_from_files(spark, store, str(updates))
+    vals = sorted(r.o_num for r in store.df.select("o_num").collect())
+    assert vals == [0.0, 1.0, 2.0, 3.0]
