@@ -95,9 +95,21 @@ def encode_quads(quads: DataFrame, term_dict: DataFrame) -> DataFrame:
     from graphdb_free_mocha_sa_spark.model import canonical_object_key
     d = term_dict.select("term", "id")
     out = quads
-    for pos in ("g", "s", "p"):
-        out = out.join(d.withColumnsRenamed({"term": pos, "id": f"{pos}_id"}),
-                       pos)
+    # predicate and graph domains are schema-bound (dozens to thousands of
+    # distinct terms even at 100 TB): resolve their ids with a BROADCAST of
+    # the domain-filtered dictionary instead of shuffling the full quad
+    # table — only the s and o encodes need shuffle joins.
+    for pos in ("g", "p"):
+        dom = quads.select(F.col(pos).alias("term")).distinct()
+        if dom.count() <= 100_000:
+            sub = d.join(F.broadcast(dom), "term")
+            out = out.join(
+                F.broadcast(sub.withColumnsRenamed(
+                    {"term": pos, "id": f"{pos}_id"})), pos)
+        else:
+            out = out.join(
+                d.withColumnsRenamed({"term": pos, "id": f"{pos}_id"}), pos)
+    out = out.join(d.withColumnsRenamed({"term": "s", "id": "s_id"}), "s")
     out = out.withColumn("__okey", canonical_object_key())
     out = out.join(d.withColumnsRenamed({"term": "__okey", "id": "o_id"}),
                    "__okey")

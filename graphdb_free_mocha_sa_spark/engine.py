@@ -54,6 +54,9 @@ class Engine:
         self._enc = None                      # (basis, term_dict, enc_quads)
         self._const_ids: dict = {}
         self._sameas = None                   # (basis, expanded_quads)
+        self._progress = {"tasks_received": 0, "tasks_completed": 0,
+                          "tasks_failed": 0, "updates_received": 0,
+                          "updates_completed": 0}
 
     def _basis(self) -> tuple:
         """Identity of the current store snapshot (objects held, not id()s —
@@ -62,6 +65,10 @@ class Engine:
                 self.store._inferred if self.use_inference else None)
 
     def _quads(self) -> DataFrame:
+        if self.use_inference and self.store._inferred is None:
+            # config-driven engines (ruleset != empty) materialize lazily on
+            # first read; add_quads then maintains the closure incrementally
+            self.store.materialize_inference()
         base = (self.store.df_with_inference() if self.use_inference
                 else self.store.df)
         if not self.use_sameas:
@@ -102,7 +109,16 @@ class Engine:
             from graphdb_free_mocha_sa_spark.dictionary import (
                 build_term_dict_full, encode_quads)
             quads = self._quads()
-            term_dict = build_term_dict_full(quads).localCheckpoint()
+            # Pin the dictionary hash-partitioned + sorted on id: decode
+            # joins then satisfy their distribution from the cached side and
+            # only shuffle the (post-join, tiny) solution set — the dict is
+            # never reshuffled per query. localCheckpoint preserves the
+            # partitioning/ordering metadata.
+            n_part = self.spark.sparkContext.defaultParallelism
+            term_dict = (build_term_dict_full(quads)
+                         .repartition(n_part, "id")
+                         .sortWithinPartitions("id")
+                         .localCheckpoint())
             enc = encode_quads(quads, term_dict).localCheckpoint()
             self._enc = (basis, term_dict, enc)
             self._const_ids = {}
@@ -130,9 +146,27 @@ class Engine:
         for k in missing:
             self._const_ids[k] = found.get(k)
 
+    #: below this quad count the dictionary build costs more than narrow
+    #: string joins ever save — tiny scratch graphs stay on the string path
+    ENCODE_MIN_QUADS = 50_000
+
+    def _should_encode(self) -> bool:
+        if not self.encoded:
+            return False
+        basis = self._basis()
+        if self._enc is not None and self._enc[0][0] is basis[0] \
+                and self._enc[0][1] is basis[1]:
+            return True                       # already built — keep using it
+        if getattr(self, "_size_basis", None) is not None \
+                and self._size_basis[0] is basis[0]:
+            return self._size_basis[1]
+        decision = self.store.df.count() >= self.ENCODE_MIN_QUADS
+        self._size_basis = (basis[0], decision)
+        return decision
+
     def query(self, sparql: str):
         q = parse_query(sparql)
-        if self.encoded and not isinstance(q, A.DescribeQuery):
+        if self._should_encode() and not isinstance(q, A.DescribeQuery):
             term_dict, enc_quads = self._encoded_state()
             self._prefetch_consts(q)
             tr = Translator(self.spark, enc_quads,
@@ -176,16 +210,35 @@ class Engine:
 
     def query_json(self, sparql: str) -> str:
         """Serialize-or-sentinel, mirroring GraphDBSystemAdapter.java:246-258."""
+        self._progress["tasks_received"] += 1
         try:
             res = self.query(sparql)
             if isinstance(res, bool):
-                return ask_json(res)
-            if isinstance(res, SelectResult):
-                return select_json(res.df, res.variables)
-            # CONSTRUCT/DESCRIBE: emit triples as a generic bindings table
-            return select_json(res, None)
+                out = ask_json(res)
+            elif isinstance(res, SelectResult):
+                out = select_json(res.df, res.variables)
+            else:
+                # CONSTRUCT/DESCRIBE: emit triples as a generic bindings table
+                out = select_json(res, None)
+            self._progress["tasks_completed"] += 1
+            return out
         except Exception:
+            self._progress["tasks_failed"] += 1
             return SENTINEL
 
+    def query_framed(self, sparql: str) -> bytes:
+        """query_json behind the reference's length-prefixed result framing
+        (A14, AbstractSystemAdapter1.java:195-206)."""
+        from graphdb_free_mocha_sa_spark.sparql.results import frame_result
+        return frame_result(self.query_json(sparql))
+
     def update(self, sparql: str) -> None:
+        self._progress["updates_received"] += 1
         self._updates.execute(sparql)
+        self._progress["updates_completed"] += 1
+
+    def progress(self) -> dict:
+        """Progress metering (A15): received/completed/failed counters, the
+        Spark-side analogue of the reference's task counters
+        (GraphDBSystemAdapter.java:61-64,204-205)."""
+        return dict(self._progress)

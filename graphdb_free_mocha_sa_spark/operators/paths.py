@@ -95,14 +95,51 @@ def _nodes(quads: DataFrame) -> DataFrame:
     return nodes.select(*sel)
 
 
+#: below this edge count the closure is computed on the driver — a fixpoint
+#: of Spark jobs over a few hundred rows is pure scheduling overhead, and the
+#: result is bounded by (2·edges)² rows. Same adaptive philosophy as the
+#: engine's ENCODE_MIN_QUADS: the distributed path is for data that needs it.
+SMALL_GRAPH_EDGES = 500
+
+
+def _closure_small(edges: DataFrame, sufs: list[str]) -> DataFrame:
+    """Driver-side reachability for graphs under SMALL_GRAPH_EDGES edges.
+    Memory is bounded: ≤ 1000 nodes → ≤ 10⁶ result pairs."""
+    rows = edges.collect()
+    adj: dict = {}
+    fam_s: dict = {}
+    fam_o: dict = {}
+    for r in rows:
+        a, b = r["s"], r["o"]
+        adj.setdefault(a, set()).add(b)
+        fam_s[a] = tuple(r["s" + suf] for suf in sufs)
+        fam_o[b] = tuple(r["o" + suf] for suf in sufs)
+    out = []
+    for start in adj:
+        seen: set = set()
+        stack = list(adj[start])
+        while stack:
+            nxt = stack.pop()
+            if nxt in seen:
+                continue
+            seen.add(nxt)
+            stack.extend(adj.get(nxt, ()))
+        out.extend(fam_s[start] + fam_o[t] for t in seen)
+    schema = edges.schema
+    return edges.sparkSession.createDataFrame(out, schema) if out \
+        else edges.sparkSession.createDataFrame([], schema)
+
+
 def transitive_closure(pairs: DataFrame) -> DataFrame:
     """Semi-naive reachability over distinct (s,o) pairs."""
     sufs = _sufs(pairs)
     edges = pairs.dropDuplicates(["s", "o"]).localCheckpoint()
-    # Small graphs don't need 32-way shuffles per iteration — task-launch
+    n_edges = edges.count()
+    if n_edges < SMALL_GRAPH_EDGES:
+        return _closure_small(edges, sufs)
+    # Mid-size graphs don't need 32-way shuffles per iteration — task-launch
     # overhead dominates. Size once (free after the checkpoint) and coalesce
     # the loop's parallelism to match; big graphs keep full parallelism.
-    n_edges = edges.count()
     if n_edges < 100_000:
         edges = edges.repartition(4).localCheckpoint()
     # joined frontier: delta.o == edges.s

@@ -175,7 +175,7 @@ def _l2n(M: "np.ndarray") -> "np.ndarray":
     return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
 
 
-def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16, iters: int = 4,
+def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16, iters: int = 2,
                      vec_col: str = "embedding", seed: int = 42) -> "np.ndarray":
     """Distributed spherical (cosine) k-means coarse quantizer.
 
@@ -274,7 +274,7 @@ def _probe_cids(queries: DataFrame, C: "np.ndarray", n_probe: int,
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 16, n_probe: int = 4,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             query_id_col: str = "query_id", iters: int = 4) -> DataFrame:
+             query_id_col: str = "query_id", iters: int = 2) -> DataFrame:
     """IVF approximate top-k cosine search (E2 scale path).
 
     Coarse quantizer: distributed spherical k-means (:func:`kmeans_centroids`
@@ -298,7 +298,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 
 def write_ivf_index(corpus: DataFrame, path: str, n_centroids: int = 16,
-                    iters: int = 4, vec_col: str = "embedding") -> "np.ndarray":
+                    iters: int = 2, vec_col: str = "embedding") -> "np.ndarray":
     """Persist the IVF index in the 100 TB layout: corpus parquet written
     ``partitionBy("__cid")`` (a probe then reads ONLY its bucket partitions —
     verified as PartitionFilters in the scan) plus a tiny centroids table."""

@@ -203,6 +203,17 @@ class SubSelect:
     query: "SelectQuery"
 
 
+@dataclass(frozen=True)
+class Service:
+    """SERVICE federation (B20): the inner group is re-sent to a remote
+    SPARQL endpoint as text; ``pattern`` keeps the parsed form for variable
+    analysis. SILENT failures yield the unit solution."""
+    endpoint: IRI
+    pattern: "Pattern"
+    silent: bool
+    query: str
+
+
 Pattern = U[BGP, Join, LeftJoin, Union, Minus, Filter, Extend, ValuesTable,
             GraphPat, SubSelect]
 

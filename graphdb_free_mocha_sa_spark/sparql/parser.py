@@ -27,8 +27,8 @@ from graphdb_free_mocha_sa_spark.sparql.algebra import (
     DeleteData, DescribeQuery, EAgg, EBinary, EExists, EFunc, EIn, ELit,
     EUnary, EVar, Expr, Extend, Filter, GraphPat, InsertData, IRI, Join,
     LeftJoin, Literal, LoadOp, Minus, Modify, PAlt, Path, PInv, PLink, PMod,
-    PNeg, PSeq, Pattern, QuadData, Query, SelectQuery, SubSelect, Term,
-    TriplePattern, Union, UpdateOp, ValuesTable, Var)
+    PNeg, PSeq, Pattern, QuadData, Query, SelectQuery, Service, SubSelect,
+    Term, TriplePattern, Union, UpdateOp, ValuesTable, Var)
 
 RDF_TYPE = RDF + "type"
 RDF_FIRST = RDF + "first"
@@ -110,6 +110,7 @@ AGG_FUNCS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE", "GROUP_CONCAT"}
 
 class Parser:
     def __init__(self, text: str):
+        self.text = text
         self.tokens = tokenize(text)
         self.i = 0
         self.prefixes: dict[str, str] = {}
@@ -460,7 +461,21 @@ class Parser:
                 self.next()
                 join_in(self._parse_values())
             elif self.at_kw("SERVICE"):
-                raise SparqlSyntaxError("SERVICE federation is out of scope (SURVEY B20)")
+                self.next()
+                silent = self.accept_kw("SILENT") is not None
+                ep = self.parse_term()
+                if not isinstance(ep, IRI):
+                    raise SparqlSyntaxError(
+                        "SERVICE endpoint must be an IRI (variable endpoints "
+                        "are out of scope)")
+                start = self.peek().pos          # the '{' of the group
+                inner = self.parse_group_graph_pattern()
+                end = self.tokens[self.i - 1].pos  # its matching '}'
+                raw = self.text[start:end + 1]
+                preamble = "".join(f"PREFIX {p}: <{iri}>\n"
+                                   for p, iri in self.prefixes.items())
+                join_in(Service(ep, inner, silent,
+                                preamble + "SELECT * WHERE " + raw))
             elif self.at_punct("{"):
                 inner = self._parse_group_or_union()
                 join_in(inner)

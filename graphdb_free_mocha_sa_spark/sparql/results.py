@@ -56,3 +56,32 @@ def select_json(df: DataFrame, variables: list[str] | None = None) -> str:
 
 def ask_json(value: bool) -> str:
     return json.dumps({"head": {}, "boolean": bool(value)})
+
+
+# -------------------------------------------------- result-sink framing (A14)
+
+
+def frame_result(payload: str | bytes) -> bytes:
+    """Length-prefixed result frame: 4-byte big-endian length + payload
+    bytes — the wire format the reference's result sink writes per task
+    (AbstractSystemAdapter1.java:195-206 packs each result byte[] behind an
+    int length header)."""
+    import struct
+    data = payload.encode("utf-8") if isinstance(payload, str) else payload
+    return struct.pack(">i", len(data)) + data
+
+
+def unframe_results(buf: bytes) -> list[bytes]:
+    """Split a concatenation of length-prefixed frames back into payloads."""
+    import struct
+    out, pos = [], 0
+    while pos < len(buf):
+        if pos + 4 > len(buf):
+            raise ValueError("truncated frame header")
+        (n,) = struct.unpack_from(">i", buf, pos)
+        pos += 4
+        if pos + n > len(buf):
+            raise ValueError("truncated frame payload")
+        out.append(buf[pos:pos + n])
+        pos += n
+    return out

@@ -505,7 +505,88 @@ class Translator:
             return self.translate(node.pattern, node.graph.value)
         if isinstance(node, A.SubSelect):
             return self.translate_select(node.query)
+        if isinstance(node, A.Service):
+            return self._service(node)
         raise TypeError(f"unknown pattern node {node!r}")
+
+    # ------------------------------------------------------------ SERVICE
+
+    def _service(self, node: A.Service) -> DataFrame:
+        """SERVICE federation (B20): POST the captured group to the remote
+        SPARQL endpoint, decode the SPARQL-Results-JSON bindings into a
+        solution DataFrame (term families, maybe-unbound marks), and let the
+        normal join machinery combine it with the local pattern. One driver-
+        side HTTP round trip per SERVICE clause — the remote result set is
+        assumed endpoint-sized, exactly as in the reference's federation
+        (RDF4J SERVICE). SILENT failures yield the unit solution."""
+        import json as _json
+        import urllib.error
+        import urllib.parse
+        import urllib.request
+
+        try:
+            data = urllib.parse.urlencode({"query": node.query}).encode()
+            req = urllib.request.Request(
+                node.endpoint.value, data=data,
+                headers={"Content-Type": "application/x-www-form-urlencoded",
+                         "Accept": "application/sparql-results+json"})
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                payload = _json.loads(resp.read().decode("utf-8"))
+            variables = payload["head"]["vars"]
+            bindings = payload["results"]["bindings"]
+        except Exception:
+            if node.silent:
+                return self._unit()
+            raise
+
+        from pyspark.sql.types import (DoubleType, StringType, StructField,
+                                       StructType, TimestampType)
+        fields = []
+        for v in variables:
+            fields += [StructField(v, StringType()),
+                       StructField(v + "__lex", StringType()),
+                       StructField(v + "__dt", StringType()),
+                       StructField(v + "__lang", StringType()),
+                       StructField(v + "__num", DoubleType()),
+                       StructField(v + "__ts", TimestampType())]
+        rows, sometimes_unbound = [], set()
+        for b in bindings:
+            vals: list = []
+            for v in variables:
+                cell = b.get(v)
+                if cell is None:
+                    sometimes_unbound.add(v)
+                    vals.extend((None,) * 6)
+                    continue
+                kind, lex = cell.get("type"), cell.get("value", "")
+                if kind == "uri":
+                    vals.extend((lex, lex, None, None, None, None))
+                elif kind == "bnode":
+                    # remote bnode labels are scoped to the endpoint
+                    bl = "_:svc_" + lex
+                    vals.extend((bl, bl, None, None, None, None))
+                else:
+                    lang = cell.get("xml:lang")
+                    dt = cell.get("datatype") or (
+                        "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+                        if lang else "http://www.w3.org/2001/XMLSchema#string")
+                    num = ts = None
+                    if dt in NUMERIC_DTS:
+                        try:
+                            num = float(lex)
+                        except ValueError:
+                            num = None
+                    elif dt == XSD_DATETIME:
+                        import datetime as _dt
+                        try:
+                            ts = _dt.datetime.fromisoformat(lex.replace("Z", "+00:00"))
+                        except ValueError:
+                            ts = None
+                    key = f'"{lex}"@{lang}' if lang else f'"{lex}"^^{dt}'
+                    vals.extend((key, lex, dt, lang, num, ts))
+            rows.append(tuple(vals))
+        df = self.spark.createDataFrame(rows, StructType(fields))
+        return _mark_maybe_unbound(df, sorted(sometimes_unbound))
 
     def _align_union(self, l: DataFrame, r: DataFrame) -> tuple[DataFrame, DataFrame]:
         """UNION branches must agree per shared var on key dtype AND family

@@ -64,7 +64,8 @@ def _parse_messages(rows):
 
 
 def stream_inserts_from_files(spark: SparkSession, store: QuadStore,
-                              updates_dir: str) -> None:
+                              updates_dir: str,
+                              deadline_seconds: Optional[float] = None) -> None:
     """Replay a directory of SPARQL-update files as a micro-batch stream.
 
     Each text file is one update message (the adapter's RabbitMQ message
@@ -100,10 +101,24 @@ def stream_inserts_from_files(spark: SparkSession, store: QuadStore,
         if not quads.isEmpty():
             store.add_quads(quads)
 
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ing_")
     q = (stream.writeStream.foreachBatch(apply_batch)
-         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ing_"))
+         .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination()
+    try:
+        if deadline_seconds is None:
+            q.awaitTermination()
+        elif not q.awaitTermination(deadline_seconds):
+            # graceful-drain deadline (A16): the reference caps its drain at
+            # 2 h (GraphDBSystemAdapter.java:306-315) — stop after the
+            # in-flight micro-batch, leaving the store consistent
+            q.stop()
+            q.awaitTermination()
+    finally:
+        # staged-file GC (A7): the drain is complete (availableNow), so the
+        # streaming checkpoint is dead state — reclaim it
+        import shutil
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 # ------------------------------------------------------------ windows

@@ -115,6 +115,172 @@ def test_graph_var_repeated_in_triple_constrains(fresh_eng):
     assert got == [("self",)]
 
 
+# ------------------------------------------------- config bootstrap (A18)
+
+
+def test_engine_from_repo_config(spark, tmp_path):
+    """A GraphDB-style repository template (nested bnode Turtle) drives the
+    engine switches: ruleset → inference, disable-sameAs → expansion."""
+    from graphdb_free_mocha_sa_spark.config import (engine_from_config,
+                                                    parse_repo_config)
+    cfg = tmp_path / "repo.ttl"
+    cfg.write_text("""
+@prefix rep: <http://www.openrdf.org/config/repository#> .
+@prefix sr: <http://www.openrdf.org/config/repository/sail#> .
+@prefix sail: <http://www.openrdf.org/config/sail#> .
+@prefix owlim: <http://www.ontotext.com/trree/owlim#> .
+
+[] a rep:Repository ;
+   rep:repositoryID "test-repo" ;
+   rep:repositoryImpl [
+       rep:repositoryType "graphdb:FreeSailRepository" ;
+       sr:sailImpl [
+           sail:sailType "graphdb:FreeSail" ;
+           owlim:ruleset "owl-horst-optimized" ;
+           owlim:entity-id-size "32" ;
+           owlim:disable-sameAs "false" ;
+           owlim:enable-literal-index "true" ;
+       ]
+   ] .
+""")
+    params = parse_repo_config(str(cfg))
+    assert params["repositoryID"] == "test-repo"
+    assert params["ruleset"] == "owl-horst-optimized"
+
+    eng = engine_from_config(spark, str(cfg))
+    assert eng.use_inference and eng.use_sameas and eng.encoded
+    eng.update("""INSERT DATA {
+        <urn:Dog> <http://www.w3.org/2000/01/rdf-schema#subClassOf> <urn:Animal> .
+        <urn:rex> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <urn:Dog> . }""")
+    got = _rows(eng, """
+        SELECT ?t WHERE { <urn:rex>
+          <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> ?t }""",
+                {"t": "str"})
+    assert got == [("urn:Animal",), ("urn:Dog",)]
+
+
+# -------------------------------------------------- SERVICE federation (B20)
+
+
+@pytest.fixture()
+def remote_endpoint(spark):
+    """A live HTTP SPARQL endpoint (our own server) with its own store."""
+    import socket
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.server import handle_request
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+
+    remote = Engine(spark, QuadStore(spark))
+    remote.update("""INSERT DATA {
+        <urn:r:x> <urn:r:label> "remote-x" .
+        <urn:r:y> <urn:r:label> "remote-y" . }""")
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n).decode("utf-8")
+            code, payload = handle_request(
+                remote, body, self.headers.get("Content-Type", ""))
+            data = payload.encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *args):
+            pass
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    srv = HTTPServer(("127.0.0.1", port), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}/sparql"
+    srv.shutdown()
+
+
+def test_service_federation_joins_remote_bindings(fresh_eng, remote_endpoint):
+    fresh_eng.update("""INSERT DATA {
+        <urn:r:x> <urn:local> "here" . <urn:other> <urn:local> "nope" . }""")
+    got = _rows(fresh_eng, f"""
+        SELECT ?s ?lab ?loc WHERE {{
+          ?s <urn:local> ?loc .
+          SERVICE <{remote_endpoint}> {{ ?s <urn:r:label> ?lab }}
+        }}""", {"s": "str", "lab": "str", "loc": "str"})
+    assert got == [("urn:r:x", "remote-x", "here")]
+
+
+def test_service_silent_failure_is_unit(fresh_eng):
+    fresh_eng.update('INSERT DATA { <urn:a> <urn:p> 1 }')
+    got = _rows(fresh_eng, """
+        SELECT ?s WHERE {
+          ?s <urn:p> 1 .
+          SERVICE SILENT <http://127.0.0.1:9/unreachable> { ?s ?q ?o }
+        }""", {"s": "str"})
+    assert got == [("urn:a",)]
+
+
+def test_service_non_silent_failure_raises(fresh_eng):
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        fresh_eng.query("""
+            SELECT ?s WHERE {
+              SERVICE <http://127.0.0.1:9/unreachable> { ?s ?p ?o } }
+        """).finalize({"s": "str"}).collect()
+
+
+# ----------------------------------- adapter plumbing: A14 framing, A15 meter
+
+
+def test_result_framing_round_trip():
+    from graphdb_free_mocha_sa_spark.sparql.results import (frame_result,
+                                                            unframe_results)
+    buf = frame_result('{"a":1}') + frame_result("x" * 1000) + frame_result(b"")
+    assert unframe_results(buf) == [b'{"a":1}', b"x" * 1000, b""]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        unframe_results(buf[:-3])
+
+
+def test_progress_metering_counts_tasks(fresh_eng):
+    fresh_eng.update('INSERT DATA { <urn:a> <urn:p> 1 }')
+    fresh_eng.query_json("SELECT ?s WHERE { ?s <urn:p> 1 }")
+    fresh_eng.query_json("broken {{{ not sparql")
+    p = fresh_eng.progress()
+    assert p["updates_received"] == p["updates_completed"] == 1
+    assert p["tasks_received"] == 2
+    assert p["tasks_completed"] == 1 and p["tasks_failed"] == 1
+
+
+def test_query_framed_wraps_json(fresh_eng):
+    from graphdb_free_mocha_sa_spark.sparql.results import unframe_results
+    fresh_eng.update('INSERT DATA { <urn:a> <urn:p> 1 }')
+    framed = fresh_eng.query_framed("SELECT ?s WHERE { ?s <urn:p> 1 }")
+    (payload,) = unframe_results(framed)
+    assert b'"urn:a"' in payload
+
+
+def test_ingest_deadline_terminates(spark, tmp_path):
+    """A deadline must stop the drain gracefully instead of hanging (A16);
+    with a generous deadline everything still loads."""
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    from graphdb_free_mocha_sa_spark.streaming.ingest import (
+        stream_inserts_from_files)
+    updates = tmp_path / "ups"
+    updates.mkdir()
+    for i in range(3):
+        (updates / f"u{i}.ru").write_text(
+            f'INSERT DATA {{ <urn:d{i}> <urn:v> {i} }}')
+    store = QuadStore(spark)
+    stream_inserts_from_files(spark, store, str(updates),
+                              deadline_seconds=120.0)
+    assert store.df.count() == 3
+
+
 # ------------------------------------------------------- full Turtle parser
 
 
