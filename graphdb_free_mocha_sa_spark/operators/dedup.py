@@ -136,16 +136,22 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
-    """Exact n-gram Jaccard similarity join via an inverted shingle index.
+                        threshold: float = 0.8,
+                        prefix_filter: bool = True) -> DataFrame:
+    """Exact n-gram Jaccard similarity join via an inverted shingle index
+    with a **PPJoin-style prefix filter** (lossless for Jaccard ≥ t).
 
-    Relational form (explode → self-join on the shingle hash → count
-    intersections → |A∪B| = |A|+|B|-|A∩B|): every step is a codegen'd
-    hash join/aggregate, no per-row array intersection. Pair work is
-    proportional to actual shingle collisions, not to block sizes. For
-    100 TB add PPJoin-style prefix filtering or use
-    minhash_lsh_candidates; semantics here are exactly SQL-expressible
-    (driver-checkable).
+    Candidate generation: two shingle sets with Jaccard ≥ t MUST share a
+    token inside each set's first ``|S| - ceil(t·|S|) + 1`` tokens under a
+    global canonical order (ascending document frequency — the rarest
+    tokens first, so prefixes collide rarely). The inverted-index self-join
+    therefore runs over prefix tokens only; candidate count shrinks from
+    Ω(all collisions) to near the true pair count at high thresholds — the
+    100 TB knob the plain index lacks. A length filter (t·|A| ≤ |B|) prunes
+    further. Verification recounts the FULL intersection per candidate and
+    applies the exact Jaccard, so results are identical to the unfiltered
+    join (asserted in tests); every step remains a codegen'd hash
+    join/aggregate, no per-row array intersection.
     """
     spark = df.sparkSession
     if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
@@ -156,12 +162,37 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
           .select("id", F.xxhash64("shingle").alias("h"))
           .dropDuplicates(["id", "h"]))
     sizes = sh.groupBy("id").count()
-    inter = (sh.alias("a")
-             .join(sh.alias("b"), (F.col("a.h") == F.col("b.h"))
-                   & (F.col("a.id") < F.col("b.id")))
-             .groupBy(F.col("a.id").alias("id_a"),
-                      F.col("b.id").alias("id_b"))
-             .agg(F.count(F.lit(1)).alias("inter")))
+
+    if prefix_filter:
+        from pyspark.sql import Window
+        freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
+        ranked = (sh.join(freq, "h")
+                  .withColumn("__rk", F.row_number().over(
+                      Window.partitionBy("id").orderBy("__df", "h"))))
+        pref = (ranked.join(sizes, "id")
+                .where(F.col("__rk") <=
+                       F.col("count") - F.ceil(F.lit(threshold) * F.col("count")) + 1)
+                .select("id", "h"))
+        cand = (pref.alias("a")
+                .join(pref.alias("b"), (F.col("a.h") == F.col("b.h"))
+                      & (F.col("a.id") < F.col("b.id")))
+                .select(F.col("a.id").alias("id_a"),
+                        F.col("b.id").alias("id_b"))
+                .dropDuplicates())
+        # verify: full intersection count, restricted to candidates
+        inter = (cand
+                 .join(sh.select(F.col("id").alias("id_a"), "h"), "id_a")
+                 .join(sh.select(F.col("id").alias("id_b"), "h"),
+                       ["id_b", "h"])
+                 .groupBy("id_a", "id_b")
+                 .agg(F.count(F.lit(1)).alias("inter")))
+    else:
+        inter = (sh.alias("a")
+                 .join(sh.alias("b"), (F.col("a.h") == F.col("b.h"))
+                       & (F.col("a.id") < F.col("b.id")))
+                 .groupBy(F.col("a.id").alias("id_a"),
+                          F.col("b.id").alias("id_b"))
+                 .agg(F.count(F.lit(1)).alias("inter")))
     jac = (inter
            .join(sizes.select(F.col("id").alias("id_a"),
                               F.col("count").alias("na")), "id_a")

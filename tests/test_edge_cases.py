@@ -177,6 +177,67 @@ def eng_fixtures(spark, quads):
     return Engine(spark, QuadStore(spark, quads)), None
 
 
+def test_random_union_join_vs_oracle(eng_fixtures, duck, quads):
+    """Random UNION-then-join queries: the shared var is unbound in one
+    branch (compatibility join — the union-of-equi-joins rewrite) and the
+    oracle models the two branches explicitly (SURVEY §5.5 style)."""
+    engine, _ = eng_fixtures
+    _duck_quads(duck, quads)
+    rng = random.Random(20260814)
+    for case in range(8):
+        pa, pb, pc = (rng.choice(PREDS) for _ in range(3))
+        sparql = f"""
+            SELECT ?v0 ?m ?om WHERE {{
+              {{ ?v0 <{pa}> ?m }} UNION {{ ?v0 <{pb}> ?x }}
+              ?m <{pc}> ?om .
+            }}"""
+        sql = f"""
+            SELECT t1.s AS v0, t1.o_lex AS m, t3.o_lex AS om
+            FROM quads_t t1, quads_t t3
+            WHERE t1.p = '{pa}' AND t3.p = '{pc}' AND t3.s = t1.o_lex
+            UNION ALL
+            SELECT t2.s AS v0, t3.s AS m, t3.o_lex AS om
+            FROM quads_t t2, quads_t t3
+            WHERE t2.p = '{pb}' AND t3.p = '{pc}'"""
+        got = sorted(tuple(r) for r in engine.query(sparql).finalize(
+            {"v0": "str", "m": "str", "om": "str"}).collect())
+        want = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+        assert got == want, f"case {case}: {sparql}"
+
+
+def test_random_minus_unbound_vs_oracle(eng_fixtures, duck, quads):
+    """Random MINUS queries where a shared var may be unbound on the left
+    (OPTIONAL): SPARQL 1.1 §8.3 — remove iff compatible AND domains overlap.
+    The oracle encodes that as NOT EXISTS with the compat condition."""
+    engine, _ = eng_fixtures
+    _duck_quads(duck, quads)
+    rng = random.Random(20260815)
+    for case in range(8):
+        pa, pb, pc = (rng.choice(PREDS) for _ in range(3))
+        sparql = f"""
+            SELECT ?v0 ?o0 ?x WHERE {{
+              ?v0 <{pa}> ?o0 OPTIONAL {{ ?v0 <{pb}> ?x }}
+              MINUS {{ ?v0 <{pc}> ?x }}
+            }}"""
+        sql = f"""
+            WITH lhs AS (
+              SELECT t1.s AS v0, t1.o_lex AS o0, t2.o_lex AS x
+              FROM quads_t t1 LEFT JOIN quads_t t2
+                ON t2.p = '{pb}' AND t2.s = t1.s
+              WHERE t1.p = '{pa}')
+            SELECT v0, o0, x FROM lhs l
+            WHERE NOT EXISTS (
+              SELECT 1 FROM quads_t r
+              WHERE r.p = '{pc}' AND r.s = l.v0
+                AND (l.x IS NULL OR l.x = r.o_lex))"""
+        got = sorted((tuple(r) for r in engine.query(sparql).finalize(
+            {"v0": "str", "o0": "str", "x": "str"}).collect()),
+            key=lambda t: tuple((c is None, c) for c in t))
+        want = sorted((tuple(r) for r in duck.execute(sql).fetchall()),
+                      key=lambda t: tuple((c is None, c) for c in t))
+        assert got == want, f"case {case}: {sparql}"
+
+
 # ------------------------------------------------ second batch: translation traps
 
 

@@ -186,6 +186,20 @@ def test_multimodal_plumbing(spark):
         extract_features(media, decode="real")
 
 
+def test_ppjoin_prefix_filter_is_lossless(docs_with_dups):
+    """The PPJoin prefix filter must not change results — only shrink the
+    candidate set. Compare filtered vs unfiltered at two thresholds."""
+    from graphdb_free_mocha_sa_spark.operators.dedup import ngram_jaccard_pairs
+    for t in (0.999, 0.5):
+        fast = sorted((r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+                      ngram_jaccard_pairs(docs_with_dups, threshold=t,
+                                          prefix_filter=True).collect())
+        slow = sorted((r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+                      ngram_jaccard_pairs(docs_with_dups, threshold=t,
+                                          prefix_filter=False).collect())
+        assert fast == slow and len(fast) > 0
+
+
 # ------------------------------------------- distributed near-dup block pairs
 
 
