@@ -45,6 +45,39 @@ def parse_repo_config(path: str) -> dict[str, str]:
     return params
 
 
+def adapter_params(environ: dict | None = None) -> dict:
+    """Benchmark-harness parameter ingestion (B53; reference:
+    AbstractSystemAdapter1.init reads the serialized system-parameter RDF
+    model from ``SYSTEM_PARAMETERS_MODEL`` and falls back to an EMPTY model
+    with a warning, :115-128; queue names are scoped by the session id).
+
+    Spark-first analogue: the parameter model arrives as Turtle text in the
+    same env var and is flattened to ``{local-name: value}``; malformed or
+    missing input yields an empty dict, never an error — matching the
+    reference's fallback behaviour.
+    """
+    import os
+    env = dict(os.environ if environ is None else environ)
+    out: dict = {"session_id": env.get("HOBBIT_SESSION_ID", "")}
+    model_text = env.get("SYSTEM_PARAMETERS_MODEL", "")
+    params: dict[str, str] = {}
+    if model_text.strip():
+        try:
+            from graphdb_free_mocha_sa_spark.sources.turtle import parse_turtle
+            for _s, p, (lex, _dt, _lang) in parse_turtle(model_text):
+                local = p.rsplit("#", 1)[-1].rsplit("/", 1)[-1]
+                params[local] = lex
+        except Exception:
+            params = {}            # reference: warn + empty model
+    out["parameters"] = params
+    out["queues"] = {
+        "data": f"hobbit.datagen-system.{out['session_id']}",
+        "task": f"hobbit.taskgen-system.{out['session_id']}",
+        "result": f"hobbit.system-evalstore.{out['session_id']}",
+    }
+    return out
+
+
 def engine_from_config(spark: SparkSession, config_path: str, store=None):
     """Build an :class:`Engine` honouring a repository config template —
     the Spark analogue of the reference's createNewRepository

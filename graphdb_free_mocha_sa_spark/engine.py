@@ -149,6 +149,10 @@ class Engine:
     #: below this quad count the dictionary build costs more than narrow
     #: string joins ever save — tiny scratch graphs stay on the string path
     ENCODE_MIN_QUADS = 50_000
+    #: rough in-memory footprint budget per quad for dictionary + encoded
+    #: table + shuffle transients; encoding is skipped when the JVM heap
+    #: cannot host it (string mode is equally correct, just r1-era plans)
+    ENCODE_BYTES_PER_QUAD = 600
 
     def _should_encode(self) -> bool:
         if not self.encoded:
@@ -160,7 +164,18 @@ class Engine:
         if getattr(self, "_size_basis", None) is not None \
                 and self._size_basis[0] is basis[0]:
             return self._size_basis[1]
-        decision = self.store.df.count() >= self.ENCODE_MIN_QUADS
+        n = self.store.df.count()
+        decision = n >= self.ENCODE_MIN_QUADS
+        if decision:
+            # a 1 GB default-heap session cannot checkpoint a multi-GB
+            # dictionary + id table — degrade to string joins rather than
+            # OOM the JVM (adaptive, like the small-store cutoff)
+            try:
+                heap = int(self.spark.sparkContext._jvm.java.lang.Runtime
+                           .getRuntime().maxMemory())
+            except Exception:
+                heap = 1 << 62
+            decision = n * self.ENCODE_BYTES_PER_QUAD <= heap
         self._size_basis = (basis[0], decision)
         return decision
 

@@ -159,6 +159,23 @@ def test_engine_from_repo_config(spark, tmp_path):
     assert got == [("urn:Animal",), ("urn:Dog",)]
 
 
+def test_adapter_params_ingestion():
+    """B53: parameter-model env ingestion with the reference's
+    empty-model-on-failure fallback."""
+    from graphdb_free_mocha_sa_spark.config import adapter_params
+    env = {"HOBBIT_SESSION_ID": "sess42",
+           "SYSTEM_PARAMETERS_MODEL":
+               '@prefix bp: <http://example.org/bench#> .\n'
+               '<urn:sys> bp:queryMixes "25" ; bp:seed "7" .\n'}
+    got = adapter_params(env)
+    assert got["session_id"] == "sess42"
+    assert got["parameters"] == {"queryMixes": "25", "seed": "7"}
+    assert got["queues"]["task"].endswith(".sess42")
+    # malformed model → empty parameters, no exception
+    bad = adapter_params({"SYSTEM_PARAMETERS_MODEL": "<<<not turtle"})
+    assert bad["parameters"] == {}
+
+
 # -------------------------------------------------- SERVICE federation (B20)
 
 
