@@ -856,6 +856,17 @@ def q_ext_multimodal(spark, sf_dir):
     return feats.select("media_id", "kind", "n_bytes")
 
 
+def q_ext_multimodal_real(spark, sf_dir):
+    """REAL media decode (stdlib/numpy): PPM images + PCM WAV tones through
+    signal-statistics feature extraction — no codec libraries needed.
+    Engine-local bytes → rows-only; values asserted in tests."""
+    from graphdb_free_mocha_sa_spark.operators.multimodal import (
+        extract_features, synthesize_real_media)
+    feats = extract_features(synthesize_real_media(spark, 24), decode="real")
+    return feats.select("media_id", "kind", "n_bytes",
+                        F.round(F.element_at("feature", 3), 4).alias("rms_or_b"))
+
+
 def q_ext_multimodal_transform(spark, sf_dir):
     """Multimodal resize + frame-sample plumbing (Arrow-batched kernels over
     binary columns; engine-local bytes, so rows-only — determinism and batch
@@ -988,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_stream_sliding": q_ext_stream_sliding,
         "ext_stream_session": q_ext_stream_session,
         "ext_multimodal": q_ext_multimodal,
+        "ext_multimodal_real": q_ext_multimodal_real,
         "ext_multimodal_transform": q_ext_multimodal_transform,
     })
 

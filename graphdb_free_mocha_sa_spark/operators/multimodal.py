@@ -2,10 +2,18 @@
 
 Media are opaque ``binary`` columns with a typed metadata struct; decode /
 feature-extract / resize / frame-sample run as Arrow-batched ``mapInPandas``
-UDFs. The codec libraries aren't in this container, so the actual decode is
-STUBBED: ``decode= "real"`` raises NotImplementedError at the call site,
-``decode="fake"`` is a deterministic content-hash-seeded fake that keeps the
-Spark-side plumbing (schema, batching, partitioning) fully real and testable.
+UDFs. Two decode modes:
+
+* ``decode="real"`` — REAL decoders for the self-describing uncompressed
+  formats the stdlib + numpy can handle with no codec libraries: PCM WAV
+  audio (``wave``), PPM(P6) and 24-bit uncompressed BMP images. Features
+  are real signal statistics (FFT band energies, channel moments, luma
+  grid); resize is a real nearest-neighbour resample re-encoded as PPM.
+  Compressed codecs (PNG/JPEG/MP3/H.264) still raise NotImplementedError —
+  PIL/librosa/pyav are not in this container.
+* ``decode="fake"`` — a deterministic content-hash-seeded fake that keeps
+  the Spark-side plumbing (schema, batching, partitioning) testable for
+  any payload.
 
 Scale notes: binary payloads never shuffle — all per-media operators are
 narrow (mapInPandas over the scan); only extracted features (small fixed-size
@@ -61,25 +69,146 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synthesize_real_media(spark, n: int = 24, seed: int = 42) -> DataFrame:
+    """Media table with GENUINE payloads the real decoders accept:
+    PPM(P6) images and 16-bit PCM WAV tones — built with stdlib only."""
+    import io
+    import wave
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            w, h = 32 + (i % 3) * 16, 24 + (i % 2) * 8
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            rows.append((i, "image", bytearray(encode_ppm(img)),
+                         (w, h, None, None, "ppm")))
+        else:
+            rate = 8000
+            t = np.arange(rate // 4) / rate
+            tone = (np.sin(2 * np.pi * (220 + 20 * i) * t) * 2 ** 14)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wf:
+                wf.setnchannels(1)
+                wf.setsampwidth(2)
+                wf.setframerate(rate)
+                wf.writeframes(tone.astype(np.int16).tobytes())
+            rows.append((i, "audio", bytearray(buf.getvalue()),
+                         (None, None, rate, None, "pcm_s16le")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def _fake_feature(content: bytes) -> np.ndarray:
     """Deterministic stand-in for a real decoder+encoder: hash-seeded vector."""
     seed = int.from_bytes(content[:8].ljust(8, b"\0"), "little") & 0x7FFFFFFF
     return np.random.default_rng(seed).standard_normal(FEATURE_DIM).astype(np.float32)
 
 
+# ------------------------------------------------------- real decoders
+
+
+def decode_image(content: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 array from PPM(P6) or 24-bit uncompressed BMP."""
+    import struct
+    if content[:2] == b"P6":
+        parts: list[bytes] = []
+        pos = 2
+        while len(parts) < 3:
+            while pos < len(content) and content[pos:pos + 1].isspace():
+                pos += 1
+            if content[pos:pos + 1] == b"#":          # comment line
+                pos = content.index(b"\n", pos) + 1
+                continue
+            end = pos
+            while not content[end:end + 1].isspace():
+                end += 1
+            parts.append(content[pos:end])
+            pos = end
+        w, h, maxv = (int(x) for x in parts)
+        pos += 1                                      # single whitespace
+        px = np.frombuffer(content, np.uint8, count=w * h * 3, offset=pos)
+        return px.reshape(h, w, 3).copy()
+    if content[:2] == b"BM":
+        off, = struct.unpack_from("<I", content, 10)
+        w, h = struct.unpack_from("<ii", content, 18)
+        bpp, comp = struct.unpack_from("<HI", content, 28)
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError(f"BMP bpp={bpp} compression={comp}")
+        row_bytes = (w * 3 + 3) & ~3
+        rows = []
+        for y in range(abs(h)):
+            r = np.frombuffer(content, np.uint8, count=w * 3,
+                              offset=off + y * row_bytes).reshape(w, 3)
+            rows.append(r[:, ::-1])                   # BGR → RGB
+        img = np.stack(rows)
+        return img[::-1] if h > 0 else img            # bottom-up unless h<0
+    raise NotImplementedError(
+        "real image decode supports PPM(P6)/BMP24 only (no codec libs in "
+        "this container — PNG/JPEG need PIL)")
+
+
+def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
+    """(float32 mono samples in [-1,1], sample_rate) from a PCM WAV."""
+    import io
+    import wave
+    with wave.open(io.BytesIO(content), "rb") as wf:
+        rate = wf.getframerate()
+        width = wf.getsampwidth()
+        nch = wf.getnchannels()
+        raw = wf.readframes(wf.getnframes())
+    if width == 2:
+        x = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"PCM width {width} unsupported")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
+def _real_feature(kind: str, content: bytes) -> np.ndarray:
+    if kind == "image":
+        img = decode_image(content).astype(np.float32) / 255.0
+        h, w = img.shape[:2]
+        luma = img.mean(axis=2)
+        # 3x3 luma grid via block means
+        gy = np.array_split(luma, 3, axis=0)
+        grid = [float(b.mean()) for row in gy for b in np.array_split(row, 3, axis=1)]
+        feat = ([float(img[..., c].mean()) for c in range(3)]
+                + [float(img[..., c].std()) for c in range(3)]
+                + grid + [w / max(h, 1)])
+    elif kind == "audio":
+        x, rate = decode_audio(content)
+        if len(x) == 0:
+            x = np.zeros(1, np.float32)
+        spec = np.abs(np.fft.rfft(x))
+        bands = [float(b.mean()) if len(b) else 0.0
+                 for b in np.array_split(spec, 12)]
+        zcr = float(np.mean(np.abs(np.diff(np.sign(x))) > 0)) if len(x) > 1 else 0.0
+        feat = [float(x.mean()), float(x.std()),
+                float(np.sqrt(np.mean(x * x))), zcr] + bands
+    else:
+        raise NotImplementedError(
+            "real video decode requires pyav (not in this container)")
+    out = np.zeros(FEATURE_DIM, np.float32)
+    out[:min(len(feat), FEATURE_DIM)] = feat[:FEATURE_DIM]
+    return out
+
+
 def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
     """Per-media feature vectors via Arrow-batched mapInPandas.
 
-    ``decode="real"`` marks where PIL/librosa/pyav would run —
-    NotImplementedError here by design (libs not in container)."""
-    if decode == "real":
-        raise NotImplementedError(
-            "real media decode requires PIL/librosa/pyav (not in this container); "
-            "use decode='fake' for plumbing tests")
+    ``decode="real"`` runs the stdlib/numpy decoders (PCM WAV, PPM/BMP24);
+    compressed codecs and video raise NotImplementedError per batch."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [list(map(float, _fake_feature(bytes(c)))) for c in pdf["content"]]
+            if decode == "real":
+                feats = [list(map(float, _real_feature(k, bytes(c))))
+                         for k, c in zip(pdf["kind"], pdf["content"])]
+            else:
+                feats = [list(map(float, _fake_feature(bytes(c))))
+                         for c in pdf["content"]]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
@@ -98,16 +227,30 @@ RESIZED_SCHEMA = StructType([
 ])
 
 
+def encode_ppm(img: np.ndarray) -> bytes:
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
 def resize_images(media: DataFrame, width: int, height: int,
                   decode: str = "fake") -> DataFrame:
-    """Image resize plumbing; fake path truncates/pads the payload to w*h."""
-    if decode == "real":
-        raise NotImplementedError("real image resize requires PIL (not in container)")
+    """Image resize. ``decode="real"``: decode PPM/BMP24 → nearest-neighbour
+    resample (pure numpy index grid) → re-encode as PPM. Fake path
+    truncates/pads the payload to w*h (plumbing only)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         size = width * height
         for pdf in batches:
-            out = [bytes(c)[:size].ljust(size, b"\0") for c in pdf["content"]]
+            if decode == "real":
+                out = []
+                for c in pdf["content"]:
+                    img = decode_image(bytes(c))
+                    h0, w0 = img.shape[:2]
+                    yi = (np.arange(height) * h0 // height).clip(0, h0 - 1)
+                    xi = (np.arange(width) * w0 // width).clip(0, w0 - 1)
+                    out.append(encode_ppm(img[yi][:, xi]))
+            else:
+                out = [bytes(c)[:size].ljust(size, b"\0") for c in pdf["content"]]
             yield pd.DataFrame({"media_id": pdf["media_id"],
                                 "content": [bytearray(o) for o in out],
                                 "width": width, "height": height})
