@@ -82,34 +82,6 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
             .where(F.col("rank") <= k))
 
 
-def pairwise_topk(corpus: DataFrame, k: int = 3, vec_col: str = "embedding",
-                  id_col: str = "vec_id") -> DataFrame:
-    """All-pairs exact top-k neighbours within one table (self cross join).
-
-    Fixture-scale oracle-checkable variant; at scale use lsh_topk with the
-    corpus as its own query set."""
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    scored = (a.join(b, F.col("id_a") != F.col("id_b"))
-              .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos")))
-    w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k))
-
-def _pair_dot_pandas():
-    """Arrow-batched pair dot product: one einsum per batch instead of an
-    interpreted array-lambda per row (~50x on all-pairs workloads)."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def dot(a: "pd.Series", b: "pd.Series") -> "pd.Series":
-        A = np.vstack(a.to_numpy())
-        B = np.vstack(b.to_numpy())
-        return pd.Series(np.einsum("ij,ij->i", A, B))
-
-    return dot
-
-
 def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.999,
                           vec_col: str = "embedding",
                           id_col: str = "vec_id",
