@@ -907,10 +907,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # entry here — deferred or not — remains oracle-checked by the local
 # mirror gate, scripts/check_correctness.py (results in BASELINE.md).
 _DEFERRED_PAST_DRIVER_CAP = [
-    "b7b_exists", "b12_from_graph", "b13_path_alt_inv", "b13_path_star",
-    "b13_path_negated", "b14_distinct", "b16_limit_offset", "b19_describe",
-    "b22_count_distinct", "b24_group_concat", "b25_sample",
-    "b27_implicit_group", "func_hashes", "func_conditionals", "func_casts",
+    # Approximate/sketch operators with no exact oracle (the driver records
+    # them `no_oracle` — rows-only): deferring them frees hard-evidence
+    # slots; their bounds are asserted in tests/ instead.
+    "ext_approx_distinct", "ext_quantiles", "ext_dedup_minhash",
+    "ext_dedup_simhash", "ext_lsh_topk", "ext_ivf_topk",
+    # Oracle-backed entries whose coverage overlaps earlier entries
+    # (5 path variants, 9 scalar-function groups); all were driver-green
+    # in round 1 and stay green in the local mirror gate.
+    "b12_from_graph", "b13_path_alt_inv", "b13_path_star",
+    "b13_path_negated", "b19_describe", "b25_sample",
+    "b27_implicit_group", "func_hashes", "func_conditionals",
     "func_lang_terms", "func_nondeterministic",
 ]
 
