@@ -60,13 +60,16 @@ def _iri_quad(g, s, p, o):
 
 
 class Schema:
-    """Driver-side TBox extracted from the quads table."""
+    """Driver-side TBox extracted from the quads table (or pre-collected
+    rows — the small-ABox path collects once and reuses)."""
 
-    def __init__(self, quads: DataFrame):
-        tbox = (quads.filter(F.col("p").isin(SUBCLASS, SUBPROP, DOMAIN, RANGE,
-                                             INVERSE, RDF_TYPE))
-                .filter(F.col("o_dt").isNull())
-                .select("p", "s", "o_lex").collect())
+    def __init__(self, quads: DataFrame = None, tbox_rows=None):
+        if tbox_rows is None:
+            tbox_rows = (quads.filter(F.col("p").isin(SUBCLASS, SUBPROP, DOMAIN,
+                                                      RANGE, INVERSE, RDF_TYPE))
+                         .filter(F.col("o_dt").isNull())
+                         .select("p", "s", "o_lex").collect())
+        tbox = tbox_rows
         sc, sp, dom, rng, inv, trans, sym = set(), set(), set(), set(), set(), set(), set()
         for row in tbox:
             p, s, o = row["p"], row["s"], row["o_lex"]
