@@ -193,12 +193,120 @@ def _trans_step(delta: DataFrame, known: DataFrame, props, graph: str) -> DataFr
     return out
 
 
+#: below this quad count the whole forward-chaining fixpoint runs on the
+#: driver — a semi-naive worklist over Python dicts. A Spark fixpoint over a
+#: few thousand rows is pure job-scheduling overhead (the same adaptive
+#: philosophy as paths.SMALL_GRAPH_EDGES and the engine's ENCODE_MIN_QUADS);
+#: the distributed path below is for ABoxes that need it.
+SMALL_ABOX_QUADS = 50_000
+#: safety valve: if the driver-side closure blows past this many inferred
+#: facts (pathological transitive chains), abandon it and run distributed.
+SMALL_ABOX_MAX_INFERRED = 2_000_000
+
+
+def _closure_small_abox(spark: SparkSession, rows, graph: str) -> DataFrame | None:
+    """Driver-side OWL-Horst fixpoint for ABoxes under SMALL_ABOX_QUADS.
+
+    Semantically identical to the distributed fixpoint: same rule set, same
+    newness key (s, p, o_lex) as :func:`_anti_known`, base facts seed the
+    known set so re-derivations of asserted facts are not reported. Returns
+    ``None`` if the inferred set exceeds SMALL_ABOX_MAX_INFERRED (caller
+    falls back to the distributed path).
+    """
+    from collections import deque
+
+    sch = Schema(tbox_rows=[
+        r for r in rows
+        if r["p"] in (SUBCLASS, SUBPROP, DOMAIN, RANGE, INVERSE, RDF_TYPE)
+        and r["o_dt"] is None])
+    sc_map: dict = {}
+    sp_map: dict = {}
+    dom_map: dict = {}
+    rng_map: dict = {}
+    inv_map: dict = {}
+    for a, b in sch.subclass:
+        sc_map.setdefault(a, set()).add(b)
+    for a, b in sch.subprop:
+        sp_map.setdefault(a, set()).add(b)
+    for a, b in sch.domain:
+        dom_map.setdefault(a, set()).add(b)
+    for a, b in sch.range:
+        rng_map.setdefault(a, set()).add(b)
+    for a, b in sch.inverse:
+        inv_map.setdefault(a, set()).add(b)
+    trans_fwd: dict = {p: {} for p in sch.transitive}
+    trans_bwd: dict = {p: {} for p in sch.transitive}
+
+    known: set = set()
+    inferred: list = []
+    queue: deque = deque()
+
+    def add(fact, base=False):
+        # fact = (s, p, o_lex, o_dt, o_lang, o_num, o_ts)
+        key = fact[:3]
+        if key in known:
+            return
+        known.add(key)
+        queue.append(fact)
+        if not base:
+            inferred.append(fact)
+        s, p, o_lex, o_dt = fact[0], fact[1], fact[2], fact[3]
+        if o_dt is None and p in trans_fwd:
+            trans_fwd[p].setdefault(s, set()).add(o_lex)
+            trans_bwd[p].setdefault(o_lex, set()).add(s)
+
+    for r in rows:
+        add((r["s"], r["p"], r["o_lex"], r["o_dt"], r["o_lang"],
+             r["o_num"], r["o_ts"]), base=True)
+
+    nulls = (None, None, None, None)
+    while queue:
+        if len(inferred) > SMALL_ABOX_MAX_INFERRED:
+            return None
+        s, p, o_lex, o_dt, o_lang, o_num, o_ts = queue.popleft()
+        is_iri = o_dt is None
+        # rdfs9: type(x,c1) & sc(c1,c2) => type(x,c2)
+        if p == RDF_TYPE:
+            for c2 in sc_map.get(o_lex, ()):
+                add((s, RDF_TYPE, c2) + nulls)
+        # rdfs7: rel(s,p1,o) & sp(p1,p2) => rel(s,p2,o) (keeps literal shadow)
+        for p2 in sp_map.get(p, ()):
+            add((s, p2, o_lex, o_dt, o_lang, o_num, o_ts))
+        # rdfs2: rel(s,p,o) & dom(p,c) => type(s,c)
+        for c in dom_map.get(p, ()):
+            add((s, RDF_TYPE, c) + nulls)
+        if is_iri:
+            # rdfs3: rng    rdfp8: inverseOf    rdfp3: symmetric
+            for c in rng_map.get(p, ()):
+                add((o_lex, RDF_TYPE, c) + nulls)
+            for p2 in inv_map.get(p, ()):
+                add((o_lex, p2, s) + nulls)
+            if p in sch.symmetric:
+                add((o_lex, p, s) + nulls)
+            # rdfp4: chain through the current closure on both sides
+            if p in trans_fwd:
+                for x in list(trans_fwd[p].get(o_lex, ())):
+                    add((s, p, x) + nulls)
+                for y in list(trans_bwd[p].get(s, ())):
+                    add((y, p, o_lex) + nulls)
+
+    from graphdb_free_mocha_sa_spark.model import QUAD_SCHEMA
+    out_rows = [(graph,) + f for f in inferred]
+    return spark.createDataFrame(out_rows, QUAD_SCHEMA) if out_rows \
+        else spark.createDataFrame([], QUAD_SCHEMA)
+
+
 def owl_horst_closure(spark: SparkSession, quads: DataFrame,
                       graph: str = INFERRED_GRAPH) -> DataFrame:
     """Materialize the OWL-Horst-subset closure; returns ONLY inferred quads.
 
     Queries then read ``quads ∪ inferred`` (SURVEY §1.4 'quads_inferred').
     """
+    head = quads.select(*QUAD_COLS).limit(SMALL_ABOX_QUADS + 1).collect()
+    if len(head) <= SMALL_ABOX_QUADS:
+        small = _closure_small_abox(spark, head, graph)
+        if small is not None:
+            return small
     schema = Schema(quads)
     g = F.lit(graph)
     apply_rules = _rule_applier(spark, schema, graph)
