@@ -913,12 +913,18 @@ _DEFERRED_PAST_DRIVER_CAP = [
     "ext_approx_distinct", "ext_quantiles", "ext_dedup_minhash",
     "ext_dedup_simhash", "ext_lsh_topk", "ext_ivf_topk",
     # Oracle-backed entries whose coverage overlaps earlier entries
-    # (5 path variants, 9 scalar-function groups); all were driver-green
-    # in round 1 and stay green in the local mirror gate.
-    "b12_from_graph", "b13_path_alt_inv", "b13_path_star",
+    # (5 path variants, 9 scalar-function groups, 2 window functions);
+    # all were driver-green when last inside the prefix and stay green in
+    # the local mirror gate. b13_path_seq is a pure join chain (covered by
+    # b2 + b13_path_plus); ext_window_lag shares the window-function family
+    # with ext_window_rank. Deferring those two makes room for one
+    # streaming-window and one text-analysis entry INSIDE the checked
+    # prefix — round-3 lesson: never leave an operator family with zero
+    # driver-checked representatives.
+    "b12_from_graph", "b13_path_seq", "b13_path_alt_inv", "b13_path_star",
     "b13_path_negated", "b19_describe", "b25_sample",
     "b27_implicit_group", "func_hashes", "func_conditionals",
-    "func_lang_terms", "func_nondeterministic",
+    "func_lang_terms", "func_nondeterministic", "ext_window_lag",
 ]
 
 
@@ -997,12 +1003,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_ivf_topk": q_ext_ivf_topk,
         "ext_embed_neardup": q_ext_embed_neardup,
         "ext_ngram_jaccard": q_ext_ngram_jaccard,
-        "ext_text_tokens": q_ext_text_tokens,
+        # promoted into the checked prefix (one per family, round-4):
+        "ext_stream_tumbling": q_ext_stream_tumbling,
         "ext_text_termstats": q_ext_text_termstats,
+        "ext_text_tokens": q_ext_text_tokens,
         "ext_text_quality": q_ext_text_quality,
         "ext_fingerprint": q_ext_fingerprint,
         "ext_bpe_tokens": q_ext_bpe_tokens,
-        "ext_stream_tumbling": q_ext_stream_tumbling,
         "ext_stream_sliding": q_ext_stream_sliding,
         "ext_stream_session": q_ext_stream_session,
         "ext_multimodal": q_ext_multimodal,

@@ -1,0 +1,83 @@
+"""Warm-start artifact cache (SURVEY §1.4 load path; VERDICT r3 item 3).
+
+The engine's load-time artifacts — the RDF quad view of the star schema,
+the term dictionary, and the id-encoded quad table — are pure functions of
+the fixture parquet files. The reference persists its entity index and
+repository images on disk (GraphDB storage dir, repo-config.ttl:47-48) so a
+restart does not re-index; this module is the Spark-side analogue: artifacts
+are parquet-persisted under a directory keyed by a fingerprint of the
+source files, and any later session (same process or not) warm-starts by
+scanning parquet instead of re-deriving the artifacts.
+
+At 100 TB this is exactly the "build once, read many" table layout a real
+deployment would use (the quad table and dictionary live as catalog tables);
+the fingerprint key gives the local-fixture equivalent of table versioning —
+fixture regeneration by the driver changes mtimes, which changes the key,
+which invalidates the cache.
+
+Publishing is atomic (write to a unique temp dir, ``os.rename`` into place)
+so concurrent sessions never observe a half-written artifact; the loser of a
+publish race simply discards its temp dir and reads the winner's copy.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import uuid
+
+#: source tables that feed the RDF quad encoding (registry.load_quads)
+RDF_TABLES = ["region", "nation", "customer", "supplier",
+              "part", "orders", "lineitem"]
+
+
+def cache_root() -> str:
+    return os.environ.get("SPARK_GRAFT_CACHE_DIR", "/tmp/spark_graft_cache")
+
+
+def fixture_fingerprint(sf_dir: str, names: list[str]) -> str:
+    """Content key for the artifacts derived from ``names`` under ``sf_dir``:
+    (name, size, mtime_ns) per file — cheap, and regeneration by the driver
+    always bumps mtime."""
+    h = hashlib.sha256()
+    h.update(os.path.abspath(sf_dir).encode())
+    for n in sorted(names):
+        p = os.path.join(sf_dir, f"{n}.parquet")
+        if os.path.exists(p):
+            st = os.stat(p)
+            h.update(f"{n}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:16]
+
+
+def artifact_dir(sf_dir: str, names: list[str] | None = None) -> str:
+    """Directory all artifacts for this fixture generation live under."""
+    return os.path.join(cache_root(),
+                        fixture_fingerprint(sf_dir, names or RDF_TABLES))
+
+
+def is_published(path: str) -> bool:
+    return os.path.isfile(os.path.join(path, "_PUBLISHED"))
+
+
+def scratch_dir(final_path: str) -> str:
+    """Unique sibling temp dir to stage an artifact before publishing."""
+    d = f"{final_path}.tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def publish(tmp_path: str, final_path: str) -> bool:
+    """Atomically move ``tmp_path`` into place as ``final_path``.
+
+    Returns True if this call published; False if a concurrent session won
+    the race (the temp copy is discarded and the published copy should be
+    used instead)."""
+    open(os.path.join(tmp_path, "_PUBLISHED"), "w").close()
+    os.makedirs(os.path.dirname(final_path) or ".", exist_ok=True)
+    try:
+        os.rename(tmp_path, final_path)
+        return True
+    except OSError:
+        shutil.rmtree(tmp_path, ignore_errors=True)
+        return is_published(final_path)

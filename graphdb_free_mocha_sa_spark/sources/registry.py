@@ -37,15 +37,31 @@ def load_tables(spark: SparkSession, sf_dir: str,
     return out
 
 
-def normalize_nanos_timestamps(df: DataFrame) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark reads as BIGINT
-    under spark.sql.legacy.parquet.nanosAsLong; convert with integer division
-    (double division loses precision at ~1.7e18 ns epoch values)."""
+def normalize_event_timestamps(df: DataFrame) -> DataFrame:
+    """Normalize the fixtures' ``ts`` column to TIMESTAMP (LTZ) whatever the
+    parquet physical layout of the driver-generated fixtures:
+
+    - TIMESTAMP(NANOS)  → BIGINT under spark.sql.legacy.parquet.nanosAsLong;
+      convert with integer division (double division loses precision at
+      ~1.7e18 ns epoch values).
+    - timestamp[us] with no timezone → TIMESTAMP_NTZ; cast to TIMESTAMP.
+      The session TZ is pinned UTC (load_tables), so the wall-clock is
+      reinterpreted as the same UTC instant — semantics unchanged — and
+      watermarked streaming ops (``withWatermark`` requires TIMESTAMP)
+      work again."""
     from pyspark.sql import functions as F
     for col, dtype in df.dtypes:
-        if col == "ts" and dtype == "bigint":
+        if col != "ts":
+            continue
+        if dtype == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
+
+
+# Backward-compat alias (pre-round-4 name).
+normalize_nanos_timestamps = normalize_event_timestamps
 
 
 def load_quads(spark: SparkSession, sf_dir: str, cache: bool = True) -> DataFrame:

@@ -173,9 +173,9 @@ def run_stream_batch_equivalent(spark: SparkSession, events_parquet: str,
     ``shuffle_fraction`` > 0 writes a late-data variant (that fraction of
     rows re-ordered into a second file) — watermark handling must still
     converge to the batch answer once the backlog drains."""
-    from graphdb_free_mocha_sa_spark.sources.registry import normalize_nanos_timestamps
+    from graphdb_free_mocha_sa_spark.sources.registry import normalize_event_timestamps
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = normalize_nanos_timestamps(spark.read.parquet(events_parquet))
+    batch = normalize_event_timestamps(spark.read.parquet(events_parquet))
     batch_out = agg_fn(batch)
 
     stage = tempfile.mkdtemp(prefix="stream_src_")
