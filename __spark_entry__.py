@@ -33,10 +33,12 @@ def _engine(spark: SparkSession, sf_dir: str):
     """Engine over the RDF quad encoding of sf_dir (cached per directory)."""
     key = f"{id(spark)}:{sf_dir}"
     if key not in _ENGINES:
+        from graphdb_free_mocha_sa_spark import cache as C
         from graphdb_free_mocha_sa_spark.engine import Engine
         from graphdb_free_mocha_sa_spark.sources.registry import load_quads
         from graphdb_free_mocha_sa_spark.store import QuadStore
-        _ENGINES[key] = Engine(spark, QuadStore(spark, load_quads(spark, sf_dir)))
+        _ENGINES[key] = Engine(spark, QuadStore(spark, load_quads(spark, sf_dir)),
+                               warm_dir=C.artifact_dir(sf_dir))
     return _ENGINES[key]
 
 

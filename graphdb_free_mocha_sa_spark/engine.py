@@ -44,12 +44,17 @@ class Engine:
 
     def __init__(self, spark: SparkSession, store: QuadStore,
                  use_inference: bool = False, encoded: bool = True,
-                 use_sameas: bool = True):
+                 use_sameas: bool = True, warm_dir: str | None = None):
         self.spark = spark
         self.store = store
         self.use_inference = use_inference
         self.encoded = encoded
         self.use_sameas = use_sameas
+        #: artifact directory for the dictionary/encoded-quads warm cache
+        #: (cache.py). Only consulted while the store still holds the
+        #: snapshot it was constructed with — any mutation invalidates it.
+        self.warm_dir = warm_dir
+        self._warm_snapshot = store.df
         self._updates = UpdateExecutor(store)
         self._enc = None                      # (basis, term_dict, enc_quads)
         self._const_ids: dict = {}
@@ -106,23 +111,74 @@ class Engine:
         basis = self._basis()
         if self._enc is None or self._enc[0][0] is not basis[0] \
                 or self._enc[0][1] is not basis[1]:
-            from graphdb_free_mocha_sa_spark.dictionary import (
-                build_term_dict_full, encode_quads)
-            quads = self._quads()
-            # Pin the dictionary hash-partitioned + sorted on id: decode
-            # joins then satisfy their distribution from the cached side and
-            # only shuffle the (post-join, tiny) solution set — the dict is
-            # never reshuffled per query. localCheckpoint preserves the
-            # partitioning/ordering metadata.
             n_part = self.spark.sparkContext.defaultParallelism
-            term_dict = (build_term_dict_full(quads)
-                         .repartition(n_part, "id")
-                         .sortWithinPartitions("id")
-                         .localCheckpoint())
-            enc = encode_quads(quads, term_dict).localCheckpoint()
+            warm = self._warm_encoded_dir()
+            loaded = self._load_warm_encoded(warm, n_part) if warm else None
+            if loaded is not None:
+                term_dict, enc = loaded
+            else:
+                from graphdb_free_mocha_sa_spark.dictionary import (
+                    build_term_dict_full, encode_quads)
+                quads = self._quads()
+                # Pin the dictionary hash-partitioned + sorted on id: decode
+                # joins then satisfy their distribution from the cached side
+                # and only shuffle the (post-join, tiny) solution set — the
+                # dict is never reshuffled per query. localCheckpoint
+                # preserves the partitioning/ordering metadata.
+                term_dict = (build_term_dict_full(quads)
+                             .repartition(n_part, "id")
+                             .sortWithinPartitions("id")
+                             .localCheckpoint())
+                enc = encode_quads(quads, term_dict).localCheckpoint()
+                if warm:
+                    self._persist_warm_encoded(warm, term_dict, enc)
             self._enc = (basis, term_dict, enc)
             self._const_ids = {}
         return self._enc[1], self._enc[2]
+
+    def _warm_encoded_dir(self) -> str | None:
+        """Warm-cache dir for the encoded state, valid only for the pristine
+        fixture snapshot (no mutation, no inference closure in the basis —
+        the artifacts are pure functions of the fixture files then)."""
+        if self.warm_dir is None or self.use_inference:
+            return None
+        if self.store.df is not self._warm_snapshot:
+            return None
+        import os
+        # the artifacts are built from the sameAs-expanded view when that
+        # expansion is on — key the cache on the switch
+        sub = "encoded" if self.use_sameas else "encoded_nosameas"
+        return os.path.join(self.warm_dir, sub)
+
+    def _load_warm_encoded(self, warm: str, n_part: int):
+        """dict+enc published by an earlier session: parquet scans replace
+        the build. The two artifacts are published atomically together (one
+        rename) because the id assignment only matches within one build."""
+        from graphdb_free_mocha_sa_spark import cache as C
+        import os
+        try:
+            if not C.is_published(warm):
+                return None
+            term_dict = (self.spark.read.parquet(os.path.join(warm, "dict"))
+                         .repartition(n_part, "id")
+                         .sortWithinPartitions("id")
+                         .localCheckpoint())
+            enc = self.spark.read.parquet(os.path.join(warm, "enc")) \
+                .localCheckpoint()
+            return term_dict, enc
+        except Exception:
+            return None
+
+    def _persist_warm_encoded(self, warm: str, term_dict, enc) -> None:
+        from graphdb_free_mocha_sa_spark import cache as C
+        import os
+        try:
+            tmp = C.scratch_dir(warm)
+            term_dict.write.mode("overwrite").parquet(os.path.join(tmp, "dict"))
+            enc.write.mode("overwrite").parquet(os.path.join(tmp, "enc"))
+            C.publish(tmp, warm)
+        except Exception:
+            pass                  # unwritable cache dir — warm start is best-effort
 
     def _lookup_id(self, term_key: str):
         """term→id for one constant (cached; single-row driver lookup)."""

@@ -68,10 +68,7 @@ def load_quads(spark: SparkSession, sf_dir: str, cache: bool = True) -> DataFram
     key = (id(spark), os.path.abspath(sf_dir))
     if cache and key in _quads_cache:
         return _quads_cache[key]
-    tables = load_tables(spark, sf_dir,
-                         ["region", "nation", "customer", "supplier",
-                          "part", "orders", "lineitem"])
-    quads = encode_star_schema(tables)
+    quads = _quads_from_artifact_or_build(spark, sf_dir)
     if cache:
         # Hash-partition the cached quads by subject: star-pattern BGP
         # self-joins are s=s equi-joins, and Spark's alias-aware output
@@ -81,4 +78,35 @@ def load_quads(spark: SparkSession, sf_dir: str, cache: bool = True) -> DataFram
         n = spark.sparkContext.defaultParallelism
         quads = quads.repartition(n, "s").cache()
         _quads_cache[key] = quads
+    return quads
+
+
+def _quads_from_artifact_or_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF quad view of the star schema, warm-started from the fingerprint-
+    keyed artifact cache when a previous session already derived it (cache.py:
+    the Spark analogue of the reference persisting its entity/statement
+    indexes across restarts, repo-config.ttl:47-48). Cold path derives from
+    the parquet tables, publishes atomically, and reads the published copy
+    back so the lineage is a plain parquet scan instead of the 7-table
+    union-of-transforms."""
+    from graphdb_free_mocha_sa_spark import cache as C
+    qpath = os.path.join(C.artifact_dir(sf_dir), "quads")
+    try:
+        if C.is_published(qpath):
+            return spark.read.parquet(qpath)
+    except Exception:
+        pass
+    tables = load_tables(spark, sf_dir,
+                         ["region", "nation", "customer", "supplier",
+                          "part", "orders", "lineitem"])
+    quads = encode_star_schema(tables)
+    try:
+        tmp = C.scratch_dir(qpath)
+        quads.write.mode("overwrite").parquet(tmp)
+        if C.publish(tmp, qpath):
+            return spark.read.parquet(qpath)
+        if C.is_published(qpath):
+            return spark.read.parquet(qpath)
+    except Exception:
+        pass                     # unwritable cache dir → stay on the lineage
     return quads
