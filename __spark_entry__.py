@@ -536,6 +536,27 @@ def q_a8_insert_with_rewrite(spark, sf_dir):
     """).finalize({"s": "str", "v": "int"})
 
 
+def q_b37_txn_durable(spark, sf_dir):
+    """B37: durable safe transactions (reference: ``owlim:transaction-mode
+    "safe"`` + ``transaction-isolation "true"``, repo-config.ttl:47-48; bulk
+    load txn begin/commit/rollback GraphDBSystemAdapter.java:281-292).
+    Commits write immutable parquet segments plus an atomically-renamed log
+    entry; the assertion query runs against a RE-OPENED store instance, so
+    it exercises the recovery path, not the in-memory snapshot."""
+    import tempfile
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import DurableQuadStore
+    path = tempfile.mkdtemp(prefix="durable_store_")
+    eng = Engine(spark, DurableQuadStore(spark, path))
+    eng.update('INSERT DATA { GRAPH <urn:d> { <urn:a> <urn:p> 1 . '
+               '<urn:b> <urn:p> 2 . <urn:c> <urn:p> 3 } }')
+    eng.update('DELETE DATA { GRAPH <urn:d> { <urn:b> <urn:p> 2 } }')
+    reopened = Engine(spark, DurableQuadStore(spark, path))
+    return reopened.query(
+        'SELECT ?s ?v WHERE { GRAPH <urn:d> { ?s <urn:p> ?v } }'
+    ).finalize({"s": "str", "v": "int"})
+
+
 # ---- inference (closed-form oracles)
 
 def q_b40_inference_subclass(spark, sf_dir):
@@ -927,6 +948,10 @@ _DEFERRED_PAST_DRIVER_CAP = [
     "b13_path_negated", "b19_describe", "b25_sample",
     "b27_implicit_group", "func_hashes", "func_conditionals",
     "func_lang_terms", "func_nondeterministic", "ext_window_lag",
+    # b7b_exists shares the (NOT) EXISTS family with b7_not_exists, which
+    # stays inside the prefix; deferring it makes room for the durable-
+    # transaction entry b37_txn_durable (round-4).
+    "b7b_exists",
 ]
 
 
@@ -986,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b36_copy_add_graph": q_b36_copy_add_graph,
         "a6_versioned_bulk_load": q_a6_versioned_bulk_load,
         "a8_insert_with_rewrite": q_a8_insert_with_rewrite,
+        "b37_txn_durable": q_b37_txn_durable,
         "b40_inference_subclass": q_b40_inference_subclass,
         "b40_inference_rules": q_b40_inference_rules,
         "b41_sameas_cc": q_b41_sameas_cc,
@@ -1256,6 +1282,8 @@ def oracle_sql() -> dict[str, str]:
                                   ('http://graph.version.1', 1)) t(g, cnt)""",
         "a8_insert_with_rewrite": """
             SELECT * FROM (VALUES ('urn:e1', 10), ('urn:e2', 20)) t(s, v)""",
+        "b37_txn_durable": """
+            SELECT * FROM (VALUES ('urn:a', 1), ('urn:c', 3)) t(s, v)""",
         "b40_inference_subclass": """
             SELECT * FROM (VALUES
               ('urn:x','urn:C0'),('urn:x','urn:C1'),('urn:x','urn:C2'),

@@ -63,7 +63,23 @@ class QuadStore:
         GraphDBSystemAdapter.java:82,227 — same guarantee, shorter critical
         section: only driver-side plan building happens under the lock)."""
         with self._lock:
-            self._df = fn(self._df)
+            self._commit_rewrite(fn(self._df))
+
+    def _append(self, delta: DataFrame):
+        """Append-only commit (INSERT DATA / bulk load): the durable
+        subclass persists just the delta segment instead of the snapshot."""
+        with self._lock:
+            self._commit_append(delta.select(*QUAD_COLS))
+
+    # Commit hooks (called with the lock held). The in-memory store swaps
+    # the snapshot reference; DurableQuadStore overrides both to write
+    # through to the parquet segment log first (B37 safe transactions).
+
+    def _commit_rewrite(self, new_df: DataFrame):
+        self._df = new_df
+
+    def _commit_append(self, delta: DataFrame):
+        self._df = self._df.unionByName(delta)
 
     # -- writes ---------------------------------------------------------
 
@@ -76,13 +92,13 @@ class QuadStore:
                 owl_horst_increment)
             new_inf = owl_horst_increment(self.spark, self._df,
                                           self._inferred, delta)
-            self._mutate(lambda df: df.unionByName(delta))
+            self._append(delta)
             if new_inf is None:              # TBox changed: re-materialize
                 self.materialize_inference()
             elif not new_inf.isEmpty():
                 self._inferred = self._inferred.unionByName(new_inf)
             return
-        self._mutate(lambda df: df.unionByName(delta))
+        self._append(delta)
 
     def delete_quads(self, quads: DataFrame):
         victim = quads.select(*QUAD_COLS)
@@ -102,8 +118,12 @@ class QuadStore:
             staged = quads.select(
                 F.lit(graph).alias("g"),
                 *[F.col(c) for c in QUAD_COLS if c != "g"])
-            self._df = self._df.unionByName(staged)
-            self._version += 1
+            self._version += 1       # before commit: the log records it
+            try:
+                self._commit_append(staged)
+            except Exception:
+                self._version -= 1   # rollback (reference: :292, txn abort)
+                raise
         return graph
 
     def clear_graph(self, target: str):
@@ -160,6 +180,140 @@ class QuadStore:
     @classmethod
     def read_parquet(cls, spark: SparkSession, path: str) -> "QuadStore":
         return cls(spark, spark.read.parquet(path))
+
+
+class DurableQuadStore(QuadStore):
+    """QuadStore that commits through to disk (B37: the reference runs
+    GraphDB in safe-transaction mode, ``owlim:transaction-mode "safe"`` /
+    ``transaction-isolation "true"``, repo-config.ttl:47-48, with durable
+    storage surviving container restarts).
+
+    Layout — a minimal transaction log over immutable parquet segments::
+
+        path/_log/00000001.json   {"txn":1,"segments":["seg-..."],"version":N}
+        path/seg-00000001-ab12cd34/g_part=.../part-*.parquet
+
+    * **Appends** (INSERT DATA, versioned bulk load, streaming micro-batch)
+      write ONLY the delta as a new segment — O(delta) per commit, the same
+      cost shape Delta Lake gives a 100 TB table — then publish a log entry
+      naming the new live-segment list.
+    * **Rewrites** (DELETE/CLEAR/COPY/MOVE) write one compacted snapshot
+      segment. Appends also compact when the segment count passes
+      :attr:`SEGMENT_COMPACT_THRESHOLD`, bounding read fan-in.
+    * **Atomicity/rollback**: the log entry is written to a temp file and
+      ``os.rename``d into place; a failed segment write (e.g. a parse error
+      surfacing while the delta lineage executes) leaves the log untouched —
+      the transaction never happened, mirroring the reference's
+      begin/commit/rollback bulk load (GraphDBSystemAdapter.java:281-292).
+    * **Snapshot isolation**: segments are immutable and a rewrite does not
+      delete superseded segments, so a reader that pinned ``store.df``
+      before the commit keeps a fully readable snapshot; ``vacuum()``
+      reclaims unreferenced segments once old readers are gone.
+    * Graph filters prune at the segment scan (``g_part`` partition layout,
+      see :func:`persist_quads`) — the durable analogue of the reference's
+      context index.
+
+    The inference closure (``_inferred``) stays in-memory: it is derivable
+    from the base facts and re-materialized on demand after recovery.
+    """
+
+    SEGMENT_COMPACT_THRESHOLD = 16
+
+    def __init__(self, spark: SparkSession, path: str):
+        import os
+        self.spark = spark        # needed by _read_segments before super()
+        self.path = path
+        self._log_dir = os.path.join(path, "_log")
+        os.makedirs(self._log_dir, exist_ok=True)
+        entry = self._latest_log()
+        self._txn = entry["txn"] if entry else 0
+        self._segments: list[str] = list(entry["segments"]) if entry else []
+        super().__init__(spark, self._read_segments(self._segments)
+                         if self._segments else None)
+        if entry:
+            self._version = entry["version"]
+
+    # -- log + segment primitives ----------------------------------------
+
+    def _latest_log(self) -> Optional[dict]:
+        import json
+        import os
+        names = sorted(n for n in os.listdir(self._log_dir)
+                       if n.endswith(".json"))
+        if not names:
+            return None
+        with open(os.path.join(self._log_dir, names[-1])) as fh:
+            return json.load(fh)
+
+    def _read_segments(self, segs: list[str]) -> DataFrame:
+        import os
+        if not segs:
+            return self.spark.createDataFrame([], QUAD_SCHEMA)
+        dfs = [load_persisted_quads(self.spark, os.path.join(self.path, s))
+               for s in segs]
+        out = dfs[0].select(*QUAD_COLS)
+        for d in dfs[1:]:
+            out = out.unionByName(d.select(*QUAD_COLS))
+        return out
+
+    def _write_segment(self, df: DataFrame) -> Optional[str]:
+        """Persist ``df`` as an immutable segment; None for an empty delta
+        (an empty partitioned write leaves nothing readable behind)."""
+        import os
+        import shutil
+        import uuid
+        seg = f"seg-{self._txn + 1:08d}-{uuid.uuid4().hex[:8]}"
+        full = os.path.join(self.path, seg)
+        persist_quads(df.select(*QUAD_COLS), full)
+        if not any(e.startswith("g_part=") for e in os.listdir(full)):
+            shutil.rmtree(full, ignore_errors=True)
+            return None
+        return seg
+
+    def _commit_log(self) -> None:
+        import json
+        import os
+        import uuid
+        self._txn += 1
+        tmp = os.path.join(self._log_dir, f".tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            json.dump({"txn": self._txn, "segments": self._segments,
+                       "version": self._version}, fh)
+        os.rename(tmp, os.path.join(self._log_dir, f"{self._txn:08d}.json"))
+
+    # -- commit hooks (lock held by callers) ------------------------------
+
+    def _commit_append(self, delta: DataFrame):
+        if len(self._segments) >= self.SEGMENT_COMPACT_THRESHOLD:
+            self._commit_rewrite(self._df.unionByName(delta))
+            return
+        seg = self._write_segment(delta)
+        if seg is None:
+            return                     # empty delta: no transaction needed
+        self._segments = self._segments + [seg]
+        self._commit_log()
+        self._df = self._df.unionByName(
+            self._read_segments([seg]))
+
+    def _commit_rewrite(self, new_df: DataFrame):
+        seg = self._write_segment(new_df)
+        self._segments = [seg] if seg else []
+        self._commit_log()
+        self._df = self._read_segments(self._segments)
+
+    def vacuum(self) -> int:
+        """Delete segments no longer referenced by the latest log entry
+        (old pinned snapshots become unreadable — call when quiesced)."""
+        import os
+        import shutil
+        live = set(self._segments)
+        n = 0
+        for name in os.listdir(self.path):
+            if name.startswith("seg-") and name not in live:
+                shutil.rmtree(os.path.join(self.path, name),
+                              ignore_errors=True)
+                n += 1
+        return n
 
 
 # ---------------------------------------------------------------- durable layout

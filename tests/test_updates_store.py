@@ -8,10 +8,14 @@ import pytest
 from pyspark.sql import functions as F
 
 
-@pytest.fixture()
-def store(spark):
-    from graphdb_free_mocha_sa_spark.store import QuadStore
-    return QuadStore(spark)
+@pytest.fixture(params=["memory", "durable"])
+def store(spark, request, tmp_path):
+    """Every lifecycle test runs against BOTH the in-memory snapshot store
+    and the durable segment-log store (B37) — identical semantics required."""
+    from graphdb_free_mocha_sa_spark.store import DurableQuadStore, QuadStore
+    if request.param == "memory":
+        return QuadStore(spark)
+    return DurableQuadStore(spark, str(tmp_path / "dstore"))
 
 
 @pytest.fixture()
@@ -141,6 +145,62 @@ def test_persisted_quads_partition_pruning(spark, quads, tmp_path):
     # round trip preserves content
     assert pinned.count() == small.count()
     assert back.count() == 2 * small.count()
+
+
+def test_durable_store_recovery(spark, tmp_path):
+    """B37 durability: a fresh store instance over the same path recovers
+    the committed state AND the version counter; graph filters prune at the
+    partition level in the recovered scans."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.model import GRAPH_VERSION_PREFIX, QUAD_SCHEMA
+    from graphdb_free_mocha_sa_spark.store import DurableQuadStore
+    path = str(tmp_path / "dstore")
+    st = DurableQuadStore(spark, path)
+    eng = Engine(spark, st)
+    eng.update('INSERT DATA { GRAPH <urn:g1> { <urn:a> <urn:p> "v1" . '
+               '<urn:a> <urn:p> "v2" } }')
+    rows = [(None, "urn:s1", "urn:p", "o", None, None, None, None)]
+    st.load_version(spark.createDataFrame(rows, QUAD_SCHEMA))
+    eng.update('DELETE DATA { GRAPH <urn:g1> { <urn:a> <urn:p> "v1" } }')
+
+    st2 = DurableQuadStore(spark, path)        # reopen — no shared state
+    assert st2.version == st.version == 1
+    assert st2.df.count() == 2
+    assert g_count(st2, "urn:g1") == 1
+    assert g_count(st2, GRAPH_VERSION_PREFIX + "0") == 1
+    # graph predicate prunes partitions in the recovered segment scan
+    plan = (st2.df.where(F.col("g") == "urn:g1")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan
+
+
+def test_durable_snapshot_survives_rewrite(spark, tmp_path):
+    """A pinned reader snapshot stays readable across a destructive commit
+    (segments are immutable; rewrites do not delete them)."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import DurableQuadStore
+    st = DurableQuadStore(spark, str(tmp_path / "dstore"))
+    eng = Engine(spark, st)
+    eng.update('INSERT DATA { GRAPH <urn:g> { <urn:a> <urn:p> "x" } }')
+    pinned = st.df
+    eng.update('CLEAR GRAPH <urn:g>')
+    assert st.df.count() == 0
+    assert pinned.count() == 1                 # old snapshot intact
+    assert st.vacuum() >= 1                    # then reclaim old segments
+
+
+def test_durable_append_compaction(spark, tmp_path):
+    """Appends past the threshold compact to one segment — read fan-in is
+    bounded no matter how many micro-batch commits arrive."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import DurableQuadStore
+    st = DurableQuadStore(spark, str(tmp_path / "dstore"))
+    st.SEGMENT_COMPACT_THRESHOLD = 4
+    eng = Engine(spark, st)
+    for i in range(6):
+        eng.update(f'INSERT DATA {{ <urn:s{i}> <urn:p> {i} }}')
+    assert st.df.count() == 6
+    assert len(st._segments) <= 4
 
 
 def test_salted_join_equals_plain_join(spark, tables):
