@@ -231,16 +231,16 @@ class Translator:
             # no shared vars: MINUS keeps everything (SPARQL compat edge case)
             return left if how == "left_anti" else left
 
-        if how == "inner" and extra is None and len(compat) == 1:
+        if how == "inner" and extra is None and compat:
             # Compatibility semantics via a UNION of EQUI-joins instead of a
             # non-equi OR-condition (which Catalyst can only execute as a
             # BroadcastNestedLoopJoin — O(n·m) at scale). Partition both
-            # sides on boundness of the compat var: bound⋈bound is a hash
-            # equi-join (the bulk of the data); the unbound slivers — rows
-            # where OPTIONAL/UNION/UNDEF left the var unbound, typically
-            # tiny — match anything, i.e. join on the remaining strict keys
-            # only. Multi-compat-var joins (4^k pieces) keep the fallback.
-            joined = self._compat_union_join(left, r2, next(iter(compat)),
+            # sides on the boundness bitmask of the compat vars: the
+            # all-bound⋈all-bound piece is a hash equi-join (the bulk of
+            # the data); the unbound slivers — rows where OPTIONAL/UNION/
+            # UNDEF left vars unbound, typically tiny — join on whatever
+            # keys ARE bound on both sides.
+            joined = self._compat_union_join(left, r2, sorted(compat),
                                              [u for u in shared
                                               if u not in compat], suffix)
         else:
@@ -280,30 +280,119 @@ class Translator:
         # drop duplicated shared families from the right
         return joined.drop(*[c + suffix for v in shared for c in var_cols(v)])
 
-    def _compat_union_join(self, left: DataFrame, r2: DataFrame, v: str,
-                           strict: list[str], suffix: str) -> DataFrame:
-        """(bound⋈bound on v) ∪ (bound×unbound) ∪ (unbound×bound) ∪
-        (unbound×unbound), each an equi-join on the strict shared vars.
-        The four pieces partition the row pairs, so no duplicates arise."""
-        def strict_cond(l: DataFrame, r: DataFrame) -> Column:
-            c = F.lit(True)
-            for u in strict:
-                c = c & (l[u] == r[u + suffix])
-            return c
+    #: above this many compat vars, enumerate only the boundness masks that
+    #: actually occur (two tiny distinct jobs) instead of all 4^k pieces
+    COMPAT_STATIC_MAX_VARS = 2
 
-        lb, ln = left.filter(left[v].isNotNull()), left.filter(left[v].isNull())
-        rb = r2.filter(r2[v + suffix].isNotNull())
-        rn = r2.filter(r2[v + suffix].isNull())
-        pieces = [
-            lb.join(rb, strict_cond(lb, rb) & (lb[v] == rb[v + suffix]), "inner"),
-            lb.join(rn, strict_cond(lb, rn), "inner"),
-            ln.join(rb, strict_cond(ln, rb), "inner"),
-            ln.join(rn, strict_cond(ln, rn), "inner"),
-        ]
+    def _bound_mask(self, df: DataFrame, names: list[str]) -> Column:
+        """Bitmask column: bit i set ⇔ names[i] is bound on this row."""
+        m = F.lit(0)
+        for i, c in enumerate(names):
+            m = m + F.when(df[c].isNotNull(), F.lit(1 << i)).otherwise(F.lit(0))
+        return m
+
+    def _side_masks(self, df: DataFrame, col: str, k: int) -> list[int]:
+        if k <= self.COMPAT_STATIC_MAX_VARS:
+            return list(range(1 << k))
+        return sorted(r[0] for r in df.select(col).distinct().collect())
+
+    def _compat_union_join(self, left: DataFrame, r2: DataFrame,
+                           compat: list[str], strict: list[str],
+                           suffix: str) -> DataFrame:
+        """Compatibility join as a UNION of hash EQUI-joins, any number of
+        maybe-unbound shared vars.
+
+        Partition each side by the boundness bitmask of its compat vars (an
+        unbound var is compatible with anything; values must merge when both
+        bound). A (left-mask, right-mask) piece then needs equality exactly
+        on the vars bound on BOTH sides — plus the strict always-bound keys
+        — so every piece is hash-joinable. The mask pieces partition the
+        row-pair space, so the union has no duplicates. For k ≤ 2 all 4^k
+        pieces are enumerated statically (empty ones are pruned by AQE at
+        runtime); beyond that, only the masks actually present on each side
+        (two tiny distinct collects, ≤ 2^k rows) keep the plan bounded."""
+        k = len(compat)
+        lm_col, rm_col = self._uniq("__bml"), self._uniq("__bmr")
+        # Materialize both inputs ONCE before fanning out into mask pieces:
+        # without this every piece re-executes its input subtree, and
+        # CHAINED compat joins (OPTIONAL after OPTIONAL) multiply — 4^depth
+        # re-executions. Lazy localCheckpoint = one computation, all pieces
+        # scan the pinned partitions.
+        lt = left.withColumn(lm_col, self._bound_mask(left, compat)) \
+                 .localCheckpoint(eager=False)
+        rt = r2.withColumn(
+            rm_col, self._bound_mask(r2, [v + suffix for v in compat])) \
+            .localCheckpoint(eager=False)
+        r_masks = self._side_masks(rt, rm_col, k)
+        pieces: list[DataFrame] = []
+        for lm in self._side_masks(lt, lm_col, k):
+            lp = lt.filter(F.col(lm_col) == lm).drop(lm_col)
+            for rm in r_masks:
+                rp = rt.filter(F.col(rm_col) == rm).drop(rm_col)
+                keys = strict + [v for i, v in enumerate(compat)
+                                 if (lm >> i) & 1 and (rm >> i) & 1]
+                if keys:
+                    cond = F.lit(True)
+                    for u in keys:
+                        cond = cond & (lp[u] == rp[u + suffix])
+                    pieces.append(lp.join(rp, cond, "inner"))
+                else:
+                    # no key bound on both sides: every pair is compatible
+                    # (both slivers are typically tiny)
+                    pieces.append(lp.crossJoin(rp))
         out = pieces[0]
         for piece in pieces[1:]:
             out = out.unionByName(piece)
         return out
+
+    def _minus_mask_anti(self, left: DataFrame, right: DataFrame,
+                         shared: list[str]) -> DataFrame:
+        """Spec-exact MINUS (§8.3) with maybe-unbound shared vars as HASH
+        equi anti-joins only — no non-equi ``compat & overlap`` condition
+        (which Catalyst executes as a BroadcastNestedLoopJoin at scale).
+
+        Same mask decomposition as :meth:`_compat_union_join`: partition
+        both sides by the boundness bitmask of the maybe-unbound shared
+        vars. For a (left-mask, right-mask) pair the removal condition is
+        equality on the always-bound shared vars plus the compat vars bound
+        on BOTH sides; if that key set is empty there is no domain overlap
+        and the pair removes nothing. Each left piece anti-joins every
+        overlapping right piece in a chain (survive = compatible with NO μ′
+        = survive every anti-join), then the pieces union back."""
+        left, right = self._normalize_shared(left, right, shared)
+        suffix = self._uniq("__MN")
+        compat = sorted(v for v in shared
+                        if _maybe_unbound(left, v) or _maybe_unbound(right, v))
+        always = [v for v in shared if v not in compat]
+        k = len(compat)
+        r2 = right.select(*[F.col(v).alias(v + suffix) for v in shared]) \
+                  .dropDuplicates()
+        lm_col, rm_col = self._uniq("__mml"), self._uniq("__mmr")
+        # same piece-fan-out reuse rationale as _compat_union_join
+        lt = left.withColumn(lm_col, self._bound_mask(left, compat)) \
+                 .localCheckpoint(eager=False)
+        rt = r2.withColumn(
+            rm_col, self._bound_mask(r2, [v + suffix for v in compat])) \
+            .localCheckpoint(eager=False)
+        r_masks = self._side_masks(rt, rm_col, k)
+        out: Optional[DataFrame] = None
+        for lm in self._side_masks(lt, lm_col, k):
+            lp = lt.filter(F.col(lm_col) == lm).drop(lm_col)
+            for rm in r_masks:
+                keys = always + [v for i, v in enumerate(compat)
+                                 if (lm >> i) & 1 and (rm >> i) & 1]
+                if not keys:
+                    continue          # no var bound on both ⇒ no overlap
+                rp = (rt.filter(F.col(rm_col) == rm)
+                      .select(*[F.col(v + suffix) for v in keys])
+                      .dropDuplicates())
+                cond = F.lit(True)
+                for v in keys:
+                    cond = cond & (lp[v] == rp[v + suffix])
+                lp = lp.join(rp, cond, "left_anti")
+            out = lp if out is None else out.unionByName(lp)
+        return out.drop(lm_col) if out is not None and lm_col in out.columns \
+            else out
 
     # ------------------------------------------------------------ scans
 
@@ -471,17 +560,7 @@ class Translator:
             # compatible AND dom(μ)∩dom(μ′)≠∅ — i.e. every shared var is
             # unbound-on-a-side or equal, AND at least one is bound on BOTH.
             # (A both-unbound var does NOT create domain overlap.)
-            left, right = self._normalize_shared(left, right, shared)
-            suffix = self._uniq("__MN")
-            r2 = right.select(*[F.col(v).alias(v + suffix) for v in shared]) \
-                      .dropDuplicates()
-            compat_c = F.lit(True)
-            overlap = F.lit(False)
-            for v in shared:
-                lc, rc = left[v], r2[v + suffix]
-                compat_c = compat_c & (lc.isNull() | rc.isNull() | (lc == rc))
-                overlap = overlap | (lc.isNotNull() & rc.isNotNull())
-            return left.join(r2, compat_c & overlap, "left_anti")
+            return self._minus_mask_anti(left, right, shared)
         if isinstance(node, A.Filter):
             df = self.translate(node.pattern, gctx)
             expr = node.expr

@@ -118,6 +118,53 @@ def test_compat_join_bulk_path_is_hash_join(spark):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan[:3000]
 
 
+def test_compat_join_two_unbound_vars_no_nested_loop(spark):
+    """Round-4: TWO maybe-unbound shared vars used to fall back to the
+    non-equi OR-condition (BroadcastNestedLoopJoin). The generalized mask
+    decomposition must keep every piece a hash equi-join."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark))
+    eng.update("""INSERT DATA {
+        <urn:a> <urn:p> <urn:m1> . <urn:a> <urn:p2> <urn:n1> .
+        <urn:b> <urn:q> 1 .
+        <urn:m1> <urn:r> "x" . <urn:m2> <urn:r> "x2" .
+        <urn:n1> <urn:r2> "y" . }""")
+    df = eng.query("""
+        SELECT ?s ?v ?w WHERE {
+          { ?s <urn:q> 1 } UNION { ?s <urn:p> ?m . ?s <urn:p2> ?n }
+          ?m <urn:r> ?v . ?n <urn:r2> ?w .
+        }""").finalize({"s": "str", "v": "str", "w": "str"})
+    rows = sorted(tuple(r) for r in df.collect())
+    # unbound ?m/?n (UNION left branch) are compatible with every binding
+    assert rows == [("urn:a", "x", "y"),
+                    ("urn:b", "x", "y"), ("urn:b", "x2", "y")]
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
+def test_minus_maybe_unbound_is_hash_anti_join(spark):
+    """Round-4: spec-exact MINUS with a maybe-unbound shared var must run
+    as equi anti-joins (mask decomposition), not a non-equi anti-join."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark))
+    eng.update("""INSERT DATA {
+        <urn:a> <urn:p> <urn:m1> . <urn:b> <urn:q> 1 .
+        <urn:m1> <urn:r> "z" . }""")
+    df = eng.query("""
+        SELECT ?s ?m WHERE {
+          { ?s <urn:p> ?m } UNION { ?s <urn:q> 1 }
+          MINUS { ?m <urn:r> ?v }
+        }""").finalize({"s": "str", "m": "str"})
+    rows = sorted((r[0], r[1]) for r in df.collect())
+    # (a,m1) removed (compatible + overlap on ?m); (b,unbound) kept (§8.3:
+    # a both-unbound var creates no domain overlap)
+    assert rows == [("urn:b", None)]
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
 def test_parquet_scan_prunes_columns_and_pushes_filters(spark):
     df = (spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
           .where(F.col("o_totalprice") > 100000)
