@@ -207,8 +207,11 @@ class SubSelect:
 class Service:
     """SERVICE federation (B20): the inner group is re-sent to a remote
     SPARQL endpoint as text; ``pattern`` keeps the parsed form for variable
-    analysis. SILENT failures yield the unit solution."""
-    endpoint: IRI
+    analysis. SILENT failures yield the unit solution. The endpoint may be
+    a variable (reference accepts arbitrary SPARQL incl. ``SERVICE ?ep``,
+    GraphDBSystemAdapter.java:246 via jena-arq): it must then be bound by
+    the upstream pattern and the group executes once per distinct value."""
+    endpoint: Term                # IRI or Var
     pattern: "Pattern"
     silent: bool
     query: str

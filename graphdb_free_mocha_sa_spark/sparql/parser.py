@@ -464,10 +464,9 @@ class Parser:
                 self.next()
                 silent = self.accept_kw("SILENT") is not None
                 ep = self.parse_term()
-                if not isinstance(ep, IRI):
+                if not isinstance(ep, (IRI, Var)):
                     raise SparqlSyntaxError(
-                        "SERVICE endpoint must be an IRI (variable endpoints "
-                        "are out of scope)")
+                        "SERVICE endpoint must be an IRI or a variable")
                 start = self.peek().pos          # the '{' of the group
                 inner = self.parse_group_graph_pattern()
                 end = self.tokens[self.i - 1].pos  # its matching '}'

@@ -522,6 +522,16 @@ class Translator:
                 df = self._join(df, self._scan_triple(tp, gctx))
             return df
         if isinstance(node, A.Join):
+            # SERVICE with a variable endpoint binds against the OTHER side
+            # of the join (per-distinct-endpoint execution)
+            if isinstance(node.right, A.Service) \
+                    and isinstance(node.right.endpoint, A.Var):
+                return self._service_var_join(
+                    self.translate(node.left, gctx), node.right)
+            if isinstance(node.left, A.Service) \
+                    and isinstance(node.left.endpoint, A.Var):
+                return self._service_var_join(
+                    self.translate(node.right, gctx), node.left)
             return self._join(self.translate(node.left, gctx),
                               self.translate(node.right, gctx))
         if isinstance(node, A.LeftJoin):
@@ -597,26 +607,82 @@ class Translator:
         normal join machinery combine it with the local pattern. One driver-
         side HTTP round trip per SERVICE clause — the remote result set is
         assumed endpoint-sized, exactly as in the reference's federation
-        (RDF4J SERVICE). SILENT failures yield the unit solution."""
+        (RDF4J SERVICE). SILENT failures yield the unit solution.
+
+        A VARIABLE endpoint reaching this method was not bound by any
+        upstream pattern (the bound case is routed through
+        :meth:`_service_var_join` by the Join translation): per SPARQL 1.1
+        Federated Query that evaluation is an error."""
+        if isinstance(node.endpoint, A.Var):
+            if node.silent:
+                return self._unit()
+            raise ValueError(
+                f"SERVICE ?{node.endpoint.name}: endpoint variable is not "
+                "bound by the upstream pattern")
+        try:
+            return self._service_fetch(node.endpoint.value, node.query)
+        except Exception:
+            if node.silent:
+                return self._unit()
+            raise
+
+    def _service_var_join(self, left: DataFrame, node: A.Service) -> DataFrame:
+        """``<upstream> SERVICE ?ep { G }`` — execute the captured group
+        once per distinct upstream value of ?ep (the reference's jena-arq
+        behaviour for bound service variables), joining each endpoint's
+        bindings with the upstream rows that carried that endpoint.
+
+        The distinct-endpoint collect is driver-side by design: endpoint
+        values name physical SPARQL services, so their cardinality is small
+        regardless of data scale. The upstream side is lazily checkpointed
+        so the per-endpoint pieces share one computation."""
+        ep = node.endpoint.name
+        if ep not in var_names(left):
+            if node.silent:
+                return left
+            raise ValueError(
+                f"SERVICE ?{ep}: endpoint variable is not bound by the "
+                "upstream pattern")
+        left = self._string_rep(left, [ep]).localCheckpoint(eager=False)
+        eps = [r[0] for r in left.select(ep).dropDuplicates().collect()]
+        out: Optional[DataFrame] = None
+        for e in sorted(eps, key=lambda x: (x is None, x)):
+            lp = left.filter(F.col(ep).isNull() if e is None
+                             else F.col(ep) == e)
+            if e is None:
+                # rows where ?ep itself is unbound cannot name a service
+                if not node.silent:
+                    raise ValueError(
+                        f"SERVICE ?{ep}: endpoint variable unbound on some "
+                        "solutions")
+                piece = lp                      # SILENT: unit solution
+            else:
+                try:
+                    piece = self._join(lp, self._service_fetch(e, node.query))
+                except Exception:
+                    if not node.silent:
+                        raise
+                    piece = lp
+            out = piece if out is None else _union_pad(out, piece)
+        return out if out is not None else left.limit(0)
+
+    def _service_fetch(self, endpoint: str, query: str) -> DataFrame:
+        """One HTTP round trip: POST ``query``, decode the
+        SPARQL-Results-JSON bindings into a solution DataFrame."""
         import json as _json
         import urllib.error
         import urllib.parse
         import urllib.request
 
-        try:
-            data = urllib.parse.urlencode({"query": node.query}).encode()
-            req = urllib.request.Request(
-                node.endpoint.value, data=data,
-                headers={"Content-Type": "application/x-www-form-urlencoded",
-                         "Accept": "application/sparql-results+json"})
-            with urllib.request.urlopen(req, timeout=60) as resp:
-                payload = _json.loads(resp.read().decode("utf-8"))
-            variables = payload["head"]["vars"]
-            bindings = payload["results"]["bindings"]
-        except Exception:
-            if node.silent:
-                return self._unit()
-            raise
+        data = urllib.parse.urlencode({"query": query}).encode()
+        req = urllib.request.Request(
+            endpoint, data=data,
+            headers={"Content-Type": "application/x-www-form-urlencoded",
+                     "Accept": "application/sparql-results+json"})
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            payload = _json.loads(resp.read().decode("utf-8"))
+        variables = payload["head"]["vars"]
+        bindings = payload["results"]["bindings"]
 
         from pyspark.sql.types import (DoubleType, StringType, StructField,
                                        StructType, TimestampType)

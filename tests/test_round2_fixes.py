@@ -250,6 +250,43 @@ def test_service_non_silent_failure_raises(fresh_eng):
         """).finalize({"s": "str"}).collect()
 
 
+def test_service_variable_endpoint_values_bound(fresh_eng, remote_endpoint):
+    """Round-4: SERVICE ?ep with the endpoint bound upstream (VALUES) —
+    executes the group against that endpoint and joins (reference accepts
+    arbitrary SPARQL incl. variable endpoints via jena-arq,
+    GraphDBSystemAdapter.java:246)."""
+    got = _rows(fresh_eng, f"""
+        SELECT ?s ?lab WHERE {{
+          VALUES ?ep {{ <{remote_endpoint}> }}
+          SERVICE ?ep {{ ?s <urn:r:label> ?lab }}
+        }}""", {"s": "str", "lab": "str"})
+    assert got == [("urn:r:x", "remote-x"), ("urn:r:y", "remote-y")]
+
+
+def test_service_variable_endpoint_silent_mixed(fresh_eng, remote_endpoint):
+    """Two upstream endpoint values, one unreachable, SILENT: the reachable
+    one joins its bindings; the unreachable one degrades to the unit
+    solution (its upstream row survives with the service vars unbound)."""
+    got = _rows(fresh_eng, f"""
+        SELECT ?ep ?s ?lab WHERE {{
+          VALUES ?ep {{ <{remote_endpoint}> <http://127.0.0.1:9/unreachable> }}
+          SERVICE SILENT ?ep {{ ?s <urn:r:label> ?lab }}
+        }}""", {"ep": "str", "s": "str", "lab": "str"})
+    assert ("http://127.0.0.1:9/unreachable", None, None) in got
+    assert (remote_endpoint, "urn:r:x", "remote-x") in got
+    assert (remote_endpoint, "urn:r:y", "remote-y") in got
+    assert len(got) == 3
+
+
+def test_service_variable_endpoint_unbound_raises(fresh_eng):
+    import pytest as _pytest
+    fresh_eng.update('INSERT DATA { <urn:a> <urn:p> 1 }')
+    with _pytest.raises(Exception):
+        fresh_eng.query("""
+            SELECT ?s WHERE { ?s <urn:p> 1 . SERVICE ?ep { ?s ?q ?o } }
+        """).finalize({"s": "str"}).collect()
+
+
 # ----------------------------------- adapter plumbing: A14 framing, A15 meter
 
 
