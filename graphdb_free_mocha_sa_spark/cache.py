@@ -36,17 +36,30 @@ def cache_root() -> str:
     return os.environ.get("SPARK_GRAFT_CACHE_DIR", "/tmp/spark_graft_cache")
 
 
+#: bytes sampled from each end of a fixture file for the content key
+_SAMPLE = 1 << 20
+
+
 def fixture_fingerprint(sf_dir: str, names: list[str]) -> str:
     """Content key for the artifacts derived from ``names`` under ``sf_dir``:
-    (name, size, mtime_ns) per file — cheap, and regeneration by the driver
-    always bumps mtime."""
+    (name, size, head-sample hash, tail-sample hash) per file. Content-based
+    on purpose — a driver that REGENERATES byte-identical fixtures (new
+    mtimes) must still warm-start; actually-different data changes the size
+    or the sampled bytes (parquet footers encode row-group offsets/stats,
+    so same-size different-content files differ in the tail sample)."""
     h = hashlib.sha256()
     h.update(os.path.abspath(sf_dir).encode())
     for n in sorted(names):
         p = os.path.join(sf_dir, f"{n}.parquet")
-        if os.path.exists(p):
-            st = os.stat(p)
-            h.update(f"{n}:{st.st_size}:{st.st_mtime_ns};".encode())
+        if not os.path.exists(p):
+            continue
+        size = os.path.getsize(p)
+        h.update(f"{n}:{size};".encode())
+        with open(p, "rb") as fh:
+            h.update(fh.read(_SAMPLE))
+            if size > 2 * _SAMPLE:
+                fh.seek(-_SAMPLE, os.SEEK_END)
+                h.update(fh.read(_SAMPLE))
     return h.hexdigest()[:16]
 
 

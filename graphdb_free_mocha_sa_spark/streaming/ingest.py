@@ -74,13 +74,14 @@ def stream_inserts_from_files(spark: SparkSession, store: QuadStore,
     GraphDBSystemAdapter.java:306-315).
 
     Scale shape (EP2): the message PARSE runs on the executors
-    (mapPartitions over the micro-batch), and a batch consisting solely of
-    ground INSERT DATA — the streaming hot path — is appended as ONE quad
-    DataFrame in one snapshot swap, so driver work per batch is O(1), not
-    O(messages). Batches containing pattern updates/deletes fall back to
-    per-message serial execution, preserving intra-batch ordering (the
-    reference's own 2-thread pool does not guarantee cross-message order
-    either, GraphDBSystemAdapter.java:82)."""
+    (mapPartitions over the micro-batch), and the ground INSERT DATA
+    messages — the streaming hot path — append as ONE quad DataFrame in one
+    snapshot swap, so driver work per batch is O(1), not O(messages). In a
+    MIXED batch only the (rare) pattern-update/delete messages' raw text
+    reaches the driver for serial execution — never the whole batch. Like
+    the reference's 2-thread update pool (GraphDBSystemAdapter.java:82),
+    cross-message ordering within a batch is not guaranteed; the insert
+    bulk lands first, then the non-insert stragglers in message order."""
     executor = UpdateExecutor(store)
     stream = spark.readStream.format("text").load(updates_dir)
 
@@ -88,18 +89,12 @@ def stream_inserts_from_files(spark: SparkSession, store: QuadStore,
         parsed = spark.createDataFrame(
             batch_df.rdd.mapPartitions(_parse_messages), _PARSED_SCHEMA
         ).localCheckpoint()
-        raw = [r.text for r in
-               parsed.filter(~F.col("is_quads")).select("text").collect()]
-        if raw:
-            # mixed batch (rare): keep strict per-message semantics
-            for row in batch_df.collect():
-                if row.value.strip():
-                    executor.execute(row.value)
-            return
         quads = parsed.filter(F.col("is_quads")) \
                       .select(*[F.col(c) for c in QUAD_COLS])
         if not quads.isEmpty():
             store.add_quads(quads)
+        for r in parsed.filter(~F.col("is_quads")).select("text").collect():
+            executor.execute(r.text)
 
     ckpt = tempfile.mkdtemp(prefix="ckpt_ing_")
     q = (stream.writeStream.foreachBatch(apply_batch)

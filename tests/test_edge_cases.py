@@ -205,6 +205,47 @@ def test_random_union_join_vs_oracle(eng_fixtures, duck, quads):
         assert got == want, f"case {case}: {sparql}"
 
 
+def test_random_two_unbound_compat_join_vs_oracle(eng_fixtures, duck, quads):
+    """Round-4: random queries where ONE join carries TWO maybe-unbound
+    shared vars (left side mixes boundness masks (1,1)/(1,0)/(0,0) via
+    OPTIONAL-inside-UNION; the subselect right side binds both) — the
+    generalized mask-decomposition path. Oracle: explicit compat join with
+    NULL-matches-anything semantics and COALESCE value merge."""
+    engine, _ = eng_fixtures
+    _duck_quads(duck, quads)
+    rng = random.Random(20260816)
+    none_key = lambda t: tuple((c is None, c) for c in t)
+    for case in range(6):
+        pa, pb, pc, pd = (rng.choice(PREDS) for _ in range(4))
+        sparql = f"""
+            SELECT ?v0 ?m ?n WHERE {{
+              {{ ?v0 <{pa}> ?m OPTIONAL {{ ?v0 <{pb}> ?n }} }}
+              UNION {{ ?v0 <{pc}> ?x }}
+              {{ SELECT ?m ?n WHERE {{ ?m <{pd}> ?n }} }}
+            }}"""
+        sql = f"""
+            WITH lhs AS (
+              SELECT t1.s AS v0, t1.o_lex AS m, t2.o_lex AS n
+              FROM quads_t t1 LEFT JOIN quads_t t2
+                ON t2.p = '{pb}' AND t2.s = t1.s
+              WHERE t1.p = '{pa}'
+              UNION ALL
+              SELECT t3.s AS v0, NULL AS m, NULL AS n
+              FROM quads_t t3 WHERE t3.p = '{pc}'
+            ), rhs AS (SELECT s AS m, o_lex AS n FROM quads_t
+                       WHERE p = '{pd}')
+            SELECT l.v0 AS v0, COALESCE(l.m, r.m) AS m,
+                   COALESCE(l.n, r.n) AS n
+            FROM lhs l JOIN rhs r
+              ON (l.m IS NULL OR l.m = r.m)
+             AND (l.n IS NULL OR l.n = r.n)"""
+        got = sorted((tuple(r) for r in engine.query(sparql).finalize(
+            {"v0": "str", "m": "str", "n": "str"}).collect()), key=none_key)
+        want = sorted((tuple(r) for r in duck.execute(sql).fetchall()),
+                      key=none_key)
+        assert got == want, f"case {case}: {sparql}"
+
+
 def test_random_minus_unbound_vs_oracle(eng_fixtures, duck, quads):
     """Random MINUS queries where a shared var may be unbound on the left
     (OPTIONAL): SPARQL 1.1 §8.3 — remove iff compatible AND domains overlap.
