@@ -33,7 +33,14 @@ RDF_TABLES = ["region", "nation", "customer", "supplier",
 
 
 def cache_root() -> str:
-    return os.environ.get("SPARK_GRAFT_CACHE_DIR", "/tmp/spark_graft_cache")
+    """Default under the repo (gitignored), NOT /tmp: the repo working tree
+    is the one filesystem location that survives across build rounds, so a
+    later round's first bench run warm-starts instead of rebuilding the
+    dictionary — the whole point of durable load-time artifacts."""
+    default = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".spark_graft_cache")
+    return os.environ.get("SPARK_GRAFT_CACHE_DIR", default)
 
 
 #: bytes sampled from each end of a fixture file for the content key
@@ -64,9 +71,14 @@ def fixture_fingerprint(sf_dir: str, names: list[str]) -> str:
 
 
 def artifact_dir(sf_dir: str, names: list[str] | None = None) -> str:
-    """Directory all artifacts for this fixture generation live under."""
-    return os.path.join(cache_root(),
-                        fixture_fingerprint(sf_dir, names or RDF_TABLES))
+    """Directory all artifacts for this fixture generation live under:
+    ``<sf-dir basename>-<content fingerprint>`` — the basename prefix lets
+    GC scope itself to generations of the SAME fixture set, so publishing
+    a new sf0.1 generation never evicts the live sf0.01/sf0.001 caches."""
+    base = os.path.basename(os.path.abspath(sf_dir)) or "sf"
+    return os.path.join(
+        cache_root(),
+        f"{base}-{fixture_fingerprint(sf_dir, names or RDF_TABLES)}")
 
 
 def is_published(path: str) -> bool:
@@ -90,7 +102,29 @@ def publish(tmp_path: str, final_path: str) -> bool:
     os.makedirs(os.path.dirname(final_path) or ".", exist_ok=True)
     try:
         os.rename(tmp_path, final_path)
+        _prune_stale_generations(final_path)
         return True
     except OSError:
         shutil.rmtree(tmp_path, ignore_errors=True)
         return is_published(final_path)
+
+
+def _prune_stale_generations(final_path: str) -> None:
+    """Best-effort GC: fixture regeneration changes the fingerprint, so
+    superseded generations of the SAME fixture set (matched by the sf-dir
+    basename prefix) only waste disk — remove them, leaving other fixture
+    sets' caches untouched."""
+    gen = final_path
+    root = cache_root()
+    # walk up to the generation dir (direct child of the cache root)
+    while os.path.dirname(gen) not in (root, gen):
+        gen = os.path.dirname(gen)
+    if os.path.dirname(gen) != root or "-" not in os.path.basename(gen):
+        return
+    prefix = os.path.basename(gen).rsplit("-", 1)[0] + "-"
+    try:
+        for name in os.listdir(root):
+            if name != os.path.basename(gen) and name.startswith(prefix):
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    except OSError:
+        pass
