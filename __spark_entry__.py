@@ -870,6 +870,20 @@ def q_ext_stream_tumbling(spark, sf_dir):
         .alias("sum_value"))
 
 
+def q_ext_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup (E1×E6): TWO full replays of the events table
+    through watermarked dropDuplicates must emit exactly ONE copy — the
+    at-least-once → exactly-once repair of a training-data ingest stream.
+    Oracle: the events table itself (event_id is unique in the fixtures)."""
+    import os
+    from graphdb_free_mocha_sa_spark.streaming.ingest import run_stream_dedup
+    out = run_stream_dedup(spark, os.path.join(sf_dir, "events.parquet"))
+    return out.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "user_id", "event_type", "value")
+
+
 def q_ext_multimodal(spark, sf_dir):
     """Multimodal plumbing over synthesized media (binary columns are
     engine-local; no SQL oracle — determinism asserted in tests)."""
@@ -1038,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_text_quality": q_ext_text_quality,
         "ext_fingerprint": q_ext_fingerprint,
         "ext_bpe_tokens": q_ext_bpe_tokens,
+        "ext_stream_dedup": q_ext_stream_dedup,
         "ext_stream_sliding": q_ext_stream_sliding,
         "ext_stream_session": q_ext_stream_session,
         "ext_multimodal": q_ext_multimodal,
@@ -1482,6 +1497,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
                      AS sum_value
             FROM events GROUP BY 1, 2""",
+        "ext_stream_dedup": """
+            SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                   user_id, event_type, value
+            FROM events""",
         # intentionally no oracle (sketches / engine-specific values / plumbing):
         # b13_path_plus has a WITH RECURSIVE oracle above; ext_approx_distinct,
         # ext_quantiles, ext_dedup_minhash, ext_dedup_simhash, ext_lsh_topk,

@@ -40,6 +40,18 @@ def test_session_window_batch_stream(spark):
     assert _rows(batch) == _rows(stream)
 
 
+def test_stream_dedup_doubled_replay_equals_one_copy(spark):
+    """E1×E6: two full replays through watermarked dropDuplicates emit
+    exactly one copy — multi-batch replay (maxFilesPerTrigger) included."""
+    from graphdb_free_mocha_sa_spark.sources.registry import (
+        normalize_event_timestamps)
+    from graphdb_free_mocha_sa_spark.streaming.ingest import run_stream_dedup
+    out = run_stream_dedup(spark, EVENTS, copies=2)
+    batch = normalize_event_timestamps(spark.read.parquet(EVENTS))
+    assert out.count() == batch.count()
+    assert out.select("event_id").distinct().count() == batch.count()
+
+
 def test_stream_insert_ingest(spark, tmp_path):
     """EP2 parity: micro-batches of SPARQL INSERTs through foreachBatch."""
     from graphdb_free_mocha_sa_spark.store import QuadStore
