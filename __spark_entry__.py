@@ -602,6 +602,26 @@ def q_b40_inference_rules(spark, sf_dir):
         }""").finalize({"s": "str", "p": "str", "o": "str"})
 
 
+def q_b40_inference_eq(spark, sf_dir):
+    """rdfp12/13 (round-4): owl:equivalentClass/equivalentProperty — types
+    and assertions propagate in BOTH directions and compose with
+    subClassOf (ruleset owl-horst-optimized, repo-config.ttl:26)."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark), use_inference=True)
+    eng.update("""INSERT DATA {
+      <urn:Auto> <http://www.w3.org/2002/07/owl#equivalentClass> <urn:Car> .
+      <urn:Car> <http://www.w3.org/2000/01/rdf-schema#subClassOf> <urn:Vehicle> .
+      <urn:drives> <http://www.w3.org/2002/07/owl#equivalentProperty> <urn:operates> .
+      <urn:x> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <urn:Auto> .
+      <urn:p2> <urn:operates> <urn:c2> . }""")
+    return eng.query("""
+        SELECT ?t ?veh WHERE {
+          <urn:x> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> ?t .
+          BIND(EXISTS { <urn:p2> <urn:drives> <urn:c2> } AS ?veh)
+        }""").finalize({"t": "str", "veh": "bool"})
+
+
 def q_b41_sameas_cc(spark, sf_dir):
     from graphdb_free_mocha_sa_spark.model import QUAD_SCHEMA
     from graphdb_free_mocha_sa_spark.operators.inference import sameas_components
@@ -966,6 +986,10 @@ _DEFERRED_PAST_DRIVER_CAP = [
     # stays inside the prefix; deferring it makes room for the durable-
     # transaction entry b37_txn_durable (round-4).
     "b7b_exists",
+    # b24_group_concat shares the aggregation family with b21/b22/b23/b26,
+    # all still inside the prefix; deferring it makes room for the
+    # equivalentClass/Property inference entry b40_inference_eq (round-4).
+    "b24_group_concat",
 ]
 
 
@@ -1028,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b37_txn_durable": q_b37_txn_durable,
         "b40_inference_subclass": q_b40_inference_subclass,
         "b40_inference_rules": q_b40_inference_rules,
+        "b40_inference_eq": q_b40_inference_eq,
         "b41_sameas_cc": q_b41_sameas_cc,
         "b41_sameas_query": q_b41_sameas_query,
         "tpch_q1_pricing": q_tpch_q1_pricing,
@@ -1299,6 +1324,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (VALUES ('urn:e1', 10), ('urn:e2', 20)) t(s, v)""",
         "b37_txn_durable": """
             SELECT * FROM (VALUES ('urn:a', 1), ('urn:c', 3)) t(s, v)""",
+        "b40_inference_eq": """
+            SELECT * FROM (VALUES ('urn:Auto', TRUE), ('urn:Car', TRUE),
+                                  ('urn:Vehicle', TRUE)) t(t, veh)""",
         "b40_inference_subclass": """
             SELECT * FROM (VALUES
               ('urn:x','urn:C0'),('urn:x','urn:C1'),('urn:x','urn:C2'),

@@ -18,7 +18,13 @@ The reference engine materializes inference on write with ruleset
 
 Implemented rule subset (declared scope in SURVEY §2.2.5): rdfs2 (domain),
 rdfs3 (range), rdfs5/7 (subPropertyOf), rdfs9/11 (subClassOf), rdfp3
-(SymmetricProperty), rdfp4 (TransitiveProperty), rdfp8 (inverseOf).
+(SymmetricProperty), rdfp4 (TransitiveProperty), rdfp8 (inverseOf),
+rdfp12a/b (equivalentClass, as mutual subClassOf), rdfp13a/b
+(equivalentProperty, as mutual subPropertyOf), rdfp1 (FunctionalProperty →
+sameAs), rdfp2 (InverseFunctionalProperty → sameAs; both IRI-valued only —
+literal identity is value equality, not sameAs). Derived sameAs integrates
+through the B41 query-time expansion (symmetry/transitivity via connected
+components).
 """
 
 from __future__ import annotations
@@ -35,6 +41,10 @@ RANGE = RDFS + "range"
 TRANSITIVE = OWL + "TransitiveProperty"
 SYMMETRIC = OWL + "SymmetricProperty"
 INVERSE = OWL + "inverseOf"
+EQ_CLASS = OWL + "equivalentClass"
+EQ_PROP = OWL + "equivalentProperty"
+FUNCTIONAL = OWL + "FunctionalProperty"
+INV_FUNCTIONAL = OWL + "InverseFunctionalProperty"
 SAMEAS = OWL + "sameAs"
 
 MAX_ITERS = 50
@@ -66,17 +76,29 @@ class Schema:
     def __init__(self, quads: DataFrame = None, tbox_rows=None):
         if tbox_rows is None:
             tbox_rows = (quads.filter(F.col("p").isin(SUBCLASS, SUBPROP, DOMAIN,
-                                                      RANGE, INVERSE, RDF_TYPE))
+                                                      RANGE, INVERSE, EQ_CLASS,
+                                                      EQ_PROP, RDF_TYPE))
                          .filter(F.col("o_dt").isNull())
                          .select("p", "s", "o_lex").collect())
         tbox = tbox_rows
         sc, sp, dom, rng, inv, trans, sym = set(), set(), set(), set(), set(), set(), set()
+        func, invfunc = set(), set()
         for row in tbox:
             p, s, o = row["p"], row["s"], row["o_lex"]
             if p == SUBCLASS and s != o:
                 sc.add((s, o))
             elif p == SUBPROP and s != o:
                 sp.add((s, o))
+            elif p == EQ_CLASS and s != o:
+                # rdfp12a/b: equivalentClass ⇒ subClassOf both ways — the
+                # instance-level consequences (types propagate in both
+                # directions) materialize through the subclass machinery
+                sc.add((s, o))
+                sc.add((o, s))
+            elif p == EQ_PROP and s != o:
+                # rdfp13a/b: equivalentProperty ⇒ subPropertyOf both ways
+                sp.add((s, o))
+                sp.add((o, s))
             elif p == DOMAIN:
                 dom.add((s, o))
             elif p == RANGE:
@@ -88,6 +110,10 @@ class Schema:
                 trans.add(s)
             elif p == RDF_TYPE and o == SYMMETRIC:
                 sym.add(s)
+            elif p == RDF_TYPE and o == FUNCTIONAL:
+                func.add(s)
+            elif p == RDF_TYPE and o == INV_FUNCTIONAL:
+                invfunc.add(s)
         self.subclass = _closure(sc)
         self.subprop = _closure(sp)
         self.domain = dom
@@ -95,6 +121,8 @@ class Schema:
         self.inverse = inv
         self.transitive = trans
         self.symmetric = sym
+        self.functional = func
+        self.inv_functional = invfunc
 
 
 def _rule_applier(spark: SparkSession, schema: Schema, graph: str):
@@ -193,6 +221,53 @@ def _trans_step(delta: DataFrame, known: DataFrame, props, graph: str) -> DataFr
     return out
 
 
+def _functional_step(delta: DataFrame, known: DataFrame, schema: Schema,
+                     graph: str) -> DataFrame | None:
+    """rdfp1/rdfp2: functional / inverse-functional properties derive
+    owl:sameAs between the colliding values (IRI terms only — literal
+    identity is value equality, not sameAs). Like transitive chaining this
+    is a delta×known rule: only pairs involving a delta fact are recomputed
+    per iteration. Derived sameAs quads integrate through the engine's
+    query-time sameAs expansion (B41), which also supplies symmetry/
+    transitivity via connected components."""
+    if not schema.functional and not schema.inv_functional:
+        return None
+    g = F.lit(graph)
+
+    def quads_of(pairs: DataFrame) -> DataFrame:
+        both = pairs.unionByName(pairs.select(
+            F.col("o_lex").alias("s"), F.col("s").alias("o_lex")))
+        return both.dropDuplicates().select(
+            g.alias("g"), "s", F.lit(SAMEAS).alias("p"), "o_lex",
+            F.lit(None).cast("string").alias("o_dt"),
+            F.lit(None).cast("string").alias("o_lang"),
+            F.lit(None).cast("double").alias("o_num"),
+            F.lit(None).cast("timestamp").alias("o_ts")).select(*QUAD_COLS)
+
+    out = None
+    for p in sorted(schema.functional):
+        d = delta.filter((F.col("p") == p) & F.col("o_dt").isNull()) \
+                 .select(F.col("s").alias("dk"), F.col("o_lex").alias("dv"))
+        k = known.filter((F.col("p") == p) & F.col("o_dt").isNull()) \
+                 .select(F.col("s").alias("kk"), F.col("o_lex").alias("kv"))
+        pairs = (d.join(k, F.col("dk") == F.col("kk"))
+                 .filter(F.col("dv") != F.col("kv"))
+                 .select(F.col("dv").alias("s"), F.col("kv").alias("o_lex")))
+        q = quads_of(pairs)
+        out = q if out is None else out.unionByName(q)
+    for p in sorted(schema.inv_functional):
+        d = delta.filter((F.col("p") == p) & F.col("o_dt").isNull()) \
+                 .select(F.col("o_lex").alias("dk"), F.col("s").alias("dv"))
+        k = known.filter((F.col("p") == p) & F.col("o_dt").isNull()) \
+                 .select(F.col("o_lex").alias("kk"), F.col("s").alias("kv"))
+        pairs = (d.join(k, F.col("dk") == F.col("kk"))
+                 .filter(F.col("dv") != F.col("kv"))
+                 .select(F.col("dv").alias("s"), F.col("kv").alias("o_lex")))
+        q = quads_of(pairs)
+        out = q if out is None else out.unionByName(q)
+    return out
+
+
 #: below this quad count the whole forward-chaining fixpoint runs on the
 #: driver — a semi-naive worklist over Python dicts. A Spark fixpoint over a
 #: few thousand rows is pure job-scheduling overhead (the same adaptive
@@ -217,7 +292,8 @@ def _closure_small_abox(spark: SparkSession, rows, graph: str) -> DataFrame | No
 
     sch = Schema(tbox_rows=[
         r for r in rows
-        if r["p"] in (SUBCLASS, SUBPROP, DOMAIN, RANGE, INVERSE, RDF_TYPE)
+        if r["p"] in (SUBCLASS, SUBPROP, DOMAIN, RANGE, INVERSE,
+                      EQ_CLASS, EQ_PROP, RDF_TYPE)
         and r["o_dt"] is None])
     sc_map: dict = {}
     sp_map: dict = {}
@@ -236,6 +312,8 @@ def _closure_small_abox(spark: SparkSession, rows, graph: str) -> DataFrame | No
         inv_map.setdefault(a, set()).add(b)
     trans_fwd: dict = {p: {} for p in sch.transitive}
     trans_bwd: dict = {p: {} for p in sch.transitive}
+    func_vals: dict = {p: {} for p in sch.functional}      # p -> s -> {o}
+    invfunc_subjs: dict = {p: {} for p in sch.inv_functional}  # p -> o -> {s}
 
     known: set = set()
     inferred: list = []
@@ -254,6 +332,10 @@ def _closure_small_abox(spark: SparkSession, rows, graph: str) -> DataFrame | No
         if o_dt is None and p in trans_fwd:
             trans_fwd[p].setdefault(s, set()).add(o_lex)
             trans_bwd[p].setdefault(o_lex, set()).add(s)
+        if o_dt is None and p in func_vals:
+            func_vals[p].setdefault(s, set()).add(o_lex)
+        if o_dt is None and p in invfunc_subjs:
+            invfunc_subjs[p].setdefault(o_lex, set()).add(s)
 
     for r in rows:
         add((r["s"], r["p"], r["o_lex"], r["o_dt"], r["o_lang"],
@@ -289,6 +371,18 @@ def _closure_small_abox(spark: SparkSession, rows, graph: str) -> DataFrame | No
                     add((s, p, x) + nulls)
                 for y in list(trans_bwd[p].get(s, ())):
                     add((y, p, o_lex) + nulls)
+            # rdfp1: functional — colliding values are sameAs
+            if p in func_vals:
+                for other in list(func_vals[p].get(s, ())):
+                    if other != o_lex:
+                        add((o_lex, SAMEAS, other) + nulls)
+                        add((other, SAMEAS, o_lex) + nulls)
+            # rdfp2: inverse-functional — colliding subjects are sameAs
+            if p in invfunc_subjs:
+                for other in list(invfunc_subjs[p].get(o_lex, ())):
+                    if other != s:
+                        add((s, SAMEAS, other) + nulls)
+                        add((other, SAMEAS, s) + nulls)
 
     from graphdb_free_mocha_sa_spark.model import QUAD_SCHEMA
     out_rows = [(graph,) + f for f in inferred]
@@ -341,6 +435,9 @@ def owl_horst_closure(spark: SparkSession, quads: DataFrame,
             ts = _trans_step(delta, known, schema.transitive, graph)
             if ts is not None:
                 new = new.unionByName(ts)
+        fs = _functional_step(delta, known, schema, graph)
+        if fs is not None:
+            new = new.unionByName(fs)
         new = _anti_known(new, known).localCheckpoint()
         if new.isEmpty():
             break
@@ -355,7 +452,7 @@ def owl_horst_closure(spark: SparkSession, quads: DataFrame,
     return inferred.dropDuplicates(["s", "p", "o_lex", "o_dt", "o_lang"])
 
 
-TBOX_PREDS = (SUBCLASS, SUBPROP, DOMAIN, RANGE, INVERSE)
+TBOX_PREDS = (SUBCLASS, SUBPROP, DOMAIN, RANGE, INVERSE, EQ_CLASS, EQ_PROP)
 
 
 def owl_horst_increment(spark: SparkSession, base: DataFrame,
@@ -375,7 +472,8 @@ def owl_horst_increment(spark: SparkSession, base: DataFrame,
     tbox_delta = delta.filter(
         F.col("p").isin(*TBOX_PREDS)
         | ((F.col("p") == RDF_TYPE)
-           & F.col("o_lex").isin(TRANSITIVE, SYMMETRIC)))
+           & F.col("o_lex").isin(TRANSITIVE, SYMMETRIC,
+                                 FUNCTIONAL, INV_FUNCTIONAL)))
     if not tbox_delta.isEmpty():
         return None
     known = base.select(*QUAD_COLS)
@@ -394,6 +492,9 @@ def owl_horst_increment(spark: SparkSession, base: DataFrame,
         ts = _trans_step(d, known, schema.transitive, graph)
         if ts is not None:
             new = new.unionByName(ts)
+        fs = _functional_step(d, known, schema, graph)
+        if fs is not None:
+            new = new.unionByName(fs)
         new = _anti_known(new, known).localCheckpoint()
         if new.isEmpty():
             return new_inferred

@@ -71,6 +71,74 @@ def test_transitive_symmetric_inverse(spark):
     assert ("urn:d", "urn:contains", "urn:a") in got              # inverse of closure
 
 
+@pytest.fixture(params=["worklist", "distributed"])
+def closure_fn(request, monkeypatch):
+    """Run the same closure through BOTH implementations: the driver-side
+    small-ABox worklist (default for tiny data) and the distributed
+    DataFrame fixpoint (forced by zeroing the small-ABox cutoff)."""
+    from graphdb_free_mocha_sa_spark.operators import inference
+    if request.param == "distributed":
+        monkeypatch.setattr(inference, "SMALL_ABOX_QUADS", 0)
+    return inference.owl_horst_closure
+
+
+def test_equivalent_class_and_property(spark, closure_fn):
+    """rdfp12/13: equivalentClass/Property propagate instance data BOTH
+    ways (encoded as mutual sub-relations), and compose with subClassOf."""
+    EQC, EQP = OWL + "equivalentClass", OWL + "equivalentProperty"
+    triples = [
+        ("urn:Auto", EQC, "urn:Car"),
+        ("urn:Car", SC, "urn:Vehicle"),
+        ("urn:drives", EQP, "urn:operates"),
+        ("urn:x", RDF_TYPE, "urn:Auto"),
+        ("urn:y", RDF_TYPE, "urn:Car"),
+        ("urn:p1", "urn:drives", "urn:c1"),
+        ("urn:p2", "urn:operates", "urn:c2"),
+    ]
+    got = {(r.s, r.p, r.o_lex)
+           for r in closure_fn(spark, mk_quads(spark, triples)).collect()}
+    assert ("urn:x", RDF_TYPE, "urn:Car") in got        # eq forward
+    assert ("urn:y", RDF_TYPE, "urn:Auto") in got       # eq backward
+    assert ("urn:x", RDF_TYPE, "urn:Vehicle") in got    # eq ∘ subclass
+    assert ("urn:p1", "urn:operates", "urn:c1") in got  # eq property fwd
+    assert ("urn:p2", "urn:drives", "urn:c2") in got    # eq property bwd
+
+
+def test_functional_properties_derive_sameas(spark, closure_fn):
+    """rdfp1/rdfp2: (inverse-)functional collisions derive owl:sameAs."""
+    SAME = OWL + "sameAs"
+    triples = [
+        ("urn:hasMother", RDF_TYPE, OWL + "FunctionalProperty"),
+        ("urn:ssn", RDF_TYPE, OWL + "InverseFunctionalProperty"),
+        ("urn:kid", "urn:hasMother", "urn:m1"),
+        ("urn:kid", "urn:hasMother", "urn:m2"),
+        ("urn:pa", "urn:ssn", "urn:s123"),
+        ("urn:pb", "urn:ssn", "urn:s123"),
+    ]
+    got = {(r.s, r.p, r.o_lex)
+           for r in closure_fn(spark, mk_quads(spark, triples)).collect()}
+    assert ("urn:m1", SAME, "urn:m2") in got and ("urn:m2", SAME, "urn:m1") in got
+    assert ("urn:pa", SAME, "urn:pb") in got and ("urn:pb", SAME, "urn:pa") in got
+
+
+def test_functional_sameas_feeds_query_expansion(spark):
+    """Derived sameAs must merge identities in query answers (B41 engine
+    expansion over base ∪ inferred)."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark), use_inference=True)
+    eng.update(f"""INSERT DATA {{
+        <urn:ssn> <{RDF_TYPE}> <{OWL}InverseFunctionalProperty> .
+        <urn:pa> <urn:ssn> <urn:s1> .
+        <urn:pb> <urn:ssn> <urn:s1> .
+        <urn:pa> <urn:name> "Pat" }}""")
+    rows = sorted(r[0] for r in eng.query(
+        'SELECT ?w WHERE { ?w <urn:name> "Pat" }'
+    ).finalize({"w": "str"}).collect())
+    # pa and pb are the same individual: both IRIs answer
+    assert rows == ["urn:pa", "urn:pb"]
+
+
 def test_sameas_cliques(spark):
     from graphdb_free_mocha_sa_spark.operators.inference import sameas_components
     triples = [("urn:a1", OWL + "sameAs", "urn:a2"),
