@@ -216,15 +216,19 @@ def test_salted_join_equals_plain_join(spark, tables):
     assert (got["n"], round(got["q"], 4)) == (want["n"], round(want["q"], 4))
 
 
-def test_snapshot_isolation_under_concurrent_writes(spark):
+@pytest.mark.parametrize("kind", ["memory", "durable"])
+def test_snapshot_isolation_under_concurrent_writes(spark, tmp_path, kind):
     """A11 parity: a reader's snapshot is immune to concurrent writer swaps
     (the reference serializes with a write-pref RW lock; immutable DataFrame
-    snapshots give the same observable guarantee lock-free)."""
+    snapshots give the same observable guarantee lock-free). The durable
+    store additionally serializes its segment-log commits under the same
+    lock — every concurrent insert must land exactly once."""
     import threading
 
     from graphdb_free_mocha_sa_spark.engine import Engine
-    from graphdb_free_mocha_sa_spark.store import QuadStore
-    store = QuadStore(spark)
+    from graphdb_free_mocha_sa_spark.store import DurableQuadStore, QuadStore
+    store = QuadStore(spark) if kind == "memory" \
+        else DurableQuadStore(spark, str(tmp_path / "dstore"))
     eng = Engine(spark, store)
     eng.update('INSERT DATA { <urn:s0> <urn:k> 0 }')
 
