@@ -40,6 +40,41 @@ def test_publish_race_loser_discards(tmp_path, monkeypatch):
     assert open(os.path.join(final, "part-0")).read() == "winner"
 
 
+def test_warm_encoded_state_matches_cold(spark, monkeypatch, tmp_path):
+    """End-to-end warm start: engine A builds + publishes the dictionary /
+    encoded quads; a FRESH engine over the same fixtures warm-loads them
+    and must answer identically through the encoded path."""
+    import os
+
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.sources.registry import load_quads
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", str(tmp_path / "cache"))
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    q = ("SELECT ?n (COUNT(*) AS ?c) WHERE { ?s <urn:x:p/c_nationkey> ?n } "
+         "GROUP BY ?n ORDER BY ?n")
+    spec = {"n": "str", "c": "int"}
+
+    warm_dir = C.artifact_dir(sf)
+    quads = load_quads(spark, sf, cache=False)
+    cold = Engine(spark, QuadStore(spark, quads), warm_dir=warm_dir)
+    cold.ENCODE_MIN_QUADS = 0          # force the encoded path at sf0.001
+    cold_rows = [tuple(r) for r in cold.query(q).finalize(spec).collect()]
+    assert C.is_published(os.path.join(warm_dir, "encoded"))
+
+    # poison the build path: the fresh engine must take the WARM load
+    import graphdb_free_mocha_sa_spark.dictionary as D
+
+    def boom(*a, **k):
+        raise AssertionError("warm engine rebuilt instead of loading cache")
+    monkeypatch.setattr(D, "build_term_dict_full", boom)
+
+    warm = Engine(spark, QuadStore(spark, quads), warm_dir=warm_dir)
+    warm.ENCODE_MIN_QUADS = 0
+    warm_rows = [tuple(r) for r in warm.query(q).finalize(spec).collect()]
+    assert warm_rows == cold_rows and len(warm_rows) > 0
+
+
 def test_prune_scopes_to_same_fixture_set(tmp_path, monkeypatch):
     """Publishing a new sf0.1 generation removes superseded sf0.1-* dirs
     but never another fixture set's live cache."""
