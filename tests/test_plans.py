@@ -190,6 +190,35 @@ def test_relational_join_uses_whole_stage_codegen(spark, tables):
     assert "l_comment" not in plan and "s_comment" not in plan
 
 
+def test_bucketed_quads_self_join_has_no_shuffle(spark, quads):
+    """SURVEY §1.4 100 TB layout: quads bucketed+sorted by s — an s=s
+    self-join (every star-pattern BGP) must run as a bucketed sort-merge
+    join with ZERO Exchange on either side."""
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    store = QuadStore(spark, quads.where(F.col("p").endswith("n_name")
+                                         | F.col("p").endswith("n_regionkey")))
+    # (warehouse dir is a static conf — the table lands in the session's
+    # default spark-warehouse, dropped in the finally below)
+    store.write_bucketed_table("quads_bucketed_test", n_buckets=8)
+    try:
+        t = spark.table("quads_bucketed_test")
+        l = t.where(F.col("p").endswith("n_name")) \
+             .select("s", F.col("o_lex").alias("name"))
+        r = t.where(F.col("p").endswith("n_regionkey")) \
+             .select("s", F.col("o_lex").alias("region"))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = l.join(r, "s")
+            assert j.count() > 0
+            plan = _plan(j)
+            assert "SortMergeJoin" in plan, plan[:2000]
+            assert "Exchange" not in plan, plan[:3000]
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS quads_bucketed_test")
+
+
 def test_aggregate_is_partial_then_final(spark, tables):
     df = tables["orders"].groupBy("o_orderstatus").count()
     plan = _plan(df)
