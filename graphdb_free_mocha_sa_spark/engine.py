@@ -120,15 +120,23 @@ class Engine:
                 from graphdb_free_mocha_sa_spark.dictionary import (
                     build_term_dict_full, encode_quads)
                 quads = self._quads()
-                # Pin the dictionary hash-partitioned + sorted on id: decode
-                # joins then satisfy their distribution from the cached side
-                # and only shuffle the (post-join, tiny) solution set — the
-                # dict is never reshuffled per query. localCheckpoint
-                # preserves the partitioning/ordering metadata.
+                # One checkpointed copy per store version, physically
+                # clustered on id. (Note: localCheckpoint does NOT carry
+                # partitioning metadata into the logical plan — verified on
+                # this Spark build — so decode joins still plan their own
+                # distribution; AQE broadcasts the tiny post-join solution
+                # side. The clustering keeps checkpoint blocks compact.)
                 term_dict = (build_term_dict_full(quads)
                              .repartition(n_part, "id")
                              .sortWithinPartitions("id")
                              .localCheckpoint())
+                # (Measured at sf0.1: pre-partitioning enc by s_id — via
+                # cache() for partitioning-aware scans or checkpoint — is
+                # wash-to-worse locally; 8-byte-id exchanges are cheap at
+                # this scale and InMemoryRelation scans cost more than they
+                # save. The at-scale shuffle-free layout is the bucketed
+                # catalog table, store.write_bucketed_table, with its
+                # zero-Exchange self-join proven in test_plans.)
                 enc = encode_quads(quads, term_dict).localCheckpoint()
                 if warm:
                     self._persist_warm_encoded(warm, term_dict, enc)
