@@ -305,6 +305,40 @@ class Engine:
             self._progress["tasks_failed"] += 1
             return SENTINEL
 
+    def query_json_to(self, sparql: str, write) -> None:
+        """Streaming serialize-or-sentinel: pipe the SPARQL-Results-JSON
+        document into ``write`` (an ``fh.write``-style callable) with driver
+        memory independent of the result-set size — the bounded leg of
+        B51/A12 for results too big to buffer (the reference buffers its
+        whole byte[], GraphDBSystemAdapter.java:247-249; at 100× that leg
+        must stream instead). Failures before the first byte is emitted
+        degrade to the sentinel; a failure mid-stream (rare: the plan has
+        already started executing) raises to the caller, which owns the
+        half-written sink."""
+        from graphdb_free_mocha_sa_spark.sparql.results import (
+            ask_json, iter_select_json)
+        self._progress["tasks_received"] += 1
+        try:
+            res = self.query(sparql)
+            if isinstance(res, bool):
+                chunks = iter((ask_json(res),))
+            elif isinstance(res, SelectResult):
+                chunks = iter_select_json(res.df, res.variables)
+            else:
+                chunks = iter_select_json(res, None)
+            # pull header + first row inside the try: parse/translate errors
+            # and first-fetch execution errors all degrade to the sentinel
+            head = [c for _, c in zip(range(2), chunks)]
+        except Exception:
+            self._progress["tasks_failed"] += 1
+            write(SENTINEL)
+            return
+        for chunk in head:
+            write(chunk)
+        for chunk in chunks:
+            write(chunk)
+        self._progress["tasks_completed"] += 1
+
     def query_framed(self, sparql: str) -> bytes:
         """query_json behind the reference's length-prefixed result framing
         (A14, AbstractSystemAdapter1.java:195-206)."""

@@ -38,20 +38,48 @@ def _binding(row, v: str) -> dict | None:
     return out
 
 
-def select_json(df: DataFrame, variables: list[str] | None = None) -> str:
+def iter_select_json(df: DataFrame, variables: list[str] | None = None):
+    """Yield the SPARQL-Results-JSON document as a sequence of string chunks.
+
+    Driver memory is bounded: rows stream through ``toLocalIterator`` (one
+    partition resident at a time, no prefetch) and each row's binding is
+    serialized and released before the next — the result set NEVER exists
+    as a driver-side list of Rows. This is the 100 TB-safe leg of B51: the
+    reference streams through ``SPARQLResultsJSONWriter``
+    (GraphDBSystemAdapter.java:247-249) row-by-row the same way; only its
+    final byte buffer is whole-result, and callers here that need bounded
+    output can pipe these chunks straight to a socket/file instead of
+    joining them (:func:`select_json_to`)."""
     if variables is None:
         variables = [c for c in df.columns if "__" not in c]
-    bindings = []
-    for row in df.collect():
+    yield json.dumps({"head": {"vars": variables}},
+                     ensure_ascii=False)[:-1] + ',"results":{"bindings":['
+    first = True
+    for row in df.toLocalIterator(prefetchPartitions=False):
         b = {}
         for v in variables:
             cell = _binding(row, v)
             if cell is not None:
                 b[v] = cell
-        bindings.append(b)
-    return json.dumps({"head": {"vars": variables},
-                       "results": {"bindings": bindings}},
-                      ensure_ascii=False)
+        yield ("" if first else ",") + json.dumps(b, ensure_ascii=False)
+        first = False
+    yield "]}}"
+
+
+def select_json_to(df: DataFrame, variables: list[str] | None,
+                   write) -> None:
+    """Stream the JSON document into ``write`` (a ``fh.write``-style
+    callable) with memory independent of the result-set size."""
+    for chunk in iter_select_json(df, variables):
+        write(chunk)
+
+
+def select_json(df: DataFrame, variables: list[str] | None = None) -> str:
+    """Whole-document string (API parity with the reference's byte-buffer
+    result, GraphDBSystemAdapter.java:249). The final string is necessarily
+    O(result bytes) — identical to the reference — but the intermediate
+    state is streamed: no driver-side collect() of Row objects."""
+    return "".join(iter_select_json(df, variables))
 
 
 def ask_json(value: bool) -> str:
