@@ -35,9 +35,11 @@ def _engine(spark: SparkSession, sf_dir: str):
     if key not in _ENGINES:
         from graphdb_free_mocha_sa_spark import cache as C
         from graphdb_free_mocha_sa_spark.engine import Engine
-        from graphdb_free_mocha_sa_spark.sources.registry import load_quads
-        from graphdb_free_mocha_sa_spark.store import QuadStore
-        _ENGINES[key] = Engine(spark, QuadStore(spark, load_quads(spark, sf_dir)),
+        from graphdb_free_mocha_sa_spark.store import open_fixture_store
+        # DEFAULT store = durable segment-log store with the bucketed-by-s
+        # base table (reference: durable safe transactions + persistent
+        # statement indexes are ITS defaults, repo-config.ttl:30-31,47-48)
+        _ENGINES[key] = Engine(spark, open_fixture_store(spark, sf_dir),
                                warm_dir=C.artifact_dir(sf_dir))
     return _ENGINES[key]
 

@@ -14,8 +14,10 @@ with checkpointing. No row-at-a-time Python UDFs in any hot path.
 """
 
 from graphdb_free_mocha_sa_spark.session import get_spark
-from graphdb_free_mocha_sa_spark.store import QuadStore
+from graphdb_free_mocha_sa_spark.store import (DurableQuadStore, QuadStore,
+                                               open_fixture_store)
 from graphdb_free_mocha_sa_spark.engine import Engine
 
-__all__ = ["get_spark", "QuadStore", "Engine"]
+__all__ = ["get_spark", "QuadStore", "DurableQuadStore",
+           "open_fixture_store", "Engine"]
 __version__ = "0.1.0"

@@ -70,8 +70,7 @@ def main() -> None:
     import argparse
 
     from graphdb_free_mocha_sa_spark.session import get_spark
-    from graphdb_free_mocha_sa_spark.sources.registry import load_quads
-    from graphdb_free_mocha_sa_spark.store import QuadStore
+    from graphdb_free_mocha_sa_spark.store import QuadStore, open_fixture_store
 
     ap = argparse.ArgumentParser(description="SPARQL endpoint / one-shot CLI")
     ap.add_argument("--sf-dir", default=None,
@@ -82,8 +81,8 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = get_spark("sparql-endpoint")
-    store = QuadStore(spark, load_quads(spark, args.sf_dir)
-                      if args.sf_dir else None)
+    store = open_fixture_store(spark, args.sf_dir) if args.sf_dir \
+        else QuadStore(spark)
     engine = Engine(spark, store)
     if args.query:
         code, payload = handle_request(engine, args.query)

@@ -75,11 +75,21 @@ class QuadStore:
     # the snapshot reference; DurableQuadStore overrides both to write
     # through to the parquet segment log first (B37 safe transactions).
 
+    #: in-memory appends re-materialize the snapshot every this many
+    #: commits — without it a long streaming run builds an ever-deeper
+    #: union lineage and driver-side planning becomes the bottleneck
+    #: (VERDICT r4 "What's wrong" #2). The durable subclass doesn't need
+    #: it (segments are parquet scans, lineage depth is the segment count).
+    APPEND_CHECKPOINT_EVERY = 8
+
     def _commit_rewrite(self, new_df: DataFrame):
         self._df = new_df
 
     def _commit_append(self, delta: DataFrame):
         self._df = self._df.unionByName(delta)
+        self._appends = getattr(self, "_appends", 0) + 1
+        if self._appends % self.APPEND_CHECKPOINT_EVERY == 0:
+            self._df = self._df.localCheckpoint()
 
     # -- writes ---------------------------------------------------------
 
@@ -203,10 +213,23 @@ class DurableQuadStore(QuadStore):
     ``transaction-isolation "true"``, repo-config.ttl:47-48, with durable
     storage surviving container restarts).
 
-    Layout — a minimal transaction log over immutable parquet segments::
+    Layout — a minimal transaction log over an immutable **bucketed base
+    table** plus immutable parquet delta segments::
 
-        path/_log/00000001.json   {"txn":1,"segments":["seg-..."],"version":N}
-        path/seg-00000001-ab12cd34/g_part=.../part-*.parquet
+        path/_log/00000001.json   {"txn":1,"base":"base-...","segments":[...],
+                                   "version":N,"buckets":32}
+        path/base-00000001-ab12cd34/part-*_00000.c000.parquet  (bucketed by s)
+        path/seg-00000002-cd34ef56/g_part=.../part-*.parquet
+
+    The base is written ``bucketBy(n, "s").sortBy("s")`` and exposed as an
+    external catalog table (re-registered from the log on every open — the
+    session catalog need not survive restarts, the files + log are the
+    durable truth). Star-pattern BGPs are s=s self-joins; scans of the base
+    join bucket-to-bucket with ZERO Exchange (SURVEY §1.4 — the durable
+    analogue of the reference's subject-clustered statement indexes,
+    repo-config.ttl:30-31). Rewrites and compactions produce a fresh base;
+    appends stay O(delta) parquet segments until the compaction threshold
+    folds them in.
 
     * **Appends** (INSERT DATA, versioned bulk load, streaming micro-batch)
       write ONLY the delta as a new segment — O(delta) per commit, the same
@@ -233,20 +256,91 @@ class DurableQuadStore(QuadStore):
     """
 
     SEGMENT_COMPACT_THRESHOLD = 16
+    #: bucket count for the base table (s-hash fan-out of the biggest
+    #: star-join; at 100 TB this is sized to ~executor-core count × a few)
+    BASE_BUCKETS = 32
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str,
+                 base_buckets: int | None = None):
+        import hashlib
         import os
         self.spark = spark        # needed by _read_segments before super()
         self.path = path
+        self._buckets = base_buckets or self.BASE_BUCKETS
+        #: stable per-path catalog name for the bucketed base table
+        self._table = "quads_base_" + hashlib.sha1(
+            os.path.abspath(path).encode()).hexdigest()[:10]
         self._log_dir = os.path.join(path, "_log")
         os.makedirs(self._log_dir, exist_ok=True)
         entry = self._latest_log()
         self._txn = entry["txn"] if entry else 0
+        self._base: Optional[str] = entry.get("base") if entry else None
         self._segments: list[str] = list(entry["segments"]) if entry else []
-        super().__init__(spark, self._read_segments(self._segments)
-                         if self._segments else None)
+        if entry and entry.get("buckets"):
+            self._buckets = entry["buckets"]
+        super().__init__(spark, self._snapshot_df())
         if entry:
             self._version = entry["version"]
+
+    # -- bucketed base table ----------------------------------------------
+
+    def _register_base(self) -> None:
+        """(Re)expose the current base files as a bucketed external table.
+        The catalog entry is session-scoped (Spark's in-memory catalog);
+        the log names the live base dir, so every open re-derives the
+        registration — files + log are the durable truth."""
+        import os
+        cat = self.spark.catalog
+        loc = os.path.join(os.path.abspath(self.path), self._base)
+        if cat.tableExists(self._table):
+            try:
+                cur = self.spark.sql(
+                    f"DESCRIBE TABLE EXTENDED {self._table}") \
+                    .where("col_name = 'Location'").collect()
+                if cur and cur[0]["data_type"].replace("file:", "") == loc:
+                    return                       # already pointing at it
+            except Exception:
+                pass
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._table}")
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                        for f in QUAD_SCHEMA.fields)
+        self.spark.sql(
+            f"CREATE TABLE {self._table} ({ddl}) USING parquet "
+            f"CLUSTERED BY (s) SORTED BY (s) INTO {self._buckets} BUCKETS "
+            f"LOCATION '{loc}'")
+
+    def _write_base(self, df: DataFrame) -> Optional[str]:
+        """Persist ``df`` as a fresh bucketed base; None for an empty df."""
+        import os
+        import shutil
+        import uuid
+        if df.isEmpty():
+            return None
+        name = f"base-{self._txn + 1:08d}-{uuid.uuid4().hex[:8]}"
+        loc = os.path.join(os.path.abspath(self.path), name)
+        tmp = f"{self._table}_w{self._txn + 1}"
+        self.spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        try:
+            (df.select(*QUAD_COLS).write
+             .bucketBy(self._buckets, "s").sortBy("s")
+             .option("path", loc).saveAsTable(tmp))
+        except Exception:
+            shutil.rmtree(loc, ignore_errors=True)
+            raise
+        finally:
+            self.spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        return name
+
+    def _snapshot_df(self) -> DataFrame:
+        if self._base:
+            self._register_base()
+            out = self.spark.table(self._table).select(*QUAD_COLS)
+            if self._segments:
+                out = out.unionByName(self._read_segments(self._segments))
+            return out
+        if self._segments:
+            return self._read_segments(self._segments)
+        return None
 
     # -- log + segment primitives ----------------------------------------
 
@@ -292,14 +386,22 @@ class DurableQuadStore(QuadStore):
         self._txn += 1
         tmp = os.path.join(self._log_dir, f".tmp-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as fh:
-            json.dump({"txn": self._txn, "segments": self._segments,
-                       "version": self._version}, fh)
+            json.dump({"txn": self._txn, "base": self._base,
+                       "segments": self._segments,
+                       "version": self._version, "buckets": self._buckets}, fh)
         os.rename(tmp, os.path.join(self._log_dir, f"{self._txn:08d}.json"))
 
     # -- commit hooks (lock held by callers) ------------------------------
 
     def _commit_append(self, delta: DataFrame):
+        if self._base is None and not self._segments:
+            # first write into an empty store: land it as the bucketed
+            # base directly — bulk load IS the index build (the reference
+            # builds its statement indexes during load)
+            self._commit_rewrite(delta)
+            return
         if len(self._segments) >= self.SEGMENT_COMPACT_THRESHOLD:
+            # compaction: fold base + segments + delta into a fresh base
             self._commit_rewrite(self._df.unionByName(delta))
             return
         seg = self._write_segment(delta)
@@ -311,24 +413,52 @@ class DurableQuadStore(QuadStore):
             self._read_segments([seg]))
 
     def _commit_rewrite(self, new_df: DataFrame):
-        seg = self._write_segment(new_df)
-        self._segments = [seg] if seg else []
+        self._base = self._write_base(new_df)
+        self._segments = []
         self._commit_log()
-        self._df = self._read_segments(self._segments)
+        df = self._snapshot_df()
+        self._df = df if df is not None \
+            else self.spark.createDataFrame([], QUAD_SCHEMA)
 
     def vacuum(self) -> int:
-        """Delete segments no longer referenced by the latest log entry
-        (old pinned snapshots become unreadable — call when quiesced)."""
+        """Delete bases/segments no longer referenced by the latest log
+        entry (old pinned snapshots become unreadable — call when
+        quiesced)."""
         import os
         import shutil
-        live = set(self._segments)
+        live = set(self._segments) | ({self._base} if self._base else set())
         n = 0
         for name in os.listdir(self.path):
-            if name.startswith("seg-") and name not in live:
+            if (name.startswith("seg-") or name.startswith("base-")) \
+                    and name not in live:
                 shutil.rmtree(os.path.join(self.path, name),
                               ignore_errors=True)
                 n += 1
         return n
+
+
+def open_fixture_store(spark: SparkSession, sf_dir: str) -> "DurableQuadStore":
+    """THE default store for a fixture directory (VERDICT r4 top item):
+    a :class:`DurableQuadStore` rooted in the fingerprint-keyed artifact
+    cache. Cold open loads the RDF quad encoding of ``sf_dir`` and lands it
+    as the bucketed-by-``s`` base table (the reference builds its persistent
+    statement indexes during bulk load, repo-config.ttl:30-31); any warm
+    open — same session or a later one — re-registers the base from the
+    transaction log and scans parquet, no re-derivation. Fixture
+    regeneration changes the fingerprint, which rolls the store directory.
+
+    Two sessions racing the cold build both write a txn-1 base; the log
+    rename is atomic, so readers see one winner and the loser's base dir
+    is unreferenced (vacuumable) — same guarantee as the artifact cache's
+    publish race."""
+    import os
+    from graphdb_free_mocha_sa_spark import cache as C
+    from graphdb_free_mocha_sa_spark.sources.registry import load_quads
+    store = DurableQuadStore(spark, os.path.join(C.artifact_dir(sf_dir),
+                                                 "store"))
+    if store._base is None and not store._segments:
+        store.add_quads(load_quads(spark, sf_dir))
+    return store
 
 
 # ---------------------------------------------------------------- durable layout
