@@ -84,17 +84,68 @@ class QuadStore:
 
     def _commit_rewrite(self, new_df: DataFrame):
         self._df = new_df
+        self._take_pending_mark()
 
     def _commit_append(self, delta: DataFrame):
         self._df = self._df.unionByName(delta)
+        self._take_pending_mark()
         self._appends = getattr(self, "_appends", 0) + 1
         if self._appends % self.APPEND_CHECKPOINT_EVERY == 0:
             self._df = self._df.localCheckpoint()
 
+    # -- replayable-ingest batch markers ---------------------------------
+    #
+    # Structured Streaming's foreachBatch is at-least-once: after a crash
+    # the last in-flight micro-batch is REPLAYED. The store records the
+    # highest applied batch id per stream key so a replay is detected; the
+    # durable subclass persists the marks inside the SAME log transaction
+    # as the batch's append (stage → commit), making insert-only batches
+    # exactly-once across kill/restart (A5/A16 + B37 safe transactions).
+
+    def stream_last(self, key: str) -> int:
+        return getattr(self, "_stream_marks", {}).get(key, -1)
+
+    def stage_stream_mark(self, key: str, batch_id: int) -> None:
+        """Stage a mark to ride along with the NEXT commit's log entry."""
+        self._pending_mark = (key, batch_id)
+
+    def flush_stream_mark(self) -> None:
+        """Ensure the staged mark is recorded even if no commit carried it
+        (empty or non-insert-only batch)."""
+        pend = getattr(self, "_pending_mark", None)
+        if pend is None:
+            return
+        self._take_pending_mark()
+
+    def _take_pending_mark(self) -> None:
+        """Fold the staged mark into the in-memory mark table."""
+        pend = getattr(self, "_pending_mark", None)
+        if pend is None:
+            return
+        if not hasattr(self, "_stream_marks"):
+            self._stream_marks = {}
+        self._stream_marks[pend[0]] = max(self._stream_marks.get(pend[0], -1),
+                                          pend[1])
+        self._pending_mark = None
+
     # -- writes ---------------------------------------------------------
 
-    def add_quads(self, quads: DataFrame):
+    def add_quads(self, quads: DataFrame, dedup: bool = False):
         delta = quads.select(*QUAD_COLS)
+        if dedup:
+            # RDF set semantics on the write path: drop rows already in the
+            # store (identity on all six term columns). Used by replayable
+            # ingest so a crash-replayed micro-batch is idempotent; the
+            # delta side is the small one, so this is an anti-join of the
+            # delta against the (bucketed) base — O(delta) shuffle.
+            cur = self._df.select(*QUAD_COLS)
+            cond = F.lit(True)
+            for c in ("g", "s", "p", "o_lex"):
+                cond = cond & (F.col("l." + c) == F.col("r." + c))
+            cond = cond & F.col("l.o_dt").eqNullSafe(F.col("r.o_dt")) \
+                        & F.col("l.o_lang").eqNullSafe(F.col("r.o_lang"))
+            delta = (delta.alias("l").join(cur.alias("r"), cond, "left_anti")
+                     .dropDuplicates(["g", "s", "p", "o_lex", "o_dt", "o_lang"]))
         if self._inferred is not None:
             # closure is live: maintain it incrementally (EP2 parity — the
             # reference applies incremental inference on streaming INSERTs)
@@ -276,6 +327,7 @@ class DurableQuadStore(QuadStore):
         self._txn = entry["txn"] if entry else 0
         self._base: Optional[str] = entry.get("base") if entry else None
         self._segments: list[str] = list(entry["segments"]) if entry else []
+        self._stream_marks: dict = dict(entry.get("stream", {})) if entry else {}
         if entry and entry.get("buckets"):
             self._buckets = entry["buckets"]
         super().__init__(spark, self._snapshot_df())
@@ -383,13 +435,24 @@ class DurableQuadStore(QuadStore):
         import json
         import os
         import uuid
+        self._take_pending_mark()     # batch marker commits WITH the data
         self._txn += 1
         tmp = os.path.join(self._log_dir, f".tmp-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as fh:
             json.dump({"txn": self._txn, "base": self._base,
                        "segments": self._segments,
-                       "version": self._version, "buckets": self._buckets}, fh)
+                       "version": self._version, "buckets": self._buckets,
+                       "stream": getattr(self, "_stream_marks", {})}, fh)
         os.rename(tmp, os.path.join(self._log_dir, f"{self._txn:08d}.json"))
+
+    def flush_stream_mark(self) -> None:
+        """A mark not carried by any data commit (empty / non-insert-only
+        batch) still needs durability: write a log-only transaction."""
+        if getattr(self, "_pending_mark", None) is None:
+            return
+        with self._lock:
+            if getattr(self, "_pending_mark", None) is not None:
+                self._commit_log()
 
     # -- commit hooks (lock held by callers) ------------------------------
 

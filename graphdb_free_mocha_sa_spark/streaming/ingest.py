@@ -65,7 +65,9 @@ def _parse_messages(rows):
 
 def stream_inserts_from_files(spark: SparkSession, store: QuadStore,
                               updates_dir: str,
-                              deadline_seconds: Optional[float] = None) -> None:
+                              deadline_seconds: Optional[float] = None,
+                              checkpoint_dir: Optional[str] = None,
+                              max_files_per_trigger: Optional[int] = None) -> None:
     """Replay a directory of SPARQL-update files as a micro-batch stream.
 
     Each text file is one update message (the adapter's RabbitMQ message
@@ -81,22 +83,51 @@ def stream_inserts_from_files(spark: SparkSession, store: QuadStore,
     reaches the driver for serial execution — never the whole batch. Like
     the reference's 2-thread update pool (GraphDBSystemAdapter.java:82),
     cross-message ordering within a batch is not guaranteed; the insert
-    bulk lands first, then the non-insert stragglers in message order."""
+    bulk lands first, then the non-insert stragglers in message order.
+
+    Restartability (A5/A16 × B37): pass a STABLE ``checkpoint_dir`` to make
+    the ingest resumable after a crash. foreachBatch replays the in-flight
+    micro-batch on restart; the store records the highest applied batch id
+    per checkpoint (durable stores persist it in the SAME log transaction
+    as the batch's append), so a replayed insert-only batch is skipped
+    exactly-once. A crash BETWEEN the append-commit and a mixed batch's
+    end-of-batch marker re-runs the batch: the insert leg deduplicates
+    (RDF set semantics, ``add_quads(dedup=True)``) and only the non-insert
+    stragglers are at-least-once — the reference's concurrent update pool
+    gives no stronger guarantee (GraphDBSystemAdapter.java:82)."""
     executor = UpdateExecutor(store)
-    stream = spark.readStream.format("text").load(updates_dir)
+    src = spark.readStream.format("text")
+    if max_files_per_trigger:
+        src = src.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = src.load(updates_dir)
+    skey = checkpoint_dir or updates_dir
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if store.stream_last(skey) >= batch_id:
+            return                    # crash-replayed batch: already applied
         parsed = spark.createDataFrame(
             batch_df.rdd.mapPartitions(_parse_messages), _PARSED_SCHEMA
         ).localCheckpoint()
         quads = parsed.filter(F.col("is_quads")) \
                       .select(*[F.col(c) for c in QUAD_COLS])
+        stragglers = [r.text for r in
+                      parsed.filter(~F.col("is_quads")).select("text").collect()]
+        if not stragglers:
+            # insert-only batch (the hot path): the marker rides the
+            # append's log entry — atomic, so replay is all-or-nothing and
+            # no dedup join is needed
+            store.stage_stream_mark(skey, batch_id)
         if not quads.isEmpty():
-            store.add_quads(quads)
-        for r in parsed.filter(~F.col("is_quads")).select("text").collect():
-            executor.execute(r.text)
+            # mixed batches dedup their insert leg: a crash between the
+            # append-commit and the end-of-batch marker replays them
+            store.add_quads(quads, dedup=bool(stragglers))
+        for text in stragglers:
+            executor.execute(text)
+        if stragglers:
+            store.stage_stream_mark(skey, batch_id)
+        store.flush_stream_mark()
 
-    ckpt = tempfile.mkdtemp(prefix="ckpt_ing_")
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_ing_")
     q = (stream.writeStream.foreachBatch(apply_batch)
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
@@ -110,10 +141,13 @@ def stream_inserts_from_files(spark: SparkSession, store: QuadStore,
             q.stop()
             q.awaitTermination()
     finally:
-        # staged-file GC (A7): the drain is complete (availableNow), so the
-        # streaming checkpoint is dead state — reclaim it
-        import shutil
-        shutil.rmtree(ckpt, ignore_errors=True)
+        if checkpoint_dir is None:
+            # staged-file GC (A7): the drain is complete (availableNow), so
+            # the one-shot streaming checkpoint is dead state — reclaim it.
+            # Caller-provided checkpoints are kept: they are the restart
+            # cursor.
+            import shutil
+            shutil.rmtree(ckpt, ignore_errors=True)
 
 
 # ------------------------------------------------------------ windows
