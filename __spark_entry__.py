@@ -624,6 +624,37 @@ def q_b40_inference_eq(spark, sf_dir):
         }""").finalize({"t": "str", "veh": "bool"})
 
 
+def q_b40_inference_restrictions(spark, sf_dir):
+    """rdfp14a/b/15/16 (round-5): owl:hasValue / someValuesFrom /
+    allValuesFrom restriction classes of ruleset owl-horst-optimized
+    (repo-config.ttl:26) — membership both ways for hasValue, existential
+    witness for someValuesFrom, universal push for allValuesFrom."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    OWL = "http://www.w3.org/2002/07/owl#"
+    RDFT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    eng = Engine(spark, QuadStore(spark), use_inference=True)
+    eng.update(f"""INSERT DATA {{
+      <urn:WineLover> <{OWL}onProperty> <urn:likes> .
+      <urn:WineLover> <{OWL}hasValue> <urn:wine> .
+      <urn:MeatHome> <{OWL}onProperty> <urn:hasPet> .
+      <urn:MeatHome> <{OWL}someValuesFrom> <urn:Carnivore> .
+      <urn:VeganHome> <{OWL}onProperty> <urn:hasPet> .
+      <urn:VeganHome> <{OWL}allValuesFrom> <urn:Herbivore> .
+      <urn:a> <urn:likes> <urn:wine> .
+      <urn:b> <{RDFT}> <urn:WineLover> .
+      <urn:h1> <urn:hasPet> <urn:rex> .
+      <urn:rex> <{RDFT}> <urn:Carnivore> .
+      <urn:h2> <{RDFT}> <urn:VeganHome> .
+      <urn:h2> <urn:hasPet> <urn:bun> . }}""")
+    return eng.query(f"""
+        SELECT ?s ?t ?hv WHERE {{
+          ?s <{RDFT}> ?t .
+          FILTER(?t IN (<urn:WineLover>, <urn:MeatHome>, <urn:Herbivore>))
+          BIND(EXISTS {{ <urn:b> <urn:likes> <urn:wine> }} AS ?hv)
+        }}""").finalize({"s": "str", "t": "str", "hv": "bool"})
+
+
 def q_b41_sameas_cc(spark, sf_dir):
     from graphdb_free_mocha_sa_spark.model import QUAD_SCHEMA
     from graphdb_free_mocha_sa_spark.operators.inference import sameas_components
@@ -1055,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b40_inference_subclass": q_b40_inference_subclass,
         "b40_inference_rules": q_b40_inference_rules,
         "b40_inference_eq": q_b40_inference_eq,
+        "b40_inference_restrictions": q_b40_inference_restrictions,
         "b41_sameas_cc": q_b41_sameas_cc,
         "b41_sameas_query": q_b41_sameas_query,
         "tpch_q1_pricing": q_tpch_q1_pricing,
@@ -1329,6 +1361,12 @@ def oracle_sql() -> dict[str, str]:
         "b40_inference_eq": """
             SELECT * FROM (VALUES ('urn:Auto', TRUE), ('urn:Car', TRUE),
                                   ('urn:Vehicle', TRUE)) t(t, veh)""",
+        "b40_inference_restrictions": """
+            SELECT * FROM (VALUES
+              ('urn:a', 'urn:WineLover', TRUE),
+              ('urn:b', 'urn:WineLover', TRUE),
+              ('urn:h1', 'urn:MeatHome', TRUE),
+              ('urn:bun', 'urn:Herbivore', TRUE)) t(s, t, hv)""",
         "b40_inference_subclass": """
             SELECT * FROM (VALUES
               ('urn:x','urn:C0'),('urn:x','urn:C1'),('urn:x','urn:C2'),

@@ -22,9 +22,11 @@ rdfs3 (range), rdfs5/7 (subPropertyOf), rdfs9/11 (subClassOf), rdfp3
 rdfp12a/b (equivalentClass, as mutual subClassOf), rdfp13a/b
 (equivalentProperty, as mutual subPropertyOf), rdfp1 (FunctionalProperty →
 sameAs), rdfp2 (InverseFunctionalProperty → sameAs; both IRI-valued only —
-literal identity is value equality, not sameAs). Derived sameAs integrates
-through the B41 query-time expansion (symmetry/transitivity via connected
-components).
+literal identity is value equality, not sameAs), and the restriction rules
+of ``owl-horst-optimized`` (round-5): rdfp14a/b (owl:hasValue, literal and
+IRI values), rdfp15 (owl:someValuesFrom), rdfp16 (owl:allValuesFrom).
+Derived sameAs integrates through the B41 query-time expansion
+(symmetry/transitivity via connected components).
 """
 
 from __future__ import annotations
@@ -46,6 +48,10 @@ EQ_PROP = OWL + "equivalentProperty"
 FUNCTIONAL = OWL + "FunctionalProperty"
 INV_FUNCTIONAL = OWL + "InverseFunctionalProperty"
 SAMEAS = OWL + "sameAs"
+ON_PROPERTY = OWL + "onProperty"
+HAS_VALUE = OWL + "hasValue"
+SOME_VALUES = OWL + "someValuesFrom"
+ALL_VALUES = OWL + "allValuesFrom"
 
 MAX_ITERS = 50
 INFERRED_GRAPH = "http://graph.inferred"
@@ -77,14 +83,35 @@ class Schema:
         if tbox_rows is None:
             tbox_rows = (quads.filter(F.col("p").isin(SUBCLASS, SUBPROP, DOMAIN,
                                                       RANGE, INVERSE, EQ_CLASS,
-                                                      EQ_PROP, RDF_TYPE))
-                         .filter(F.col("o_dt").isNull())
-                         .select("p", "s", "o_lex").collect())
+                                                      EQ_PROP, RDF_TYPE,
+                                                      ON_PROPERTY, HAS_VALUE,
+                                                      SOME_VALUES, ALL_VALUES))
+                         .filter(F.col("o_dt").isNull()
+                                 | (F.col("p") == HAS_VALUE))
+                         .select("p", "s", "o_lex", "o_dt", "o_lang",
+                                 "o_num", "o_ts").collect())
         tbox = tbox_rows
         sc, sp, dom, rng, inv, trans, sym = set(), set(), set(), set(), set(), set(), set()
         func, invfunc = set(), set()
+        on_prop: dict = {}            # restriction node -> property
+        hv_raw: dict = {}             # restriction node -> full value tuple
+        sv_raw: dict = {}             # restriction node -> class (IRI)
+        av_raw: dict = {}
         for row in tbox:
             p, s, o = row["p"], row["s"], row["o_lex"]
+            if p == ON_PROPERTY:
+                on_prop[s] = o
+                continue
+            if p == HAS_VALUE:
+                hv_raw[s] = (row["o_lex"], row["o_dt"], row["o_lang"],
+                             row["o_num"], row["o_ts"])
+                continue
+            if p == SOME_VALUES:
+                sv_raw[s] = o
+                continue
+            if p == ALL_VALUES:
+                av_raw[s] = o
+                continue
             if p == SUBCLASS and s != o:
                 sc.add((s, o))
             elif p == SUBPROP and s != o:
@@ -123,6 +150,16 @@ class Schema:
         self.symmetric = sym
         self.functional = func
         self.inv_functional = invfunc
+        # OWL restriction classes (rdfp14a/b, rdfp15, rdfp16): a restriction
+        # node only acts once it has BOTH owl:onProperty and its value/class
+        # side. The restriction class itself is a first-class class (it can
+        # appear in subClassOf chains — composition happens through rdfs9).
+        self.has_value = [(v, on_prop[v], val) for v, val in sorted(hv_raw.items())
+                          if v in on_prop]
+        self.some_values = [(v, on_prop[v], w) for v, w in sorted(sv_raw.items())
+                            if v in on_prop]
+        self.all_values = [(v, on_prop[v], w) for v, w in sorted(av_raw.items())
+                           if v in on_prop]
 
 
 def _rule_applier(spark: SparkSession, schema: Schema, graph: str):
@@ -139,6 +176,10 @@ def _rule_applier(spark: SparkSession, schema: Schema, graph: str):
     dom_df = df_of(schema.domain, "dp", "dc")
     rng_df = df_of(schema.range, "rp", "rc")
     inv_df = df_of(schema.inverse, "ip1", "ip2")
+    hv_schema = ("hv string, hp string, w_lex string, w_dt string, "
+                 "w_lang string, w_num double, w_ts timestamp")
+    hv_df = spark.createDataFrame(
+        [(v, p) + val for (v, p, val) in schema.has_value], hv_schema)
 
     def null_cols():
         return [F.lit(None).cast("string").alias("o_dt"),
@@ -181,6 +222,28 @@ def _rule_applier(spark: SparkSession, schema: Schema, graph: str):
             pieces.append(sym.select(g.alias("g"), F.col("o_lex").alias("s"),
                                      F.col("p"), F.col("s").alias("o_lex"),
                                      *null_cols()))
+        if schema.has_value:
+            # rdfp14a: u p w (value matches, literal or IRI) => type(u, v)
+            hits = delta.join(
+                F.broadcast(hv_df),
+                (delta["p"] == hv_df["hp"])
+                & (delta["o_lex"] == hv_df["w_lex"])
+                & delta["o_dt"].eqNullSafe(hv_df["w_dt"])
+                & delta["o_lang"].eqNullSafe(hv_df["w_lang"]))
+            pieces.append(hits.select(g.alias("g"), F.col("s"),
+                                      F.lit(RDF_TYPE).alias("p"),
+                                      F.col("hv").alias("o_lex"),
+                                      *null_cols()))
+            # rdfp14b: type(u, v) => u p w (carries the value's shadows)
+            typed = types.join(F.broadcast(hv_df),
+                               types["o_lex"] == hv_df["hv"])
+            pieces.append(typed.select(g.alias("g"), F.col("s"),
+                                       F.col("hp").alias("p"),
+                                       F.col("w_lex").alias("o_lex"),
+                                       F.col("w_dt").alias("o_dt"),
+                                       F.col("w_lang").alias("o_lang"),
+                                       F.col("w_num").alias("o_num"),
+                                       F.col("w_ts").alias("o_ts")))
         out = pieces[0]
         for piece in pieces[1:]:
             out = out.unionByName(piece)
@@ -268,6 +331,71 @@ def _functional_step(delta: DataFrame, known: DataFrame, schema: Schema,
     return out
 
 
+def _restriction_step(spark: SparkSession, delta: DataFrame, known: DataFrame,
+                      schema: Schema, graph: str) -> DataFrame | None:
+    """rdfp15/rdfp16 — the two-ABox-antecedent restriction rules, evaluated
+    semi-naively (delta×known in both directions, like transitive chaining):
+
+    * rdfp15: ``v someValuesFrom w ∧ v onProperty p ∧ u p x ∧ x type w``
+      ⇒ ``u type v``
+    * rdfp16: ``v allValuesFrom w ∧ v onProperty p ∧ u type v ∧ u p x``
+      ⇒ ``x type w``
+
+    The restriction tables are TBox-sized and broadcast; each rule is two
+    broadcast joins + one equi-join keyed on the shared ABox term, so the
+    big side shuffles once per iteration at most.
+    """
+    if not schema.some_values and not schema.all_values:
+        return None
+    g = F.lit(graph)
+
+    def nulls():
+        return [F.lit(None).cast("string").alias("o_dt"),
+                F.lit(None).cast("string").alias("o_lang"),
+                F.lit(None).cast("double").alias("o_num"),
+                F.lit(None).cast("timestamp").alias("o_ts")]
+
+    def rels(df):
+        return df.filter(F.col("o_dt").isNull()) \
+                 .select(F.col("s").alias("u"), F.col("p").alias("rp"),
+                         F.col("o_lex").alias("x"))
+
+    def types(df):
+        return df.filter(F.col("p") == RDF_TYPE) \
+                 .select(F.col("s").alias("i"), F.col("o_lex").alias("c"))
+
+    out = None
+
+    def emit(piece):
+        nonlocal out
+        piece = piece.select(g.alias("g"), "s", F.lit(RDF_TYPE).alias("p"),
+                             "o_lex", *nulls()).select(*QUAD_COLS)
+        out = piece if out is None else out.unionByName(piece)
+
+    if schema.some_values:
+        sv_df = spark.createDataFrame(schema.some_values,
+                                      "v string, vp string, w string")
+        # delta rel × known types   +   known rels × delta types
+        for rel_side, type_side in ((rels(delta), types(known)),
+                                    (rels(known), types(delta))):
+            cand = rel_side.join(F.broadcast(sv_df),
+                                 rel_side["rp"] == sv_df["vp"])
+            hit = cand.join(type_side, (cand["x"] == type_side["i"])
+                            & (cand["w"] == type_side["c"]))
+            emit(hit.select(F.col("u").alias("s"), F.col("v").alias("o_lex")))
+    if schema.all_values:
+        av_df = spark.createDataFrame(schema.all_values,
+                                      "v string, vp string, w string")
+        for rel_side, type_side in ((rels(delta), types(known)),
+                                    (rels(known), types(delta))):
+            cand = rel_side.join(F.broadcast(av_df),
+                                 rel_side["rp"] == av_df["vp"])
+            hit = cand.join(type_side, (cand["u"] == type_side["i"])
+                            & (cand["v"] == type_side["c"]))
+            emit(hit.select(F.col("x").alias("s"), F.col("w").alias("o_lex")))
+    return out
+
+
 #: below this quad count the whole forward-chaining fixpoint runs on the
 #: driver — a semi-naive worklist over Python dicts. A Spark fixpoint over a
 #: few thousand rows is pure job-scheduling overhead (the same adaptive
@@ -292,9 +420,11 @@ def _closure_small_abox(spark: SparkSession, rows, graph: str) -> DataFrame | No
 
     sch = Schema(tbox_rows=[
         r for r in rows
-        if r["p"] in (SUBCLASS, SUBPROP, DOMAIN, RANGE, INVERSE,
-                      EQ_CLASS, EQ_PROP, RDF_TYPE)
-        and r["o_dt"] is None])
+        if (r["p"] in (SUBCLASS, SUBPROP, DOMAIN, RANGE, INVERSE,
+                       EQ_CLASS, EQ_PROP, RDF_TYPE,
+                       ON_PROPERTY, SOME_VALUES, ALL_VALUES)
+            and r["o_dt"] is None)
+        or r["p"] == HAS_VALUE])
     sc_map: dict = {}
     sp_map: dict = {}
     dom_map: dict = {}
@@ -314,6 +444,26 @@ def _closure_small_abox(spark: SparkSession, rows, graph: str) -> DataFrame | No
     trans_bwd: dict = {p: {} for p in sch.transitive}
     func_vals: dict = {p: {} for p in sch.functional}      # p -> s -> {o}
     invfunc_subjs: dict = {p: {} for p in sch.inv_functional}  # p -> o -> {s}
+    # restriction-rule indexes (rdfp14a/b/15/16)
+    hv_by_pval: dict = {}   # (p, o_lex, o_dt, o_lang) -> {restriction v}
+    hv_by_class: dict = {}  # v -> [(p, value-tuple)]
+    for v, p, val in sch.has_value:
+        hv_by_pval.setdefault((p, val[0], val[1], val[2]), set()).add(v)
+        hv_by_class.setdefault(v, []).append((p, val))
+    sv_by_prop: dict = {}   # p -> [(v, w)]
+    sv_by_class: dict = {}  # w -> [(v, p)]
+    for v, p, w in sch.some_values:
+        sv_by_prop.setdefault(p, []).append((v, w))
+        sv_by_class.setdefault(w, []).append((v, p))
+    av_by_class: dict = {}  # v -> [(p, w)]
+    av_by_prop: dict = {}   # p -> [(v, w)]
+    for v, p, w in sch.all_values:
+        av_by_class.setdefault(v, []).append((p, w))
+        av_by_prop.setdefault(p, []).append((v, w))
+    rest_props = set(sv_by_prop) | set(av_by_prop)
+    prop_fwd: dict = {p: {} for p in rest_props}  # p -> u -> {x}
+    prop_bwd: dict = {p: {} for p in rest_props}  # p -> x -> {u}
+    types_of: dict = {}                           # node -> {class}
 
     known: set = set()
     inferred: list = []
@@ -336,6 +486,11 @@ def _closure_small_abox(spark: SparkSession, rows, graph: str) -> DataFrame | No
             func_vals[p].setdefault(s, set()).add(o_lex)
         if o_dt is None and p in invfunc_subjs:
             invfunc_subjs[p].setdefault(o_lex, set()).add(s)
+        if o_dt is None and p == RDF_TYPE:
+            types_of.setdefault(s, set()).add(o_lex)
+        if o_dt is None and p in prop_fwd:
+            prop_fwd[p].setdefault(s, set()).add(o_lex)
+            prop_bwd[p].setdefault(o_lex, set()).add(s)
 
     for r in rows:
         add((r["s"], r["p"], r["o_lex"], r["o_dt"], r["o_lang"],
@@ -347,10 +502,24 @@ def _closure_small_abox(spark: SparkSession, rows, graph: str) -> DataFrame | No
             return None
         s, p, o_lex, o_dt, o_lang, o_num, o_ts = queue.popleft()
         is_iri = o_dt is None
+        # rdfp14a: u p w (value match incl. literals) => type(u, v)
+        for v in hv_by_pval.get((p, o_lex, o_dt, o_lang), ()):
+            add((s, RDF_TYPE, v) + nulls)
         # rdfs9: type(x,c1) & sc(c1,c2) => type(x,c2)
         if p == RDF_TYPE:
             for c2 in sc_map.get(o_lex, ()):
                 add((s, RDF_TYPE, c2) + nulls)
+            # rdfp14b: type(u, v) & v hasValue w / onProperty p' => u p' w
+            for hp, val in hv_by_class.get(o_lex, ()):
+                add((s, hp) + val)
+            # rdfp15 (type side): x type w closes u p x chains into type(u,v)
+            for v, sp2 in sv_by_class.get(o_lex, ()):
+                for u in prop_bwd.get(sp2, {}).get(s, ()):
+                    add((u, RDF_TYPE, v) + nulls)
+            # rdfp16 (type side): u type v pushes w onto every u p x
+            for ap, w in av_by_class.get(o_lex, ()):
+                for x in prop_fwd.get(ap, {}).get(s, ()):
+                    add((x, RDF_TYPE, w) + nulls)
         # rdfs7: rel(s,p1,o) & sp(p1,p2) => rel(s,p2,o) (keeps literal shadow)
         for p2 in sp_map.get(p, ()):
             add((s, p2, o_lex, o_dt, o_lang, o_num, o_ts))
@@ -383,6 +552,16 @@ def _closure_small_abox(spark: SparkSession, rows, graph: str) -> DataFrame | No
                     if other != s:
                         add((s, SAMEAS, other) + nulls)
                         add((other, SAMEAS, s) + nulls)
+            # rdfp15 (rel side): u p x & x type w => type(u, v)
+            if p in sv_by_prop:
+                for v, w in sv_by_prop[p]:
+                    if w in types_of.get(o_lex, ()):
+                        add((s, RDF_TYPE, v) + nulls)
+            # rdfp16 (rel side): u p x & u type v => type(x, w)
+            if p in av_by_prop:
+                for v, w in av_by_prop[p]:
+                    if v in types_of.get(s, ()):
+                        add((o_lex, RDF_TYPE, w) + nulls)
 
     from graphdb_free_mocha_sa_spark.model import QUAD_SCHEMA
     out_rows = [(graph,) + f for f in inferred]
@@ -438,6 +617,9 @@ def owl_horst_closure(spark: SparkSession, quads: DataFrame,
         fs = _functional_step(delta, known, schema, graph)
         if fs is not None:
             new = new.unionByName(fs)
+        rs = _restriction_step(spark, delta, known, schema, graph)
+        if rs is not None:
+            new = new.unionByName(rs)
         new = _anti_known(new, known).localCheckpoint()
         if new.isEmpty():
             break
@@ -452,7 +634,8 @@ def owl_horst_closure(spark: SparkSession, quads: DataFrame,
     return inferred.dropDuplicates(["s", "p", "o_lex", "o_dt", "o_lang"])
 
 
-TBOX_PREDS = (SUBCLASS, SUBPROP, DOMAIN, RANGE, INVERSE, EQ_CLASS, EQ_PROP)
+TBOX_PREDS = (SUBCLASS, SUBPROP, DOMAIN, RANGE, INVERSE, EQ_CLASS, EQ_PROP,
+              ON_PROPERTY, HAS_VALUE, SOME_VALUES, ALL_VALUES)
 
 
 def owl_horst_increment(spark: SparkSession, base: DataFrame,
@@ -495,6 +678,9 @@ def owl_horst_increment(spark: SparkSession, base: DataFrame,
         fs = _functional_step(d, known, schema, graph)
         if fs is not None:
             new = new.unionByName(fs)
+        rs = _restriction_step(spark, d, known, schema, graph)
+        if rs is not None:
+            new = new.unionByName(rs)
         new = _anti_known(new, known).localCheckpoint()
         if new.isEmpty():
             return new_inferred

@@ -121,6 +121,111 @@ def test_functional_properties_derive_sameas(spark, closure_fn):
     assert ("urn:pa", SAME, "urn:pb") in got and ("urn:pb", SAME, "urn:pa") in got
 
 
+ONP = OWL + "onProperty"
+HV = OWL + "hasValue"
+SVF = OWL + "someValuesFrom"
+AVF = OWL + "allValuesFrom"
+
+
+def test_hasvalue_restriction(spark, closure_fn):
+    """rdfp14a/b: owl:hasValue both directions, IRI and literal values,
+    composing with subClassOf through the fixpoint."""
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+    triples = [
+        ("urn:WineLover", ONP, "urn:likes"),
+        ("urn:WineLover", HV, "urn:wine"),
+        ("urn:WineLover", SC, "urn:Person"),
+        ("urn:a", "urn:likes", "urn:wine"),      # 14a → type WineLover
+        ("urn:b", RDF_TYPE, "urn:WineLover"),    # 14b → likes wine
+        ("urn:Adult18", ONP, "urn:minAge"),
+    ]
+    rows = [("urn:g", s, p, o, None, None, None, None) for s, p, o in triples]
+    # literal-valued hasValue: Adult18 ≡ minAge = "18"^^xsd:integer
+    rows += [("urn:g", "urn:Adult18", HV, "18", XSD_INT, None, 18.0, None),
+             ("urn:g", "urn:c", "urn:minAge", "18", XSD_INT, None, 18.0, None),
+             ("urn:g", "urn:d", RDF_TYPE, "urn:Adult18", None, None, None, None)]
+    quads = spark.createDataFrame(rows, QUAD_SCHEMA)
+    inf = closure_fn(spark, quads)
+    got = {(r.s, r.p, r.o_lex, r.o_dt) for r in inf.collect()}
+    assert ("urn:a", RDF_TYPE, "urn:WineLover", None) in got      # 14a IRI
+    assert ("urn:a", RDF_TYPE, "urn:Person", None) in got         # ∘ rdfs9
+    assert ("urn:b", "urn:likes", "urn:wine", None) in got        # 14b IRI
+    assert ("urn:c", RDF_TYPE, "urn:Adult18", None) in got        # 14a literal
+    assert ("urn:d", "urn:minAge", "18", XSD_INT) in got          # 14b literal
+
+
+def test_somevaluesfrom_restriction(spark, closure_fn):
+    """rdfp15: ∃p.w membership, including when the witness type is itself
+    INFERRED (subclass chain) — the two antecedents must close in either
+    arrival order through the fixpoint."""
+    triples = [
+        ("urn:MeatHome", ONP, "urn:hasPet"),
+        ("urn:MeatHome", SVF, "urn:Carnivore"),
+        ("urn:Wolf", SC, "urn:Carnivore"),
+        ("urn:home1", "urn:hasPet", "urn:rex"),
+        ("urn:rex", RDF_TYPE, "urn:Carnivore"),     # direct witness
+        ("urn:home2", "urn:hasPet", "urn:lupa"),
+        ("urn:lupa", RDF_TYPE, "urn:Wolf"),         # witness via rdfs9
+        ("urn:home3", "urn:hasPet", "urn:bun"),     # no witness
+    ]
+    got = {(r.s, r.p, r.o_lex)
+           for r in closure_fn(spark, mk_quads(spark, triples)).collect()}
+    assert ("urn:home1", RDF_TYPE, "urn:MeatHome") in got
+    assert ("urn:home2", RDF_TYPE, "urn:MeatHome") in got
+    assert ("urn:home3", RDF_TYPE, "urn:MeatHome") not in got
+
+
+def test_allvaluesfrom_restriction(spark, closure_fn):
+    """rdfp16: ∀p.w pushes the class onto every p-successor, including
+    successors reached only through inferred facts, and composes onward
+    (Herbivore ⊂ Animal)."""
+    triples = [
+        ("urn:VeganHome", ONP, "urn:hasPet"),
+        ("urn:VeganHome", AVF, "urn:Herbivore"),
+        ("urn:Herbivore", SC, "urn:Animal"),
+        ("urn:keeps", SP, "urn:hasPet"),
+        ("urn:home1", RDF_TYPE, "urn:VeganHome"),
+        ("urn:home1", "urn:hasPet", "urn:bun"),
+        ("urn:home1", "urn:keeps", "urn:moo"),      # hasPet via rdfs7
+        ("urn:home2", "urn:hasPet", "urn:rex"),     # not a VeganHome
+    ]
+    got = {(r.s, r.p, r.o_lex)
+           for r in closure_fn(spark, mk_quads(spark, triples)).collect()}
+    assert ("urn:bun", RDF_TYPE, "urn:Herbivore") in got
+    assert ("urn:bun", RDF_TYPE, "urn:Animal") in got
+    assert ("urn:moo", RDF_TYPE, "urn:Herbivore") in got   # via subProperty
+    assert ("urn:rex", RDF_TYPE, "urn:Herbivore") not in got
+
+
+def test_restrictions_incremental_maintenance(spark):
+    """Restriction rules fire on streaming ABox inserts through
+    owl_horst_increment; a restriction-TBox delta forces re-materialization
+    (restriction predicates are TBox predicates)."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    store = QuadStore(spark)
+    eng = Engine(spark, store, use_inference=True)
+    eng.update(f"""INSERT DATA {{
+      <urn:MeatHome> <{ONP}> <urn:hasPet> .
+      <urn:MeatHome> <{SVF}> <urn:Carnivore> .
+      <urn:rex> <{RDF_TYPE}> <urn:Carnivore> . }}""")
+    store.materialize_inference()
+
+    def types_of(i):
+        return sorted(r[0] for r in eng.query(
+            f"SELECT ?c WHERE {{ <{i}> <{RDF_TYPE}> ?c }}")
+            .finalize({"c": "str"}).collect())
+
+    # ABox delta completes the rdfp15 antecedents incrementally
+    eng.update("INSERT DATA { <urn:home1> <urn:hasPet> <urn:rex> }")
+    assert "urn:MeatHome" in types_of("urn:home1")
+    # TBox delta (new restriction): re-materializes and reclassifies
+    eng.update(f"""INSERT DATA {{
+      <urn:PetOwner> <{ONP}> <urn:hasPet> .
+      <urn:PetOwner> <{HV}> <urn:rex> . }}""")
+    assert types_of("urn:home1") == ["urn:MeatHome", "urn:PetOwner"]
+
+
 def test_functional_sameas_feeds_query_expansion(spark):
     """Derived sameAs must merge identities in query answers (B41 engine
     expansion over base ∪ inferred)."""
