@@ -727,21 +727,47 @@ def expand_sameas(quads: DataFrame, comp: DataFrame) -> DataFrame:
     return out.dropDuplicates(["g", "s", "p", "o_lex", "o_dt", "o_lang"])
 
 
-def sameas_components(spark: SparkSession, quads: DataFrame) -> DataFrame:
+#: iteration count of the last sameas_components run (observability for
+#: the bounded-latency incremental-maintenance tests)
+LAST_CC_ITERS = 0
+
+
+def sameas_components(spark: SparkSession, quads: DataFrame,
+                      seed: DataFrame | None = None) -> DataFrame:
     """owl:sameAs equivalence classes via iterative min-label propagation.
 
     Returns ``(term STRING, canon STRING)`` — the canonical-id dictionary
     (B41); expand-on-read joins against it. Classic Pregel connected
     components: each node adopts the min canonical id among itself and its
     neighbours until fixpoint.
-    """
+
+    ``seed`` (incremental maintenance, VERDICT r4 item 7): the previous
+    (term, canon) dictionary. Its classes are injected as STAR edges
+    (member ↔ old canon) and its labels seed the propagation, so an
+    append-only delta that merges existing classes converges in O(1)
+    iterations (≈3: bridge endpoint → old canon → rest of the class via
+    the star) instead of re-walking the component diameter per micro-batch.
+    Only valid for append-only transitions — a sameAs DELETE can split a
+    class, which seeding would keep merged (callers rebuild from scratch
+    after destructive ops)."""
+    global LAST_CC_ITERS
     edges = (quads.filter((F.col("p") == SAMEAS) & F.col("o_dt").isNull())
              .select(F.col("s").alias("a"), F.col("o_lex").alias("b")))
+    if seed is not None:
+        star = seed.filter(F.col("term") != F.col("canon")) \
+                   .select(F.col("term").alias("a"), F.col("canon").alias("b"))
+        edges = edges.unionByName(star)
     edges = edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
                  .dropDuplicates().localCheckpoint()
     labels = (edges.select(F.col("a").alias("term"))
               .dropDuplicates()
               .withColumn("canon", F.col("term")))
+    if seed is not None:
+        labels = (labels.drop("canon")
+                  .join(seed.withColumnRenamed("canon", "__seed"),
+                        "term", "left_outer")
+                  .select("term", F.coalesce(F.col("__seed"), F.col("term"))
+                          .alias("canon")))
     for i in range(MAX_ITERS):
         neigh = (edges.join(labels, edges["b"] == labels["term"])
                  .groupBy(F.col("a").alias("term"))
@@ -753,6 +779,7 @@ def sameas_components(spark: SparkSession, quads: DataFrame) -> DataFrame:
         changed = (merged.alias("m").join(labels.alias("l"), "term")
                    .filter(F.col("m.canon") != F.col("l.canon")))
         if changed.isEmpty():
+            LAST_CC_ITERS = i + 1
             return merged
         labels = merged
     raise RuntimeError("sameAs components did not converge")

@@ -39,6 +39,11 @@ class QuadStore:
         self._version = 0
         self._lock = threading.Lock()
         self._inferred: Optional[DataFrame] = None
+        #: bumped by destructive ops (DELETE/CLEAR/COPY/MOVE). Readers that
+        #: maintain append-only-incremental state (the engine's sameAs
+        #: component cache) compare epochs: same epoch ⇒ only appends
+        #: happened since, incremental update is sound.
+        self.destructive_epoch = 0
 
     # -- snapshot reads ------------------------------------------------
 
@@ -63,6 +68,7 @@ class QuadStore:
         GraphDBSystemAdapter.java:82,227 — same guarantee, shorter critical
         section: only driver-side plan building happens under the lock)."""
         with self._lock:
+            self.destructive_epoch += 1
             self._commit_rewrite(fn(self._df))
 
     def _append(self, delta: DataFrame):

@@ -255,6 +255,61 @@ def test_sameas_cliques(spark):
     assert canon["urn:b1"] == canon["urn:b2"] == "urn:b1"
 
 
+def test_sameas_incremental_seed_matches_full_rebuild(spark):
+    """Seeded label propagation (incremental CC maintenance) must produce
+    the same dictionary as a from-scratch rebuild when an edge bridges two
+    existing classes — and converge in O(1) iterations instead of
+    re-walking the component diameter."""
+    from graphdb_free_mocha_sa_spark.operators import inference
+    SAME = OWL + "sameAs"
+    n = 12
+    chain_a = [(f"urn:a{i:02d}", SAME, f"urn:a{i+1:02d}") for i in range(n)]
+    chain_b = [(f"urn:b{i:02d}", SAME, f"urn:b{i+1:02d}") for i in range(n)]
+    base = mk_quads(spark, chain_a + chain_b)
+    seed = inference.sameas_components(spark, base).localCheckpoint()
+    full_iters = inference.LAST_CC_ITERS
+    assert full_iters >= n // 2          # cold walk scales with diameter
+
+    bridged = mk_quads(spark, chain_a + chain_b
+                       + [("urn:a05", SAME, "urn:b07")])
+    inc = inference.sameas_components(spark, bridged, seed=seed)
+    inc_iters = inference.LAST_CC_ITERS
+    ref = inference.sameas_components(spark, bridged)
+    assert {(r.term, r.canon) for r in inc.collect()} == \
+        {(r.term, r.canon) for r in ref.collect()}
+    assert inc_iters <= 4, f"seeded merge took {inc_iters} iterations"
+
+
+def test_sameas_streaming_asserts_incremental_in_engine(spark):
+    """Engine-level: streaming sameAs INSERTs maintain the component cache
+    incrementally (append-only epoch); a destructive op falls back to a
+    full rebuild and answers stay correct."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.operators import inference
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    SAME = OWL + "sameAs"
+    eng = Engine(spark, QuadStore(spark), encoded=False)
+    eng.update(f"""INSERT DATA {{
+        <urn:u1> <{SAME}> <urn:u2> . <urn:u2> <{SAME}> <urn:u3> .
+        <urn:v1> <{SAME}> <urn:v2> .
+        <urn:u3> <urn:city> <urn:nyc> . }}""")
+
+    def cities(who):
+        return sorted(r[0] for r in eng.query(
+            f"SELECT ?c WHERE {{ <{who}> <urn:city> ?c }}")
+            .finalize({"c": "str"}).collect())
+
+    assert cities("urn:u1") == ["urn:nyc"]
+    # append-only batch bridging the two classes: seeded path, few iters
+    eng.update(f"INSERT DATA {{ <urn:u1> <{SAME}> <urn:v1> }}")
+    assert cities("urn:v2") == ["urn:nyc"]
+    assert inference.LAST_CC_ITERS <= 4
+    # destructive: retract the bridge — classes must SPLIT (full rebuild)
+    eng.update(f"DELETE DATA {{ <urn:u1> <{SAME}> <urn:v1> }}")
+    assert cities("urn:v2") == []
+    assert cities("urn:u1") == ["urn:nyc"]
+
+
 @pytest.fixture(scope="module")
 def chain_engine(spark):
     """a0 → a1 → … → a5 plus a side branch; engine over it."""
