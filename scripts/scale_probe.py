@@ -1,0 +1,139 @@
+"""10x scale probe (VERDICT r4 item 5): synthesize an sf1-equivalent
+dataset (10 key-offset copies of sf0.1) and time the 5 headline probes —
+b2_bgp_join, b4_optional, tpch_q3_shipping, ext_dedup_minhash, rdf_load —
+at BOTH sf0.1 and the 10x scale in one session, so scale regressions stop
+hiding inside sf0.1 noise.
+
+Results land in ``<cache_root>/scale_probe_results.json``; bench.py folds
+them into its output (clearly labeled as this probe's cached measurement)
+so the per-round BENCH json carries the scaling numbers.
+
+Usage: python scripts/scale_probe.py [sf0.1_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+COPIES = 10
+#: key offset per copy — far above any sf0.1 key range, keeps every FK
+#: relationship intact within a copy and disjoint across copies
+OFF = 100_000_000
+
+#: numeric id columns to offset per table (FK consistency across tables)
+ID_COLS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "documents": ["doc_id"],
+}
+#: dimension tables copied once, unscaled (they are fixed-size in TPC-H too)
+DIMS = ["region", "nation", "events", "embeddings"]
+
+
+def synth_dir(sf_dir: str) -> str:
+    from graphdb_free_mocha_sa_spark import cache as C
+    fp = C.fixture_fingerprint(sf_dir, C.RDF_TABLES + ["documents"])
+    return os.path.join(C.cache_root(), f"sf1synth-{fp}")
+
+
+def generate(sf_dir: str, out_dir: str) -> None:
+    """10 key-offset copies of the fact tables, written as single parquet
+    files (duckdb COPY) so the engine's content fingerprint works on them."""
+    import duckdb
+    os.makedirs(out_dir + ".tmp", exist_ok=True)
+    con = duckdb.connect()
+    for t, ids in ID_COLS.items():
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        cols = [c[0] for c in con.sql(
+            f"describe select * from '{src}'").fetchall()]
+        types = {c[0]: c[1] for c in con.sql(
+            f"describe select * from '{src}'").fetchall()}
+        sel = []
+        for c in cols:
+            if c in ids and "INT" in types[c].upper():
+                sel.append(f"{c} + k * {OFF} AS {c}")
+            elif c in ids:          # string id: suffix non-zero copies
+                sel.append(f"CASE WHEN k = 0 THEN {c} "
+                           f"ELSE {c} || '_' || k END AS {c}")
+            else:
+                sel.append(c)
+        con.sql(f"""COPY (SELECT {', '.join(sel)}
+                    FROM read_parquet('{src}')
+                    CROSS JOIN (SELECT unnest(range({COPIES})) AS k) t
+                    ) TO '{out_dir}.tmp/{t}.parquet' (FORMAT PARQUET)""")
+    for t in DIMS:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(src):
+            con.sql(f"COPY (SELECT * FROM read_parquet('{src}')) TO "
+                    f"'{out_dir}.tmp/{t}.parquet' (FORMAT PARQUET)")
+    os.rename(out_dir + ".tmp", out_dir)
+
+
+PROBES = ["b2_bgp_join", "b4_optional", "tpch_q3_shipping",
+          "ext_dedup_minhash"]
+
+
+def run_probes(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+    qs = entry_mod.queries()
+    out: dict[str, float] = {}
+    t0 = time.time()
+    eng = entry_mod._engine(spark, sf_dir)
+    eng.store.df.count()
+    if getattr(eng, "encoded", False) and eng._should_encode():
+        eng._encoded_state()
+    out["rdf_load"] = round(time.time() - t0, 3)
+    out["rdf_load_mode"] = "encoded" if eng._enc is not None else "string"
+    for name in PROBES:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from graphdb_free_mocha_sa_spark import cache as C
+    from graphdb_free_mocha_sa_spark.session import get_spark
+
+    big = synth_dir(sf_dir)
+    if not os.path.isdir(big):
+        t0 = time.time()
+        generate(sf_dir, big)
+        print(f"generated 10x dataset at {big} in {time.time()-t0:.1f}s",
+              file=sys.stderr)
+
+    spark = get_spark(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    small = run_probes(spark, sf_dir)
+    large = run_probes(spark, big)
+    ratios = {k: (round(large[k] / small[k], 2)
+                  if isinstance(small.get(k), float) and small[k] > 0
+                  and isinstance(large.get(k), float) else None)
+              for k in small}
+    result = {
+        "probe": "10x_scale",
+        "copies": COPIES,
+        "sf_small": sf_dir,
+        "sf_large": big,
+        "small": small,
+        "large": large,
+        "ratio_10x": ratios,
+        "measured_unix": int(time.time()),
+    }
+    path = os.path.join(C.cache_root(), "scale_probe_results.json")
+    with open(path, "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
