@@ -152,9 +152,57 @@ class Engine:
                 enc = encode_quads(quads, term_dict).localCheckpoint()
                 if warm:
                     self._persist_warm_encoded(warm, term_dict, enc)
+                    # re-read through the just-published bucketed table so
+                    # THIS session's star joins are bucket-co-located too
+                    reloaded = self._load_warm_encoded(warm, n_part)
+                    if reloaded is not None:
+                        term_dict, enc = reloaded
             self._enc = (basis, term_dict, enc)
             self._const_ids = {}
         return self._enc[1], self._enc[2]
+
+    #: bucket count of the persisted id-encoded quad table (clustered by
+    #: s_id — the dictionary-id analogue of the store's bucketed-by-s base;
+    #: star-pattern BGP self-joins in ENCODED mode then plan with zero
+    #: Exchange). Recorded in a marker file beside the data because a
+    #: bucketed read of non-bucketed files would be silently wrong.
+    ENC_BUCKETS = 32
+
+    def _bucketed_enc_table(self, path: str):
+        """Register (idempotently) and scan the warm ``enc`` artifact as a
+        bucketed catalog table. Returns None if the artifact was written
+        without bucketing (older cache generations) — caller falls back to
+        the plain parquet scan."""
+        import hashlib
+        import os
+        if not os.path.exists(os.path.join(
+                path, f"_PSO_BUCKETED_{self.ENC_BUCKETS}")):
+            return None
+        name = "enc_warm_" + hashlib.sha1(
+            os.path.abspath(path).encode()).hexdigest()[:10]
+        cat = self.spark.catalog
+        loc = os.path.abspath(path)
+        ok = False
+        if cat.tableExists(name):
+            try:
+                cur = self.spark.sql(f"DESCRIBE TABLE EXTENDED {name}") \
+                    .where("col_name = 'Location'").collect()
+                ok = bool(cur) and cur[0]["data_type"].replace("file:", "") == loc
+            except Exception:
+                ok = False
+            if not ok:
+                self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        if not ok:
+            schema = self.spark.read.parquet(path).schema
+            ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                            for f in schema.fields)
+            self.spark.sql(
+                f"CREATE TABLE {name} ({ddl}) USING parquet "
+                f"PARTITIONED BY (p_id) "
+                f"CLUSTERED BY (s_id) SORTED BY (s_id) "
+                f"INTO {self.ENC_BUCKETS} BUCKETS LOCATION '{loc}'")
+            self.spark.sql(f"ALTER TABLE {name} RECOVER PARTITIONS")
+        return self.spark.table(name)
 
     def _warm_encoded_dir(self) -> str | None:
         """Warm-cache dir for the encoded state, valid only for the pristine
@@ -166,8 +214,9 @@ class Engine:
             return None
         import os
         # the artifacts are built from the sameAs-expanded view when that
-        # expansion is on — key the cache on the switch
-        sub = "encoded" if self.use_sameas else "encoded_nosameas"
+        # expansion is on — key the cache on the switch. v2 = bucketed
+        # enc layout (round-5); v1 dirs age out via generation pruning.
+        sub = "encoded_v3" if self.use_sameas else "encoded_nosameas_v3"
         return os.path.join(self.warm_dir, sub)
 
     def _load_warm_encoded(self, warm: str, n_part: int):
@@ -183,8 +232,15 @@ class Engine:
                          .repartition(n_part, "id")
                          .sortWithinPartitions("id")
                          .localCheckpoint())
-            enc = self.spark.read.parquet(os.path.join(warm, "enc")) \
-                .localCheckpoint()
+            # bucketed catalog scan when the artifact carries the layout —
+            # NOT localCheckpointed: checkpointing drops the bucketing
+            # metadata from the plan, and the parquet files already pin the
+            # (nondeterministic) id assignment that checkpointing pins on
+            # the cold path
+            enc = self._bucketed_enc_table(os.path.join(warm, "enc"))
+            if enc is None:
+                enc = self.spark.read.parquet(os.path.join(warm, "enc")) \
+                    .localCheckpoint()
             return term_dict, enc
         except Exception:
             return None
@@ -192,10 +248,28 @@ class Engine:
     def _persist_warm_encoded(self, warm: str, term_dict, enc) -> None:
         from graphdb_free_mocha_sa_spark import cache as C
         import os
+        import uuid
         try:
             tmp = C.scratch_dir(warm)
             term_dict.write.mode("overwrite").parquet(os.path.join(tmp, "dict"))
-            enc.write.mode("overwrite").parquet(os.path.join(tmp, "enc"))
+            # enc lands bucketed+sorted by s_id (needs a transient catalog
+            # entry — bucketBy requires saveAsTable; the files keep their
+            # bucket-id names through the atomic publish rename)
+            enc_dir = os.path.join(tmp, "enc")
+            stage = f"enc_stage_{uuid.uuid4().hex[:8]}"
+            try:
+                # PSO-shaped layout: directory-partitioned by predicate id
+                # (triple-pattern scans prune to their predicate — the
+                # reference's PSO/POS statement index) AND bucketed by
+                # subject id (star joins bucket-co-locate, zero Exchange)
+                (enc.write.mode("overwrite")
+                 .partitionBy("p_id")
+                 .bucketBy(self.ENC_BUCKETS, "s_id").sortBy("s_id")
+                 .option("path", enc_dir).saveAsTable(stage))
+            finally:
+                self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
+            open(os.path.join(enc_dir,
+                              f"_PSO_BUCKETED_{self.ENC_BUCKETS}"), "w").close()
             C.publish(tmp, warm)
         except Exception:
             pass                  # unwritable cache dir — warm start is best-effort

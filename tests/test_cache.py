@@ -60,7 +60,7 @@ def test_warm_encoded_state_matches_cold(spark, monkeypatch, tmp_path):
     cold = Engine(spark, QuadStore(spark, quads), warm_dir=warm_dir)
     cold.ENCODE_MIN_QUADS = 0          # force the encoded path at sf0.001
     cold_rows = [tuple(r) for r in cold.query(q).finalize(spec).collect()]
-    assert C.is_published(os.path.join(warm_dir, "encoded"))
+    assert C.is_published(cold._warm_encoded_dir())
 
     # poison the build path: the fresh engine must take the WARM load
     import graphdb_free_mocha_sa_spark.dictionary as D

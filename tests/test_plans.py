@@ -245,6 +245,40 @@ def test_default_store_self_join_has_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
+def test_warm_encoded_table_star_join_no_shuffle(spark, quads, tmp_path):
+    """The warm id-encoded quad artifact is a bucketed-by-s_id catalog
+    table: the ENCODED hot path's s_id=s_id star joins must plan with zero
+    Exchange, same as the string store's bucketed base (round-5)."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark, quads), warm_dir=str(tmp_path))
+    _, enc = eng._encoded_state()
+    assert eng._should_encode()          # sf fixture is over the cutoff
+    name_id = eng._lookup_id("urn:x:p/n_name")
+    reg_id = eng._lookup_id("urn:x:p/n_regionkey")
+    l = enc.where(F.col("p_id") == name_id).select("s_id", "o_lex")
+    r = enc.where(F.col("p_id") == reg_id) \
+        .select("s_id", F.col("o_num").alias("rk"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = l.join(r, "s_id")
+        assert j.count() > 0
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert "Exchange" not in plan, plan[:3000]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    # and the engine answers over the bucketed artifact stay correct
+    res = eng.query(
+        "SELECT ?s ?n WHERE { ?s <urn:x:p/n_name> ?n }").finalize(
+        {"s": "str", "n": "str"})
+    ref = Engine(spark, QuadStore(spark, quads), encoded=False).query(
+        "SELECT ?s ?n WHERE { ?s <urn:x:p/n_name> ?n }").finalize(
+        {"s": "str", "n": "str"})
+    assert sorted(map(tuple, res.collect())) == \
+        sorted(map(tuple, ref.collect()))
+
+
 def test_aggregate_is_partial_then_final(spark, tables):
     df = tables["orders"].groupBy("o_orderstatus").count()
     plan = _plan(df)
