@@ -339,6 +339,10 @@ class DurableQuadStore(QuadStore):
         super().__init__(spark, self._snapshot_df())
         if entry:
             self._version = entry["version"]
+        # disk bound across sessions: reclaim dirs unreferenced by the
+        # latest log entry and older than the race horizon (a concurrent
+        # committer's data lands before its log rename)
+        self.vacuum(min_age_seconds=3600.0)
 
     # -- bucketed base table ----------------------------------------------
 
@@ -489,19 +493,29 @@ class DurableQuadStore(QuadStore):
         self._df = df if df is not None \
             else self.spark.createDataFrame([], QUAD_SCHEMA)
 
-    def vacuum(self) -> int:
+    def vacuum(self, min_age_seconds: float = 0.0) -> int:
         """Delete bases/segments no longer referenced by the latest log
         entry (old pinned snapshots become unreadable — call when
-        quiesced)."""
+        quiesced). ``min_age_seconds`` guards the open-time auto-vacuum:
+        a dir younger than the horizon may be a concurrent session's
+        about-to-be-committed write (data lands before its log entry), so
+        only old garbage is reclaimed."""
         import os
         import shutil
+        import time
         live = set(self._segments) | ({self._base} if self._base else set())
         n = 0
+        now = time.time()
         for name in os.listdir(self.path):
             if (name.startswith("seg-") or name.startswith("base-")) \
                     and name not in live:
-                shutil.rmtree(os.path.join(self.path, name),
-                              ignore_errors=True)
+                full = os.path.join(self.path, name)
+                try:
+                    if now - os.path.getmtime(full) < min_age_seconds:
+                        continue
+                except OSError:
+                    continue
+                shutil.rmtree(full, ignore_errors=True)
                 n += 1
         return n
 

@@ -106,6 +106,57 @@ def test_ingest_warm_store_restart(spark, tmp_path):
         store.df.dropDuplicates(["g", "s", "p", "o_lex"]).count()
 
 
+def test_kafka_ingest_wiring_env_gated(spark, tmp_path):
+    """A2 parity: the Kafka update-consumer wiring exists and shares the
+    micro-batch applier with the file path. The connector jar is not in
+    this container, so stream construction must fail with Spark's
+    missing-data-source error (the documented env gate) — if the jar IS
+    present, the query starts and is stopped immediately."""
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    from graphdb_free_mocha_sa_spark.streaming.ingest import (
+        stream_inserts_from_kafka)
+    try:
+        q = stream_inserts_from_kafka(
+            spark, QuadStore(spark), "localhost:9092", "updates",
+            checkpoint_dir=str(tmp_path / "ckpt"))
+    except Exception as e:  # noqa: BLE001
+        msg = str(e)
+        assert "kafka" in msg.lower(), msg
+    else:
+        q.stop()
+
+
+def test_open_time_vacuum_reclaims_old_garbage_only(spark, tmp_path):
+    """Re-opening a durable store GCs dirs unreferenced by the latest log
+    entry — but only past the race horizon, so a concurrent committer's
+    in-flight write is never deleted."""
+    import os
+    import time
+    from graphdb_free_mocha_sa_spark.model import QUAD_SCHEMA
+    path = str(tmp_path / "store")
+    st = DurableQuadStore(spark, path)
+
+    def q(s):
+        return spark.createDataFrame(
+            [("urn:g", s, "urn:p", "v", None, None, None, None)], QUAD_SCHEMA)
+
+    st.add_quads(q("urn:a"))                  # base
+    st.add_quads(q("urn:b"))                  # segment
+    st.delete_quads(q("urn:zz"))              # rewrite -> old base+seg stale
+    stale = [n for n in os.listdir(path)
+             if (n.startswith(("seg-", "base-")))
+             and n not in ({st._base} | set(st._segments))]
+    assert stale
+    old = time.time() - 7200
+    for n in stale:
+        os.utime(os.path.join(path, n), (old, old))
+    reopened = DurableQuadStore(spark, path)
+    assert reopened.df.count() == 2           # data intact
+    left = set(os.listdir(path))
+    assert not (left & set(stale))            # old garbage reclaimed
+    assert reopened._base in left             # live base untouched
+
+
 def test_ingest_mixed_batch_replay_dedups(spark, tmp_path):
     """A mixed batch (inserts + a pattern DELETE) that crashes between the
     insert append and the end-of-batch marker replays its insert leg with
