@@ -103,7 +103,7 @@ def main() -> None:
     # each) replayed through the micro-batch path — parse on executors,
     # one append per pure-insert batch.
     import tempfile
-    from graphdb_free_mocha_sa_spark.store import QuadStore
+    from graphdb_free_mocha_sa_spark.store import DurableQuadStore
     from graphdb_free_mocha_sa_spark.streaming.ingest import (
         stream_inserts_from_files)
     msg_dir = tempfile.mkdtemp(prefix="bench_ingest_")
@@ -112,7 +112,11 @@ def main() -> None:
             f"<urn:m{i}> <urn:p{j}> {i * 10 + j}" for j in range(5))
         with open(os.path.join(msg_dir, f"u{i:04d}.ru"), "w") as fh:
             fh.write(f"INSERT DATA {{ GRAPH <urn:bench:stream> {{ {quads} }} }}")
-    ingest_store = QuadStore(spark)
+    # the DEFAULT store (durable segment log) — measured faster than the
+    # in-memory snapshot here too: O(delta) segment appends beat deep
+    # union-lineage re-planning
+    ingest_store = DurableQuadStore(
+        spark, tempfile.mkdtemp(prefix="bench_ingest_store_"))
     t0 = time.time()
     stream_inserts_from_files(spark, ingest_store, msg_dir)
     n_loaded = ingest_store.df.count()
