@@ -4,13 +4,14 @@ Media are opaque ``binary`` columns with a typed metadata struct; decode /
 feature-extract / resize / frame-sample run as Arrow-batched ``mapInPandas``
 UDFs. Two decode modes:
 
-* ``decode="real"`` — REAL decoders for the self-describing uncompressed
-  formats the stdlib + numpy can handle with no codec libraries: PCM WAV
-  audio (``wave``), PPM(P6) and 24-bit uncompressed BMP images. Features
+* ``decode="real"`` — REAL decoders with no codec libraries: PCM WAV audio
+  (``wave``), PPM(P6), 24-bit uncompressed BMP, and — round 5 — **8-bit
+  PNG via the pure-Python codec** (png_codec.py: stdlib zlib + the five
+  scanline filters; gray/RGB/gray+alpha/RGBA, non-interlaced). Features
   are real signal statistics (FFT band energies, channel moments, luma
   grid); resize is a real nearest-neighbour resample re-encoded as PPM.
-  Compressed codecs (PNG/JPEG/MP3/H.264) still raise NotImplementedError —
-  PIL/librosa/pyav are not in this container.
+  JPEG/MP3/H.264 still raise NotImplementedError — DCT/audio/video codecs
+  (PIL/librosa/pyav) are not in this container.
 * ``decode="fake"`` — a deterministic content-hash-seeded fake that keeps
   the Spark-side plumbing (schema, batching, partitioning) testable for
   any payload.
@@ -74,14 +75,20 @@ def synthesize_real_media(spark, n: int = 24, seed: int = 42) -> DataFrame:
     PPM(P6) images and 16-bit PCM WAV tones — built with stdlib only."""
     import io
     import wave
+    from graphdb_free_mocha_sa_spark.operators.png_codec import encode_png
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
         if i % 2 == 0:
             w, h = 32 + (i % 3) * 16, 24 + (i % 2) * 8
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            rows.append((i, "image", bytearray(encode_ppm(img)),
-                         (w, h, None, None, "ppm")))
+            if i % 4 == 0:       # alternate: compressed PNG / raw PPM
+                rows.append((i, "image",
+                             bytearray(encode_png(img, filter_mode="mixed")),
+                             (w, h, None, None, "png")))
+            else:
+                rows.append((i, "image", bytearray(encode_ppm(img)),
+                             (w, h, None, None, "ppm")))
         else:
             rate = 8000
             t = np.arange(rate // 4) / rate
@@ -107,8 +114,12 @@ def _fake_feature(content: bytes) -> np.ndarray:
 
 
 def decode_image(content: bytes) -> np.ndarray:
-    """(h, w, 3) uint8 array from PPM(P6) or 24-bit uncompressed BMP."""
+    """(h, w, 3) uint8 array from PPM(P6), 24-bit uncompressed BMP, or
+    8-bit PNG (pure-Python codec, png_codec.py — stdlib zlib, no PIL)."""
     import struct
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        from graphdb_free_mocha_sa_spark.operators.png_codec import decode_png_rgb
+        return decode_png_rgb(content)
     if content[:2] == b"P6":
         parts: list[bytes] = []
         pos = 2
@@ -142,8 +153,8 @@ def decode_image(content: bytes) -> np.ndarray:
         img = np.stack(rows)
         return img[::-1] if h > 0 else img            # bottom-up unless h<0
     raise NotImplementedError(
-        "real image decode supports PPM(P6)/BMP24 only (no codec libs in "
-        "this container — PNG/JPEG need PIL)")
+        "real image decode supports PNG(8-bit)/PPM(P6)/BMP24 "
+        "(JPEG needs a DCT codec — PIL not in this container)")
 
 
 def decode_audio(content: bytes) -> tuple[np.ndarray, int]:

@@ -212,6 +212,57 @@ def test_multimodal_real_decode(spark):
         assert img.shape == (12, 16, 3)
 
 
+def test_png_codec_round_trip_all_filters_and_colortypes():
+    """Pure-Python PNG codec (round 5): encode/decode must round-trip
+    exactly for every scanline filter (0-4 + mixed) and every supported
+    color type (gray, gray+alpha, RGB, RGBA)."""
+    import numpy as np
+    from graphdb_free_mocha_sa_spark.operators.png_codec import (
+        decode_png, decode_png_rgb, encode_png)
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3, 4):
+        img = rng.integers(0, 256, size=(13, 17, ch), dtype=np.uint8)
+        for mode in (0, 1, 2, 3, 4, "mixed"):
+            out = decode_png(encode_png(img, filter_mode=mode))
+            assert out.shape == img.shape and (out == img).all(), \
+                f"ch={ch} filter={mode}"
+    rgb = rng.integers(0, 256, size=(9, 9, 3), dtype=np.uint8)
+    assert (decode_png_rgb(encode_png(rgb, "mixed")) == rgb).all()
+    gray = rng.integers(0, 256, size=(5, 6), dtype=np.uint8)
+    view = decode_png_rgb(encode_png(gray))
+    assert view.shape == (5, 6, 3) and (view[:, :, 0] == gray).all()
+
+
+def test_png_decode_through_spark_pipeline(spark):
+    """PNG payloads flow through the REAL decode path end-to-end: feature
+    extraction and resize over mixed PNG/PPM media (synthesize_real_media
+    now emits mixed-filter PNGs)."""
+    import numpy as np
+    from graphdb_free_mocha_sa_spark.operators.multimodal import (
+        decode_image, extract_features, resize_images, synthesize_real_media)
+    from graphdb_free_mocha_sa_spark.operators.png_codec import encode_png
+    media = synthesize_real_media(spark, n=16)
+    kinds = {r.media_id: r.meta.codec for r in media.collect()}
+    assert "png" in kinds.values() and "ppm" in kinds.values()
+    feats = extract_features(media, decode="real").collect()
+    assert len(feats) == 16
+    # PNG and PPM of the SAME pixels must produce identical features:
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    from graphdb_free_mocha_sa_spark.operators.multimodal import (
+        MEDIA_SCHEMA, encode_ppm)
+    two = spark.createDataFrame(
+        [(0, "image", bytearray(encode_png(img, "mixed")), (32, 24, None, None, "png")),
+         (1, "image", bytearray(encode_ppm(img)), (32, 24, None, None, "ppm"))],
+        MEDIA_SCHEMA)
+    f0, f1 = {r.media_id: r.feature
+              for r in extract_features(two, decode="real").collect()}.values()
+    assert f0 == f1
+    resized = resize_images(two, 8, 6, decode="real").collect()
+    a, b = {r.media_id: bytes(r.content) for r in resized}.values()
+    assert a == b and decode_image(a).shape == (6, 8, 3)
+
+
 def test_ppjoin_prefix_filter_is_lossless(docs_with_dups):
     """The PPJoin prefix filter must not change results — only shrink the
     candidate set. Compare filtered vs unfiltered at two thresholds."""
