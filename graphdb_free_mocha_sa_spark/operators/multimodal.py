@@ -82,10 +82,17 @@ def synthesize_real_media(spark, n: int = 24, seed: int = 42) -> DataFrame:
         if i % 2 == 0:
             w, h = 32 + (i % 3) * 16, 24 + (i % 2) * 8
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            if i % 4 == 0:       # alternate: compressed PNG / raw PPM
+            if i % 6 == 0:       # rotate: PNG / JPEG(4:2:0) / raw PPM
                 rows.append((i, "image",
                              bytearray(encode_png(img, filter_mode="mixed")),
                              (w, h, None, None, "png")))
+            elif i % 6 == 2:
+                from graphdb_free_mocha_sa_spark.operators.jpeg_codec import (
+                    encode_jpeg)
+                rows.append((i, "image",
+                             bytearray(encode_jpeg(img, quality=92,
+                                                   subsample=True)),
+                             (w, h, None, None, "jpeg")))
             else:
                 rows.append((i, "image", bytearray(encode_ppm(img)),
                              (w, h, None, None, "ppm")))
@@ -120,6 +127,10 @@ def decode_image(content: bytes) -> np.ndarray:
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         from graphdb_free_mocha_sa_spark.operators.png_codec import decode_png_rgb
         return decode_png_rgb(content)
+    if content[:2] == b"\xFF\xD8":
+        from graphdb_free_mocha_sa_spark.operators.jpeg_codec import decode_jpeg
+        img = decode_jpeg(content)
+        return np.repeat(img, 3, axis=2) if img.shape[2] == 1 else img
     if content[:2] == b"P6":
         parts: list[bytes] = []
         pos = 2
@@ -153,8 +164,8 @@ def decode_image(content: bytes) -> np.ndarray:
         img = np.stack(rows)
         return img[::-1] if h > 0 else img            # bottom-up unless h<0
     raise NotImplementedError(
-        "real image decode supports PNG(8-bit)/PPM(P6)/BMP24 "
-        "(JPEG needs a DCT codec — PIL not in this container)")
+        "real image decode supports PNG(8-bit)/baseline JPEG/PPM(P6)/BMP24 "
+        "(progressive JPEG, palette PNG etc. still unimplemented)")
 
 
 def decode_audio(content: bytes) -> tuple[np.ndarray, int]:

@@ -263,6 +263,65 @@ def test_png_decode_through_spark_pipeline(spark):
     assert a == b and decode_image(a).shape == (6, 8, 3)
 
 
+def test_jpeg_codec_round_trip_psnr():
+    """Baseline JPEG codec (round 5): lossy round-trip must stay above a
+    PSNR floor for 4:4:4, 4:2:0 and grayscale; DCT itself inverts exactly;
+    odd (non-MCU-multiple) sizes crop correctly."""
+    import numpy as np
+    from graphdb_free_mocha_sa_spark.operators.jpeg_codec import (
+        decode_jpeg, encode_jpeg, fdct, idct)
+    blk = np.random.default_rng(1).standard_normal((8, 8)) * 50
+    assert np.allclose(idct(fdct(blk)), blk)
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        return 10 * np.log10(255 * 255 / mse) if mse else 99.0
+
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:40, 0:56]
+    img = np.stack([(xx * 3 + yy * 2) % 256, (xx * 2 + 100) % 256,
+                    (yy * 4) % 256], axis=2).astype(np.uint8)
+    img = np.clip(img.astype(int) + rng.integers(-8, 8, img.shape),
+                  0, 255).astype(np.uint8)
+    for sub in (False, True):
+        dec = decode_jpeg(encode_jpeg(img, quality=92, subsample=sub))
+        assert dec.shape == img.shape
+        assert psnr(img, dec) > 30, f"subsample={sub}"
+    gray = np.clip((xx * 5 + yy * 3) % 256
+                   + rng.integers(-5, 5, (40, 56)), 0, 255).astype(np.uint8)
+    dg = decode_jpeg(encode_jpeg(gray, quality=90))
+    assert dg.shape == (40, 56, 1) and psnr(gray[:, :, None], dg) > 32
+    odd = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    assert decode_jpeg(encode_jpeg(odd, 90)).shape == (17, 23, 3)
+
+
+def test_jpeg_through_spark_pipeline(spark):
+    """JPEG payloads flow through the REAL decode path: features from a
+    JPEG approximate the same image's PPM features (lossy but close), and
+    real resize works on JPEG inputs."""
+    import numpy as np
+    from graphdb_free_mocha_sa_spark.operators.jpeg_codec import encode_jpeg
+    from graphdb_free_mocha_sa_spark.operators.multimodal import (
+        MEDIA_SCHEMA, decode_image, encode_ppm, extract_features,
+        resize_images)
+    rng = np.random.default_rng(3)
+    yy, xx = np.mgrid[0:24, 0:32]
+    img = np.clip(np.stack([(xx * 4) % 256, (yy * 5) % 256,
+                            (xx + yy) % 256], axis=2)
+                  + rng.integers(-6, 6, (24, 32, 3)), 0, 255).astype(np.uint8)
+    two = spark.createDataFrame(
+        [(0, "image", bytearray(encode_jpeg(img, 95)), (32, 24, None, None, "jpeg")),
+         (1, "image", bytearray(encode_ppm(img)), (32, 24, None, None, "ppm"))],
+        MEDIA_SCHEMA)
+    f = {r.media_id: np.array(r.feature)
+         for r in extract_features(two, decode="real").collect()}
+    # channel means/stds + luma grid agree within JPEG loss tolerance
+    assert np.abs(f[0] - f[1]).max() < 0.05, np.abs(f[0] - f[1]).max()
+    resized = resize_images(two, 8, 6, decode="real").collect()
+    assert all(decode_image(bytes(r.content)).shape == (6, 8, 3)
+               for r in resized)
+
+
 def test_ppjoin_prefix_filter_is_lossless(docs_with_dups):
     """The PPJoin prefix filter must not change results — only shrink the
     candidate set. Compare filtered vs unfiltered at two thresholds."""
