@@ -322,6 +322,33 @@ def test_jpeg_through_spark_pipeline(spark):
                for r in resized)
 
 
+def test_mjpeg_real_frame_sampling(spark):
+    """Real video path (round 5): MJPEG elementary streams split into
+    actual JPEG frames; every-n sampling decodes real dimensions; features
+    come from really-decoded frames with the frame count in the last slot."""
+    from graphdb_free_mocha_sa_spark.operators.multimodal import (
+        FEATURE_DIM, extract_features, sample_frames, split_mjpeg_frames,
+        synthesize_real_media)
+    media = synthesize_real_media(spark, n=24)
+    vids = [r for r in media.collect() if r.kind == "video"]
+    assert vids and all(r.meta.codec == "mjpeg" for r in vids)
+    for r in vids:
+        assert len(split_mjpeg_frames(bytes(r.content))) == r.meta.n_frames
+    sampled = sample_frames(media, every_n=2, decode="real").collect()
+    by_vid = {}
+    for r in sampled:
+        by_vid.setdefault(r.media_id, []).append(r)
+        assert (r.width, r.height) == (24, 16)
+        assert bytes(r.frame)[:2] == b"\xff\xd8"
+    exp = {r.media_id: (r.meta.n_frames + 1) // 2 for r in vids}
+    assert {k: len(v) for k, v in by_vid.items()} == exp
+    feats = {r.media_id: r.feature
+             for r in extract_features(media, decode="real").collect()
+             if r.kind == "video"}
+    for r in vids:
+        assert feats[r.media_id][FEATURE_DIM - 1] == float(r.meta.n_frames)
+
+
 def test_ppjoin_prefix_filter_is_lossless(docs_with_dups):
     """The PPJoin prefix filter must not change results — only shrink the
     candidate set. Compare filtered vs unfiltered at two thresholds."""
