@@ -45,20 +45,79 @@ def handle_request(engine: Engine, body: str,
     return 200, engine.query_json(query)
 
 
+def handle_request_stream(engine: Engine, body: str, write,
+                          content_type: str = "",
+                          start=None) -> int:
+    """Streaming request handler: query results are piped into ``write``
+    chunk-by-chunk (Engine.query_json_to — driver memory independent of
+    result size); updates and errors emit one small chunk. ``start(code)``,
+    if given, fires with the HTTP status BEFORE the first write (queries
+    always stream as 200 — a failing query emits the reference's sentinel
+    body, matching handle_request). Returns the status. The socket server
+    uses this with chunked transfer-encoding, so a huge SELECT never
+    buffers on the driver."""
+    query = body
+    is_update = False
+    if "x-www-form-urlencoded" in content_type:
+        form = parse_qs(body)
+        if "update" in form:
+            query, is_update = form["update"][0], True
+        elif "query" in form:
+            query = form["query"][0]
+    upper = query.lstrip().upper()
+    if is_update or upper.startswith(("INSERT", "DELETE", "LOAD", "CLEAR",
+                                      "DROP", "CREATE", "COPY", "MOVE",
+                                      "ADD", "WITH", "PREFIX INSERT")):
+        try:
+            engine.update(query)
+            payload, code = json.dumps({"ok": True}), 200
+        except Exception as e:  # noqa: BLE001
+            payload, code = json.dumps({"ok": False,
+                                        "error": str(e)[:500]}), 400
+        if start is not None:
+            start(code)
+        write(payload)
+        return code
+    if start is not None:
+        start(200)
+    engine.query_json_to(query, write)
+    return 200
+
+
 def serve(engine: Engine, port: int = 7200) -> None:
     class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
         def do_POST(self):  # noqa: N802
             n = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(n).decode("utf-8")
-            code, payload = handle_request(
-                engine, body, self.headers.get("Content-Type", ""))
-            data = payload.encode("utf-8")
-            self.send_response(code)
-            self.send_header("Content-Type",
-                             "application/sparql-results+json")
-            self.send_header("Content-Length", str(len(data)))
-            self.end_headers()
-            self.wfile.write(data)
+            # chunked transfer-encoding: result bytes stream straight from
+            # toLocalIterator to the socket — the endpoint never holds the
+            # result set (B51/B52 bounded leg). start() fires before the
+            # first chunk, so the status line is always correct.
+            started = []
+
+            def start(code: int) -> None:
+                started.append(code)
+                self.send_response(code)
+                self.send_header("Content-Type",
+                                 "application/sparql-results+json")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+            def write(chunk: str) -> None:
+                data = chunk.encode("utf-8")
+                if data:
+                    self.wfile.write(b"%x\r\n" % len(data) + data + b"\r\n")
+
+            try:
+                handle_request_stream(
+                    engine, body, write,
+                    self.headers.get("Content-Type", ""), start=start)
+            except Exception:  # noqa: BLE001 — 500 if nothing sent yet
+                if not started:
+                    start(500)
+            self.wfile.write(b"0\r\n\r\n")
 
         def log_message(self, *args):  # quiet
             pass

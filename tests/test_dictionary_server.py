@@ -61,3 +61,47 @@ def test_http_handler_query_update_sentinel(spark):
     # broken query -> the reference's sentinel shape, not a 500
     code, out = handle_request(eng, "SELECT WHERE garbage {{{")
     assert code == 200 and "XXX" in out
+
+
+def test_http_handler_stream_chunks_and_status_order(spark):
+    """Streaming endpoint leg (round 5): status resolves BEFORE the first
+    body chunk, query results arrive as multiple chunks (one per row), and
+    updates/errors emit one chunk with the right status."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.server import handle_request_stream
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark))
+    events = []
+
+    def start(code):
+        events.append(("start", code))
+
+    def write(chunk):
+        events.append(("write", chunk))
+
+    code = handle_request_stream(
+        eng, 'INSERT DATA { <urn:a> <urn:p> "1" . <urn:b> <urn:p> "2" . '
+             '<urn:c> <urn:p> "3" }', write, start=start)
+    assert code == 200 and events[0] == ("start", 200)
+    assert json.loads(events[1][1])["ok"]
+
+    events.clear()
+    code = handle_request_stream(
+        eng, "SELECT ?s ?o WHERE { ?s <urn:p> ?o }", write, start=start)
+    assert code == 200
+    assert events[0] == ("start", 200)          # status precedes any byte
+    chunks = [e[1] for e in events[1:]]
+    assert len(chunks) >= 5                     # header + 3 rows + footer
+    doc = json.loads("".join(chunks))
+    assert len(doc["results"]["bindings"]) == 3
+
+    events.clear()
+    code = handle_request_stream(eng, "SELECT broken {{{", write, start=start)
+    assert code == 200 and events[0] == ("start", 200)
+    assert "XXX" in "".join(e[1] for e in events[1:])   # sentinel body
+
+    events.clear()
+    code = handle_request_stream(
+        eng, "update=INSERT%20garbage", write,
+        "application/x-www-form-urlencoded", start=start)
+    assert code == 400 and events[0] == ("start", 400)
