@@ -105,3 +105,55 @@ def test_http_handler_stream_chunks_and_status_order(spark):
         eng, "update=INSERT%20garbage", write,
         "application/x-www-form-urlencoded", start=start)
     assert code == 400 and events[0] == ("start", 400)
+
+
+def test_live_server_chunked_round_trip(spark):
+    """The real socket server (serve()) speaks HTTP/1.1 chunked encoding:
+    a client reads a multi-row SELECT and an update ack end-to-end."""
+    import threading
+    import urllib.request
+    from http.server import HTTPServer
+
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.server import serve
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+
+    eng = Engine(spark, QuadStore(spark))
+    eng.update("INSERT DATA { " + " . ".join(
+        f'<urn:r{i}> <urn:p> "{i}"' for i in range(40)) + " }")
+
+    # serve() blocks; run it on a daemon thread on an ephemeral port by
+    # reaching into its HTTPServer via a tiny monkeypatched bind
+    import graphdb_free_mocha_sa_spark.server as S
+    held = {}
+    real_httpserver = HTTPServer
+
+    def grab(addr, handler):
+        srv = real_httpserver(("127.0.0.1", 0), handler)
+        held["srv"] = srv
+        return srv
+    orig = S.HTTPServer
+    S.HTTPServer = grab
+    try:
+        t = threading.Thread(target=serve, args=(eng, 0), daemon=True)
+        t.start()
+        for _ in range(100):
+            if "srv" in held:
+                break
+            import time
+            time.sleep(0.05)
+        port = held["srv"].server_address[1]
+        url = f"http://127.0.0.1:{port}/sparql"
+        body = urllib.request.urlopen(urllib.request.Request(
+            url, data=b"SELECT ?s ?o WHERE { ?s <urn:p> ?o }",
+            method="POST"), timeout=30).read().decode()
+        doc = json.loads(body)
+        assert len(doc["results"]["bindings"]) == 40
+        ack = urllib.request.urlopen(urllib.request.Request(
+            url, data=b'INSERT DATA { <urn:x> <urn:p> "x" }',
+            method="POST"), timeout=30).read().decode()
+        assert json.loads(ack)["ok"]
+    finally:
+        S.HTTPServer = orig
+        if "srv" in held:
+            held["srv"].shutdown()
