@@ -368,9 +368,14 @@ class Engine:
         else:
             rows = [(t.value,) for t in q.terms if isinstance(t, A.IRI)]
             resources = self.spark.createDataFrame(rows, "k string")
-        out = quads.join(F.broadcast(resources),
-                         (quads["s"] == F.col("k"))
-                         | (quads["o_dt"].isNull() & (quads["o_lex"] == F.col("k"))))
+        # two broadcast hash EQUI-joins instead of one OR-condition join
+        # (Catalyst can only run the OR as a BroadcastNestedLoopJoin, which
+        # streams the full quad table per predicate at scale)
+        as_subj = quads.join(F.broadcast(resources),
+                             quads["s"] == F.col("k"))
+        as_obj = quads.filter(F.col("o_dt").isNull()).join(
+            F.broadcast(resources), quads["o_lex"] == F.col("k"))
+        out = as_subj.unionByName(as_obj)
         return out.drop("k").dropDuplicates(["s", "p", "o_lex", "o_dt", "o_lang"])
 
     def query_json(self, sparql: str) -> str:
