@@ -119,6 +119,37 @@ def serve(engine: Engine, port: int = 7200) -> None:
                     start(500)
             self.wfile.write(b"0\r\n\r\n")
 
+        def do_GET(self):  # noqa: N802 — SPARQL protocol §2.1.1: GET ?query=
+            from urllib.parse import urlsplit
+            qs = parse_qs(urlsplit(self.path).query)
+            if "query" not in qs:
+                self.send_response(400)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            started = []
+
+            def start(code: int) -> None:
+                started.append(code)
+                self.send_response(code)
+                self.send_header("Content-Type",
+                                 "application/sparql-results+json")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+            def write(chunk: str) -> None:
+                data = chunk.encode("utf-8")
+                if data:
+                    self.wfile.write(b"%x\r\n" % len(data) + data + b"\r\n")
+
+            try:
+                handle_request_stream(engine, qs["query"][0], write,
+                                      start=start)
+            except Exception:  # noqa: BLE001
+                if not started:
+                    start(500)
+            self.wfile.write(b"0\r\n\r\n")
+
         def log_message(self, *args):  # quiet
             pass
 

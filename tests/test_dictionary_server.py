@@ -153,6 +153,13 @@ def test_live_server_chunked_round_trip(spark):
             url, data=b'INSERT DATA { <urn:x> <urn:p> "x" }',
             method="POST"), timeout=30).read().decode()
         assert json.loads(ack)["ok"]
+        # SPARQL protocol GET ?query= (round 5)
+        from urllib.parse import quote
+        got = urllib.request.urlopen(
+            url + "?query=" + quote('SELECT ?o WHERE { <urn:x> <urn:p> ?o }'),
+            timeout=30).read().decode()
+        doc2 = json.loads(got)
+        assert doc2["results"]["bindings"][0]["o"]["value"] == "x"
     finally:
         S.HTTPServer = orig
         if "srv" in held:

@@ -255,6 +255,54 @@ def test_sameas_cliques(spark):
     assert canon["urn:b1"] == canon["urn:b2"] == "urn:b1"
 
 
+def test_random_closure_worklist_vs_distributed_equivalence(spark, monkeypatch):
+    """Differential property test: on RANDOM TBox+ABox mixes (subclass/
+    subproperty/domain/range/transitive/symmetric/inverse/equivalent/
+    functional/restriction vocabulary), the driver-side worklist closure
+    and the distributed DataFrame fixpoint must derive the SAME fact set."""
+    import random
+    from graphdb_free_mocha_sa_spark.operators import inference
+
+    ONP, HV = OWL + "onProperty", OWL + "hasValue"
+    SVF, AVF = OWL + "someValuesFrom", OWL + "allValuesFrom"
+    rng = random.Random(20260815)
+    classes = [f"urn:C{i}" for i in range(6)]
+    props = [f"urn:p{i}" for i in range(5)]
+    nodes = [f"urn:n{i}" for i in range(10)]
+    for trial in range(3):
+        triples = []
+        for _ in range(4):
+            triples.append((rng.choice(classes), SC, rng.choice(classes)))
+            triples.append((rng.choice(props), SP, rng.choice(props)))
+        triples.append((rng.choice(props), DOM, rng.choice(classes)))
+        triples.append((rng.choice(props), RNG, rng.choice(classes)))
+        triples.append((rng.choice(props), OWL + "inverseOf", rng.choice(props)))
+        triples.append((rng.choice(props), RDF_TYPE, OWL + "TransitiveProperty"))
+        triples.append((rng.choice(props), RDF_TYPE, OWL + "SymmetricProperty"))
+        triples.append((rng.choice(classes), OWL + "equivalentClass",
+                        rng.choice(classes)))
+        r = f"urn:R{trial}"
+        triples += [(r, ONP, rng.choice(props)),
+                    (rng.choice([r]), rng.choice([HV, SVF, AVF]),
+                     rng.choice(nodes if rng.random() < 0.5 else classes))]
+        for _ in range(25):
+            triples.append((rng.choice(nodes), rng.choice(props),
+                            rng.choice(nodes)))
+        for _ in range(8):
+            triples.append((rng.choice(nodes), RDF_TYPE, rng.choice(classes)))
+        quads = mk_quads(spark, list(dict.fromkeys(triples)))
+
+        small = inference.owl_horst_closure(spark, quads)
+        got_small = {(r_.s, r_.p, r_.o_lex) for r_ in small.collect()}
+        monkeypatch.setattr(inference, "SMALL_ABOX_QUADS", 0)
+        dist = inference.owl_horst_closure(spark, quads)
+        got_dist = {(r_.s, r_.p, r_.o_lex) for r_ in dist.collect()}
+        monkeypatch.undo()
+        assert got_small == got_dist, (
+            f"trial {trial}: worklist-only={sorted(got_small - got_dist)[:5]} "
+            f"distributed-only={sorted(got_dist - got_small)[:5]}")
+
+
 def test_sameas_incremental_seed_matches_full_rebuild(spark):
     """Seeded label propagation (incremental CC maintenance) must produce
     the same dictionary as a from-scratch rebuild when an edge bridges two
