@@ -30,6 +30,19 @@ _SUBJ = rf"\s*(?:{_IRI}|{_BN})"
 
 
 def read_ntriples(spark: SparkSession, path: str, graph: str) -> DataFrame:
+    return _read_line_rdf(spark, path, graph, quads=False)
+
+
+def read_nquads(spark: SparkSession, path: str, default_graph: str) -> DataFrame:
+    """N-Quads fast path: same JVM-regex pipeline as N-Triples with an
+    optional trailing graph label (IRI or bnode) per line; label-less
+    lines land in ``default_graph``. Line-delimited → arbitrarily
+    splittable, the natural bulk format for a named-graph store."""
+    return _read_line_rdf(spark, path, default_graph, quads=True)
+
+
+def _read_line_rdf(spark: SparkSession, path: str, graph: str,
+                   quads: bool) -> DataFrame:
     lines = spark.read.text(path).filter(
         (F.length(F.trim(F.col("value"))) > 0) & ~F.trim(F.col("value")).startswith("#"))
     v = F.col("value")
@@ -40,6 +53,23 @@ def read_ntriples(spark: SparkSession, path: str, graph: str) -> DataFrame:
     s = F.when(F.length(s_iri) > 0, s_iri).when(F.length(s_bn) > 0, s_bn)
     p = F.regexp_extract(v, r"^\s*(?:<[^>]*>|_:\S+)\s+<([^>]*)>", 1)
     rest = F.regexp_extract(v, r"^\s*(?:<[^>]*>|_:\S+)\s+<[^>]*>\s+(.*?)\s*\.\s*$", 1)
+
+    g_col = F.lit(graph)
+    if quads:
+        # strip an optional trailing graph label off the object+graph tail;
+        # the object alternatives are complete terms so a literal containing
+        # '<...>' can never absorb the label (anchored at end-of-line)
+        term = (r'(?:<[^>]*>|_:\S+|"(?:[^"\\]|\\.)*"'
+                r'(?:@[A-Za-z0-9-]+|\^\^<[^>]*>)?)')
+        g_iri = F.regexp_extract(rest, r"^" + term + r"\s+<([^>]*)>$", 1)
+        g_bn = F.regexp_extract(rest, r"^" + term + r"\s+(_:\S+)$", 1)
+        g_col = (F.when(F.length(g_iri) > 0, g_iri)
+                 .when(F.length(g_bn) > 0, g_bn)
+                 .otherwise(F.lit(graph)))
+        rest = (F.when((F.length(g_iri) > 0) | (F.length(g_bn) > 0),
+                       F.regexp_extract(
+                           rest, r"^(.*?)\s+(?:<[^>]*>|_:\S+)$", 1))
+                .otherwise(rest))
 
     o_iri = F.regexp_extract(rest, r"^<([^>]*)>$", 1)
     o_bn = F.regexp_extract(rest, r"^(_:\S+)$", 1)
@@ -64,7 +94,7 @@ def read_ntriples(spark: SparkSession, path: str, graph: str) -> DataFrame:
     ts = F.when(dt == XSD_DATETIME, F.to_timestamp(F.regexp_replace(o_lex, "T", " ")))
 
     return (lines.select(
-        F.lit(graph).alias("g"), s.alias("s"), F.when(F.length(p) > 0, p).alias("p"),
+        g_col.alias("g"), s.alias("s"), F.when(F.length(p) > 0, p).alias("p"),
         o_lex.alias("o_lex"), dt.alias("o_dt"), lang.alias("o_lang"),
         num.alias("o_num"), ts.alias("o_ts"))
         .filter(F.col("s").isNotNull() & F.col("p").isNotNull()
@@ -118,4 +148,6 @@ def read_turtle(spark: SparkSession, path: str, graph: str) -> DataFrame:
 def read_rdf_file(spark: SparkSession, path: str, graph: str) -> DataFrame:
     if path.endswith((".nt", ".ntriples")):
         return read_ntriples(spark, path, graph)
+    if path.endswith((".nq", ".nquads")):
+        return read_nquads(spark, path, graph)
     return read_turtle(spark, path, graph)

@@ -251,3 +251,32 @@ def test_snapshot_isolation_under_concurrent_writes(spark, tmp_path, kind):
     assert snapshot.count() == 1
     # post-write reads see every committed insert
     assert store.df.count() == 6
+
+
+def test_nquads_reader(spark, tmp_path):
+    """N-Quads fast path (round 5): optional per-line graph labels (IRI or
+    bnode), label-less lines land in the default graph; literals with
+    angle brackets inside never absorb the label."""
+    from graphdb_free_mocha_sa_spark.sources.rdf import read_nquads, read_rdf_file
+    nq = tmp_path / "data.nq"
+    nq.write_text("\n".join([
+        '<urn:a> <urn:p> <urn:b> <urn:g1> .',
+        '<urn:a> <urn:p> "plain" .',
+        '<urn:a> <urn:p> "lit with <brackets>" <urn:g2> .',
+        '<urn:a> <urn:p> "fr"@fr <urn:g1> .',
+        '<urn:a> <urn:n> "42"^^<http://www.w3.org/2001/XMLSchema#integer> <urn:g2> .',
+        '_:b1 <urn:p> <urn:c> _:bg .',
+        '# comment',
+    ]))
+    df = read_nquads(spark, str(nq), "urn:default")
+    rows = {(r.g, r.s, r.o_lex) for r in df.collect()}
+    assert ("urn:g1", "urn:a", "urn:b") in rows
+    assert ("urn:default", "urn:a", "plain") in rows
+    assert ("urn:g2", "urn:a", "lit with <brackets>") in rows
+    assert ("urn:g1", "urn:a", "fr") in rows
+    assert ("_:bg", "_:b1", "urn:c") in rows
+    num = df.filter(df.p == "urn:n").collect()[0]
+    assert num.g == "urn:g2" and num.o_num == 42.0
+    assert df.count() == 6
+    # extension dispatch
+    assert read_rdf_file(spark, str(nq), "urn:default").count() == 6
