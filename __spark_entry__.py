@@ -778,6 +778,20 @@ def q_ext_dedup_exact(spark, sf_dir):
             .select("doc_id", "dup_count"))
 
 
+def q_ext_dedup_cascade(spark, sf_dir):
+    """Per-document keep/drop verdicts (the training-pipeline last mile):
+    exact digest clusters -> min-id resolution -> keeper/dup reasons.
+    Exact-only mode here (SQL-expressible oracle); the near-dup stage is
+    covered by closed-form tests."""
+    from graphdb_free_mocha_sa_spark.operators.dedup import dedup_decisions
+    (d,) = _tables(spark, sf_dir, "documents")
+    dups = d.orderBy("doc_id").limit(15).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        "text", "lang", "source", "n_chars")
+    return dedup_decisions(d.unionByName(dups)) \
+        .select("doc_id", "cluster_id", "keep", "reason")
+
+
 def q_ext_dedup_minhash(spark, sf_dir):
     """MinHash LSH near-dup candidates (sketch-based; no SQL oracle —
     validated in tests/test_ext_operators.py against exact Jaccard)."""
@@ -1028,6 +1042,8 @@ _DEFERRED_PAST_DRIVER_CAP = [
     "b40_inference_rules", "b40_inference_eq",  # kept via subclass +
                                                 # restrictions (new, r5)
     "b41_sameas_cc",          # kept via b41_sameas_query
+    "b14_distinct",           # defers to make room for ext_dedup_cascade
+                              # (new oracle-backed r5 entry) in the prefix
 ]
 
 
@@ -1102,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_approx_distinct": q_ext_approx_distinct,
         "ext_quantiles": q_ext_quantiles,
         "ext_dedup_exact": q_ext_dedup_exact,
+        "ext_dedup_cascade": q_ext_dedup_cascade,
         "ext_dedup_minhash": q_ext_dedup_minhash,
         "ext_dedup_simhash": q_ext_dedup_simhash,
         "ext_topk_cosine": q_ext_topk_cosine,
@@ -1461,6 +1478,21 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             QUALIFY user_id < 20""",
+        "ext_dedup_cascade": """
+            WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 2000000, text FROM (
+                SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 15)),
+            g AS (SELECT doc_id, text FROM all_docs WHERE text IS NOT NULL),
+            m AS (SELECT text, MIN(doc_id) AS cid, COUNT(*) AS n
+                  FROM g GROUP BY text)
+            SELECT g.doc_id AS doc_id, m.cid AS cluster_id,
+                   g.doc_id = m.cid AS keep,
+                   CASE WHEN m.n = 1 THEN 'unique'
+                        WHEN g.doc_id = m.cid THEN 'keeper'
+                        ELSE 'exact_dup' END AS reason
+            FROM g JOIN m ON g.text = m.text""",
         "ext_dedup_exact": """
             WITH all_docs AS (
               SELECT doc_id, text FROM documents

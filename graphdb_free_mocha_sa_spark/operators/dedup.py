@@ -253,3 +253,93 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
     return (pieces.dropDuplicates(["id_a", "id_b"])
             .select("id_a", "id_b", ham.alias("hamming"))
             .where(F.col("hamming") <= max_hamming))
+
+
+# ---------------------------------------------------------------- cascade
+
+
+def dedup_decisions(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    near_threshold: float | None = None,
+                    n: int = 3, num_hashes: int = 32,
+                    bands: int = 8, max_iters: int = 30) -> DataFrame:
+    """The training-pipeline LAST MILE: a per-document keep/drop verdict.
+
+    Cascade (round 5):
+
+    1. **Exact stage** — sha256 digest groups; each member links to the
+       group minimum (star edges — O(1) component diameter, the shuffle
+       carries a 32-byte digest per doc).
+    2. **Near stage** (``near_threshold`` set) — banded MinHash-LSH
+       candidates between the exact-stage REPRESENTATIVES only (near-dup
+       of a dup is redundant work), kept when the exact shingle Jaccard
+       clears the threshold.
+    3. **Cluster resolution** — min-id label propagation over both edge
+       sets (the same Pregel CC as sameAs, on 8-byte ids); the cluster id
+       is the minimum doc id in the component and the keeper.
+
+    Returns ``(doc_id, cluster_id, keep BOOLEAN, reason STRING)`` where
+    reason ∈ {'unique','keeper','exact_dup','near_dup'}: a dropped doc is
+    ``exact_dup`` when its digest equals its keeper's digest, else
+    ``near_dup``. With ``near_threshold=None`` the output is exactly
+    SQL-expressible (the oracle-checked driver entry); the near stage is
+    covered by closed-form tests.
+    """
+    docs = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")) \
+             .where(F.col("text").isNotNull())
+    digests = docs.select("id", F.sha2("text", 256).alias("digest"))
+    groups = digests.groupBy("digest").agg(F.min("id").alias("gmin"))
+    with_g = digests.join(groups, "digest")
+    edges = with_g.where(F.col("id") != F.col("gmin")) \
+                  .select(F.col("id").alias("a"), F.col("gmin").alias("b"))
+    if near_threshold is not None:
+        reps = docs.join(with_g.where(F.col("id") == F.col("gmin"))
+                         .select("id"), "id")
+        near = minhash_lsh_candidates(reps, "text", "id", n=n,
+                                      num_hashes=num_hashes, bands=bands) \
+            .where(F.col("jaccard") >= near_threshold) \
+            .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        edges = edges.unionByName(near)
+
+    bidir = edges.unionByName(edges.select(F.col("b").alias("a"),
+                                           F.col("a").alias("b"))) \
+                 .dropDuplicates().localCheckpoint()
+    labels = bidir.select(F.col("a").alias("id")).dropDuplicates() \
+                  .withColumn("canon", F.col("id"))
+    for _ in range(max_iters):
+        neigh = (bidir.join(labels, bidir["b"] == labels["id"])
+                 .groupBy(F.col("a").alias("id"))
+                 .agg(F.min("canon").alias("nc")))
+        merged = (labels.join(neigh, "id", "left")
+                  .select("id", F.least(F.col("canon"),
+                                        F.coalesce("nc", "canon"))
+                          .alias("canon"))).localCheckpoint()
+        if (merged.alias("m").join(labels.alias("l"), "id")
+                .filter(F.col("m.canon") != F.col("l.canon")).isEmpty()):
+            labels = merged
+            break
+        labels = merged
+    else:
+        raise RuntimeError("dedup components did not converge")
+
+    clustered = (digests.join(labels, "id", "left")
+                 .select("id", "digest",
+                         F.coalesce("canon", "id").alias("cluster_id")))
+    keeper_dg = clustered.where(F.col("id") == F.col("cluster_id")) \
+        .select(F.col("cluster_id").alias("__cid"),
+                F.col("digest").alias("__kdg"))
+    sizes = clustered.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("__n"))
+    # cluster-keyed equi-joins (one row per cluster ≈ one per unique doc —
+    # NOT broadcastable at scale; the groupBy outputs already hash-partition
+    # on cluster_id so these co-locate)
+    out = (clustered
+           .join(keeper_dg, clustered["cluster_id"] == keeper_dg["__cid"])
+           .join(sizes, "cluster_id"))
+    keep = F.col("id") == F.col("cluster_id")
+    reason = (F.when(F.col("__n") == 1, "unique")
+              .when(keep, "keeper")
+              .when(F.col("digest") == F.col("__kdg"), "exact_dup")
+              .otherwise("near_dup"))
+    return out.select(F.col("id").alias(id_col),
+                      "cluster_id", keep.alias("keep"),
+                      reason.alias("reason"))

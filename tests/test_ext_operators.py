@@ -438,3 +438,39 @@ def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
     plan = res._jdf.queryExecution().executedPlan().toString()
     pf = plan.split("PartitionFilters:", 1)
     assert len(pf) == 2 and "__cid" in pf[1][:200], plan[:2000]
+
+
+def test_dedup_cascade_exact_and_near(spark):
+    """dedup_decisions full cascade: exact clusters, near-dup clusters via
+    LSH+Jaccard, transitive exact+near merges, and the keep/reason
+    contract (keeper = min doc id in the component)."""
+    from graphdb_free_mocha_sa_spark.operators.dedup import dedup_decisions
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark forest tonight looking for food")
+    near = base.replace("dark", "gloomy")          # high-Jaccard variant
+    rows = [
+        (1, base), (2, base),                      # exact pair
+        (3, near),                                 # near dup of 1/2
+        (4, near),                                 # exact dup of 3
+        (5, "completely different text about spark query engines and "
+            "distributed columnar storage formats for analytics at scale"),
+        (6, "another unrelated document mentioning streaming watermarks "
+            "state stores and exactly once processing semantics in jobs"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           dedup_decisions(df, near_threshold=0.6).collect()}
+    assert len(out) == 6
+    # 1,2,3,4 merge into one cluster (exact∘near∘exact chain) with keeper 1
+    assert {out[i].cluster_id for i in (1, 2, 3, 4)} == {1}
+    assert out[1].keep and out[1].reason == "keeper"
+    assert not out[2].keep and out[2].reason == "exact_dup"
+    assert not out[3].keep and out[3].reason == "near_dup"
+    assert not out[4].keep and out[4].reason == "near_dup"
+    for i in (5, 6):
+        assert out[i].keep and out[i].reason == "unique" \
+            and out[i].cluster_id == i
+    # exact-only mode must NOT merge the near variants
+    ex = {r.doc_id: r for r in dedup_decisions(df).collect()}
+    assert ex[3].cluster_id == 3 and ex[3].reason == "keeper"
+    assert ex[4].cluster_id == 3 and ex[4].reason == "exact_dup"
