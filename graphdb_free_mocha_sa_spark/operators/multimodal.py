@@ -109,20 +109,29 @@ def synthesize_real_media(spark, n: int = 24, seed: int = 42) -> DataFrame:
             rows.append((i, "audio", bytearray(buf.getvalue()),
                          (None, None, rate, None, "pcm_s16le")))
         else:
-            # real VIDEO: an MJPEG elementary stream (concatenated JPEGs)
-            from graphdb_free_mocha_sa_spark.operators.jpeg_codec import (
-                encode_jpeg)
+            # real VIDEO: MJPEG elementary stream or animated GIF
             w, h = 24, 16
             nf = 6 + (i % 3)
             yy, xx = np.mgrid[0:h, 0:w]
-            stream = b"".join(
-                encode_jpeg(np.clip(np.stack(
-                    [(xx * 4 + f * 10) % 256, (yy * 6) % 256,
-                     (xx + yy + f * 5) % 256], axis=2), 0, 255)
-                    .astype(np.uint8), quality=90)
-                for f in range(nf))
-            rows.append((i, "video", bytearray(stream),
-                         (w, h, None, nf, "mjpeg")))
+            if i % 8 == 3:
+                from graphdb_free_mocha_sa_spark.operators.gif_codec import (
+                    encode_gif)
+                pal = rng.integers(0, 256, size=(32, 3), dtype=np.uint8)
+                frames = [((xx + yy + f) % 32).astype(np.uint8)
+                          for f in range(nf)]
+                rows.append((i, "video", bytearray(encode_gif(frames, pal)),
+                             (w, h, None, nf, "gif")))
+            else:
+                from graphdb_free_mocha_sa_spark.operators.jpeg_codec import (
+                    encode_jpeg)
+                stream = b"".join(
+                    encode_jpeg(np.clip(np.stack(
+                        [(xx * 4 + f * 10) % 256, (yy * 6) % 256,
+                         (xx + yy + f * 5) % 256], axis=2), 0, 255)
+                        .astype(np.uint8), quality=90)
+                    for f in range(nf))
+                rows.append((i, "video", bytearray(stream),
+                             (w, h, None, nf, "mjpeg")))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -146,6 +155,9 @@ def decode_image(content: bytes) -> np.ndarray:
         from graphdb_free_mocha_sa_spark.operators.jpeg_codec import decode_jpeg
         img = decode_jpeg(content)
         return np.repeat(img, 3, axis=2) if img.shape[2] == 1 else img
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        from graphdb_free_mocha_sa_spark.operators.gif_codec import decode_gif
+        return decode_gif(content)
     if content[:2] == b"P6":
         parts: list[bytes] = []
         pos = 2
@@ -203,17 +215,24 @@ def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
     return x, rate
 
 
+def _image_feature_from_array(raw: np.ndarray) -> np.ndarray:
+    img = raw.astype(np.float32) / 255.0
+    h, w = img.shape[:2]
+    luma = img.mean(axis=2)
+    # 3x3 luma grid via block means
+    gy = np.array_split(luma, 3, axis=0)
+    grid = [float(b.mean()) for row in gy for b in np.array_split(row, 3, axis=1)]
+    feat = ([float(img[..., c].mean()) for c in range(3)]
+            + [float(img[..., c].std()) for c in range(3)]
+            + grid + [w / max(h, 1)])
+    out = np.zeros(FEATURE_DIM, np.float32)
+    out[:min(len(feat), FEATURE_DIM)] = feat[:FEATURE_DIM]
+    return out
+
+
 def _real_feature(kind: str, content: bytes) -> np.ndarray:
     if kind == "image":
-        img = decode_image(content).astype(np.float32) / 255.0
-        h, w = img.shape[:2]
-        luma = img.mean(axis=2)
-        # 3x3 luma grid via block means
-        gy = np.array_split(luma, 3, axis=0)
-        grid = [float(b.mean()) for row in gy for b in np.array_split(row, 3, axis=1)]
-        feat = ([float(img[..., c].mean()) for c in range(3)]
-                + [float(img[..., c].std()) for c in range(3)]
-                + grid + [w / max(h, 1)])
+        return _image_feature_from_array(decode_image(content))
     elif kind == "audio":
         x, rate = decode_audio(content)
         if len(x) == 0:
@@ -224,19 +243,29 @@ def _real_feature(kind: str, content: bytes) -> np.ndarray:
         zcr = float(np.mean(np.abs(np.diff(np.sign(x))) > 0)) if len(x) > 1 else 0.0
         feat = [float(x.mean()), float(x.std()),
                 float(np.sqrt(np.mean(x * x))), zcr] + bands
-    elif kind == "video" and content[:2] == b"\xFF\xD8":
-        # MJPEG elementary stream: average the image features of up to 3
-        # evenly spaced REALLY-decoded frames; last slot = frame count
-        frames = split_mjpeg_frames(content)
-        if not frames:
-            raise ValueError("empty MJPEG stream")
-        picks = frames[:: max(1, len(frames) // 3)][:3]
-        per = np.stack([_real_feature("image", f) for f in picks])
+    elif kind == "video" and (content[:2] == b"\xFF\xD8"
+                              or content[:6] in (b"GIF87a", b"GIF89a")):
+        # MJPEG elementary stream or animated GIF: average the image
+        # features of up to 3 evenly spaced REALLY-decoded frames; the
+        # last slot carries the frame count
+        if content[:2] == b"\xFF\xD8":
+            frames = split_mjpeg_frames(content)
+            if not frames:
+                raise ValueError("empty MJPEG stream")
+            picks = frames[:: max(1, len(frames) // 3)][:3]
+            per = np.stack([_real_feature("image", f) for f in picks])
+        else:
+            from graphdb_free_mocha_sa_spark.operators.gif_codec import (
+                decode_gif_frames)
+            frames = decode_gif_frames(content)
+            picks = frames[:: max(1, len(frames) // 3)][:3]
+            per = np.stack([_image_feature_from_array(f) for f in picks])
         feat = per.mean(axis=0).tolist()
         feat[FEATURE_DIM - 1] = float(len(frames))
     else:
         raise NotImplementedError(
-            "real video decode supports MJPEG only (H.264/VP9 need pyav)")
+            "real video decode supports MJPEG and animated GIF "
+            "(H.264/VP9 need pyav)")
     out = np.zeros(FEATURE_DIM, np.float32)
     out[:min(len(feat), FEATURE_DIM)] = feat[:FEATURE_DIM]
     return out
@@ -349,13 +378,23 @@ def sample_frames(media: DataFrame, every_n: int = 30,
                        ("media_id", "frame_idx", "frame", "width", "height")}
                 for mid, codec, c in zip(pdf["media_id"],
                                          pdf["codec"], pdf["content"]):
-                    if codec != "mjpeg":
+                    if codec == "mjpeg":
+                        frames = split_mjpeg_frames(bytes(c))
+                        decoded = None
+                    elif codec == "gif":
+                        from graphdb_free_mocha_sa_spark.operators.gif_codec \
+                            import decode_gif_frames
+                        from graphdb_free_mocha_sa_spark.operators.png_codec \
+                            import encode_png
+                        decoded = decode_gif_frames(bytes(c))
+                        frames = [encode_png(f) for f in decoded]
+                    else:
                         raise NotImplementedError(
-                            f"real frame sampling supports MJPEG only "
+                            f"real frame sampling supports MJPEG and GIF "
                             f"(codec={codec!r} needs pyav)")
-                    frames = split_mjpeg_frames(bytes(c))
                     for i in range(0, len(frames), every_n):
-                        img = decode_image(frames[i])
+                        img = decoded[i] if decoded is not None \
+                            else decode_image(frames[i])
                         out["media_id"].append(mid)
                         out["frame_idx"].append(i)
                         out["frame"].append(bytearray(frames[i]))

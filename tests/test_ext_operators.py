@@ -331,15 +331,18 @@ def test_mjpeg_real_frame_sampling(spark):
         synthesize_real_media)
     media = synthesize_real_media(spark, n=24)
     vids = [r for r in media.collect() if r.kind == "video"]
-    assert vids and all(r.meta.codec == "mjpeg" for r in vids)
+    codecs = {r.meta.codec for r in vids}
+    assert codecs == {"mjpeg", "gif"}      # both real animated formats
     for r in vids:
-        assert len(split_mjpeg_frames(bytes(r.content))) == r.meta.n_frames
+        if r.meta.codec == "mjpeg":
+            assert len(split_mjpeg_frames(bytes(r.content))) == r.meta.n_frames
     sampled = sample_frames(media, every_n=2, decode="real").collect()
     by_vid = {}
     for r in sampled:
         by_vid.setdefault(r.media_id, []).append(r)
         assert (r.width, r.height) == (24, 16)
-        assert bytes(r.frame)[:2] == b"\xff\xd8"
+        # frames re-encode as JPEG (mjpeg src) or PNG (gif src)
+        assert bytes(r.frame)[:2] in (b"\xff\xd8", b"\x89P")
     exp = {r.media_id: (r.meta.n_frames + 1) // 2 for r in vids}
     assert {k: len(v) for k, v in by_vid.items()} == exp
     feats = {r.media_id: r.feature
@@ -474,3 +477,29 @@ def test_dedup_cascade_exact_and_near(spark):
     ex = {r.doc_id: r for r in dedup_decisions(df).collect()}
     assert ex[3].cluster_id == 3 and ex[3].reason == "keeper"
     assert ex[4].cluster_id == 3 and ex[4].reason == "exact_dup"
+
+
+def test_gif_codec_round_trip_and_animation():
+    """GIF codec (round 5): exact LZW round-trips across palette sizes
+    (incl. 12-bit dictionary growth + reset), multi-frame animations, and
+    decode_image dispatch."""
+    import numpy as np
+    from graphdb_free_mocha_sa_spark.operators.gif_codec import (
+        decode_gif, decode_gif_frames, encode_gif)
+    from graphdb_free_mocha_sa_spark.operators.multimodal import decode_image
+    rng = np.random.default_rng(9)
+    for npal, shape in [(4, (10, 13)), (256, (40, 40)), (2, (5, 5))]:
+        pal = rng.integers(0, 256, size=(npal, 3), dtype=np.uint8)
+        idx = rng.integers(0, npal, size=shape, dtype=np.uint8)
+        assert (decode_gif(encode_gif(idx, pal)) == pal[idx]).all()
+    # dictionary growth to 12 bits + reset (large random 256-color image)
+    idx = rng.integers(0, 256, size=(120, 120), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    assert (decode_image(encode_gif(idx, pal)) == pal[idx]).all()
+    # animation
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    frames = [rng.integers(0, 16, size=(12, 14), dtype=np.uint8)
+              for _ in range(5)]
+    out = decode_gif_frames(encode_gif(frames, pal))
+    assert len(out) == 5
+    assert all((o == pal[f]).all() for o, f in zip(out, frames))
