@@ -334,6 +334,60 @@ def resize_images(media: DataFrame, width: int, height: int,
     return media.filter(F.col("kind") == "image").mapInPandas(run, RESIZED_SCHEMA)
 
 
+RESAMPLED_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("content", BinaryType()),         # re-encoded PCM WAV
+    StructField("sample_rate", IntegerType()),
+    StructField("n_samples", LongType()),
+])
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """16-bit mono PCM WAV from float samples in [-1, 1] (stdlib wave)."""
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(np.clip(samples * 32767.0, -32768, 32767)
+                       .astype(np.int16).tobytes())
+    return buf.getvalue()
+
+
+def resample_audio(media: DataFrame, rate: int,
+                   decode: str = "fake") -> DataFrame:
+    """Audio resample (the audio analogue of resize_images, E4).
+
+    ``decode="real"``: decode PCM WAV → linear-interpolation resample to
+    ``rate`` → re-encode 16-bit mono WAV. Fake path re-stamps metadata
+    only (plumbing). Arrow-batched mapInPandas; payloads never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "content",
+                                   "sample_rate", "n_samples")}
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                if decode == "real":
+                    x, r0 = decode_audio(bytes(c))
+                    n1 = max(1, int(round(len(x) * rate / max(r0, 1))))
+                    t1 = np.linspace(0.0, max(len(x) - 1, 0), n1)
+                    y = np.interp(t1, np.arange(len(x)), x) if len(x) \
+                        else np.zeros(1, np.float32)
+                    payload = encode_wav(y, rate)
+                else:
+                    payload, y = bytes(c), np.zeros(0)
+                out["media_id"].append(mid)
+                out["content"].append(bytearray(payload))
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(y))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        run, RESAMPLED_SCHEMA)
+
+
 def split_mjpeg_frames(content: bytes) -> list[bytes]:
     """Split an MJPEG elementary stream (concatenated JPEGs — the payload
     format of motion-JPEG cameras/HTTP streams) into individual frames by

@@ -503,3 +503,26 @@ def test_gif_codec_round_trip_and_animation():
     out = decode_gif_frames(encode_gif(frames, pal))
     assert len(out) == 5
     assert all((o == pal[f]).all() for o, f in zip(out, frames))
+
+
+def test_real_audio_resample(spark):
+    """resample_audio (round 5): a pure tone survives a real 8k→4k WAV
+    resample — rate halves, duration holds, and the dominant FFT frequency
+    stays at the tone's frequency."""
+    import numpy as np
+    from graphdb_free_mocha_sa_spark.operators.multimodal import (
+        decode_audio, resample_audio, synthesize_real_media)
+    media = synthesize_real_media(spark, n=24)
+    out = resample_audio(media, 4000, decode="real").collect()
+    audio_in = {r.media_id: r for r in media.collect() if r.kind == "audio"}
+    assert len(out) == len(audio_in) > 0
+    for r in out:
+        assert r.sample_rate == 4000
+        x, rate = decode_audio(bytes(r.content))
+        assert rate == 4000
+        # same duration (±1 sample) as the 8 kHz source (0.25 s)
+        assert abs(len(x) - 1000) <= 1
+        # dominant frequency preserved: source tone = 220 + 20*i Hz
+        i = r.media_id
+        freq = np.argmax(np.abs(np.fft.rfft(x))) * rate / len(x)
+        assert abs(freq - (220 + 20 * i)) < 8, (i, freq)
