@@ -792,6 +792,18 @@ def q_ext_dedup_cascade(spark, sf_dir):
         .select("doc_id", "cluster_id", "keep", "reason")
 
 
+def q_ext_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (13-gram overlap, the GPT-3/Llama rule):
+    docs sharing any word 13-gram with the 'benchmark' slice (doc_id < 25)
+    are flagged; the benchmark slice itself is trivially contaminated,
+    giving the oracle both positive and negative rows."""
+    from graphdb_free_mocha_sa_spark.operators.text import decontaminate
+    (d,) = _tables(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") < 25).select("text")
+    return decontaminate(d, bench).select(
+        "doc_id", "contaminated", F.col("n_hits").cast("long").alias("n_hits"))
+
+
 def q_ext_dedup_minhash(spark, sf_dir):
     """MinHash LSH near-dup candidates (sketch-based; no SQL oracle —
     validated in tests/test_ext_operators.py against exact Jaccard)."""
@@ -1044,6 +1056,9 @@ _DEFERRED_PAST_DRIVER_CAP = [
     "b41_sameas_cc",          # kept via b41_sameas_query
     "b14_distinct",           # defers to make room for ext_dedup_cascade
                               # (new oracle-backed r5 entry) in the prefix
+    "b9_values",              # defers for ext_decontaminate (new r5 entry;
+                              # VALUES coverage continues via b13_path_alt
+                              # unions + the mirror gate)
 ]
 
 
@@ -1119,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_quantiles": q_ext_quantiles,
         "ext_dedup_exact": q_ext_dedup_exact,
         "ext_dedup_cascade": q_ext_dedup_cascade,
+        "ext_decontaminate": q_ext_decontaminate,
         "ext_dedup_minhash": q_ext_dedup_minhash,
         "ext_dedup_simhash": q_ext_dedup_simhash,
         "ext_topk_cosine": q_ext_topk_cosine,
@@ -1478,6 +1494,27 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             QUALIFY user_id < 20""",
+        "ext_decontaminate": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                                    '\\W+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            bgrams AS (
+              SELECT DISTINCT array_to_string(t[i:i+12], ' ') AS g
+              FROM (SELECT t FROM tok WHERE doc_id < 25) b,
+                   UNNEST(range(1, greatest(len(t) - 12, 1) + 1)) AS u(i)),
+            dgrams AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+12], ' ') AS g
+              FROM tok,
+                   UNNEST(range(1, greatest(len(t) - 12, 1) + 1)) AS u(i)),
+            hits AS (SELECT doc_id, COUNT(*) AS n_hits
+                     FROM dgrams JOIN bgrams USING (g) GROUP BY doc_id)
+            SELECT d.doc_id AS doc_id,
+                   h.doc_id IS NOT NULL AS contaminated,
+                   COALESCE(h.n_hits, 0) AS n_hits
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
         "ext_dedup_cascade": """
             WITH all_docs AS (
               SELECT doc_id, text FROM documents

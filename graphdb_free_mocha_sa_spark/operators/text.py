@@ -96,3 +96,40 @@ def term_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("tf"))
             .orderBy(F.desc("tf"), F.asc("term")))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  n: int = 13, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination (round 5) — the standard LLM-training
+    hygiene rule: flag a training document when it shares any word n-gram
+    (default 13, the GPT-3/Llama convention) with a held-out benchmark
+    set.
+
+    Scale shape: benchmark n-grams hash to 8-byte keys and are typically
+    a tiny side (benchmarks are small) — distinct'd and joined against
+    the exploded doc-gram hashes; only the 8-byte hash shuffles, never
+    the text. Returns ``(doc_id, contaminated BOOLEAN, n_hits BIGINT)``
+    for EVERY input doc. Docs shorter than ``n`` tokens contribute their
+    full token sequence as a single (short) gram — an exact short-text
+    match against a short benchmark item still counts as contamination.
+    """
+    from graphdb_free_mocha_sa_spark.operators.dedup import word_shingles
+
+    def grams(df, idc):
+        return (df.select(F.col(idc).alias("__id"),
+                          F.explode(word_shingles(F.col(text_col), n))
+                          .alias("g"))
+                .select("__id", F.xxhash64("g").alias("gh")))
+
+    bench = (benchmark.select(
+        F.explode(word_shingles(F.col(text_col), n)).alias("g"))
+        .select(F.xxhash64("g").alias("gh")).dropDuplicates())
+    hits = (grams(docs, id_col)
+            .join(bench, "gh")
+            .groupBy("__id").agg(F.count(F.lit(1)).alias("n_hits")))
+    return (docs.select(F.col(id_col))
+            .join(hits.withColumnRenamed("__id", id_col), id_col, "left")
+            .select(id_col,
+                    F.col("n_hits").isNotNull().alias("contaminated"),
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits")))

@@ -526,3 +526,26 @@ def test_real_audio_resample(spark):
         i = r.media_id
         freq = np.argmax(np.abs(np.fft.rfft(x))) * rate / len(x)
         assert abs(freq - (220 + 20 * i)) < 8, (i, freq)
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    """decontaminate: a doc embedding a benchmark 13-gram is flagged; a
+    reworded doc is not; short exact matches count (single short gram)."""
+    from graphdb_free_mocha_sa_spark.operators.text import decontaminate
+    bench_text = ("the quick brown fox jumps over the lazy dog while the "
+                  "moon rises slowly above the quiet hills tonight")
+    docs = spark.createDataFrame([
+        (1, "intro words then " + bench_text + " plus trailing content"),
+        (2, "the quick brown fox sleeps under a tree near the quiet hills "
+            "and nothing else matches the benchmark closely enough here"),
+        (3, "short exact match"),
+        (4, "totally unrelated text entirely about distributed query "
+            "planning in columnar analytical engines with vectorization"),
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(bench_text,), ("short exact match",)], "text string")
+    out = {r.doc_id: r for r in decontaminate(docs, bench).collect()}
+    assert out[1].contaminated and out[1].n_hits >= 1
+    assert not out[2].contaminated
+    assert out[3].contaminated          # whole-short-doc exact match
+    assert not out[4].contaminated and out[4].n_hits == 0
