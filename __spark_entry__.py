@@ -804,6 +804,19 @@ def q_ext_decontaminate(spark, sf_dir):
         "doc_id", "contaminated", F.col("n_hits").cast("long").alias("n_hits"))
 
 
+def q_ext_embed_quantize(spark, sf_dir):
+    """int8 symmetric per-vector embedding quantization (the 100 TB
+    storage lever): q = round(x / scale), scale = max|x|/127 — all-JVM
+    column math, oracle-replicated in DuckDB list functions."""
+    from graphdb_free_mocha_sa_spark.operators.similarity import (
+        quantize_embeddings)
+    (e,) = _tables(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(e)
+    return q.select("vec_id",
+                    F.transform("q8", lambda x: x.cast("int")).alias("q8"),
+                    F.col("scale").cast("double").alias("scale"))
+
+
 def q_ext_dedup_minhash(spark, sf_dir):
     """MinHash LSH near-dup candidates (sketch-based; no SQL oracle —
     validated in tests/test_ext_operators.py against exact Jaccard)."""
@@ -1059,6 +1072,9 @@ _DEFERRED_PAST_DRIVER_CAP = [
     "b9_values",              # defers for ext_decontaminate (new r5 entry;
                               # VALUES coverage continues via b13_path_alt
                               # unions + the mirror gate)
+    "b8_bind",                # defers for ext_embed_quantize (new r5
+                              # entry); BIND expressions stay covered by
+                              # the four func_* groups in the prefix
 ]
 
 
@@ -1135,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_dedup_exact": q_ext_dedup_exact,
         "ext_dedup_cascade": q_ext_dedup_cascade,
         "ext_decontaminate": q_ext_decontaminate,
+        "ext_embed_quantize": q_ext_embed_quantize,
         "ext_dedup_minhash": q_ext_dedup_minhash,
         "ext_dedup_simhash": q_ext_dedup_simhash,
         "ext_topk_cosine": q_ext_topk_cosine,
@@ -1494,6 +1511,18 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             QUALIFY user_id < 20""",
+        "ext_embed_quantize": """
+            WITH s AS (
+              SELECT vec_id, embedding,
+                     greatest(list_max(list_transform(embedding,
+                                                      x -> abs(x))) / 127.0,
+                              1e-12) AS sc
+              FROM embeddings)
+            SELECT vec_id,
+                   list_transform(embedding,
+                                  x -> CAST(round(x / sc) AS INTEGER)) AS q8,
+                   CAST(CAST(sc AS FLOAT) AS DOUBLE) AS scale
+            FROM s""",
         "ext_decontaminate": """
             WITH tok AS (
               SELECT doc_id,

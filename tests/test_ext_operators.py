@@ -549,3 +549,29 @@ def test_decontaminate_flags_ngram_overlap(spark):
     assert not out[2].contaminated
     assert out[3].contaminated          # whole-short-doc exact match
     assert not out[4].contaminated and out[4].n_hits == 0
+
+
+def test_int8_quantization_round_trip_and_recall(spark, embeddings):
+    """int8 embedding quantization: element error bounded by scale/2, and
+    quantized brute-force top-k keeps high recall vs the float path."""
+    from graphdb_free_mocha_sa_spark.operators.similarity import (
+        brute_force_topk, dequantize_embeddings, quantize_embeddings,
+        quantized_topk)
+    q = quantize_embeddings(embeddings)
+    row = q.limit(1).collect()[0]
+    assert all(-127 <= v <= 127 for v in row.q8)
+    deq = {r.vec_id: r.embedding
+           for r in dequantize_embeddings(q).collect()}
+    orig = {r.vec_id: (r.embedding, ) for r in embeddings.collect()}
+    scales = {r.vec_id: r.scale for r in q.collect()}
+    for vid, (e,) in list(orig.items())[:50]:
+        err = max(abs(a - b) for a, b in zip(e, deq[vid]))
+        assert err <= scales[vid] / 2 + 1e-6
+    queries = embeddings.limit(8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.vec_id)
+             for r in brute_force_topk(embeddings, queries, k=5).collect()}
+    quant = {(r.query_id, r.vec_id)
+             for r in quantized_topk(embeddings, queries, k=5).collect()}
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, recall
