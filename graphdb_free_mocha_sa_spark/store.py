@@ -264,6 +264,10 @@ class QuadStore:
         return cls(spark, spark.table(name))
 
 
+class _CommitConflict(Exception):
+    """Internal: a concurrent committer won the log txn we attempted."""
+
+
 class DurableQuadStore(QuadStore):
     """QuadStore that commits through to disk (B37: the reference runs
     GraphDB in safe-transaction mode, ``owlim:transaction-mode "safe"`` /
@@ -319,14 +323,10 @@ class DurableQuadStore(QuadStore):
 
     def __init__(self, spark: SparkSession, path: str,
                  base_buckets: int | None = None):
-        import hashlib
         import os
         self.spark = spark        # needed by _read_segments before super()
         self.path = path
         self._buckets = base_buckets or self.BASE_BUCKETS
-        #: stable per-path catalog name for the bucketed base table
-        self._table = "quads_base_" + hashlib.sha1(
-            os.path.abspath(path).encode()).hexdigest()[:10]
         self._log_dir = os.path.join(path, "_log")
         os.makedirs(self._log_dir, exist_ok=True)
         entry = self._latest_log()
@@ -346,30 +346,31 @@ class DurableQuadStore(QuadStore):
 
     # -- bucketed base table ----------------------------------------------
 
-    def _register_base(self) -> None:
-        """(Re)expose the current base files as a bucketed external table.
-        The catalog entry is session-scoped (Spark's in-memory catalog);
-        the log names the live base dir, so every open re-derives the
-        registration — files + log are the durable truth."""
+    def _register_base(self) -> str:
+        """Expose the current base files as a bucketed external table.
+        The catalog name embeds the BASE GENERATION (hash of path+base
+        dir), so registration is append-only and idempotent — concurrent
+        writers on the same path never DROP each other's registration,
+        and a name always points at exactly one immutable dir. Catalog
+        entries are session-scoped; the log names the live base dir, so
+        every open re-derives the registration — files + log are the
+        durable truth."""
+        import hashlib
         import os
-        cat = self.spark.catalog
         loc = os.path.join(os.path.abspath(self.path), self._base)
-        if cat.tableExists(self._table):
+        name = "quads_base_" + hashlib.sha1(loc.encode()).hexdigest()[:12]
+        if not self.spark.catalog.tableExists(name):
+            ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                            for f in QUAD_SCHEMA.fields)
             try:
-                cur = self.spark.sql(
-                    f"DESCRIBE TABLE EXTENDED {self._table}") \
-                    .where("col_name = 'Location'").collect()
-                if cur and cur[0]["data_type"].replace("file:", "") == loc:
-                    return                       # already pointing at it
+                self.spark.sql(
+                    f"CREATE TABLE {name} ({ddl}) USING parquet "
+                    f"CLUSTERED BY (s) SORTED BY (s) "
+                    f"INTO {self._buckets} BUCKETS LOCATION '{loc}'")
             except Exception:
-                pass
-            self.spark.sql(f"DROP TABLE IF EXISTS {self._table}")
-        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
-                        for f in QUAD_SCHEMA.fields)
-        self.spark.sql(
-            f"CREATE TABLE {self._table} ({ddl}) USING parquet "
-            f"CLUSTERED BY (s) SORTED BY (s) INTO {self._buckets} BUCKETS "
-            f"LOCATION '{loc}'")
+                if not self.spark.catalog.tableExists(name):
+                    raise               # a real failure, not a create race
+        return name
 
     def _write_base(self, df: DataFrame) -> Optional[str]:
         """Persist ``df`` as a fresh bucketed base; None for an empty df."""
@@ -380,7 +381,7 @@ class DurableQuadStore(QuadStore):
             return None
         name = f"base-{self._txn + 1:08d}-{uuid.uuid4().hex[:8]}"
         loc = os.path.join(os.path.abspath(self.path), name)
-        tmp = f"{self._table}_w{self._txn + 1}"
+        tmp = f"quads_base_stage_{uuid.uuid4().hex[:8]}"
         self.spark.sql(f"DROP TABLE IF EXISTS {tmp}")
         try:
             (df.select(*QUAD_COLS).write
@@ -395,8 +396,7 @@ class DurableQuadStore(QuadStore):
 
     def _snapshot_df(self) -> DataFrame:
         if self._base:
-            self._register_base()
-            out = self.spark.table(self._table).select(*QUAD_COLS)
+            out = self.spark.table(self._register_base()).select(*QUAD_COLS)
             if self._segments:
                 out = out.unionByName(self._read_segments(self._segments))
             return out
@@ -441,19 +441,38 @@ class DurableQuadStore(QuadStore):
             return None
         return seg
 
-    def _commit_log(self) -> None:
+    def _commit_log(self, on_conflict=None) -> None:
+        """Optimistic multi-writer commit: the log entry publishes via an
+        ATOMIC-CREATE (``os.link`` — fails if the txn number is taken), so
+        a concurrent committer on the same path can never be silently
+        overwritten. On a lost race, appends MERGE onto the winner's state
+        (``on_conflict`` folds the latest entry in) and retry; rewrites
+        republish their own snapshot at the next txn (last-writer-wins —
+        the same semantics the in-memory store's snapshot swap has)."""
         import json
         import os
         import uuid
         self._take_pending_mark()     # batch marker commits WITH the data
-        self._txn += 1
-        tmp = os.path.join(self._log_dir, f".tmp-{uuid.uuid4().hex[:8]}")
-        with open(tmp, "w") as fh:
-            json.dump({"txn": self._txn, "base": self._base,
-                       "segments": self._segments,
-                       "version": self._version, "buckets": self._buckets,
-                       "stream": getattr(self, "_stream_marks", {})}, fh)
-        os.rename(tmp, os.path.join(self._log_dir, f"{self._txn:08d}.json"))
+        while True:
+            self._txn += 1
+            tmp = os.path.join(self._log_dir, f".tmp-{uuid.uuid4().hex[:8]}")
+            with open(tmp, "w") as fh:
+                json.dump({"txn": self._txn, "base": self._base,
+                           "segments": self._segments,
+                           "version": self._version,
+                           "buckets": self._buckets,
+                           "stream": getattr(self, "_stream_marks", {})}, fh)
+            target = os.path.join(self._log_dir, f"{self._txn:08d}.json")
+            try:
+                os.link(tmp, target)
+                os.unlink(tmp)
+                return
+            except FileExistsError:
+                os.unlink(tmp)
+                latest = self._latest_log()
+                self._txn = latest["txn"]
+                if on_conflict is not None:
+                    on_conflict(latest)
 
     def flush_stream_mark(self) -> None:
         """A mark not carried by any data commit (empty / non-insert-only
@@ -470,20 +489,77 @@ class DurableQuadStore(QuadStore):
         if self._base is None and not self._segments:
             # first write into an empty store: land it as the bucketed
             # base directly — bulk load IS the index build (the reference
-            # builds its statement indexes during load)
-            self._commit_rewrite(delta)
+            # builds its statement indexes during load). Pin the delta:
+            # a lost initialization race retries it as a plain segment.
+            import os
+            import shutil
+            delta = delta.select(*QUAD_COLS).localCheckpoint()
+            base = self._write_base(delta)
+            if base is None:
+                return
+            self._base, self._segments = base, []
+            conflict: dict = {}
+
+            def on_c(latest: dict) -> None:
+                conflict["latest"] = latest
+                raise _CommitConflict()
+
+            try:
+                self._commit_log(on_conflict=on_c)
+            except _CommitConflict:
+                # another writer initialized the store first: our bucketed
+                # base can't stack on theirs — fold the delta in as a
+                # normal segment on top of the winner's state instead
+                latest = conflict["latest"]
+                shutil.rmtree(os.path.join(self.path, base),
+                              ignore_errors=True)
+                self._txn = latest["txn"]
+                self._base = latest.get("base")
+                self._segments = list(latest["segments"])
+                self._version = max(self._version, latest["version"])
+                marks = getattr(self, "_stream_marks", {})
+                for k, v in (latest.get("stream") or {}).items():
+                    marks[k] = max(marks.get(k, -1), v)
+                self._stream_marks = marks
+                self._append_segment(delta)
+                return
+            df = self._snapshot_df()
+            self._df = df if df is not None \
+                else self.spark.createDataFrame([], QUAD_SCHEMA)
             return
         if len(self._segments) >= self.SEGMENT_COMPACT_THRESHOLD:
             # compaction: fold base + segments + delta into a fresh base
             self._commit_rewrite(self._df.unionByName(delta))
             return
+        self._append_segment(delta)
+
+    def _append_segment(self, delta: DataFrame):
         seg = self._write_segment(delta)
         if seg is None:
             return                     # empty delta: no transaction needed
         self._segments = self._segments + [seg]
-        self._commit_log()
-        self._df = self._df.unionByName(
-            self._read_segments([seg]))
+        raced = []
+
+        def merge_append(latest: dict) -> None:
+            """Fold a concurrent winner's state under OUR delta segment:
+            the append stays valid against any base/segment set."""
+            raced.append(True)
+            self._base = latest.get("base")
+            self._segments = list(latest["segments"]) + [seg]
+            self._version = max(self._version, latest["version"])
+            marks = getattr(self, "_stream_marks", {})
+            for k, v in (latest.get("stream") or {}).items():
+                marks[k] = max(marks.get(k, -1), v)
+            self._stream_marks = marks
+
+        self._commit_log(on_conflict=merge_append)
+        if raced:
+            df = self._snapshot_df()   # base/segments changed underneath
+            self._df = df if df is not None \
+                else self.spark.createDataFrame([], QUAD_SCHEMA)
+        else:
+            self._df = self._df.unionByName(
+                self._read_segments([seg]))
 
     def _commit_rewrite(self, new_df: DataFrame):
         self._base = self._write_base(new_df)

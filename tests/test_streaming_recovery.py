@@ -191,3 +191,38 @@ def test_ingest_mixed_batch_replay_dedups(spark, tmp_path):
     assert {(r.s, r.o_lex) for r in rows.collect()} == \
         {("urn:a", "1"), ("urn:b", "2")}
     assert rows.count() == 2                     # deduped replay
+
+
+def test_concurrent_writers_no_lost_appends(spark, tmp_path):
+    """Two independent store objects on the SAME path appending
+    concurrently: the atomic-create log commit + append merge must keep
+    every delta — no lost updates — and a fresh reopen sees all of them."""
+    import threading
+    from graphdb_free_mocha_sa_spark.model import QUAD_SCHEMA
+    path = str(tmp_path / "store")
+    a = DurableQuadStore(spark, path)
+    b = DurableQuadStore(spark, path)
+
+    def q(tag, i):
+        return spark.createDataFrame(
+            [("urn:g", f"urn:{tag}{i}", "urn:p", "v", None, None, None,
+              None)], QUAD_SCHEMA)
+
+    errs = []
+
+    def writer(store, tag):
+        try:
+            for i in range(6):
+                store.add_quads(q(tag, i))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    t1 = threading.Thread(target=writer, args=(a, "a"))
+    t2 = threading.Thread(target=writer, args=(b, "b"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    re = DurableQuadStore(spark, path)
+    subjects = {r.s for r in re.df.select("s").collect()}
+    assert subjects == {f"urn:a{i}" for i in range(6)} \
+        | {f"urn:b{i}" for i in range(6)}
+    assert re.df.count() == 12
