@@ -913,6 +913,82 @@ def q_ext_stream_session(spark, sf_dir):
         "user_id", "cnt")
 
 
+def q_ext_quality_gopher(spark, sf_dir):
+    """Gopher/C4 repetition + shape filters (dup-word fraction, top-bigram
+    fraction, symbol ratio, alpha-word fraction) with the composite keep
+    verdict — map-only Column expressions, no shuffle."""
+    from graphdb_free_mocha_sa_spark.operators.pipeline import (
+        repetition_features)
+    (d,) = _tables(spark, sf_dir, "documents")
+    return (repetition_features(d.select("doc_id", "text"))
+            .select("doc_id", "n_words", "dup_word_frac", "top_bigram_frac",
+                    "symbol_word_ratio", "alpha_word_frac", "mean_word_len",
+                    "keep"))
+
+
+def q_ext_pii_scrub(spark, sf_dir):
+    """PII detect + redact over documents with deterministic synthetic PII
+    spans injected (fixtures contain none): counts per kind + the
+    byte-exact redacted text, oracle-matched."""
+    from graphdb_free_mocha_sa_spark.operators.pipeline import pii_scrub
+    (d,) = _tables(spark, sf_dir, "documents")
+    aug = d.select("doc_id", F.concat(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com from 10.0.0."),
+                        (F.col("doc_id") % 250).cast("string"),
+                        F.lit(" ssn 123-45-6789")))
+        .otherwise(F.lit(""))).alias("text"))
+    return pii_scrub(aug).select("doc_id", "n_email", "n_ipv4", "n_ssn",
+                                 "has_pii", "redacted")
+
+
+def q_ext_sample_hash(spark, sf_dir):
+    """Deterministic content-stable sampling: md5-hex-prefix threshold
+    filter (reproducible across runs/engines/partitionings, unlike
+    df.sample's per-partition RNG)."""
+    from graphdb_free_mocha_sa_spark.operators.pipeline import sample_by_hash
+    (d,) = _tables(spark, sf_dir, "documents")
+    return (sample_by_hash(d, "doc_id", 0.25)
+            .select("doc_id",
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+                    .alias("h8")))
+
+
+def q_ext_mixture_sample(spark, sf_dir):
+    """Stratified source-mixture sampling at target proportions
+    50/30/20 over three sources — per-stratum rates from the
+    largest-achievable-total rule, keep-draws via exact-integer Knuth
+    hashing so the oracle reproduces the identical row set."""
+    from graphdb_free_mocha_sa_spark.operators.pipeline import mixture_sample
+    (d,) = _tables(spark, sf_dir, "documents")
+    out = mixture_sample(d, {"src0": 0.5, "src1": 0.3, "src2": 0.2})
+    return out.select("doc_id", "source")
+
+
+def q_ext_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (concat-then-chunk): distributed
+    prefix sum via block-local windows + tiny block-offset broadcast —
+    no global single-partition window."""
+    from graphdb_free_mocha_sa_spark.operators.pipeline import (
+        pack_token_budget)
+    from graphdb_free_mocha_sa_spark.operators.text import token_count
+    (d,) = _tables(spark, sf_dir, "documents")
+    sized = d.select("doc_id", token_count(F.col("text")).alias("n_tok"))
+    return pack_token_budget(sized, budget=512, block_size=64)
+
+
+def q_ext_bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval (k1=1.2, b=0.75): explode → tf/df aggregates,
+    broadcast side tables, DECIMAL-summed partial scores so parallel
+    addition order cannot perturb ranking."""
+    from graphdb_free_mocha_sa_spark.operators.pipeline import bm25_search
+    (d,) = _tables(spark, sf_dir, "documents")
+    return bm25_search(d, ["hash", "join", "shuffle"], k=15)
+
+
 def q_ext_bpe_tokens(spark, sf_dir):
     from graphdb_free_mocha_sa_spark.operators.text import bpe_ish_token_count
     (d,) = _tables(spark, sf_dir, "documents")
@@ -1075,6 +1151,16 @@ _DEFERRED_PAST_DRIVER_CAP = [
     "b8_bind",                # defers for ext_embed_quantize (new r5
                               # entry); BIND expressions stay covered by
                               # the four func_* groups in the prefix
+    # ROUND-5b: six more long-green heads defer to admit the six new
+    # oracle-backed pipeline entries (ext_quality_gopher, ext_pii_scrub,
+    # ext_sample_hash, ext_mixture_sample, ext_pack_sequences,
+    # ext_bm25_search) into the checked prefix:
+    "b13_path_seq", "b13_path_alt_inv",  # path family kept via
+                                         # b13_path_star + b13_path_negated
+    "func_hashes", "func_conditionals",  # function family kept via
+                                         # func_lang_terms + nondeterministic
+    "b12_from_graph",         # graph-selection family kept via b11_graph
+    "ext_window_lag",         # window family kept via ext_window_rank
 ]
 
 
@@ -1163,6 +1249,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_stream_tumbling": q_ext_stream_tumbling,
         "ext_text_termstats": q_ext_text_termstats,
         "ext_text_tokens": q_ext_text_tokens,
+        # round-5b pipeline additions (all oracle-backed):
+        "ext_quality_gopher": q_ext_quality_gopher,
+        "ext_pii_scrub": q_ext_pii_scrub,
+        "ext_sample_hash": q_ext_sample_hash,
+        "ext_mixture_sample": q_ext_mixture_sample,
+        "ext_pack_sequences": q_ext_pack_sequences,
+        "ext_bm25_search": q_ext_bm25_search,
         "ext_text_quality": q_ext_text_quality,
         "ext_fingerprint": q_ext_fingerprint,
         "ext_bpe_tokens": q_ext_bpe_tokens,
@@ -1656,6 +1749,143 @@ def oracle_sql() -> dict[str, str]:
         "ext_text_tokens": """
             SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tok
             FROM documents""",
+        "ext_quality_gopher": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                                    '[^a-z0-9'']+'),
+                                 w -> w <> '') AS t
+              FROM documents),
+            bg AS (
+              SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+              FROM tok, UNNEST(range(1, len(t))) AS u(i)
+              WHERE len(t) >= 2),
+            bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+            bgm AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS total
+                    FROM bgc GROUP BY 1),
+            f AS (
+              SELECT tok.doc_id, len(t) AS n_words,
+                     1.0 - len(list_distinct(t)) / greatest(len(t), 1)
+                       AS dwf,
+                     COALESCE(mx / greatest(total, 1), 0.0) AS tbf,
+                     length(regexp_replace(d.text,
+                            '[\\p{L}\\p{N}\\s]', '', 'g'))
+                       / greatest(len(t), 1) AS swr,
+                     len(list_filter(t, w -> regexp_matches(w, '\\p{L}')))
+                       / greatest(len(t), 1) AS awf,
+                     list_sum(list_transform(t, w -> length(w)))
+                       / greatest(len(t), 1) AS mwl
+              FROM tok JOIN documents d USING (doc_id)
+              LEFT JOIN bgm ON bgm.doc_id = tok.doc_id)
+            SELECT doc_id, n_words,
+                   round(dwf, 4) AS dup_word_frac,
+                   round(tbf, 4) AS top_bigram_frac,
+                   round(swr, 4) AS symbol_word_ratio,
+                   round(awf, 4) AS alpha_word_frac,
+                   round(mwl, 4) AS mean_word_len,
+                   (n_words >= 3 AND dwf <= 0.40 AND tbf <= 0.20
+                    AND swr <= 0.10 AND awf >= 0.80
+                    AND mwl >= 2.0 AND mwl <= 12.0) AS keep
+            FROM f""",
+        "ext_pii_scrub": """
+            WITH aug AS (
+              SELECT doc_id, text ||
+                CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || doc_id
+                          || '@example.com from 10.0.0.' || (doc_id % 250)
+                          || ' ssn 123-45-6789'
+                     ELSE '' END AS t
+              FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                     AS n_email,
+                   len(regexp_extract_all(t,
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                     AS n_ipv4,
+                   len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b'))
+                     AS n_ssn,
+                   (len(regexp_extract_all(t,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                    + len(regexp_extract_all(t,
+                      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                    + len(regexp_extract_all(t,
+                      '\\b\\d{3}-\\d{2}-\\d{4}\\b'))) > 0 AS has_pii,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                     '[EMAIL]', 'g'),
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                     '[IPV4]', 'g'),
+                     '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g')
+                     AS redacted
+            FROM aug""",
+        "ext_sample_hash": """
+            SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <= '40000000'""",
+        "ext_mixture_sample": """
+            WITH w(source, wgt) AS (
+              VALUES ('src0', CAST(0.5 AS DOUBLE)),
+                     ('src1', CAST(0.3 AS DOUBLE)),
+                     ('src2', CAST(0.2 AS DOUBLE))),
+            cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+            j AS (SELECT w.source, wgt, n, n / wgt AS cap
+                  FROM w JOIN cnt USING (source)),
+            t AS (SELECT MIN(cap) AS tmax FROM j),
+            r AS (SELECT source, least(1.0, (wgt * tmax) / n) AS rate
+                  FROM j, t)
+            SELECT d.doc_id AS doc_id, d.source AS source
+            FROM documents d JOIN r ON d.source = r.source
+            WHERE ((d.doc_id * 2654435761) % 4294967296)
+                  / CAST(4294967296.0 AS DOUBLE) < r.rate""",
+        "ext_pack_sequences": """
+            WITH sized AS (
+              SELECT doc_id,
+                     len(string_split_regex(trim(text), '\\s+')) AS n_tok
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tok,
+                     SUM(n_tok) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tok
+                       AS ce
+              FROM sized)
+            SELECT doc_id, n_tok,
+                   CAST(ce // 512 AS BIGINT) AS seq_id,
+                   CAST(ce % 512 AS BIGINT) AS seq_offset
+            FROM c""",
+        "ext_bm25_search": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text),
+                                                           '[^a-z0-9'']+'),
+                                        w -> w <> '')) AS term
+              FROM documents),
+            dl AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(lower(text),
+                                                        '[^a-z0-9'']+'),
+                                     w -> w <> '')) AS dl
+              FROM documents),
+            st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                   WHERE term IN ('hash', 'join', 'shuffle')
+                   GROUP BY 1, 2),
+            dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+            sc AS (
+              SELECT tf.doc_id,
+                     CAST(ln(1 + (n_docs - df + CAST(0.5 AS DOUBLE))
+                             / (df + CAST(0.5 AS DOUBLE)))
+                          * tf * CAST(2.2 AS DOUBLE)
+                          / (tf + CAST(1.2 AS DOUBLE)
+                             * (CAST(0.25 AS DOUBLE)
+                                + CAST(0.75 AS DOUBLE) * dl / avgdl))
+                          AS DECIMAL(18,6)) AS p
+              FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+              CROSS JOIN st)
+            SELECT doc_id, CAST(SUM(p) AS DOUBLE) AS score,
+                   COUNT(*) AS n_terms_hit
+            FROM sc GROUP BY 1
+            ORDER BY score DESC, doc_id ASC LIMIT 15""",
         "ext_text_termstats": """
             SELECT term, count(*) AS tf FROM (
               SELECT unnest(string_split_regex(lower(text), '[^a-z0-9'']+'))

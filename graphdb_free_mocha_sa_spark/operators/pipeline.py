@@ -1,0 +1,338 @@
+"""Training-data pipeline operators (E3/E1 extensions, round 5b).
+
+The curation stages a large-scale LLM data pipeline runs between raw
+documents and training shards, beyond dedup/similarity (operators/dedup.py,
+similarity.py) and the base text features (operators/text.py):
+
+- :func:`repetition_features` — Gopher/C4-style repetition + quality
+  filters (duplicate-word fraction, top-bigram fraction, symbol ratio,
+  alpha-word fraction) with a composite keep flag.
+- :func:`pii_counts` / :func:`redact_pii` — PII detection and redaction
+  (emails, IPv4 addresses, SSN-shaped ids) with engine-portable regexes.
+- :func:`sample_by_hash` — deterministic content-stable sampling on an
+  md5 hex prefix (lexicographic threshold compare, no float hashing).
+- :func:`mixture_sample` — stratified source-mixture sampling: hit target
+  per-source proportions with the largest achievable total.
+- :func:`pack_token_budget` — token-budget sequence packing via a
+  DISTRIBUTED prefix sum (block-local windows + tiny block-offset
+  broadcast; no global single-partition window).
+- :func:`bm25_search` — BM25 ranked retrieval over the corpus (explode →
+  tf/df aggregation → decimal-summed scores so addition order cannot
+  perturb the result).
+
+Scale notes: everything is native Column expressions / DataFrame aggs —
+no Python in the row loop. Per-row array ops (bigrams, distinct counts)
+are O(doc_len) or O(doc_len·distinct) inside codegen; the only shuffles
+are the aggregations that define the semantics (per-source counts, df
+tables, block totals), each keyed on small values.
+
+Reference: the wrapped engine exposes no curation surface
+(GraphDBSystemAdapter.java wraps query/update only); these operators are
+the [EXT] north-star rows from SURVEY.md §2.3, required by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from graphdb_free_mocha_sa_spark.operators.text import tokens
+
+# ---------------------------------------------------------------- repetition
+
+# Gopher-ish acceptance thresholds (Rae et al. 2021 table A1, adapted to
+# whitespace-ish tokens). Exposed so callers can tighten/loosen.
+GOPHER_THRESHOLDS = {
+    "max_dup_word_frac": 0.40,
+    "max_top_bigram_frac": 0.20,
+    "max_symbol_word_ratio": 0.10,
+    "min_alpha_word_frac": 0.80,
+    "min_mean_word_len": 2.0,
+    "max_mean_word_len": 12.0,
+    "min_words": 3,
+}
+
+
+def repetition_features(df: DataFrame, text_col: str = "text",
+                        thresholds: dict | None = None) -> DataFrame:
+    """Gopher/C4-style repetition and shape filters, one row per doc.
+
+    Emits the classic repetition signals plus a composite ``keep`` flag:
+
+    - ``dup_word_frac``: 1 − distinct(words)/count(words) — high values
+      mean the doc repeats itself (boilerplate, keyword stuffing).
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram
+      over all bigrams — catches looped phrases n-gram dedup misses.
+    - ``symbol_word_ratio``: non-letter/digit/space chars per word.
+    - ``alpha_word_frac``: fraction of words containing a letter.
+    - ``mean_word_len``.
+
+    All per-row array expressions (no shuffle at all): at 100 TB this is
+    a map-only pass inside whole-stage codegen. ``top_bigram_frac`` is
+    O(distinct_bigrams²) per row — bounded by document length, the
+    standard trade against an explode+groupBy shuffle of every bigram.
+    """
+    th = {**GOPHER_THRESHOLDS, **(thresholds or {})}
+    t = F.col(text_col)
+    toks = tokens(t)
+    n = F.size(toks)
+    n1 = F.greatest(n, F.lit(1)).cast("double")
+
+    dup_word_frac = (F.lit(1.0)
+                     - F.size(F.array_distinct(toks)).cast("double") / n1)
+
+    # bigrams: zip each word with its successor (index lambda; element_at
+    # is 1-based, transform's i is 0-based)
+    bigrams = F.when(n >= 2, F.transform(
+        F.slice(toks, 1, n - 1),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
+    )).otherwise(F.array().cast("array<string>"))
+    n_bg = F.greatest(F.size(bigrams), F.lit(1)).cast("double")
+    top_bigram_frac = F.when(F.size(bigrams) == 0, F.lit(0.0)).otherwise(
+        F.array_max(F.transform(
+            F.array_distinct(bigrams),
+            lambda d: F.size(F.filter(bigrams, lambda b: b == d))))
+        .cast("double") / n_bg)
+
+    symbols = F.length(F.regexp_replace(t, r"[\p{L}\p{N}\s]", ""))
+    symbol_word_ratio = symbols.cast("double") / n1
+    alpha_word_frac = (
+        F.size(F.filter(toks, lambda w: w.rlike(r"\p{L}"))).cast("double")
+        / n1)
+    mean_word_len = (F.aggregate(toks, F.lit(0),
+                                 lambda a, w: a + F.length(w))
+                     .cast("double") / n1)
+
+    keep = ((n >= th["min_words"])
+            & (dup_word_frac <= th["max_dup_word_frac"])
+            & (top_bigram_frac <= th["max_top_bigram_frac"])
+            & (symbol_word_ratio <= th["max_symbol_word_ratio"])
+            & (alpha_word_frac >= th["min_alpha_word_frac"])
+            & (mean_word_len >= th["min_mean_word_len"])
+            & (mean_word_len <= th["max_mean_word_len"]))
+
+    return df.select(
+        "*",
+        n.alias("n_words"),
+        F.round(dup_word_frac, 4).alias("dup_word_frac"),
+        F.round(top_bigram_frac, 4).alias("top_bigram_frac"),
+        F.round(symbol_word_ratio, 4).alias("symbol_word_ratio"),
+        F.round(alpha_word_frac, 4).alias("alpha_word_frac"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        keep.alias("keep"))
+
+
+# ----------------------------------------------------------------------- PII
+
+# Engine-portable patterns: valid and equivalent under Java regex (Spark)
+# and RE2 (DuckDB oracle) — no backreferences, no lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+# Redaction order matters (an email contains dots that could partially
+# match ipv4 after other rewrites): fixed order, applied identically by
+# engine and oracle.
+PII_ORDER = ["email", "ipv4", "ssn"]
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (JVM-side ``regexp_count``)."""
+    return {k: F.regexp_count(text, F.lit(p)) for k, p in PII_PATTERNS.items()}
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace each PII span with a typed placeholder (``[EMAIL]`` …),
+    in the fixed :data:`PII_ORDER` so engine and oracle agree byte-for-byte.
+    """
+    out = text
+    for kind in PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    return out
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Detection + redaction in one pass: counts per kind, a ``has_pii``
+    flag, and the redacted text. Map-only; no shuffle."""
+    t = F.col(text_col)
+    counts = pii_counts(t)
+    total = None
+    cols = []
+    for kind in PII_ORDER:
+        c = counts[kind]
+        cols.append(c.alias(f"n_{kind}"))
+        total = c if total is None else total + c
+    return df.select("*", *cols, (total > 0).alias("has_pii"),
+                     redact_pii(t).alias("redacted"))
+
+
+# ------------------------------------------------------------------ sampling
+
+def hash_keep(key: Column, rate: float) -> Column:
+    """Deterministic keep-decision at ``rate`` ∈ [0,1]: lexicographic
+    compare of the first 8 md5 hex chars against the rate's hex
+    threshold. Content-stable (same key ⇒ same verdict on every run and
+    every engine), no float arithmetic, no RNG state.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    threshold = format(min(int(rate * 16 ** 8), 16 ** 8 - 1), "08x")
+    if rate >= 1.0:
+        return F.lit(True)
+    return F.substring(F.md5(key.cast("string")), 1, 8) <= F.lit(threshold)
+
+
+def sample_by_hash(df: DataFrame, key_col: str, rate: float) -> DataFrame:
+    """Keep a deterministic ~``rate`` fraction of rows keyed on
+    ``key_col``. Map-only (a filter on an md5 prefix); reproducible
+    across runs, engines, and cluster sizes — the property training-data
+    ablations need that ``df.sample`` (seeded per-partition RNG) does
+    not give when partitioning changes."""
+    return df.filter(hash_keep(F.col(key_col), rate))
+
+
+def knuth_frac(key: Column) -> Column:
+    """Deterministic pseudo-uniform in [0,1): Knuth multiplicative hash
+    of an integer key, exact in BIGINT arithmetic on every engine."""
+    return (F.pmod(key.cast("bigint") * F.lit(2654435761),
+                   F.lit(4294967296)).cast("double")
+            / F.lit(4294967296.0))
+
+
+def mixture_rates(df: DataFrame, weights: dict[str, float],
+                  strata_col: str = "source") -> dict[str, float]:
+    """Per-stratum sampling rates that realize target proportions
+    ``weights`` (must sum to ~1) with the largest achievable total:
+    T = min_s(n_s / w_s), rate_s = w_s · T / n_s ≤ 1.
+
+    The per-stratum counts are a tiny aggregate (one row per source);
+    collecting them to the driver is the same ≤-cardinality-of-strata
+    collect the IVF centroid path uses.
+    """
+    total_w = sum(weights.values())
+    if abs(total_w - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total_w}")
+    counts = {r[strata_col]: r["n"] for r in
+              df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    missing = set(weights) - set(counts)
+    if missing:
+        raise ValueError(f"strata absent from data: {sorted(missing)}")
+    t_max = min(counts[s] / w for s, w in weights.items() if w > 0)
+    return {s: min(1.0, (w * t_max) / counts[s])
+            for s, w in weights.items()}
+
+
+def mixture_sample(df: DataFrame, weights: dict[str, float],
+                   key_col: str = "doc_id",
+                   strata_col: str = "source") -> DataFrame:
+    """Stratified mixture sampling: draw per-stratum deterministic
+    subsets whose relative sizes match ``weights`` as closely as the
+    data allows (expected counts w_s·T). The keep draw is
+    :func:`knuth_frac` on the key — exact integer arithmetic, so an SQL
+    oracle reproduces the exact row set."""
+    rates = mixture_rates(df, weights, strata_col)
+    rate_expr = F.lit(0.0)
+    for s, r in rates.items():
+        rate_expr = F.when(F.col(strata_col) == s, F.lit(r)) \
+                     .otherwise(rate_expr)
+    return (df.filter(F.col(strata_col).isin(*rates.keys()))
+            .filter(knuth_frac(F.col(key_col)) < rate_expr))
+
+
+# ----------------------------------------------------------------- packing
+
+def pack_token_budget(df: DataFrame, budget: int,
+                      size_col: str = "n_tok", order_col: str = "doc_id",
+                      block_size: int = 4096) -> DataFrame:
+    """Token-budget sequence packing: assign docs (in ``order_col``
+    order) to consecutive training sequences of ``budget`` tokens,
+    letting a doc straddle a boundary (standard concat-then-chunk
+    packing for LLM pretraining). Emits ``seq_id`` (which sequence the
+    doc STARTS in) and ``seq_offset`` (token offset inside it).
+
+    The global running total is a DISTRIBUTED prefix sum — the
+    single-partition ``Window.orderBy`` that would serialize 100 TB
+    through one task is replaced by:
+
+    1. block-local cumulative sums (window partitioned by
+       ``order_col div block_size`` — parallel), and
+    2. per-block totals (one row per block) prefix-summed in a tiny
+       single-partition window (#blocks rows, not #docs) and broadcast
+       back onto the blocks.
+    """
+    blk = (F.col(order_col) / F.lit(block_size)).cast("bigint").alias("__blk")
+    d = df.select("*", blk)
+    w_local = (Window.partitionBy("__blk").orderBy(order_col)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    d = d.withColumn("__local_cum", F.sum(size_col).over(w_local))
+
+    totals = d.groupBy("__blk").agg(F.sum(size_col).alias("__tot"))
+    w_blk = (Window.orderBy("__blk")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(
+        "__blk", F.coalesce(F.sum("__tot").over(w_blk), F.lit(0))
+        .alias("__offset"))
+
+    d = d.join(F.broadcast(offsets), "__blk")
+    cum_excl = (F.col("__offset") + F.col("__local_cum")
+                - F.col(size_col))
+    return (d.select(
+        *df.columns,
+        F.floor(cum_excl / F.lit(budget)).cast("bigint").alias("seq_id"),
+        F.pmod(cum_excl, F.lit(budget)).cast("bigint").alias("seq_offset")))
+
+
+# -------------------------------------------------------------------- BM25
+
+def bm25_search(df: DataFrame, query_terms: list[str], k: int = 15,
+                text_col: str = "text", id_col: str = "doc_id",
+                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Sparck-Jones) over the corpus —
+    the query side of the curation stack (find near-benchmark docs,
+    audit topical coverage). Full scoring pipeline in DataFrame ops:
+
+    - one explode → (doc, term) tf aggregation (the only big shuffle,
+      keyed on 8-byte-ish terms),
+    - df/N/avgdl side tables (df table has ≤|query| rows — broadcast),
+    - idf(t) = ln(1 + (N − df + ½)/(df + ½)),
+      score = Σ idf·tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
+
+    Per-term partial scores are cast to DECIMAL(18,6) before the SUM so
+    addition order (nondeterministic in any parallel engine) cannot
+    perturb ranking — the same trick the streaming aggregates use.
+    Returns the top ``k`` docs by (score desc, id asc).
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = (df.select(F.col(id_col), F.explode(tokens(F.col(text_col)))
+                      .alias("term")))
+    dl = (df.select(F.col(id_col),
+                    F.size(tokens(F.col(text_col))).alias("dl")))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+
+    tf = (toks.filter(F.col("term").isin(*terms))
+          .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = (tf.groupBy("term")
+             .agg(F.countDistinct(id_col).alias("df")))
+
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .join(dl, id_col)
+              .crossJoin(F.broadcast(stats)))
+    idf = F.log(F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    denom = (F.col("tf").cast("double")
+             + F.lit(k1) * (F.lit(1.0 - b)
+                            + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    part = (idf * F.col("tf").cast("double") * F.lit(k1 + 1.0) / denom)
+    return (scored
+            .groupBy(id_col)
+            .agg(F.sum(part.cast("decimal(18,6)")).alias("__s"),
+                 F.countDistinct("term").alias("n_terms_hit"))
+            .select(F.col(id_col),
+                    F.col("__s").cast("double").alias("score"),
+                    "n_terms_hit")
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k))

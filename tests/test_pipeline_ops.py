@@ -1,0 +1,214 @@
+"""Unit tests for the round-5b training-data pipeline operators
+(operators/pipeline.py): Gopher repetition filters, PII scrub,
+deterministic sampling, mixture sampling, token-budget packing, BM25.
+
+Closed-form expectations computed by hand or by an independent in-test
+Python implementation (mirror of SURVEY §5's golden-answer strategy).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdb_free_mocha_sa_spark.operators import pipeline as P
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# ---------------------------------------------------------------- repetition
+
+def test_repetition_features_closed_form(spark):
+    df = _docs(spark, [
+        (1, "spam spam spam spam"),                       # all-dup loop
+        (2, "the quick brown fox jumps over lazy dogs now then"),
+        (3, "x"),                                          # too short
+    ])
+    out = {r["doc_id"]: r for r in P.repetition_features(df).collect()}
+
+    r1 = out[1]
+    assert r1["n_words"] == 4
+    assert r1["dup_word_frac"] == pytest.approx(0.75)
+    assert r1["top_bigram_frac"] == pytest.approx(1.0)   # "spam spam" x3 / 3
+    assert not r1["keep"]
+
+    r2 = out[2]
+    assert r2["dup_word_frac"] == pytest.approx(0.0)
+    assert r2["top_bigram_frac"] == pytest.approx(1.0 / 9, abs=5e-5)
+    assert r2["alpha_word_frac"] == pytest.approx(1.0)
+    assert r2["keep"]
+
+    r3 = out[3]
+    assert r3["n_words"] == 1 and not r3["keep"]          # min_words gate
+
+
+def test_repetition_symbol_and_alpha_gates(spark):
+    df = _docs(spark, [
+        (1, "good words only here truly fine stuff okay"),
+        (2, "@@@ ### $$$ %%% ^^^ &&& *** !!!"),           # symbols, no alpha
+    ])
+    out = {r["doc_id"]: r for r in P.repetition_features(df).collect()}
+    assert out[1]["keep"]
+    assert out[2]["alpha_word_frac"] == pytest.approx(0.0)
+    assert out[2]["symbol_word_ratio"] > 0.10
+    assert not out[2]["keep"]
+
+
+# ----------------------------------------------------------------------- PII
+
+def test_pii_redaction_exact(spark):
+    df = _docs(spark, [
+        (1, "mail me at jane.doe+x@sub.example.org thanks"),
+        (2, "server 192.168.10.25 and ssn 123-45-6789 leak"),
+        (3, "clean text with no personal identifiers at all"),
+    ])
+    out = {r["doc_id"]: r for r in P.pii_scrub(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["has_pii"]
+    assert out[1]["redacted"] == "mail me at [EMAIL] thanks"
+    assert out[2]["n_ipv4"] == 1 and out[2]["n_ssn"] == 1
+    assert out[2]["redacted"] == "server [IPV4] and ssn [SSN] leak"
+    assert not out[3]["has_pii"]
+    assert out[3]["redacted"] == out[3]["text"]
+
+
+def test_pii_email_wins_over_ipv4_inside_address(spark):
+    # redaction order is fixed: the email (with dotted quad-ish domain
+    # digits) is consumed by [EMAIL] before ipv4 can partially match
+    df = _docs(spark, [(1, "x user@10.0.0.1.example.com y 10.0.0.1 z")])
+    r = P.pii_scrub(df).collect()[0]
+    assert "[EMAIL]" in r["redacted"] and "[IPV4]" in r["redacted"]
+    assert "@" not in r["redacted"]
+
+
+# ------------------------------------------------------------------ sampling
+
+def test_sample_by_hash_deterministic_and_nested(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s25 = {r["doc_id"] for r in P.sample_by_hash(df, "doc_id", 0.25).collect()}
+    s25b = {r["doc_id"] for r in P.sample_by_hash(df, "doc_id", 0.25).collect()}
+    s50 = {r["doc_id"] for r in P.sample_by_hash(df, "doc_id", 0.50).collect()}
+    assert s25 == s25b                       # run-to-run deterministic
+    assert s25 <= s50                        # thresholds nest
+    assert 0.18 <= len(s25) / 2000 <= 0.32   # ~rate
+
+    with pytest.raises(ValueError):
+        P.sample_by_hash(df, "doc_id", 1.5)
+
+
+def test_hash_keep_rate_one_keeps_all(spark):
+    df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    assert P.sample_by_hash(df, "doc_id", 1.0).count() == 100
+    assert P.sample_by_hash(df, "doc_id", 0.0).count() == 0
+
+
+def test_mixture_rates_formula(spark):
+    rows = ([(i, "t", "a") for i in range(100)]
+            + [(1000 + i, "t", "b") for i in range(50)])
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    rates = P.mixture_rates(df, {"a": 0.5, "b": 0.5})
+    # T = min(100/.5, 50/.5) = 100 -> a: 50/100=0.5, b: 50/50=1.0
+    assert rates["a"] == pytest.approx(0.5)
+    assert rates["b"] == pytest.approx(1.0)
+
+    out = P.mixture_sample(df, {"a": 0.5, "b": 0.5})
+    by_src = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src["b"] == 50                       # rate 1.0 keeps all
+    assert 35 <= by_src["a"] <= 65                 # ~50 expected
+
+    with pytest.raises(ValueError):
+        P.mixture_rates(df, {"a": 0.5, "b": 0.2})  # weights don't sum to 1
+    with pytest.raises(ValueError):
+        P.mixture_rates(df, {"a": 0.5, "zzz": 0.5})  # absent stratum
+
+
+# ------------------------------------------------------------------- packing
+
+def _pack_oracle(sizes, budget):
+    """Independent sequential reference: exclusive running total."""
+    cum = 0
+    out = {}
+    for doc_id, n in sorted(sizes):
+        out[doc_id] = (cum // budget, cum % budget)
+        cum += n
+    return out
+
+
+def test_pack_token_budget_matches_sequential_oracle(spark):
+    import random
+    rng = random.Random(7)
+    sizes = [(i, rng.randint(1, 300)) for i in range(500)]
+    df = spark.createDataFrame(sizes, "doc_id bigint, n_tok int")
+    got = {r["doc_id"]: (r["seq_id"], r["seq_offset"])
+           for r in P.pack_token_budget(df, budget=512, block_size=32)
+           .collect()}
+    assert got == _pack_oracle(sizes, 512)
+
+
+def test_pack_token_budget_block_size_invariant(spark):
+    sizes = [(i, (i * 37) % 200 + 1) for i in range(200)]
+    df = spark.createDataFrame(sizes, "doc_id bigint, n_tok int")
+    a = sorted(P.pack_token_budget(df, 256, block_size=4).collect())
+    b = sorted(P.pack_token_budget(df, 256, block_size=4096).collect())
+    assert a == b
+
+
+def test_pack_token_budget_offsets_in_range(spark):
+    sizes = [(i, 100) for i in range(50)]
+    df = spark.createDataFrame(sizes, "doc_id bigint, n_tok int")
+    rows = P.pack_token_budget(df, budget=512, block_size=8).collect()
+    assert all(0 <= r["seq_offset"] < 512 for r in rows)
+    # 50 docs x 100 tok = 5000 tok -> docs start inside seqs 0..9
+    assert {r["seq_id"] for r in rows} == set(range(10))
+
+
+# ---------------------------------------------------------------------- BM25
+
+def _bm25_oracle(corpus, terms, k1=1.2, b=0.75):
+    toks = {d: t.lower().split() for d, t in corpus}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfreq = {q: sum(1 for v in toks.values() if q in v) for q in terms}
+    scores = {}
+    for d, v in toks.items():
+        s = 0.0
+        hit = 0
+        for q in terms:
+            tf = v.count(q)
+            if not tf:
+                continue
+            hit += 1
+            idf = math.log(1 + (n - dfreq[q] + 0.5) / (dfreq[q] + 0.5))
+            s += round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl)), 6)
+        if hit:
+            scores[d] = (round(s, 6), hit)
+    return scores
+
+
+def test_bm25_matches_reference_formula(spark):
+    corpus = [
+        (1, "hash join hash join hash probe build side"),
+        (2, "sort merge join shuffle exchange partition"),
+        (3, "scan filter project aggregate window"),
+        (4, "hash partition shuffle hash hash hash"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    got = {r["doc_id"]: (round(r["score"], 6), r["n_terms_hit"])
+           for r in P.bm25_search(df, ["hash", "join"], k=10).collect()}
+    want = _bm25_oracle(corpus, ["hash", "join"])
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][1] == want[d][1]
+        assert got[d][0] == pytest.approx(want[d][0], abs=2e-6)
+
+
+def test_bm25_ranking_and_k(spark):
+    corpus = [(i, ("needle " * i + "hay straw grass")) for i in range(1, 8)]
+    df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    out = P.bm25_search(df, ["needle"], k=3).collect()
+    assert len(out) == 3
+    assert [r["doc_id"] for r in out] == [7, 6, 5]   # more tf, shorter-normed
