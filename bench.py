@@ -43,6 +43,10 @@ HEADLINERS = [
     "ext_embed_neardup",
     "ext_text_termstats",
     "ext_stream_tumbling",
+    # round-5b curation-stage additions:
+    "ext_quality_gopher",
+    "ext_pack_sequences",
+    "ext_bm25_search",
 ]
 
 

@@ -5,13 +5,16 @@ feature-extract / resize / frame-sample run as Arrow-batched ``mapInPandas``
 UDFs. Two decode modes:
 
 * ``decode="real"`` — REAL decoders with no codec libraries: PCM WAV audio
-  (``wave``), PPM(P6), 24-bit uncompressed BMP, and — round 5 — **8-bit
-  PNG via the pure-Python codec** (png_codec.py: stdlib zlib + the five
-  scanline filters; gray/RGB/gray+alpha/RGBA, non-interlaced). Features
-  are real signal statistics (FFT band energies, channel moments, luma
-  grid); resize is a real nearest-neighbour resample re-encoded as PPM.
-  JPEG/MP3/H.264 still raise NotImplementedError — DCT/audio/video codecs
-  (PIL/librosa/pyav) are not in this container.
+  (``wave``), **FLAC compressed audio via the pure-Python codec**
+  (flac_codec.py — lossless, so bit-exact vs source PCM; round 5b),
+  PPM(P6), 24-bit uncompressed BMP, **8-bit PNG** (png_codec.py: stdlib
+  zlib + the five scanline filters), **baseline JPEG** (jpeg_codec.py)
+  and **GIF** (gif_codec.py) — all round 5. Features are real signal
+  statistics (FFT band energies, channel moments, luma grid); resize is
+  a real nearest-neighbour resample re-encoded as PPM; audio resample is
+  linear-interpolation over the decoded samples. MP3/H.264 still raise
+  NotImplementedError — those codecs (PIL/librosa/pyav) are not in this
+  container and are beyond a reasonable pure-Python reimplementation.
 * ``decode="fake"`` — a deterministic content-hash-seeded fake that keeps
   the Spark-side plumbing (schema, batching, partitioning) testable for
   any payload.
@@ -100,14 +103,22 @@ def synthesize_real_media(spark, n: int = 24, seed: int = 42) -> DataFrame:
             rate = 8000
             t = np.arange(rate // 4) / rate
             tone = (np.sin(2 * np.pi * (220 + 20 * i) * t) * 2 ** 14)
-            buf = io.BytesIO()
-            with wave.open(buf, "wb") as wf:
-                wf.setnchannels(1)
-                wf.setsampwidth(2)
-                wf.setframerate(rate)
-                wf.writeframes(tone.astype(np.int16).tobytes())
-            rows.append((i, "audio", bytearray(buf.getvalue()),
-                         (None, None, rate, None, "pcm_s16le")))
+            if i % 8 == 5:       # rotate: FLAC (real compressed audio)
+                from graphdb_free_mocha_sa_spark.operators.flac_codec import (
+                    encode_flac)
+                rows.append((i, "audio",
+                             bytearray(encode_flac(
+                                 tone.astype(np.int16), rate)),
+                             (None, None, rate, None, "flac")))
+            else:                # PCM WAV
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(rate)
+                    wf.writeframes(tone.astype(np.int16).tobytes())
+                rows.append((i, "audio", bytearray(buf.getvalue()),
+                             (None, None, rate, None, "pcm_s16le")))
         else:
             # real VIDEO: MJPEG elementary stream or animated GIF
             w, h = 24, 16
@@ -196,9 +207,19 @@ def decode_image(content: bytes) -> np.ndarray:
 
 
 def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
-    """(float32 mono samples in [-1,1], sample_rate) from a PCM WAV."""
+    """(float32 mono samples in [-1,1], sample_rate) from a PCM WAV or a
+    FLAC stream (pure-Python codec, flac_codec.py — REAL compressed-audio
+    decode, lossless so bit-exact vs the source PCM)."""
     import io
     import wave
+    if content[:4] == b"fLaC":
+        from graphdb_free_mocha_sa_spark.operators.flac_codec import (
+            decode_flac)
+        x, rate = decode_flac(content)
+        f = x.astype(np.float32) / 32768.0
+        if f.ndim > 1:
+            f = f.mean(axis=1)
+        return f, rate
     with wave.open(io.BytesIO(content), "rb") as wf:
         rate = wf.getframerate()
         width = wf.getsampwidth()

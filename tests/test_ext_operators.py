@@ -575,3 +575,85 @@ def test_int8_quantization_round_trip_and_recall(spark, embeddings):
              for r in quantized_topk(embeddings, queries, k=5).collect()}
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_flac_codec_round_trip_exact():
+    """Pure-Python FLAC codec (round 5b): lossless, so decode(encode(x))
+    must be bit-exact for tones, noise, constants, ramps, and stereo —
+    and the STREAMINFO MD5 signature must verify."""
+    import numpy as np
+    from graphdb_free_mocha_sa_spark.operators.flac_codec import (
+        decode_flac, encode_flac, parse_streaminfo)
+    rng = np.random.default_rng(3)
+    rate = 8000
+    t = np.arange(2500) / rate
+    cases = {
+        "tone": (np.sin(2 * np.pi * 330 * t) * 2 ** 14).astype(np.int16),
+        "noise": rng.integers(-2 ** 15, 2 ** 15, 3000, dtype=np.int16),
+        "const": np.full(4100, 77, np.int16),
+        "ramp": (np.arange(5000) % 800 - 400).astype(np.int16),
+    }
+    for name, x in cases.items():
+        enc = encode_flac(x, rate, block_size=1024)
+        dec, r = decode_flac(enc)
+        assert r == rate and np.array_equal(dec, x), name
+    stereo = np.stack([cases["tone"], cases["ramp"][:2500]], axis=1)
+    enc = encode_flac(stereo, rate)
+    dec, _ = decode_flac(enc)
+    assert np.array_equal(dec, stereo)
+    si = parse_streaminfo(enc)
+    assert (si["channels"], si["bits_per_sample"],
+            si["total_samples"]) == (2, 16, 2500)
+    # smooth signals actually compress (the point of FIXED+Rice)
+    tone_ratio = len(encode_flac(cases["tone"], rate)) / (2500 * 2)
+    assert tone_ratio < 0.9, tone_ratio
+
+
+def test_flac_codec_detects_corruption():
+    import numpy as np
+    import pytest
+    from graphdb_free_mocha_sa_spark.operators.flac_codec import (
+        decode_flac, encode_flac)
+    x = (np.sin(np.arange(2000) / 5) * 1000).astype(np.int16)
+    enc = bytearray(encode_flac(x, 8000))
+    enc[len(enc) // 2] ^= 0xFF                 # flip a payload byte
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_flac(bytes(enc))
+
+
+def test_flac_and_wav_give_identical_audio_features():
+    """FLAC is lossless: the SAME tone through WAV and FLAC must produce
+    identical real features (decode parity, not approximate)."""
+    import io
+    import wave
+    import numpy as np
+    from graphdb_free_mocha_sa_spark.operators.flac_codec import encode_flac
+    from graphdb_free_mocha_sa_spark.operators.multimodal import _real_feature
+    rate = 8000
+    t = np.arange(rate // 4) / rate
+    tone = (np.sin(2 * np.pi * 300 * t) * 2 ** 14).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(tone.tobytes())
+    f_wav = _real_feature("audio", buf.getvalue())
+    f_flac = _real_feature("audio", encode_flac(tone, rate))
+    assert np.array_equal(f_wav, f_flac)
+
+
+def test_flac_through_spark_resample(spark):
+    """synthesize_real_media now rotates FLAC into the audio rows; the
+    real resample path must decode them and emit WAV at the target rate."""
+    from graphdb_free_mocha_sa_spark.operators.multimodal import (
+        decode_audio, resample_audio, synthesize_real_media)
+    media = synthesize_real_media(spark, n=24)
+    codecs = {r.media_id: r.meta.codec for r in media.collect()
+              if r.kind == "audio"}
+    assert "flac" in codecs.values() and "pcm_s16le" in codecs.values()
+    out = resample_audio(media, 4000, decode="real").collect()
+    assert len(out) == len(codecs)
+    for r in out:
+        x, rate = decode_audio(bytes(r.content))
+        assert rate == 4000 and len(x) == r.n_samples > 0
