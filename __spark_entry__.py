@@ -989,6 +989,17 @@ def q_ext_bm25_search(spark, sf_dir):
     return bm25_search(d, ["hash", "join", "shuffle"], k=15)
 
 
+def q_ext_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style clustered embedding dedup (k-means buckets →
+    within-cluster cosine pairs → min-id dominance). K-means floats are
+    engine-specific, so rows-only; exact-dup capture and min-id keep
+    semantics are asserted in tests/test_ext_operators.py."""
+    from graphdb_free_mocha_sa_spark.operators.similarity import (
+        semantic_dedup)
+    (e,) = _tables(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, threshold=0.95, n_centroids=8)
+
+
 def q_ext_bpe_tokens(spark, sf_dir):
     from graphdb_free_mocha_sa_spark.operators.text import bpe_ish_token_count
     (d,) = _tables(spark, sf_dir, "documents")
@@ -1124,6 +1135,7 @@ _DEFERRED_PAST_DRIVER_CAP = [
     # driver records them rows-only): bounds are asserted in tests/.
     "ext_approx_distinct", "ext_quantiles", "ext_dedup_minhash",
     "ext_dedup_simhash", "ext_lsh_topk", "ext_ivf_topk",
+    "ext_semantic_dedup",
     "ext_text_quality", "ext_fingerprint", "ext_multimodal",
     "ext_multimodal_real", "ext_multimodal_transform",
     # Long-green oracle-backed entries rotating OUT this round (driver-
@@ -1240,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_embed_quantize": q_ext_embed_quantize,
         "ext_dedup_minhash": q_ext_dedup_minhash,
         "ext_dedup_simhash": q_ext_dedup_simhash,
+        "ext_semantic_dedup": q_ext_semantic_dedup,
         "ext_topk_cosine": q_ext_topk_cosine,
         "ext_lsh_topk": q_ext_lsh_topk,
         "ext_ivf_topk": q_ext_ivf_topk,

@@ -348,3 +348,45 @@ def quantized_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     deq = dequantize_embeddings(quantize_embeddings(corpus, vec_col, id_col),
                                 id_col)
     return brute_force_topk(deq, queries, k=k)
+
+
+def semantic_dedup(df: DataFrame, threshold: float = 0.95,
+                   n_centroids: int = 16, iters: int = 2,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   seed: int = 42) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): embedding
+    near-dups are only searched WITHIN k-means clusters, replacing the
+    O(N²) all-pairs problem with O(Σ cluster²):
+
+    1. distributed spherical k-means coarse clusters (driver sees only
+       the ≤ ``n_centroids`` centroid rows),
+    2. same-cluster cosine pairs ≥ ``threshold`` via a join keyed on the
+       cluster id (vectors never leave their cluster — at 100 TB each
+       cluster is a co-partitioned bucket),
+    3. min-id dominance keep-rule: a vector is dropped iff some
+       same-cluster neighbor above the threshold has a smaller id —
+       deterministic, single join, no iterative component resolution
+       (the exact-dup/cascade operators in dedup.py cover that need).
+
+    Returns ``(id_col, __cid, keep)`` for every input row. Like the other
+    sketch operators this is approximate by construction (near-dup pairs
+    split across cluster boundaries are missed — the SemDeDup trade);
+    identical vectors always share a cluster, so exact duplicates are
+    always caught. Recall bounds are asserted in tests.
+    """
+    C = kmeans_centroids(df, n_centroids, iters, vec_col, seed)
+    a = _assign_cid(df.select(id_col, vec_col), C, vec_col)
+    left = a.select("__cid", F.col(id_col).alias("id_a"),
+                    F.col(vec_col).alias("__va"))
+    right = a.select("__cid", F.col(id_col).alias("id_b"),
+                     F.col(vec_col).alias("__vb"))
+    dominated = (left.join(right, "__cid")
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .filter(cosine(F.col("__va"), F.col("__vb"))
+                         >= F.lit(threshold))
+                 .select(F.col("id_b").alias(id_col))
+                 .dropDuplicates())
+    return (a.select(id_col, "__cid")
+            .join(dominated.withColumn("__drop", F.lit(True)), id_col, "left")
+            .select(id_col, "__cid",
+                    F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep")))

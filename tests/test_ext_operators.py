@@ -657,3 +657,61 @@ def test_flac_through_spark_resample(spark):
     for r in out:
         x, rate = decode_audio(bytes(r.content))
         assert rate == 4000 and len(x) == r.n_samples > 0
+
+
+def test_semantic_dedup_drops_near_dups_keeps_min_id(spark):
+    """SemDeDup-style clustered embedding dedup: exact/near copies are
+    dropped in favor of their smallest-id neighbor; distinct directions
+    survive; verdicts are deterministic."""
+    import numpy as np
+    from graphdb_free_mocha_sa_spark.operators.similarity import (
+        semantic_dedup)
+    rng = np.random.default_rng(11)
+    dim = 16
+    base = rng.normal(size=(4, dim))
+    rows = []
+    vid = 0
+    for b in base:                       # 4 groups x 5 near-copies
+        for j in range(5):
+            v = b + rng.normal(scale=1e-3, size=dim)   # cos ≈ 1
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(20):                  # unrelated noise
+        rows.append((vid, [float(x) for x in rng.normal(size=dim)]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    out = {r.vec_id: r for r in
+           semantic_dedup(df, threshold=0.99, n_centroids=6,
+                          iters=3).collect()}
+    assert len(out) == 40
+    for g in range(4):                   # min id of each group kept
+        ids = list(range(g * 5, g * 5 + 5))
+        kept = [i for i in ids if out[i].keep]
+        assert kept == [ids[0]], (g, kept)
+        assert len({out[i].__cid if hasattr(out[i], '__cid')
+                    else out[i]['__cid'] for i in ids}) == 1  # same cluster
+    noise_kept = [i for i in range(20, 40) if out[i].keep]
+    assert len(noise_kept) >= 18         # random 16-dim: ~no 0.99 pairs
+
+    again = {r.vec_id: r.keep for r in
+             semantic_dedup(df, threshold=0.99, n_centroids=6,
+                            iters=3).collect()}
+    assert again == {k: v.keep for k, v in out.items()}
+
+
+def test_semantic_dedup_exact_duplicates_always_caught(spark):
+    """Identical vectors always land in the same cluster, so exact
+    duplicates can never escape the within-cluster search."""
+    import numpy as np
+    from graphdb_free_mocha_sa_spark.operators.similarity import (
+        semantic_dedup)
+    rng = np.random.default_rng(5)
+    v = [float(x) for x in rng.normal(size=8)]
+    rows = [(i, v) for i in range(10)]          # 10 exact copies
+    rows += [(100 + i, [float(x) for x in rng.normal(size=8)])
+             for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r.vec_id: r.keep for r in
+           semantic_dedup(df, threshold=0.999, n_centroids=4).collect()}
+    assert out[0] and not any(out[i] for i in range(1, 10))
