@@ -989,6 +989,27 @@ def q_ext_bm25_search(spark, sf_dir):
     return bm25_search(d, ["hash", "join", "shuffle"], k=15)
 
 
+def q_ext_jsonl_source(spark, sf_dir):
+    """JSONL(.gz) corpus source (sources/documents.py): explicit-schema
+    strict read of the static gzip fixture — unicode, embedded newlines,
+    escapes, empty strings and nulls all land byte-exact. Oracle inlines
+    the expected rows."""
+    from graphdb_free_mocha_sa_spark.sources.documents import read_jsonl
+    return (read_jsonl(spark, "/root/repo/fixtures/docs.jsonl.gz",
+                       mode="strict")
+            .select("doc_id", "text", "lang", "source"))
+
+
+def q_ext_csv_source(spark, sf_dir):
+    """Quoted-CSV corpus source (RFC-4180: embedded commas, quotes and
+    newlines inside quoted fields via multiLine). Oracle inlines the
+    expected rows with CSV null semantics (empty field -> NULL)."""
+    from graphdb_free_mocha_sa_spark.sources.documents import (
+        read_csv_documents)
+    return (read_csv_documents(spark, "/root/repo/fixtures/docs.csv")
+            .select("doc_id", "text", "lang", "source"))
+
+
 def q_ext_semantic_dedup(spark, sf_dir):
     """SemDeDup-style clustered embedding dedup (k-means buckets →
     within-cluster cosine pairs → min-id dominance). K-means floats are
@@ -1173,6 +1194,10 @@ _DEFERRED_PAST_DRIVER_CAP = [
                                          # func_lang_terms + nondeterministic
     "b12_from_graph",         # graph-selection family kept via b11_graph
     "ext_window_lag",         # window family kept via ext_window_rank
+    # ... and two more for ext_jsonl_source / ext_csv_source (new r5b
+    # document-corpus sources, oracle-backed):
+    "b30_insert_data",        # update family kept via b32/b33/a8/b37
+    "b25_sample",             # agg family kept via b24/b27
 ]
 
 
@@ -1269,6 +1294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_mixture_sample": q_ext_mixture_sample,
         "ext_pack_sequences": q_ext_pack_sequences,
         "ext_bm25_search": q_ext_bm25_search,
+        "ext_jsonl_source": q_ext_jsonl_source,
+        "ext_csv_source": q_ext_csv_source,
         "ext_text_quality": q_ext_text_quality,
         "ext_fingerprint": q_ext_fingerprint,
         "ext_bpe_tokens": q_ext_bpe_tokens,
@@ -1899,6 +1926,42 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_terms_hit
             FROM sc GROUP BY 1
             ORDER BY score DESC, doc_id ASC LIMIT 15""",
+        "ext_jsonl_source": """
+            SELECT * FROM (VALUES
+              (CAST(1 AS BIGINT), 'plain ascii document about hash joins',
+               'en', 'web'),
+              (CAST(2 AS BIGINT), 'unicode: café naïve über — 日本語',
+               'de', 'books'),
+              (CAST(3 AS BIGINT),
+               'embedded "quotes" and, commas, everywhere', 'en', 'web'),
+              (CAST(4 AS BIGINT),
+               'line one' || chr(10) || 'line two' || chr(10) || 'line three',
+               'en', 'code'),
+              (CAST(5 AS BIGINT), '', NULL, 'web'),
+              (CAST(6 AS BIGINT),
+               'tab' || chr(9) || 'here and backslash \\ done', 'en', 'code'),
+              (CAST(7 AS BIGINT),
+               'the quick brown fox jumps over the lazy dog', 'en', 'books'),
+              (CAST(8 AS BIGINT), 'el rápido zorro marrón salta', 'es', 'web')
+            ) AS t(doc_id, text, lang, source)""",
+        "ext_csv_source": """
+            SELECT * FROM (VALUES
+              (CAST(1 AS BIGINT), 'plain ascii document about hash joins',
+               'en', 'web'),
+              (CAST(2 AS BIGINT), 'unicode: café naïve über — 日本語',
+               'de', 'books'),
+              (CAST(3 AS BIGINT),
+               'embedded "quotes" and, commas, everywhere', 'en', 'web'),
+              (CAST(4 AS BIGINT),
+               'line one' || chr(10) || 'line two' || chr(10) || 'line three',
+               'en', 'code'),
+              (CAST(5 AS BIGINT), NULL, NULL, 'web'),
+              (CAST(6 AS BIGINT),
+               'tab' || chr(9) || 'here and backslash \\ done', 'en', 'code'),
+              (CAST(7 AS BIGINT),
+               'the quick brown fox jumps over the lazy dog', 'en', 'books'),
+              (CAST(8 AS BIGINT), 'el rápido zorro marrón salta', 'es', 'web')
+            ) AS t(doc_id, text, lang, source)""",
         "ext_text_termstats": """
             SELECT term, count(*) AS tf FROM (
               SELECT unnest(string_split_regex(lower(text), '[^a-z0-9'']+'))
