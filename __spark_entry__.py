@@ -989,6 +989,21 @@ def q_ext_bm25_search(spark, sf_dir):
     return bm25_search(d, ["hash", "join", "shuffle"], k=15)
 
 
+def q_ext_shard_export(spark, sf_dir):
+    """Training-shard export: deterministic rank-based shard assignment,
+    REAL JSONL partition write to a temp dir, manifest computed from the
+    RE-READ files (audits bytes on disk, not the writing plan). Oracle:
+    the same manifest derived relationally."""
+    import tempfile
+    from graphdb_free_mocha_sa_spark.operators.pipeline import export_shards
+    from graphdb_free_mocha_sa_spark.operators.text import token_count
+    (d,) = _tables(spark, sf_dir, "documents")
+    docs = d.select("doc_id", "text",
+                    token_count(F.col("text")).alias("n_tok"))
+    path = tempfile.mkdtemp(prefix="spark_graft_shards_")
+    return export_shards(docs, path, shard_rows=120, token_col="n_tok")
+
+
 def q_ext_jsonl_source(spark, sf_dir):
     """JSONL(.gz) corpus source (sources/documents.py): explicit-schema
     strict read of the static gzip fixture — unicode, embedded newlines,
@@ -1198,6 +1213,8 @@ _DEFERRED_PAST_DRIVER_CAP = [
     # document-corpus sources, oracle-backed):
     "b30_insert_data",        # update family kept via b32/b33/a8/b37
     "b25_sample",             # agg family kept via b24/b27
+    "b27_implicit_group",     # agg family kept via b24_group_concat
+                              # (makes room for ext_shard_export)
 ]
 
 
@@ -1296,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_bm25_search": q_ext_bm25_search,
         "ext_jsonl_source": q_ext_jsonl_source,
         "ext_csv_source": q_ext_csv_source,
+        "ext_shard_export": q_ext_shard_export,
         "ext_text_quality": q_ext_text_quality,
         "ext_fingerprint": q_ext_fingerprint,
         "ext_bpe_tokens": q_ext_bpe_tokens,
@@ -1926,6 +1944,21 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_terms_hit
             FROM sc GROUP BY 1
             ORDER BY score DESC, doc_id ASC LIMIT 15""",
+        "ext_shard_export": """
+            WITH sized AS (
+              SELECT doc_id,
+                     len(string_split_regex(trim(text), '\\s+')) AS n_tok
+              FROM documents),
+            r AS (
+              SELECT doc_id, n_tok,
+                     (row_number() OVER (ORDER BY doc_id) - 1) // 120
+                       AS shard_id
+              FROM sized)
+            SELECT CAST(shard_id AS BIGINT) AS shard_id,
+                   COUNT(*) AS n_rows,
+                   MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+                   CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+            FROM r GROUP BY 1""",
         "ext_jsonl_source": """
             SELECT * FROM (VALUES
               (CAST(1 AS BIGINT), 'plain ascii document about hash joins',

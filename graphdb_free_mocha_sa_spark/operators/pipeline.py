@@ -336,3 +336,41 @@ def bm25_search(df: DataFrame, query_terms: list[str], k: int = 15,
                     "n_terms_hit")
             .orderBy(F.desc("score"), F.asc(id_col))
             .limit(k))
+
+
+# ----------------------------------------------------------------- sharding
+
+def export_shards(df: DataFrame, path: str, shard_rows: int = 100_000,
+                  id_col: str = "doc_id",
+                  token_col: str | None = None) -> DataFrame:
+    """Deterministic training-shard export + audited manifest — the sink
+    side of the curation pipeline.
+
+    Rows are assigned to shards by global ``id_col`` rank
+    (``shard_id = (rank-1) // shard_rows`` — reuses the distributed
+    prefix sum from :func:`pack_token_budget` with unit sizes, so no
+    single-partition window over data rows), written as
+    ``path/shard_id=K/`` JSONL partitions, then RE-READ to build the
+    manifest (shard_id, n_rows, min_id, max_id[, n_tokens]) — the
+    manifest audits the bytes actually on disk, not the plan that was
+    supposed to produce them.
+
+    Determinism is the point: the same corpus always produces the same
+    shard membership regardless of cluster size or partition layout, so
+    training-run A/B comparisons see identical shard boundaries.
+    """
+    spark = df.sparkSession
+    packed = pack_token_budget(df.withColumn("__one", F.lit(1)),
+                               budget=shard_rows, size_col="__one",
+                               order_col=id_col)
+    shards = packed.select(*df.columns, F.col("seq_id").alias("shard_id"))
+    (shards.write.partitionBy("shard_id").mode("overwrite").json(path))
+
+    back = spark.read.schema(df.schema).json(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id")]
+    if token_col:
+        aggs.append(F.sum(token_col).cast("bigint").alias("n_tokens"))
+    return (back.groupBy(F.col("shard_id").cast("bigint").alias("shard_id"))
+            .agg(*aggs))

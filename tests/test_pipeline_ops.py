@@ -212,3 +212,34 @@ def test_bm25_ranking_and_k(spark):
     out = P.bm25_search(df, ["needle"], k=3).collect()
     assert len(out) == 3
     assert [r["doc_id"] for r in out] == [7, 6, 5]   # more tf, shorter-normed
+
+
+# ------------------------------------------------------------------ sharding
+
+def test_export_shards_manifest_and_files(spark, tmp_path):
+    import glob
+    rows = [(i, f"text {i} " + "w " * (i % 5), 2 + (i % 5)) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, n_tok int")
+    out = str(tmp_path / "shards")
+    m = {r.shard_id: r for r in
+         P.export_shards(df, out, shard_rows=15, token_col="n_tok")
+         .collect()}
+    assert set(m) == {0, 1, 2, 3}
+    assert [m[i].n_rows for i in range(4)] == [15, 15, 15, 5]
+    assert (m[0].min_id, m[0].max_id) == (0, 14)
+    assert (m[3].min_id, m[3].max_id) == (45, 49)
+    assert m[1].n_tokens == sum(2 + (i % 5) for i in range(15, 30))
+    # real partition directories exist on disk
+    assert sorted(p.split("=")[-1] for p in glob.glob(out + "/shard_id=*")) \
+        == ["0", "1", "2", "3"]
+
+
+def test_export_shards_partitioning_invariant(spark, tmp_path):
+    """Same corpus -> same shard membership regardless of input layout."""
+    rows = [(i, "x" * (i % 7 + 1), 1) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, n_tok int")
+    a = sorted(P.export_shards(df.repartition(1), str(tmp_path / "a"),
+                               shard_rows=7).collect())
+    b = sorted(P.export_shards(df.repartition(13), str(tmp_path / "b"),
+                               shard_rows=7).collect())
+    assert a == b
