@@ -19,6 +19,12 @@ similarity.py) and the base text features (operators/text.py):
 - :func:`bm25_search` — BM25 ranked retrieval over the corpus (explode →
   tf/df aggregation → decimal-summed scores so addition order cannot
   perturb the result).
+- :func:`line_dedup` — C4-style corpus-level duplicate-line removal
+  (keep first occurrence by (id, pos), rebuild documents).
+- :func:`lm_score` — self-trained add-α bigram-LM fluency scoring (the
+  perplexity-filter stage, with the corpus as its own training set).
+- :func:`export_shards` — deterministic rank-sharded JSONL export with
+  a manifest audited from the re-read files.
 
 Scale notes: everything is native Column expressions / DataFrame aggs —
 no Python in the row loop. Per-row array ops (bigrams, distinct counts)
@@ -336,6 +342,112 @@ def bm25_search(df: DataFrame, query_terms: list[str], k: int = 15,
                     "n_terms_hit")
             .orderBy(F.desc("score"), F.asc(id_col))
             .limit(k))
+
+
+# --------------------------------------------------------------- line dedup
+
+def line_dedup(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", sep: str = "\n",
+               min_chars: int = 0) -> DataFrame:
+    """C4-style corpus-level line deduplication: across the WHOLE corpus,
+    keep only the first occurrence (lowest ``(id, position)``) of every
+    distinct line and rebuild each document from its surviving lines.
+    This is the boilerplate-stripper exact-document dedup cannot express:
+    navbars, cookie banners and license headers repeat across millions of
+    otherwise-distinct pages.
+
+    ``sep`` is the line separator (a literal, not a regex); lines shorter
+    than ``min_chars`` are exempt from dedup (always kept) so trivial
+    connectives don't get stripped from every document but one.
+
+    Scale shape: one shuffle partitioned on ``md5(line)`` for the
+    first-occurrence window (the row carries the line once — no
+    all-pairs, no driver state), then one groupBy(id) to reassemble.
+    The keep rule is a rank inside the hash partition, so the result is
+    independent of cluster size and input layout.
+
+    Returns ``(id, text_dedup, n_kept, n_dropped)`` for every input doc
+    (a doc whose every line was seen earlier comes back empty, not
+    missing).
+    """
+    import re as _re
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1))
+        .alias("pos", "line"))
+    w = Window.partitionBy(F.md5(F.col("line"))).orderBy(id_col, "pos")
+    ranked = lines.withColumn("__rn", F.row_number().over(w))
+    keep = F.col("__rn") == 1
+    if min_chars > 0:
+        keep = keep | (F.length("line") < min_chars)
+    kept = ranked.filter(keep)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                        lambda s: s["line"]), sep).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_kept"))
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    return (totals.join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    (F.col("__n") - F.coalesce("n_kept", F.lit(0)))
+                    .alias("n_dropped")))
+
+
+# ------------------------------------------------------------- LM scoring
+
+def lm_score(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id", alpha: float = 0.5) -> DataFrame:
+    """Statistical-LM fluency scoring — the perplexity-filter stage of a
+    curation pipeline, self-trained: fit an add-α smoothed bigram model
+    on the corpus itself (the CCNet/Gopher trick without an external
+    model), then score every document by its mean token log-probability
+    ``mean over bigrams (w1,w2) of ln((c(w1,w2)+α) / (c(w1)+α·V))``.
+    Low scores = improbable word sequences (gibberish, OCR noise,
+    keyword stuffing); high = repetitive/templated text.
+
+    All relational: two explode→groupBy count tables (unigrams keyed
+    ``w1``, bigrams keyed ``(w1,w2)``), hash-joined back onto the bigram
+    events, then a per-doc aggregate. The vocabulary size rides in on a
+    broadcast single-row table (the BM25 ``stats`` pattern). Per-event
+    log-probs are summed as DECIMAL(18,6) so parallel addition order
+    cannot perturb the 6th decimal of anyone's score.
+
+    Returns ``(id, n_events, avg_logprob)`` for every doc; docs with
+    fewer than 2 tokens have no bigram events and score NULL.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n = F.size(toks)
+    pairs = F.when(n >= 2, F.transform(
+        F.slice(toks, 1, n - 1),
+        lambda x, i: F.struct(x.alias("w1"),
+                              F.element_at(toks, i + 2).alias("w2")),
+    )).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    events = (df.select(F.col(id_col), F.explode(pairs).alias("p"))
+              .select(id_col, "p.w1", "p.w2"))
+    unigrams = (df.select(F.explode(toks).alias("w1"))
+                .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
+    bigrams = (events.groupBy("w1", "w2")
+               .agg(F.count(F.lit(1)).alias("c2")))
+    vocab = unigrams.agg(F.count(F.lit(1)).alias("v"))
+
+    logp = F.log((F.col("c2") + F.lit(alpha))
+                 / (F.col("c1") + F.lit(alpha) * F.col("v")))
+    scored = (events.join(bigrams, ["w1", "w2"])
+              .join(unigrams, "w1")
+              .crossJoin(F.broadcast(vocab))
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum(logp.cast("decimal(18,6)")).alias("__s")))
+    return (df.select(F.col(id_col)).join(scored, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                    (F.col("__s").cast("double") / F.col("n_events"))
+                    .alias("avg_logprob")))
 
 
 # ----------------------------------------------------------------- sharding

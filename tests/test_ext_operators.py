@@ -715,3 +715,42 @@ def test_semantic_dedup_exact_duplicates_always_caught(spark):
     out = {r.vec_id: r.keep for r in
            semantic_dedup(df, threshold=0.999, n_centroids=4).collect()}
     assert out[0] and not any(out[i] for i in range(1, 10))
+
+
+# ------------------------------------------------- cross-run index dedup
+
+def test_dedup_index_incremental_batches(spark, tmp_path):
+    from graphdb_free_mocha_sa_spark.operators.dedup import (
+        build_dedup_index, dedup_against_index)
+    idx = str(tmp_path / "idx")
+    run0 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")],
+        "doc_id bigint, text string")
+    build_dedup_index(run0, idx)
+    # batch 1: one old dup, one in-batch dup pair, one fresh doc
+    run1 = spark.createDataFrame(
+        [(10, "beta"), (11, "gamma"), (12, "gamma"), (13, "delta")],
+        "doc_id bigint, text string")
+    kept = sorted(r.doc_id for r in
+                  dedup_against_index(run1, idx, update=True).collect())
+    assert kept == [11, 13]
+    # batch 2 now sees batch-1 survivors in the index too
+    run2 = spark.createDataFrame(
+        [(20, "gamma"), (21, "delta"), (22, "epsilon")],
+        "doc_id bigint, text string")
+    kept2 = sorted(r.doc_id for r in
+                   dedup_against_index(run2, idx).collect())
+    assert kept2 == [22]
+
+
+def test_dedup_index_no_update_leaves_index_alone(spark, tmp_path):
+    from graphdb_free_mocha_sa_spark.operators.dedup import (
+        build_dedup_index, dedup_against_index)
+    idx = str(tmp_path / "idx")
+    base = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+    build_dedup_index(base, idx)
+    batch = spark.createDataFrame([(2, "b")], "doc_id bigint, text string")
+    dedup_against_index(batch, idx, update=False)
+    again = sorted(r.doc_id for r in
+                   dedup_against_index(batch, idx).collect())
+    assert again == [2]          # "b" was NOT added to the index

@@ -243,3 +243,79 @@ def test_export_shards_partitioning_invariant(spark, tmp_path):
     b = sorted(P.export_shards(df.repartition(13), str(tmp_path / "b"),
                                shard_rows=7).collect())
     assert a == b
+
+
+# ---------------------------------------------------------------- line dedup
+
+def test_line_dedup_cross_doc_first_occurrence(spark):
+    df = _docs(spark, [
+        (1, "keep me\ncookie banner\nunique one"),
+        (2, "cookie banner\nsecond doc body"),
+        (3, "cookie banner\nunique one\nthird doc"),
+    ])
+    out = {r.doc_id: r for r in P.line_dedup(df).collect()}
+    assert out[1].text_dedup == "keep me\ncookie banner\nunique one"
+    assert out[2].text_dedup == "second doc body"
+    assert out[3].text_dedup == "third doc"
+    assert (out[2].n_kept, out[2].n_dropped) == (1, 1)
+    assert (out[3].n_kept, out[3].n_dropped) == (1, 2)
+
+
+def test_line_dedup_within_doc_and_empty_result(spark):
+    df = _docs(spark, [
+        (1, "a\na\nb"),          # in-doc repeat: keep first position
+        (2, "a\nb"),             # everything already seen -> empty doc
+    ])
+    out = {r.doc_id: r for r in P.line_dedup(df).collect()}
+    assert out[1].text_dedup == "a\nb"
+    assert out[2].text_dedup == ""
+    assert (out[2].n_kept, out[2].n_dropped) == (0, 2)
+
+
+def test_line_dedup_min_chars_exempts_short_lines(spark):
+    df = _docs(spark, [(1, "ok\nlong repeated line"),
+                       (2, "ok\nlong repeated line\ntail")])
+    out = {r.doc_id: r for r in
+           P.line_dedup(df, min_chars=5).collect()}
+    assert out[2].text_dedup == "ok\ntail"       # "ok" exempt, long line deduped
+
+
+def test_line_dedup_partitioning_invariant(spark):
+    rows = [(i, "\n".join(f"line {(i * 7 + j) % 11}" for j in range(5)))
+            for i in range(30)]
+    df = _docs(spark, rows)
+    a = sorted(map(tuple, P.line_dedup(df.repartition(1)).collect()))
+    b = sorted(map(tuple, P.line_dedup(df.repartition(13)).collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------- LM scoring
+
+def test_lm_score_closed_form(spark):
+    # corpus: "a b" x2 and "a c". unigrams: a=3, b=2? no: tokens are
+    # a,b / a,b / a,c -> c(a)=3, c(b)=2? b appears twice, c once. V=3.
+    df = _docs(spark, [(1, "a b"), (2, "a b"), (3, "a c")])
+    out = {r.doc_id: r for r in P.lm_score(df, alpha=0.5).collect()}
+    V = 3
+    lp_ab = math.log((2 + 0.5) / (3 + 0.5 * V))
+    lp_ac = math.log((1 + 0.5) / (3 + 0.5 * V))
+    assert out[1].n_events == 1
+    assert out[1].avg_logprob == pytest.approx(lp_ab, abs=1e-6)
+    assert out[3].avg_logprob == pytest.approx(lp_ac, abs=1e-6)
+    assert out[1].avg_logprob > out[3].avg_logprob   # common seq scores higher
+
+
+def test_lm_score_short_docs_null(spark):
+    df = _docs(spark, [(1, "loner"), (2, ""), (3, "two words")])
+    out = {r.doc_id: r for r in P.lm_score(df).collect()}
+    assert out[1].n_events == 0 and out[1].avg_logprob is None
+    assert out[2].n_events == 0 and out[2].avg_logprob is None
+    assert out[3].n_events == 1 and out[3].avg_logprob is not None
+
+
+def test_lm_score_gibberish_ranks_below_fluent(spark):
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, fluent) for i in range(10)] + [(99, "zq xv qj kw zzkt")]
+    df = _docs(spark, rows)
+    out = {r.doc_id: r.avg_logprob for r in P.lm_score(df).collect()}
+    assert out[0] > out[99]
