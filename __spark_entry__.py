@@ -1042,6 +1042,22 @@ def q_ext_dedup_incremental(spark, sf_dir):
     return dedup_against_index(d, path).select("doc_id", "source")
 
 
+def q_ext_bpe_paircounts(spark, sf_dir):
+    """BPE tokenizer training, iteration-1 aggregate (operators/bpe.py):
+    weighted adjacent-character-pair counts over the distinct-word
+    table, top 20 under the deterministic (count desc, pair asc) merge
+    order — the oracle-checkable heart of the merge loop; the full
+    iterative loop is pinned against a pure-Python reference in
+    tests/test_bpe.py."""
+    from graphdb_free_mocha_sa_spark.operators.bpe import (
+        chars, pair_counts, word_counts)
+    (d,) = _tables(spark, sf_dir, "documents")
+    wc = word_counts(d).select(chars(F.col("word")).alias("syms"), "wc")
+    return (pair_counts(wc)
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b")).limit(20)
+            .select("a", "b", F.col("c").cast("bigint").alias("c")))
+
+
 def q_ext_jsonl_source(spark, sf_dir):
     """JSONL(.gz) corpus source (sources/documents.py): explicit-schema
     strict read of the static gzip fixture — unicode, embedded newlines,
@@ -1260,6 +1276,8 @@ _DEFERRED_PAST_DRIVER_CAP = [
                               # inside GROUP_CONCAT + ext_bm25 ranking
     "tpch_q5_local_supplier",  # TPC-H family keeps q1 + q3 in the prefix
     "b32_modify_where",       # update family kept via b33_load/a8/b37
+    "func_nondeterministic",  # function family kept via func_lang_terms
+                              # (makes room for ext_bpe_paircounts)
 ]
 
 
@@ -1362,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_line_dedup": q_ext_line_dedup,
         "ext_lm_score": q_ext_lm_score,
         "ext_dedup_incremental": q_ext_dedup_incremental,
+        "ext_bpe_paircounts": q_ext_bpe_paircounts,
         "ext_text_quality": q_ext_text_quality,
         "ext_fingerprint": q_ext_fingerprint,
         "ext_bpe_tokens": q_ext_bpe_tokens,
@@ -2066,6 +2085,22 @@ def oracle_sql() -> dict[str, str]:
                               WHERE p.doc_id % 2 = 0 AND p.text = d.text)
               AND d.doc_id = (SELECT MIN(q.doc_id) FROM documents q
                               WHERE q.text = d.text)""",
+        "ext_bpe_paircounts": """
+            WITH toks AS (
+              SELECT unnest(list_filter(string_split_regex(lower(text),
+                                                           '[^a-z0-9'']+'),
+                            w -> w <> '')) AS w
+              FROM documents),
+            wc AS (SELECT w, COUNT(*) AS wc FROM toks GROUP BY 1),
+            ch AS (
+              SELECT w, wc, unnest(generate_series(1, len(w) - 1)) AS i
+              FROM wc WHERE len(w) >= 2),
+            pc AS (
+              SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b,
+                     SUM(wc) AS c
+              FROM ch GROUP BY 1, 2)
+            SELECT a, b, CAST(c AS BIGINT) AS c
+            FROM pc ORDER BY c DESC, a ASC, b ASC LIMIT 20""",
         "ext_jsonl_source": """
             SELECT * FROM (VALUES
               (CAST(1 AS BIGINT), 'plain ascii document about hash joins',
