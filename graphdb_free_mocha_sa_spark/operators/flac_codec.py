@@ -4,16 +4,18 @@ gif_codec.py).
 
 Spec-conformant subset of the FLAC format (RFC 9639):
 
-- encoder: STREAMINFO + fixed-blocksize frames, 16-bit, 1-2 channels
-  (independent), subframe types CONSTANT / VERBATIM / FIXED order 0-2,
-  single-partition Rice residuals, correct CRC-8 (header) and CRC-16
-  (frame) and the STREAMINFO MD5 signature;
+- encoder: STREAMINFO + fixed-blocksize frames, 16-bit, 1-2 channels,
+  subframe types CONSTANT / VERBATIM / FIXED order 0-2 / LPC (Levinson-
+  Durbin analysis, error-feedback coefficient quantization, orders
+  2/4/8), stereo decorrelation (per-frame best of independent,
+  left-side, right-side, mid-side), single-partition Rice residuals,
+  correct CRC-8 (header) and CRC-16 (frame) and the STREAMINFO MD5
+  signature;
 - decoder: STREAMINFO parse, frames with any blocksize/rate/size code,
-  CONSTANT / VERBATIM / FIXED order 0-4 subframes, any Rice partition
-  order incl. escaped (raw) partitions and wasted bits, CRC-16 verify.
-  LPC subframes and stereo decorrelation (left/right/mid-side) raise
-  NotImplementedError — our encoder never emits them; files from the
-  wild that use them fail loudly, not wrongly.
+  CONSTANT / VERBATIM / FIXED order 0-4 / LPC any order 1-32 subframes,
+  all four channel assignments (independent + the three decorrelated
+  modes, side channel at bits+1), any Rice partition order incl.
+  escaped (raw) partitions and wasted bits, CRC-16 verify.
 
 FLAC is lossless, so the test contract is exact: decode(encode(x)) == x
 sample-for-sample, plus MD5 verification against the STREAMINFO
@@ -222,12 +224,89 @@ def _best_rice_param(z: np.ndarray) -> int:
     return best_k
 
 
+# ------------------------------------------------------------- LPC predict
+
+
+def _lpc_coeffs(x: np.ndarray, order: int) -> np.ndarray | None:
+    """Levinson-Durbin LPC analysis; None when the signal can't support
+    the requested order (degenerate autocorrelation)."""
+    if len(x) <= order:
+        return None
+    f = x.astype(np.float64)
+    autoc = np.array([np.dot(f[: len(f) - k], f[k:]) for k in range(order + 1)])
+    if autoc[0] == 0:
+        return None
+    err = autoc[0]
+    a = np.zeros(order)
+    for i in range(order):
+        acc = autoc[i + 1] - np.dot(a[:i], autoc[i:0:-1][:i])
+        k = acc / err
+        a[i] = k
+        a[:i] = a[:i] - k * a[:i][::-1]
+        err *= 1.0 - k * k
+        if err <= 0:
+            return None
+    return a
+
+
+def _quantize_lpc(coefs: np.ndarray,
+                  precision: int = 12) -> tuple[np.ndarray, int] | None:
+    """Error-feedback quantization of LPC coefficients to ``precision``
+    signed bits with a non-negative shift (the only shift real decoders
+    accept)."""
+    cmax = float(np.max(np.abs(coefs)))
+    if cmax <= 0:
+        return None
+    shift = precision - 1 - int(np.floor(np.log2(cmax))) - 1
+    shift = max(0, min(15, shift))
+    qmax = (1 << (precision - 1)) - 1
+    qmin = -(1 << (precision - 1))
+    q = np.empty(len(coefs), np.int64)
+    err = 0.0
+    for i, c in enumerate(coefs):
+        v = c * (1 << shift) + err
+        qi = int(round(v))
+        qi = max(qmin, min(qmax, qi))
+        err = v - qi
+        q[i] = qi
+    return q, shift
+
+
+def _lpc_residual(x: np.ndarray, q: np.ndarray, shift: int) -> np.ndarray:
+    order = len(q)
+    n = len(x)
+    acc = np.zeros(n - order, np.int64)
+    for j in range(order):
+        acc += int(q[j]) * x[order - 1 - j: n - 1 - j]
+    return x[order:] - (acc >> shift)
+
+
+def _lpc_restore(res: np.ndarray, warm: np.ndarray, q: list[int],
+                 shift: int) -> np.ndarray:
+    order = len(warm)
+    out = np.empty(order + len(res), np.int64)
+    out[:order] = warm
+    for i in range(order, len(out)):
+        acc = 0
+        for j in range(order):
+            acc += q[j] * int(out[i - 1 - j])
+        out[i] = int(res[i - order]) + (acc >> shift)
+    return out
+
+
 # ---------------------------------------------------------------- encoder
 
 
-def encode_flac(samples: np.ndarray, rate: int, block_size: int = 4096) -> bytes:
-    """Encode int16 samples (shape (n,) mono or (n, ch) for 1-2 channels,
-    independent coding) into a spec-conformant FLAC stream."""
+_STEREO_MODES = {"independent": 0b0001, "left_side": 0b1000,
+                 "right_side": 0b1001, "mid_side": 0b1010}
+
+
+def encode_flac(samples: np.ndarray, rate: int, block_size: int = 4096,
+                stereo_mode: str | None = None) -> bytes:
+    """Encode int16 samples (shape (n,) mono or (n, ch) for 1-2
+    channels) into a spec-conformant FLAC stream. Stereo frames pick the
+    cheapest of independent / left-side / right-side / mid-side per
+    frame unless ``stereo_mode`` pins one."""
     x = np.asarray(samples)
     if x.dtype != np.int16:
         raise ValueError("encode_flac expects int16 samples")
@@ -244,7 +323,7 @@ def encode_flac(samples: np.ndarray, rate: int, block_size: int = 4096) -> bytes
     min_fs = max_fs = None
     for fi, start in enumerate(range(0, n, block_size)):
         blk = x[start:start + block_size]
-        fb = _encode_frame(blk, fi, rate, nch)
+        fb = _encode_frame(blk, fi, rate, nch, stereo_mode)
         frames += fb
         min_fs = len(fb) if min_fs is None else min(min_fs, len(fb))
         max_fs = max(max_fs or 0, len(fb))
@@ -264,16 +343,47 @@ def encode_flac(samples: np.ndarray, rate: int, block_size: int = 4096) -> bytes
     return header + bytes(frames)
 
 
+def _est_bits(x: np.ndarray) -> int:
+    """Cheap per-channel cost estimate (order-2 fixed residual, rice)."""
+    if len(x) <= 2 or np.all(x == x[0]):
+        return 40
+    z = _zigzag(_fixed_residual(x, 2))
+    k = _best_rice_param(z)
+    return int((z >> k).sum()) + len(z) * (k + 1)
+
+
 def _encode_frame(blk: np.ndarray, frame_no: int, rate: int,
-                  nch: int) -> bytes:
+                  nch: int, stereo_mode: str | None = None) -> bytes:
     bs = len(blk)
+    chans: list[tuple[np.ndarray, int]]     # (samples, bit depth)
+    if nch == 2:
+        l = blk[:, 0].astype(np.int64)
+        r = blk[:, 1].astype(np.int64)
+        mid = (l + r) >> 1
+        side = l - r
+        modes = {
+            0b0001: ([(l, 16), (r, 16)], _est_bits(l) + _est_bits(r)),
+            0b1000: ([(l, 16), (side, 17)], _est_bits(l) + _est_bits(side)),
+            0b1001: ([(side, 17), (r, 16)], _est_bits(r) + _est_bits(side)),
+            0b1010: ([(mid, 16), (side, 17)],
+                     _est_bits(mid) + _est_bits(side)),
+        }
+        if stereo_mode is not None:
+            ch_code = _STEREO_MODES[stereo_mode]
+        else:
+            ch_code = min(modes, key=lambda c: modes[c][1])
+        chans = modes[ch_code][0]
+    else:
+        ch_code = 0
+        chans = [(blk[:, 0].astype(np.int64), 16)]
+
     hw = _BitWriter()
     hw.write(0b11111111111110, 14)
     hw.write(0, 1)                          # reserved
     hw.write(0, 1)                          # fixed blocksize strategy
     hw.write(0b0111, 4)                     # blocksize: 16-bit at end
     hw.write(0b0000, 4)                     # rate: from STREAMINFO
-    hw.write(nch - 1, 4)                    # independent channels
+    hw.write(ch_code, 4)                    # channel assignment
     hw.write(0b100, 3)                      # 16 bits per sample
     hw.write(0, 1)                          # reserved
     head = hw.bytes() + _utf8_number(frame_no) + struct.pack(">H", bs - 1)
@@ -282,48 +392,82 @@ def _encode_frame(blk: np.ndarray, frame_no: int, rate: int,
     bw = _BitWriter()
     for b in head:
         bw.write(b, 8)
-    for ch in range(nch):
-        _encode_subframe(bw, blk[:, ch].astype(np.int64))
+    for x, bits in chans:
+        _encode_subframe(bw, x, bits)
     bw.align()
     body = bw.bytes()
     return body + struct.pack(">H", crc16(body))
 
 
-def _encode_subframe(bw: _BitWriter, x: np.ndarray) -> None:
+_LPC_ORDERS = (2, 4, 8)
+_LPC_PRECISION = 12
+
+
+def _rice_bits(res: np.ndarray) -> tuple[int, int]:
+    z = _zigzag(res)
+    k = _best_rice_param(z)
+    return k, int((z >> k).sum()) + len(z) * (k + 1)
+
+
+def _encode_subframe(bw: _BitWriter, x: np.ndarray, bits: int = 16) -> None:
     bs = len(x)
+    mask = (1 << bits) - 1
     if np.all(x == x[0]):
         bw.write(0, 1)
         bw.write(0b000000, 6)               # CONSTANT
         bw.write(0, 1)                      # no wasted bits
-        bw.write(int(x[0]) & 0xFFFF, 16)
+        bw.write(int(x[0]) & mask, bits)
         return
 
-    # pick best FIXED order 0-2 by rice-coded size estimate
-    best = None
+    # candidates: FIXED order 0-2 and LPC at a few orders; cost in bits
+    best = None                             # (bits, kind, order, res, k, extra)
     for order in range(0, 3):
         if bs <= order:
             continue
         res = _fixed_residual(x, order)
-        z = _zigzag(res)
-        k = _best_rice_param(z)
-        bits = 16 * order + int((z >> k).sum()) + len(z) * (k + 1)
-        if best is None or bits < best[0]:
-            best = (bits, order, res, k)
-    verbatim_bits = 16 * bs
+        k, rbits = _rice_bits(res)
+        cost = bits * order + rbits
+        if best is None or cost < best[0]:
+            best = (cost, "fixed", order, res, k, None)
+    for order in _LPC_ORDERS:
+        if bs <= order * 2:
+            continue
+        coefs = _lpc_coeffs(x, order)
+        if coefs is None:
+            continue
+        qs = _quantize_lpc(coefs, _LPC_PRECISION)
+        if qs is None:
+            continue
+        q, shift = qs
+        res = _lpc_residual(x, q, shift)
+        k, rbits = _rice_bits(res)
+        cost = bits * order + 9 + order * _LPC_PRECISION + rbits
+        if best is None or cost < best[0]:
+            best = (cost, "lpc", order, res, k, (q, shift))
+    verbatim_bits = bits * bs
     if best is None or best[0] >= verbatim_bits:
         bw.write(0, 1)
         bw.write(0b000001, 6)               # VERBATIM
         bw.write(0, 1)
         for v in x:
-            bw.write(int(v) & 0xFFFF, 16)
+            bw.write(int(v) & mask, bits)
         return
 
-    _, order, res, k = best
+    _, kind, order, res, k, extra = best
     bw.write(0, 1)
-    bw.write(0b001000 | order, 6)           # FIXED, order
+    if kind == "fixed":
+        bw.write(0b001000 | order, 6)       # FIXED, order
+    else:
+        bw.write(0b100000 | (order - 1), 6)  # LPC, order
     bw.write(0, 1)                          # no wasted bits
     for v in x[:order]:
-        bw.write(int(v) & 0xFFFF, 16)       # warmup
+        bw.write(int(v) & mask, bits)       # warmup
+    if kind == "lpc":
+        q, shift = extra
+        bw.write(_LPC_PRECISION - 1, 4)
+        bw.write(shift, 5)
+        for c in q:
+            bw.write(int(c) & ((1 << _LPC_PRECISION) - 1), _LPC_PRECISION)
     bw.write(0b00, 2)                       # residual: 4-bit rice params
     bw.write(0, 4)                          # partition order 0
     if k > 14:
@@ -430,19 +574,30 @@ def _decode_frame(data: bytes, pos: int, info: dict) -> tuple[np.ndarray, int]:
     if crc8(data[pos:pos + hdr_len]) != br.read(8):
         raise ValueError("FLAC: frame header CRC-8 mismatch")
 
-    if ch_code >= 0b1000:
-        raise NotImplementedError(
-            "FLAC subset: stereo decorrelation (left/right/mid-side) "
-            "not implemented; files from this codec use independent "
-            "channels")
-    nch = ch_code + 1
     bits = info["bits_per_sample"] if size_code == 0 else _SIZE_TBL[size_code]
 
-    chans = []
-    for _ in range(nch):
-        chans.append(_decode_subframe(br, bs, bits))
+    if ch_code < 0b1000:                    # independent channels
+        nch = ch_code + 1
+        chans = [_decode_subframe(br, bs, bits) for _ in range(nch)]
+    elif ch_code == 0b1000:                 # left/side
+        left = _decode_subframe(br, bs, bits)
+        side = _decode_subframe(br, bs, bits + 1)
+        chans = [left, left - side]
+    elif ch_code == 0b1001:                 # right/side
+        side = _decode_subframe(br, bs, bits + 1)
+        right = _decode_subframe(br, bs, bits)
+        chans = [right + side, right]
+    elif ch_code == 0b1010:                 # mid/side
+        mid = _decode_subframe(br, bs, bits)
+        side = _decode_subframe(br, bs, bits + 1)
+        m2 = (mid << 1) | (side & 1)
+        chans = [(m2 + side) >> 1, (m2 - side) >> 1]
+    else:
+        raise ValueError(f"FLAC: reserved channel assignment {ch_code:#06b}")
     br.align()
     body_len = br.tell_bytes() - pos
+    if br.tell_bytes() + 2 > len(data):
+        raise ValueError("FLAC: bitstream truncated (missing frame CRC)")
     want = struct.unpack(">H", data[br.tell_bytes():br.tell_bytes() + 2])[0]
     if crc16(data[pos:pos + body_len]) != want:
         raise ValueError("FLAC: frame CRC-16 mismatch")
@@ -472,10 +627,20 @@ def _decode_subframe(br: _BitReader, bs: int, bits: int) -> np.ndarray:
                         np.int64)
         res = _decode_residual(br, bs, order)
         x = _fixed_restore(res, warm) if order else res.astype(np.int64)
-    elif stype >= 32:
-        raise NotImplementedError(
-            "FLAC subset: LPC subframes not implemented (this codec "
-            "emits CONSTANT/VERBATIM/FIXED only)")
+    elif stype >= 32:                        # LPC, order 1-32
+        order = (stype & 0x1F) + 1
+        warm = np.array([_signed(br.read(eff), eff) for _ in range(order)],
+                        np.int64)
+        prec = br.read(4)
+        if prec == 0b1111:
+            raise ValueError("FLAC: invalid LPC precision code")
+        prec += 1
+        shift = _signed(br.read(5), 5)
+        if shift < 0:
+            raise ValueError("FLAC: negative LPC shift")
+        q = [_signed(br.read(prec), prec) for _ in range(order)]
+        res = _decode_residual(br, bs, order)
+        x = _lpc_restore(res, warm, q, shift)
     else:
         raise ValueError(f"FLAC: reserved subframe type {stype}")
     return x << wasted

@@ -754,3 +754,50 @@ def test_dedup_index_no_update_leaves_index_alone(spark, tmp_path):
     again = sorted(r.doc_id for r in
                    dedup_against_index(batch, idx).collect())
     assert again == [2]          # "b" was NOT added to the index
+
+
+def test_flac_lpc_and_stereo_decorrelation_round_trip():
+    """Round-5c closure of the FLAC subset gaps: LPC subframes and all
+    four stereo channel assignments round-trip bit-exact, and LPC
+    actually out-compresses FIXED on an autoregressive signal."""
+    import numpy as np
+    from graphdb_free_mocha_sa_spark.operators import flac_codec as FC
+
+    rng = np.random.default_rng(11)
+    rate = 8000
+    t = np.arange(5000) / rate
+    tone = (np.sin(2 * np.pi * 330 * t) * 2 ** 14).astype(np.int16)
+    ar = np.zeros(5000)
+    e = rng.normal(0, 200, 5000)
+    for i in range(2, 5000):
+        ar[i] = 1.6 * ar[i - 1] - 0.7 * ar[i - 2] + e[i]
+    ar = np.clip(ar, -30000, 30000).astype(np.int16)
+
+    # LPC round-trips on an AR signal, and out-compresses a FIXED-only
+    # encode on the tone (a resonance FIXED's integer predictors can't
+    # model but order-2 LPC nails)
+    dec, _ = FC.decode_flac(FC.encode_flac(ar, rate, block_size=1024))
+    assert np.array_equal(dec, ar)
+    enc_tone = FC.encode_flac(tone, rate, block_size=1024)
+    dec, _ = FC.decode_flac(enc_tone)
+    assert np.array_equal(dec, tone)
+    orig_orders = FC._LPC_ORDERS
+    try:
+        FC._LPC_ORDERS = ()                  # disable LPC -> FIXED only
+        enc_fixed = FC.encode_flac(tone, rate, block_size=1024)
+    finally:
+        FC._LPC_ORDERS = orig_orders
+    assert len(enc_tone) < 0.7 * len(enc_fixed)
+
+    # every stereo assignment round-trips (incl. the 17-bit side channel)
+    pair = np.stack([ar, (ar * 0.9 + rng.normal(0, 50, 5000))
+                     .astype(np.int16)], axis=1)
+    for mode in ("independent", "left_side", "right_side", "mid_side"):
+        enc = FC.encode_flac(pair, rate, block_size=1024, stereo_mode=mode)
+        dec, _ = FC.decode_flac(enc)
+        assert np.array_equal(dec, pair), mode
+    # auto mode picks a decorrelated assignment for correlated channels
+    auto = FC.encode_flac(pair, rate, block_size=1024)
+    indep = FC.encode_flac(pair, rate, block_size=1024,
+                           stereo_mode="independent")
+    assert len(auto) < len(indep)
