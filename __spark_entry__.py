@@ -1042,6 +1042,22 @@ def q_ext_dedup_incremental(spark, sf_dir):
     return dedup_against_index(d, path).select("doc_id", "source")
 
 
+def q_ext_neardup_incremental(spark, sf_dir):
+    """Cross-run NEAR-dup flagging against a persisted LSH index
+    (band rows + hashed shingle sets; REAL parquet round-trip): index
+    built from the even-id half, full corpus probed as a batch. At
+    threshold=1.0 the semantics are exact (identical texts always share
+    every band and verify at Jaccard 1.0; best match = lowest id), so
+    the oracle reproduces the result relationally."""
+    import tempfile
+    from graphdb_free_mocha_sa_spark.operators.dedup import (
+        build_neardup_index, neardup_against_index)
+    (d,) = _tables(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="spark_graft_neardup_idx_")
+    build_neardup_index(d.filter(F.col("doc_id") % 2 == 0), path)
+    return neardup_against_index(d, path, threshold=1.0)
+
+
 def q_ext_bpe_paircounts(spark, sf_dir):
     """BPE tokenizer training, iteration-1 aggregate (operators/bpe.py):
     weighted adjacent-character-pair counts over the distinct-word
@@ -1278,6 +1294,8 @@ _DEFERRED_PAST_DRIVER_CAP = [
     "b32_modify_where",       # update family kept via b33_load/a8/b37
     "func_nondeterministic",  # function family kept via func_lang_terms
                               # (makes room for ext_bpe_paircounts)
+    "ext_text_tokens",        # text family kept via ext_text_termstats
+                              # (makes room for ext_neardup_incremental)
 ]
 
 
@@ -1381,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_lm_score": q_ext_lm_score,
         "ext_dedup_incremental": q_ext_dedup_incremental,
         "ext_bpe_paircounts": q_ext_bpe_paircounts,
+        "ext_neardup_incremental": q_ext_neardup_incremental,
         "ext_text_quality": q_ext_text_quality,
         "ext_fingerprint": q_ext_fingerprint,
         "ext_bpe_tokens": q_ext_bpe_tokens,
@@ -2085,6 +2104,18 @@ def oracle_sql() -> dict[str, str]:
                               WHERE p.doc_id % 2 = 0 AND p.text = d.text)
               AND d.doc_id = (SELECT MIN(q.doc_id) FROM documents q
                               WHERE q.text = d.text)""",
+        "ext_neardup_incremental": """
+            WITH m AS (
+              SELECT d2.doc_id, MIN(p.doc_id) AS mid
+              FROM documents d2 JOIN documents p
+                ON p.doc_id % 2 = 0 AND p.text = d2.text
+              GROUP BY 1)
+            SELECT d.doc_id AS doc_id,
+                   m.mid IS NULL AS is_new,
+                   m.mid AS match_id,
+                   CASE WHEN m.mid IS NULL THEN NULL
+                        ELSE CAST(1.0 AS DOUBLE) END AS match_jaccard
+            FROM documents d LEFT JOIN m USING (doc_id)""",
         "ext_bpe_paircounts": """
             WITH toks AS (
               SELECT unnest(list_filter(string_split_regex(lower(text),

@@ -47,6 +47,10 @@ HEADLINERS = [
     "ext_quality_gopher",
     "ext_pack_sequences",
     "ext_bm25_search",
+    # round-5c curation-stage additions:
+    "ext_line_dedup",
+    "ext_lm_score",
+    "ext_bpe_paircounts",
 ]
 
 

@@ -68,6 +68,53 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
         for seed in range(num_hashes)])
 
 
+def _minhash_sig_table(df: DataFrame, text_col: str, id_col: str,
+                       n: int, num_hashes: int) -> DataFrame:
+    """Per-doc MinHash signature table ``(id, shh, sig)``.
+
+    Signature via flat relational ops (explode → hash once → ``num_hashes``
+    min aggregates): stays in whole-stage codegen with map-side partial
+    aggregation, unlike nested array lambdas which Spark evaluates
+    interpreted per element. Shuffle payload: ``num_hashes`` longs per doc.
+    ``shh`` (the hashed shingle set) rides along for candidate
+    verification — exact Jaccard over 8-byte hashes instead of
+    re-shingling the documents.
+    """
+    spark = df.sparkSession
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        # Fixture parquet arrives as one row-group = one partition; the
+        # shingling is CPU-bound, so spread it. (A real 100 TB input already
+        # has thousands of splits — this branch never fires there.)
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    base = (df.select(F.col(id_col).alias("id"),
+                      word_shingles(F.col(text_col), n).alias("sh"))
+            .where(F.size("sh") > 0))
+    ex = (base.select("id", F.explode("sh").alias("shingle"))
+          .withColumn("h", F.xxhash64("shingle")))
+    sig_tbl = ex.groupBy("id").agg(
+        *[F.min(F.xxhash64("h", F.lit(s))).alias(f"m{s}")
+          for s in range(num_hashes)],
+        F.collect_set("h").alias("shh"))
+    return sig_tbl.select(
+        "id", "shh",
+        F.array(*[f"m{s}" for s in range(num_hashes)]).alias("sig"))
+
+
+def _band_rows(sig_tbl: DataFrame, bands: int, rows: int) -> DataFrame:
+    """LSH band rows ``(id, band, bh)`` — carry only 24 bytes/row through
+    the bucket-join shuffle; the shingle arrays stay behind and are
+    re-joined for the (much smaller) candidate set only."""
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    return (sig_tbl
+            .select("id", F.explode(F.transform(band_idx, lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(F.concat_ws(",", F.transform(
+                    F.slice(F.col("sig"), b * rows + 1, rows),
+                    lambda x: x.cast("string")))).alias("bh")))).alias("bb"))
+            .select("id", F.col("bb.band").alias("band"),
+                    F.col("bb.bh").alias("bh")))
+
+
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", n: int = 3,
                            num_hashes: int = 32, bands: int = 8) -> DataFrame:
@@ -78,45 +125,9 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     the exact shingle-set Jaccard (array_intersect/union on candidates only).
     """
     rows = num_hashes // bands
-    spark = df.sparkSession
-    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
-        # Fixture parquet arrives as one row-group = one partition; the
-        # shingling is CPU-bound, so spread it. (A real 100 TB input already
-        # has thousands of splits — this branch never fires there.)
-        df = df.repartition(spark.sparkContext.defaultParallelism)
-    base = (df.select(F.col(id_col).alias("id"),
-                      word_shingles(F.col(text_col), n).alias("sh"))
-            .where(F.size("sh") > 0))
-
-    # Signature via flat relational ops (explode → hash once → 32 min
-    # aggregates): stays in whole-stage codegen with map-side partial
-    # aggregation, unlike nested array lambdas which Spark evaluates
-    # interpreted per element. Shuffle payload: 32 longs per doc.
-    ex = (base.select("id", F.explode("sh").alias("shingle"))
-          .withColumn("h", F.xxhash64("shingle")))
-    sig_tbl = ex.groupBy("id").agg(
-        *[F.min(F.xxhash64("h", F.lit(s))).alias(f"m{s}")
-          for s in range(num_hashes)],
-        # hashed shingle set rides along for candidate verification — exact
-        # Jaccard over 8-byte hashes instead of re-shingling the documents
-        F.collect_set("h").alias("shh"))
-    sig_tbl = (sig_tbl.select(
-        "id", "shh",
-        F.array(*[f"m{s}" for s in range(num_hashes)]).alias("sig"))
-        .persist())
-
-    # Band rows carry only (id, band, band_hash) — the shingle arrays stay
-    # behind and are re-joined for the (much smaller) candidate set only,
-    # so the LSH shuffle moves 24 bytes/row, not the document shingles.
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = (sig_tbl
-              .select("id", F.explode(F.transform(band_idx, lambda b: F.struct(
-                  b.alias("band"),
-                  F.xxhash64(F.concat_ws(",", F.transform(
-                      F.slice(F.col("sig"), b * rows + 1, rows),
-                      lambda x: x.cast("string")))).alias("bh")))).alias("bb"))
-              .select("id", F.col("bb.band").alias("band"),
-                      F.col("bb.bh").alias("bh")))
+    sig_tbl = _minhash_sig_table(df, text_col, id_col, n, num_hashes) \
+        .persist()
+    banded = _band_rows(sig_tbl, bands, rows)
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -395,3 +406,89 @@ def dedup_against_index(df: DataFrame, path: str, text_col: str = "text",
                           F.col(id_col).cast("bigint").alias("first_id"))
          .write.mode("append").parquet(path))
     return survivors.drop("__dg")
+
+
+def build_neardup_index(df: DataFrame, path: str, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        num_hashes: int = 32, bands: int = 8) -> None:
+    """Persist the NEAR-dup state of a corpus snapshot: LSH band rows
+    (``path/bands``: id, band, bh — 24 B/row) plus hashed shingle sets
+    for exact-Jaccard verification (``path/sigs``) and the LSH params
+    (``path/meta`` — probes must hash identically). The near-dup
+    analogue of :func:`build_dedup_index`: continuous ingestion flags
+    boilerplate-variant pages against the historical corpus without
+    re-reading any old text.
+    """
+    sig = _minhash_sig_table(df, text_col, id_col, n, num_hashes).persist()
+    sig.select("id", "shh").write.mode("overwrite").parquet(path + "/sigs")
+    (_band_rows(sig, bands, num_hashes // bands)
+     .write.mode("overwrite").parquet(path + "/bands"))
+    spark = df.sparkSession
+    (spark.createDataFrame([(n, num_hashes, bands)],
+                           "n int, num_hashes int, bands int")
+     .write.mode("overwrite").parquet(path + "/meta"))
+    sig.unpersist()
+
+
+def neardup_against_index(df: DataFrame, path: str,
+                          threshold: float = 0.8,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          update: bool = False) -> DataFrame:
+    """Flag each batch doc that is a near-duplicate (shingle Jaccard ≥
+    ``threshold``) of ANY doc in a persisted :func:`build_neardup_index`.
+
+    Returns one row per input doc: ``(id, is_new, match_id,
+    match_jaccard)`` — ``match_id`` is the best (highest-Jaccard, ties →
+    lowest id) index match, NULL when the doc is new. With
+    ``update=True`` the NEW docs' band/sig rows are appended so the next
+    batch also dedups against this one. In-batch near-dups are NOT
+    resolved here — run :func:`minhash_lsh_candidates` (or the exact
+    :func:`dedup_against_index`) within the batch first.
+
+    Scale shape: band-bucket equi-join against the index (24 B rows both
+    sides), exact verification joins only the candidate pairs' hashed
+    shingle sets. No text ever shuffles.
+    """
+    spark = df.sparkSession
+    meta = spark.read.parquet(path + "/meta").collect()[0]
+    sig = _minhash_sig_table(df, text_col, id_col,
+                             meta["n"], meta["num_hashes"]).persist()
+    batch_bands = _band_rows(sig, meta["bands"],
+                             meta["num_hashes"] // meta["bands"])
+    idx_bands = (spark.read.parquet(path + "/bands")
+                 .select(F.col("id").alias("__mid"), "band", "bh"))
+    cand = (batch_bands.join(idx_bands, ["band", "bh"])
+            .select("id", "__mid").dropDuplicates())
+
+    idx_sigs = (spark.read.parquet(path + "/sigs")
+                .select(F.col("id").alias("__mid"),
+                        F.col("shh").alias("__mshh")))
+    inter = F.size(F.array_intersect("shh", "__mshh")).cast("double")
+    union = F.size(F.array_union("shh", "__mshh")).cast("double")
+    verified = (cand
+                .join(sig.select("id", "shh"), "id")
+                .join(idx_sigs, "__mid")
+                .select("id", "__mid", (inter / union).alias("j"))
+                .filter(F.col("j") >= threshold))
+    # best match: max Jaccard, ties -> lowest index id (deterministic)
+    best = (verified.groupBy("id")
+            .agg(F.max(F.struct(F.col("j"), (-F.col("__mid")).alias("nm")))
+                 .alias("b"))
+            .select("id", F.col("b.j").alias("match_jaccard"),
+                    (-F.col("b.nm")).cast("long").alias("match_id")))
+
+    out = (df.select(F.col(id_col).cast("long").alias("id"))
+           .join(best, "id", "left")
+           .select(F.col("id").alias(id_col),
+                   F.col("match_id").isNull().alias("is_new"),
+                   "match_id", "match_jaccard"))
+    if update:
+        new_ids = out.filter("is_new").select(F.col(id_col).alias("id"))
+        new_sig = sig.join(new_ids, "id")
+        new_sig.select("id", "shh").write.mode("append") \
+            .parquet(path + "/sigs")
+        (_band_rows(new_sig, meta["bands"],
+                    meta["num_hashes"] // meta["bands"])
+         .write.mode("append").parquet(path + "/bands"))
+    sig.unpersist()
+    return out

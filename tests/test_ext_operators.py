@@ -801,3 +801,41 @@ def test_flac_lpc_and_stereo_decorrelation_round_trip():
     indep = FC.encode_flac(pair, rate, block_size=1024,
                            stereo_mode="independent")
     assert len(auto) < len(indep)
+
+
+def test_neardup_index_flags_near_and_exact_dups(spark, tmp_path):
+    from graphdb_free_mocha_sa_spark.operators.dedup import (
+        build_neardup_index, neardup_against_index)
+    idx = str(tmp_path / "nidx")
+    base_text = ("the quick brown fox jumps over the lazy dog and then "
+                 "runs far away into the deep green forest tonight")
+    corpus = spark.createDataFrame(
+        [(1, base_text),
+         (2, "completely different content about spark shuffle joins "
+             "and partition pruning strategies for large tables")],
+        "doc_id bigint, text string")
+    build_neardup_index(corpus, idx, n=2)
+
+    near = base_text.replace("lazy dog", "sleepy dog")
+    batch = spark.createDataFrame(
+        [(10, base_text),                      # exact copy -> jaccard 1.0
+         (11, near),                           # near copy
+         (12, "entirely fresh text on gradient descent and learning "
+              "rate schedules for deep model training")],
+        "doc_id bigint, text string")
+    out = {r.doc_id: r for r in
+           neardup_against_index(batch, idx, threshold=0.5,
+                                 update=True).collect()}
+    assert not out[10].is_new and out[10].match_id == 1
+    assert out[10].match_jaccard == 1.0
+    assert not out[11].is_new and out[11].match_id == 1
+    assert 0.5 <= out[11].match_jaccard < 1.0
+    assert out[12].is_new and out[12].match_id is None
+
+    # update=True added doc 12 to the index: a later variant of it hits
+    batch2 = spark.createDataFrame(
+        [(20, "entirely fresh text on gradient descent and learning "
+              "rate schedules for wide model training")],
+        "doc_id bigint, text string")
+    out2 = neardup_against_index(batch2, idx, threshold=0.5).collect()[0]
+    assert not out2.is_new and out2.match_id == 12
