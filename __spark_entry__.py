@@ -926,13 +926,10 @@ def q_ext_quality_gopher(spark, sf_dir):
                     "keep"))
 
 
-def q_ext_pii_scrub(spark, sf_dir):
-    """PII detect + redact over documents with deterministic synthetic PII
-    spans injected (fixtures contain none): counts per kind + the
-    byte-exact redacted text, oracle-matched."""
-    from graphdb_free_mocha_sa_spark.operators.pipeline import pii_scrub
-    (d,) = _tables(spark, sf_dir, "documents")
-    aug = d.select("doc_id", F.concat(
+def _with_synthetic_pii(d):
+    """Documents with deterministic synthetic PII spans appended to every
+    7th doc (fixtures contain none); mirrored verbatim in the oracles."""
+    return d.select("doc_id", F.concat(
         "text",
         F.when(F.col("doc_id") % 7 == 0,
                F.concat(F.lit(" contact user"),
@@ -941,8 +938,40 @@ def q_ext_pii_scrub(spark, sf_dir):
                         (F.col("doc_id") % 250).cast("string"),
                         F.lit(" ssn 123-45-6789")))
         .otherwise(F.lit(""))).alias("text"))
-    return pii_scrub(aug).select("doc_id", "n_email", "n_ipv4", "n_ssn",
-                                 "has_pii", "redacted")
+
+
+def q_ext_pii_scrub(spark, sf_dir):
+    """PII detect + redact over documents with deterministic synthetic PII
+    spans injected (fixtures contain none): counts per kind + the
+    byte-exact redacted text, oracle-matched."""
+    from graphdb_free_mocha_sa_spark.operators.pipeline import pii_scrub
+    (d,) = _tables(spark, sf_dir, "documents")
+    return pii_scrub(_with_synthetic_pii(d)).select(
+        "doc_id", "n_email", "n_ipv4", "n_ssn", "has_pii", "redacted")
+
+
+def q_ext_curation_pipeline(spark, sf_dir):
+    """The whole curation chain composed into ONE declarative plan —
+    Gopher quality filter → PII redaction → exact dedup (min-id keeper)
+    → deterministic 50% hash sample → token-budget packing — over
+    PII-augmented documents. Every stage is individually oracle-backed;
+    this entry pins that they COMPOSE (Catalyst fuses the map-only
+    stages into the same codegen span; only the dedup groupBy and the
+    pack's block windows shuffle)."""
+    from graphdb_free_mocha_sa_spark.operators.pipeline import (
+        pack_token_budget, redact_pii, repetition_features, sample_by_hash)
+    from graphdb_free_mocha_sa_spark.operators.text import token_count
+    (d,) = _tables(spark, sf_dir, "documents")
+    kept = (repetition_features(_with_synthetic_pii(d))
+            .filter("keep").select("doc_id", "text"))
+    scrubbed = kept.select(
+        "doc_id", redact_pii(F.col("text")).alias("text"))
+    deduped = (scrubbed.groupBy("text")
+               .agg(F.min("doc_id").alias("doc_id")))
+    sampled = sample_by_hash(deduped, "doc_id", 0.5)
+    sized = sampled.select("doc_id",
+                           token_count(F.col("text")).alias("n_tok"))
+    return pack_token_budget(sized, budget=256, block_size=64)
 
 
 def q_ext_sample_hash(spark, sf_dir):
@@ -1296,6 +1325,8 @@ _DEFERRED_PAST_DRIVER_CAP = [
                               # (makes room for ext_bpe_paircounts)
     "ext_text_tokens",        # text family kept via ext_text_termstats
                               # (makes room for ext_neardup_incremental)
+    "b13_path_negated",       # path family kept via b13_path_star
+                              # (makes room for ext_curation_pipeline)
 ]
 
 
@@ -1400,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_dedup_incremental": q_ext_dedup_incremental,
         "ext_bpe_paircounts": q_ext_bpe_paircounts,
         "ext_neardup_incremental": q_ext_neardup_incremental,
+        "ext_curation_pipeline": q_ext_curation_pipeline,
         "ext_text_quality": q_ext_text_quality,
         "ext_fingerprint": q_ext_fingerprint,
         "ext_bpe_tokens": q_ext_bpe_tokens,
@@ -2104,6 +2136,71 @@ def oracle_sql() -> dict[str, str]:
                               WHERE p.doc_id % 2 = 0 AND p.text = d.text)
               AND d.doc_id = (SELECT MIN(q.doc_id) FROM documents q
                               WHERE q.text = d.text)""",
+        "ext_curation_pipeline": """
+            WITH aug AS (
+              SELECT doc_id, text ||
+                CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || doc_id
+                          || '@example.com from 10.0.0.' || (doc_id % 250)
+                          || ' ssn 123-45-6789'
+                     ELSE '' END AS t
+              FROM documents),
+            tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(t),
+                                                    '[^a-z0-9'']+'),
+                                 w -> w <> '') AS tk
+              FROM aug),
+            bg AS (
+              SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS g
+              FROM tok, UNNEST(range(1, len(tk))) AS u(i)
+              WHERE len(tk) >= 2),
+            bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+            bgm AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS total
+                    FROM bgc GROUP BY 1),
+            keepers AS (
+              SELECT tok.doc_id, aug.t
+              FROM tok JOIN aug USING (doc_id)
+              LEFT JOIN bgm ON bgm.doc_id = tok.doc_id
+              WHERE len(tk) >= 3
+                AND 1.0 - len(list_distinct(tk)) / greatest(len(tk), 1)
+                    <= 0.40
+                AND COALESCE(mx / greatest(total, 1), 0.0) <= 0.20
+                AND length(regexp_replace(t, '[\\p{L}\\p{N}\\s]', '', 'g'))
+                    / greatest(len(tk), 1) <= 0.10
+                AND len(list_filter(tk, w -> regexp_matches(w, '\\p{L}')))
+                    / greatest(len(tk), 1) >= 0.80
+                AND list_sum(list_transform(tk, w -> length(w)))
+                    / greatest(len(tk), 1) >= 2.0
+                AND list_sum(list_transform(tk, w -> length(w)))
+                    / greatest(len(tk), 1) <= 12.0),
+            red AS (
+              SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+                       t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                       '[IPV4]', 'g'),
+                       '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g') AS rt
+              FROM keepers),
+            ded AS (SELECT MIN(doc_id) AS doc_id, rt FROM red GROUP BY rt),
+            samp AS (SELECT doc_id, rt FROM ded
+                     WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                           <= '80000000'),
+            sized AS (
+              SELECT doc_id,
+                     len(string_split_regex(trim(rt), '\\s+')) AS n_tok
+              FROM samp),
+            c AS (
+              SELECT doc_id, n_tok,
+                     SUM(n_tok) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tok
+                       AS ce
+              FROM sized)
+            SELECT doc_id, n_tok,
+                   CAST(ce // 256 AS BIGINT) AS seq_id,
+                   CAST(ce % 256 AS BIGINT) AS seq_offset
+            FROM c""",
         "ext_neardup_incremental": """
             WITH m AS (
               SELECT d2.doc_id, MIN(p.doc_id) AS mid

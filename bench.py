@@ -101,6 +101,7 @@ def main() -> None:
                 _force(qs[name](spark, sf_dir))
                 dt = round(time.time() - t0, 3)
                 best = dt if best is None else min(best, dt)
+                print(f"bench: {name} {dt}s", file=sys.stderr)
             timings[name] = best
         except Exception as e:  # noqa: BLE001
             print(f"bench: {name} failed: {type(e).__name__}: {e}",

@@ -45,13 +45,23 @@ def exact_hash_dedup(df: DataFrame, text_col: str = "text",
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles, all-JVM (split + higher-order slice)."""
+    """Distinct word n-gram shingles, all-JVM (split + higher-order slice).
+
+    The word array is bound to a lambda VARIABLE via a single-element
+    ``transform`` wrapper so the regex split evaluates ONCE per row —
+    referencing the raw split expression inside the per-shingle lambda
+    would re-run it per element (interpreted higher-order functions do
+    no common-subexpression elimination)."""
     words = F.split(F.lower(F.trim(text)), r"\W+")
     words = F.filter(words, lambda w: F.length(w) > 0)
-    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
-    idx = F.sequence(F.lit(1), k)
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n))))
+
+    def shingles_of(ws: Column) -> Column:
+        k = F.greatest(F.size(ws) - F.lit(n - 1), F.lit(1))
+        idx = F.sequence(F.lit(1), k)
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n))))
+
+    return F.element_at(F.transform(F.array(words), shingles_of), 1)
 
 
 # ---------------------------------------------------------------- MinHash LSH

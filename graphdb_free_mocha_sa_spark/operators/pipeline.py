@@ -74,38 +74,56 @@ def repetition_features(df: DataFrame, text_col: str = "text",
     - ``mean_word_len``.
 
     All per-row array expressions (no shuffle at all): at 100 TB this is
-    a map-only pass inside whole-stage codegen. ``top_bigram_frac`` is
-    O(distinct_bigrams²) per row — bounded by document length, the
-    standard trade against an explode+groupBy shuffle of every bigram.
+    a map-only pass. Two evaluation-cost rules this function obeys (and
+    the reason it stages through projected columns): (1) an expression
+    referenced INSIDE a higher-order-function lambda is re-evaluated per
+    array element — so tokens/bigrams are materialized as columns first,
+    never re-derived from the text inside a lambda; (2) the top-bigram
+    count is a sort + linear run-length fold (O(B log B)), not the naive
+    O(B²) count-each-distinct scan.
     """
     th = {**GOPHER_THRESHOLDS, **(thresholds or {})}
-    t = F.col(text_col)
-    toks = tokens(t)
-    n = F.size(toks)
+
+    staged = df.withColumn("__toks", tokens(F.col(text_col)))
+    tk = F.col("__toks")
+    n = F.size(tk)
+    # bigrams from the MATERIALIZED token column (element_at on a column
+    # reference is an O(1) array read; on the raw tokens() expression it
+    # would re-run the regex split per element)
+    staged = staged.withColumn("__bg", F.when(n >= 2, F.array_sort(
+        F.transform(F.slice(tk, 1, n - 1),
+                    lambda x, i: F.concat_ws(" ", x, F.element_at(tk, i + 2)))
+    )).otherwise(F.array().cast("array<string>")))
+
     n1 = F.greatest(n, F.lit(1)).cast("double")
-
     dup_word_frac = (F.lit(1.0)
-                     - F.size(F.array_distinct(toks)).cast("double") / n1)
+                     - F.size(F.array_distinct(tk)).cast("double") / n1)
 
-    # bigrams: zip each word with its successor (index lambda; element_at
-    # is 1-based, transform's i is 0-based)
-    bigrams = F.when(n >= 2, F.transform(
-        F.slice(toks, 1, n - 1),
-        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
-    )).otherwise(F.array().cast("array<string>"))
-    n_bg = F.greatest(F.size(bigrams), F.lit(1)).cast("double")
-    top_bigram_frac = F.when(F.size(bigrams) == 0, F.lit(0.0)).otherwise(
-        F.array_max(F.transform(
-            F.array_distinct(bigrams),
-            lambda d: F.size(F.filter(bigrams, lambda b: b == d))))
-        .cast("double") / n_bg)
+    # longest equal-run in the SORTED bigram array == max bigram count
+    bg = F.col("__bg")
+    n_bg = F.greatest(F.size(bg), F.lit(1)).cast("double")
+    top_count = F.aggregate(
+        bg,
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(a["best"],
+                       F.when(x == a["prev"], a["run"] + 1)
+                       .otherwise(F.lit(1))).alias("best")),
+        lambda a: a["best"])
+    top_bigram_frac = F.when(F.size(bg) == 0, F.lit(0.0)) \
+        .otherwise(top_count.cast("double") / n_bg)
 
+    t = F.col(text_col)
     symbols = F.length(F.regexp_replace(t, r"[\p{L}\p{N}\s]", ""))
     symbol_word_ratio = symbols.cast("double") / n1
     alpha_word_frac = (
-        F.size(F.filter(toks, lambda w: w.rlike(r"\p{L}"))).cast("double")
+        F.size(F.filter(tk, lambda w: w.rlike(r"\p{L}"))).cast("double")
         / n1)
-    mean_word_len = (F.aggregate(toks, F.lit(0),
+    mean_word_len = (F.aggregate(tk, F.lit(0),
                                  lambda a, w: a + F.length(w))
                      .cast("double") / n1)
 
@@ -117,8 +135,8 @@ def repetition_features(df: DataFrame, text_col: str = "text",
             & (mean_word_len >= th["min_mean_word_len"])
             & (mean_word_len <= th["max_mean_word_len"]))
 
-    return df.select(
-        "*",
+    return staged.select(
+        *df.columns,
         n.alias("n_words"),
         F.round(dup_word_frac, 4).alias("dup_word_frac"),
         F.round(top_bigram_frac, 4).alias("top_bigram_frac"),
@@ -418,18 +436,23 @@ def lm_score(df: DataFrame, text_col: str = "text",
     Returns ``(id, n_events, avg_logprob)`` for every doc; docs with
     fewer than 2 tokens have no bigram events and score NULL.
     """
-    t = F.col(text_col)
-    toks = tokens(t)
-    n = F.size(toks)
+    # materialize the token array first: element_at inside the transform
+    # lambda must read a column (O(1)), not re-run the regex split per
+    # element (the quadratic-re-evaluation trap repetition_features
+    # documents)
+    staged = df.select(F.col(id_col),
+                       tokens(F.col(text_col)).alias("__toks"))
+    tk = F.col("__toks")
+    n = F.size(tk)
     pairs = F.when(n >= 2, F.transform(
-        F.slice(toks, 1, n - 1),
+        F.slice(tk, 1, n - 1),
         lambda x, i: F.struct(x.alias("w1"),
-                              F.element_at(toks, i + 2).alias("w2")),
+                              F.element_at(tk, i + 2).alias("w2")),
     )).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
 
-    events = (df.select(F.col(id_col), F.explode(pairs).alias("p"))
+    events = (staged.select(F.col(id_col), F.explode(pairs).alias("p"))
               .select(id_col, "p.w1", "p.w2"))
-    unigrams = (df.select(F.explode(toks).alias("w1"))
+    unigrams = (staged.select(F.explode(tk).alias("w1"))
                 .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
     bigrams = (events.groupBy("w1", "w2")
                .agg(F.count(F.lit(1)).alias("c2")))
