@@ -110,6 +110,13 @@ def synthesize_real_media(spark, n: int = 24, seed: int = 42) -> DataFrame:
                              bytearray(encode_flac(
                                  tone.astype(np.int16), rate)),
                              (None, None, rate, None, "flac")))
+            elif i % 16 == 9:    # rotate: IMA-ADPCM (real lossy 4:1)
+                from graphdb_free_mocha_sa_spark.operators.adpcm_codec import (
+                    encode_adpcm_wav)
+                rows.append((i, "audio",
+                             bytearray(encode_adpcm_wav(
+                                 tone.astype(np.int16), rate)),
+                             (None, None, rate, None, "ima_adpcm")))
             else:                # PCM WAV
                 buf = io.BytesIO()
                 with wave.open(buf, "wb") as wf:
@@ -207,10 +214,12 @@ def decode_image(content: bytes) -> np.ndarray:
 
 
 def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
-    """(float32 mono samples in [-1,1], sample_rate) from a PCM WAV or a
-    FLAC stream (pure-Python codec, flac_codec.py — REAL compressed-audio
-    decode, lossless so bit-exact vs the source PCM)."""
+    """(float32 mono samples in [-1,1], sample_rate) from a PCM WAV, an
+    IMA-ADPCM WAV (fmt tag 0x11, pure-Python codec, adpcm_codec.py) or a
+    FLAC stream (pure-Python codec, flac_codec.py) — REAL compressed-audio
+    decode paths, FLAC bit-exact vs the source PCM."""
     import io
+    import struct as _struct
     import wave
     if content[:4] == b"fLaC":
         from graphdb_free_mocha_sa_spark.operators.flac_codec import (
@@ -220,6 +229,21 @@ def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
         if f.ndim > 1:
             f = f.mean(axis=1)
         return f, rate
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        # peek the fmt tag: wave.open only reads PCM
+        pos, tag = 12, 0x0001
+        while pos + 8 <= len(content):
+            cid = content[pos:pos + 4]
+            clen = _struct.unpack("<I", content[pos + 4:pos + 8])[0]
+            if cid == b"fmt ":
+                tag = _struct.unpack("<H", content[pos + 8:pos + 10])[0]
+                break
+            pos += 8 + clen + (clen & 1)
+        if tag == 0x0011:
+            from graphdb_free_mocha_sa_spark.operators.adpcm_codec import (
+                decode_adpcm_wav)
+            x, rate = decode_adpcm_wav(content)
+            return x.astype(np.float32) / 32768.0, rate
     with wave.open(io.BytesIO(content), "rb") as wf:
         rate = wf.getframerate()
         width = wf.getsampwidth()
