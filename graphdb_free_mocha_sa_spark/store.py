@@ -384,7 +384,16 @@ class DurableQuadStore(QuadStore):
         tmp = f"quads_base_stage_{uuid.uuid4().hex[:8]}"
         self.spark.sql(f"DROP TABLE IF EXISTS {tmp}")
         try:
-            (df.select(*QUAD_COLS).write
+            # Pre-cluster on the bucket key: HashPartitioning and the
+            # bucket spec share the same Murmur3 hash, so each write task
+            # receives exactly one bucket — one output file per bucket
+            # (instead of input_partitions x n_buckets small files) and
+            # one bounded sort per task instead of hundreds of concurrent
+            # sorters fighting for execution memory (the 10x scale probe
+            # OOM'd here before this).
+            from pyspark.sql import functions as F
+            (df.select(*QUAD_COLS)
+             .repartition(self._buckets, F.col("s")).write
              .bucketBy(self._buckets, "s").sortBy("s")
              .option("path", loc).saveAsTable(tmp))
         except Exception:

@@ -78,7 +78,11 @@ def generate(sf_dir: str, out_dir: str) -> None:
 
 
 PROBES = ["b2_bgp_join", "b4_optional", "tpch_q3_shipping",
-          "ext_dedup_minhash"]
+          "ext_dedup_minhash",
+          # round-5c curation probes (documents scale 10x too): the
+          # line-dedup window, the LM count-table joins, and the
+          # staged-column quality filters must all scale ~linearly
+          "ext_line_dedup", "ext_lm_score", "ext_quality_gopher"]
 
 
 def run_probes(spark, sf_dir: str) -> dict[str, float]:
