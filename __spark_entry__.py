@@ -1087,6 +1087,29 @@ def q_ext_neardup_incremental(spark, sf_dir):
     return neardup_against_index(d, path, threshold=1.0)
 
 
+def q_ext_stratified_topk(spark, sf_dir):
+    """Exact k-per-stratum deterministic sampling ('7 docs per source'):
+    md5-hash rank inside each stratum — exact counts (unlike rate-based
+    sampling) and layout-independent."""
+    from graphdb_free_mocha_sa_spark.operators.pipeline import (
+        stratified_topk_sample)
+    (d,) = _tables(spark, sf_dir, "documents")
+    return (stratified_topk_sample(d, k=7).select("doc_id", "source"))
+
+
+def q_ext_length_batches(spark, sf_dir):
+    """Length-bucketed batch assignment (padding-minimizing dynamic
+    batching): power-of-two length buckets, fixed-size batches filled in
+    id order per bucket, bucket-major global batch ids via the tiny
+    bucket-offset window (never a global window over data rows)."""
+    from graphdb_free_mocha_sa_spark.operators.pipeline import (
+        length_bucket_batches)
+    from graphdb_free_mocha_sa_spark.operators.text import token_count
+    (d,) = _tables(spark, sf_dir, "documents")
+    sized = d.select("doc_id", token_count(F.col("text")).alias("n_tok"))
+    return length_bucket_batches(sized, batch_size=16)
+
+
 def q_ext_bpe_paircounts(spark, sf_dir):
     """BPE tokenizer training, iteration-1 aggregate (operators/bpe.py):
     weighted adjacent-character-pair counts over the distinct-word
@@ -1327,6 +1350,12 @@ _DEFERRED_PAST_DRIVER_CAP = [
                               # (makes room for ext_neardup_incremental)
     "b13_path_negated",       # path family kept via b13_path_star
                               # (makes room for ext_curation_pipeline)
+    "tpch_q1_pricing",        # TPC-H family kept via tpch_q3 (makes room
+                              # for ext_stratified_topk)
+    "b40_inference_subclass",  # inference family kept via
+                               # b40_inference_restrictions +
+                               # b41_sameas_query (makes room for
+                               # ext_length_batches)
 ]
 
 
@@ -1432,6 +1461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_bpe_paircounts": q_ext_bpe_paircounts,
         "ext_neardup_incremental": q_ext_neardup_incremental,
         "ext_curation_pipeline": q_ext_curation_pipeline,
+        "ext_stratified_topk": q_ext_stratified_topk,
+        "ext_length_batches": q_ext_length_batches,
         "ext_text_quality": q_ext_text_quality,
         "ext_fingerprint": q_ext_fingerprint,
         "ext_bpe_tokens": q_ext_bpe_tokens,
@@ -2213,6 +2244,42 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN m.mid IS NULL THEN NULL
                         ELSE CAST(1.0 AS DOUBLE) END AS match_jaccard
             FROM documents d LEFT JOIN m USING (doc_id)""",
+        "ext_stratified_topk": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+              FROM documents) WHERE rk <= 7""",
+        "ext_length_batches": """
+            WITH sized AS (
+              SELECT doc_id,
+                     len(string_split_regex(trim(text), '\\s+')) AS n_tok
+              FROM documents),
+            b AS (
+              SELECT doc_id, n_tok,
+                     CAST(power(2, ceil(log2(greatest(n_tok, 1))))
+                          AS BIGINT) AS bucket
+              FROM sized),
+            p AS (
+              SELECT doc_id, n_tok, bucket,
+                     row_number() OVER (PARTITION BY bucket
+                                        ORDER BY doc_id) - 1 AS pos
+              FROM b),
+            c AS (SELECT bucket,
+                         CAST(ceil(COUNT(*) / 16.0) AS BIGINT) AS nb
+                  FROM p GROUP BY 1),
+            o AS (SELECT bucket,
+                         COALESCE(SUM(nb) OVER (
+                           ORDER BY bucket
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS off
+                  FROM c)
+            SELECT p.doc_id AS doc_id, p.n_tok AS n_tok,
+                   p.bucket AS bucket,
+                   CAST(o.off + pos // 16 AS BIGINT) AS batch_id,
+                   CAST(pos % 16 AS BIGINT) AS batch_slot
+            FROM p JOIN o USING (bucket)""",
         "ext_bpe_paircounts": """
             WITH toks AS (
               SELECT unnest(list_filter(string_split_regex(lower(text),

@@ -509,3 +509,69 @@ def export_shards(df: DataFrame, path: str, shard_rows: int = 100_000,
         aggs.append(F.sum(token_col).cast("bigint").alias("n_tokens"))
     return (back.groupBy(F.col("shard_id").cast("bigint").alias("shard_id"))
             .agg(*aggs))
+
+
+# ------------------------------------------------------- k-per-stratum
+
+def stratified_topk_sample(df: DataFrame, k: int,
+                           strata_col: str = "source",
+                           key_col: str = "doc_id") -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum, chosen by md5-hash
+    rank of the key — "give me 1000 docs per domain", deterministic under
+    any partitioning (rate-based :func:`sample_by_hash` can't promise
+    exact counts; this can, at the cost of a per-stratum rank window).
+
+    Scale shape: one shuffle partitioned on the stratum; the window ranks
+    within each stratum only. Strata are typically many and bounded in
+    size (domains, languages, shards) — skewed mega-strata rank in one
+    partition, which AQE splits; for pathological single-stratum inputs
+    use the rate-based sampler instead.
+    """
+    w = (Window.partitionBy(strata_col)
+         .orderBy(F.md5(F.col(key_col).cast("string")), key_col))
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k).drop("__rk"))
+
+
+# --------------------------------------------------- length bucketing
+
+def length_bucket_batches(df: DataFrame, batch_size: int,
+                          size_col: str = "n_tok",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Length-bucketed batch assignment (padding-minimizing dynamic
+    batching for inference/eval over the corpus): docs bucket by the
+    power-of-two ceiling of their size, then fill fixed-size batches in
+    deterministic ``id_col`` order inside each bucket. Emits ``bucket``
+    (the padded length), ``batch_id`` (globally unique: bucket-major)
+    and ``batch_slot``.
+
+    Scale shape: one shuffle on the bucket key; ranking windows run
+    per-bucket in parallel. With B buckets (log-spaced, so ~20 for any
+    realistic corpus) the only cross-bucket coordination is a B-row
+    offset table, computed with the same tiny single-partition window
+    the packing prefix sum uses — never a global window over data rows.
+    """
+    size = F.col(size_col)
+    bucket = F.pow(F.lit(2.0),
+                   F.ceil(F.log2(F.greatest(size, F.lit(1))
+                                 .cast("double")))).cast("bigint")
+    d = df.withColumn("__bkt", bucket)
+    w = Window.partitionBy("__bkt").orderBy(id_col)
+    d = d.withColumn("__pos", F.row_number().over(w) - 1)
+    # per-bucket batch counts -> bucket-major global batch-id offsets
+    counts = (d.groupBy("__bkt")
+              .agg(F.ceil(F.count(F.lit(1)) / F.lit(batch_size))
+                   .cast("bigint").alias("__nb")))
+    w_off = (Window.orderBy("__bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.select(
+        "__bkt", F.coalesce(F.sum("__nb").over(w_off), F.lit(0))
+        .alias("__off"))
+    d = d.join(F.broadcast(offsets), "__bkt")
+    return d.select(
+        *df.columns,
+        F.col("__bkt").alias("bucket"),
+        (F.col("__off") + F.floor(F.col("__pos") / F.lit(batch_size)))
+        .cast("bigint").alias("batch_id"),
+        F.pmod(F.col("__pos"), F.lit(batch_size)).cast("bigint")
+        .alias("batch_slot"))

@@ -319,3 +319,53 @@ def test_lm_score_gibberish_ranks_below_fluent(spark):
     df = _docs(spark, rows)
     out = {r.doc_id: r.avg_logprob for r in P.lm_score(df).collect()}
     assert out[0] > out[99]
+
+
+# ------------------------------------------------------- k-per-stratum
+
+def test_stratified_topk_exact_counts_and_determinism(spark):
+    rows = [(i, f"doc {i}", f"src{i % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = P.stratified_topk_sample(df, k=5)
+    counts = {r.source: r.n for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"src0": 5, "src1": 5, "src2": 5}
+    # stratum smaller than k: all rows kept
+    tiny = P.stratified_topk_sample(df.filter("doc_id < 4"), k=5)
+    assert tiny.count() == 4
+    # deterministic under layout
+    a = sorted(r.doc_id for r in P.stratified_topk_sample(
+        df.repartition(1), k=5).collect())
+    b = sorted(r.doc_id for r in P.stratified_topk_sample(
+        df.repartition(13), k=5).collect())
+    assert a == b
+
+
+# --------------------------------------------------- length bucketing
+
+def test_length_bucket_batches_shape(spark):
+    rows = [(i, 3 if i < 10 else 60) for i in range(16)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tok int")
+    out = {r.doc_id: r for r in
+           P.length_bucket_batches(df, batch_size=4).collect()}
+    # sizes 3 -> bucket 4; sizes 60 -> bucket 64
+    assert out[0].bucket == 4 and out[15].bucket == 64
+    # bucket 4 has 10 docs -> 3 batches (ids 0,1,2); bucket 64 -> ids 3,4
+    assert {out[i].batch_id for i in range(10)} == {0, 1, 2}
+    assert {out[i].batch_id for i in range(10, 16)} == {3, 4}
+    # slots are 0..batch_size-1 and unique within a batch
+    seen = {}
+    for r in out.values():
+        assert 0 <= r.batch_slot < 4
+        key = (r.batch_id, r.batch_slot)
+        assert key not in seen
+        seen[key] = r.doc_id
+
+
+def test_length_bucket_batches_padding_bound(spark):
+    """Every doc's padded length is < 2x its token count (the point of
+    power-of-two bucketing)."""
+    rows = [(i, 1 + (i * 17) % 500) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tok int")
+    for r in P.length_bucket_batches(df, batch_size=8).collect():
+        assert r.n_tok <= r.bucket < 2 * max(r.n_tok, 1)
