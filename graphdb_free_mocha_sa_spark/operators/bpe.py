@@ -123,3 +123,73 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
     bpe = F.flatten(F.transform(toks, encode_word))
     return df.select("*", bpe.alias("bpe_tokens"),
                      F.size(bpe).alias("n_bpe"))
+
+
+def _apply_merges_py(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Sequential in-order merge application — the exact Python mirror of
+    the :func:`merge_pair` fold, so both encoders segment identically."""
+    syms = list(word)
+    for a, b in merges:
+        if len(syms) < 2:
+            break
+        out = []
+        j = 0
+        while j < len(syms):
+            if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                out.append(a + b)
+                j += 2
+            else:
+                out.append(syms[j])
+                j += 1
+        syms = out
+    return syms
+
+
+def bpe_encode_distinct(df: DataFrame, merges: list[tuple[str, str]],
+                        text_col: str = "text") -> DataFrame:
+    """The 100 TB encode path: segment each DISTINCT word once (an
+    Arrow-batched pandas pass over the vocab-sized word table — cheap
+    pure-Python string work, the sanctioned Python lane), then hash-join
+    the word→subwords map back onto the corpus and reassemble documents
+    in position order. Unlike :func:`bpe_encode` the merge-list length
+    never enters the expression tree, so 10k-merge tokenizers encode as
+    cheaply as 10-merge ones.
+
+    Output schema matches :func:`bpe_encode`: input columns +
+    ``bpe_tokens array<string>`` + ``n_bpe``; the two encoders segment
+    identically (equality-tested).
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    id_cols = df.columns
+    toks = df.select("*", F.posexplode(tokens(F.col(text_col)))
+                     .alias("__pos", "__w"))
+    distinct_words = toks.select(F.col("__w")).dropDuplicates()
+
+    merges_local = list(merges)
+
+    def seg(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "__w": pdf["__w"],
+                "__sub": [_apply_merges_py(w, merges_local)
+                          for w in pdf["__w"]],
+            })
+
+    seg_tbl = distinct_words.mapInPandas(
+        seg, "  __w string, __sub array<string>")
+
+    joined = toks.join(seg_tbl, "__w")
+    rebuilt = (joined.groupBy(*id_cols)
+               .agg(F.flatten(F.transform(
+                   F.array_sort(F.collect_list(
+                       F.struct("__pos", "__sub"))),
+                   lambda s: s["__sub"])).alias("bpe_tokens")))
+    # docs with zero tokens disappear from the explode: restore as empty
+    return (df.join(rebuilt, id_cols, "left")
+            .select(*id_cols,
+                    F.coalesce("bpe_tokens",
+                               F.array().cast("array<string>"))
+                    .alias("bpe_tokens"))
+            .withColumn("n_bpe", F.size("bpe_tokens")))

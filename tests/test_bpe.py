@@ -94,3 +94,37 @@ def test_pair_counts_closed_form(spark):
                                "syms array<string>, wc bigint")
     got = {(r.a, r.b): r.c for r in B.pair_counts(wc).collect()}
     assert got == {("a", "b"): 8, ("b", "a"): 3}
+
+
+def test_bpe_encode_distinct_matches_expression_encoder(spark):
+    import random
+    rng = random.Random(41)
+    df_train = _corpus(spark, SENNRICH)
+    merges = B.bpe_train(df_train, n_merges=10)
+    vocab = ["low", "lower", "newest", "widest", "lowland", "zq", ""]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 8))))
+            for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    a = {r.doc_id: (tuple(r.bpe_tokens), r.n_bpe)
+         for r in B.bpe_encode(df, merges).collect()}
+    b = {r.doc_id: (tuple(r.bpe_tokens), r.n_bpe)
+         for r in B.bpe_encode_distinct(df, merges).collect()}
+    assert a == b
+    # empty docs present with empty token arrays
+    empties = [d for d, t in docs if not t.strip()]
+    for d in empties:
+        assert b[d] == ((), 0)
+
+
+def test_bpe_encode_distinct_large_merge_list(spark):
+    """The join-based encoder must handle merge lists far beyond what the
+    nested-expression encoder can compile."""
+    df = _corpus(spark, SENNRICH)
+    real = B.bpe_train(df, n_merges=10)
+    # pad with merges that never fire to reach 500 rules
+    fake = [(f"q{i}", f"z{i}") for i in range(490)]
+    out = {r.doc_id: tuple(r.bpe_tokens)
+           for r in B.bpe_encode_distinct(df, real + fake).collect()}
+    ref = {r.doc_id: tuple(r.bpe_tokens)
+           for r in B.bpe_encode_distinct(df, real).collect()}
+    assert out == ref
