@@ -236,6 +236,9 @@ class SelectQuery:
     offset: Optional[int] = None
     dataset_default: list[str] = field(default_factory=list)  # FROM
     dataset_named: list[str] = field(default_factory=list)    # FROM NAMED
+    # query-level trailing VALUES clause (SPARQL 1.1 §10.2 / algebra
+    # 18.2.4.2): joined with the solutions AFTER grouping/HAVING
+    values_clause: Optional["ValuesTable"] = None
 
 
 @dataclass

@@ -642,6 +642,9 @@ class Parser:
             if self.at_kw("WHERE"):
                 self.next()
             pat = self.parse_group_graph_pattern()
+            if self.at_kw("VALUES"):            # trailing ValuesClause
+                self.next()
+                pat = Join(pat, self._parse_values())
             return AskQuery(pat, dd, dn)
         if self.at_kw("CONSTRUCT"):
             return self._parse_construct()
@@ -740,6 +743,11 @@ class Parser:
             elif self.at_kw("OFFSET"):
                 self.next()
                 q.offset = int(self.next().value)
+        # query-level trailing VALUES (grammar: SolutionModifier
+        # ValuesClause — applies to top-level queries AND sub-selects)
+        if self.at_kw("VALUES"):
+            self.next()
+            q.values_clause = self._parse_values()
 
     def _parse_construct(self) -> ConstructQuery:
         self.expect_kw("CONSTRUCT")
@@ -766,6 +774,10 @@ class Parser:
         shim = SelectQuery([], pattern)
         self._parse_solution_modifiers(shim)
         q.limit, q.offset, q.order_by = shim.limit, shim.offset, shim.order_by
+        if shim.values_clause is not None:
+            # CONSTRUCT has no aggregation stage, so the trailing VALUES
+            # join into the pattern is exactly the spec's post-join
+            q.pattern = Join(q.pattern, shim.values_clause)
         return q
 
     def _parse_describe(self) -> DescribeQuery:
@@ -954,7 +966,13 @@ Parser._path_primary = _path_primary
 
 
 def parse_query(text: str) -> Query:
-    return Parser(text).parse_query()
+    p = Parser(text)
+    q = p.parse_query()
+    t = p.peek()
+    if t.kind != "EOF":
+        raise SparqlSyntaxError(
+            f"unexpected trailing input at {t.value!r} (pos {t.pos})")
+    return q
 
 
 def parse_update(text: str) -> list[UpdateOp]:

@@ -830,8 +830,6 @@ class Translator:
     # ------------------------------------------------------------ SELECT
 
     def translate_select(self, q: A.SelectQuery) -> DataFrame:
-        df = self.translate(q.pattern, None)
-
         aggs: list[A.EAgg] = []
         for _, e in q.projections:
             if e is not None:
@@ -840,6 +838,20 @@ class Translator:
             _walk_expr(e, lambda x: aggs.append(x) if isinstance(x, A.EAgg) else None)
         for e, _ in q.order_by:
             _walk_expr(e, lambda x: aggs.append(x) if isinstance(x, A.EAgg) else None)
+
+        # query-level trailing VALUES (algebra 18.2.4.2): joined AFTER
+        # grouping/HAVING. Without an aggregation stage the pattern-level
+        # join is algebraically identical, and lets the normal join
+        # machinery (incl. the encoded path) handle it.
+        pattern = q.pattern
+        post_values = None
+        if getattr(q, "values_clause", None) is not None:
+            if q.group_by or aggs:
+                post_values = q.values_clause
+            else:
+                pattern = A.Join(q.pattern, q.values_clause)
+
+        df = self.translate(pattern, None)
 
         agg_ids: dict[int, str] = {}
         if q.group_by or aggs:
@@ -866,6 +878,11 @@ class Translator:
         # HAVING
         for h in q.having:
             df = df.filter(self._eval_with_aggs(h, df, agg_ids).ebv())
+
+        # post-aggregation trailing VALUES join (spec order: after
+        # grouping and HAVING, before select expressions)
+        if post_values is not None:
+            df = self._join(df, self._values_df(post_values))
 
         # non-aggregate BIND-style projections
         proj_vars: list[str] = []

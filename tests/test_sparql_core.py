@@ -199,3 +199,38 @@ def test_sparql_json_and_sentinel(engine):
     # sentinel on bad query (reference GraphDBSystemAdapter.java:254)
     bad = engine.query_json("SELECT ?x WHERE { this is not sparql")
     assert '"XXX"' in bad
+
+
+# ---------------------------------------------- query-level trailing VALUES
+
+def test_trailing_values_filters_solutions(engine):
+    out = engine.query_json(
+        'SELECT ?n WHERE { ?s <urn:x:p/n_name> ?n } '
+        'VALUES ?n { "NATION_1" "NATION_3" }')
+    assert out.count('"value"') == 2
+    assert "NATION_1" in out and "NATION_3" in out
+
+
+def test_trailing_values_after_aggregation(engine):
+    # spec 18.2.4.2: the final VALUES joins AFTER grouping
+    out = engine.query_json(
+        'SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?s '
+        'ORDER BY ?s LIMIT 50 VALUES ?s { <urn:x:nation/1> }')
+    assert out.count('"type"') == 2 and "nation/1" in out   # one (s, n) row
+
+
+def test_trailing_values_undef_and_ask(engine):
+    out = engine.query_json(
+        'SELECT ?s ?n WHERE { ?s <urn:x:p/n_name> ?n } '
+        'VALUES (?s ?n) { (UNDEF "NATION_2") }')
+    assert out.count('"value"') == 2 and "NATION_2" in out
+    assert '"boolean": false' in engine.query_json(
+        'ASK { ?s <urn:x:p/n_name> ?n } VALUES ?n { "NO_SUCH_NATION" }')
+
+
+def test_trailing_garbage_is_a_syntax_error(engine):
+    from graphdb_free_mocha_sa_spark.sparql.parser import (
+        SparqlSyntaxError, parse_query)
+    import pytest as _pytest
+    with _pytest.raises(SparqlSyntaxError):
+        parse_query("SELECT ?s WHERE { ?s ?p ?o } SOME TRAILING JUNK")
