@@ -358,7 +358,13 @@ class Engine:
         from pyspark.sql import functions as F
         quads = self._quads()
         if q.pattern is not None and any(isinstance(t, A.Var) for t in q.terms):
-            bound = tr.translate(q.pattern)
+            if q.order_by or q.limit is not None or q.offset:
+                # modifiers select WHICH solutions feed the describe set
+                shim = A.SelectQuery([], q.pattern, order_by=q.order_by,
+                                     limit=q.limit, offset=q.offset)
+                bound = tr.translate_select(shim)
+            else:
+                bound = tr.translate(q.pattern)
             keys = None
             for t in q.terms:
                 if isinstance(t, A.Var):

@@ -263,6 +263,11 @@ class ConstructQuery:
 class DescribeQuery:
     terms: list[Term]             # vars or IRIs
     pattern: Optional[Pattern]
+    # solution modifiers apply to the WHERE solution sequence (which
+    # selects the resources to describe), per the shared grammar
+    order_by: list[tuple[Expr, bool]] = field(default_factory=list)
+    limit: Optional[int] = None
+    offset: Optional[int] = None
 
 
 Query = U[SelectQuery, AskQuery, ConstructQuery, DescribeQuery]

@@ -799,7 +799,13 @@ class Parser:
         if self.at_kw("WHERE") or self.at_punct("{"):
             self.accept_kw("WHERE")
             pattern = self.parse_group_graph_pattern()
-        return DescribeQuery(terms, pattern)
+        q = DescribeQuery(terms, pattern)
+        shim = SelectQuery([], pattern if pattern is not None else BGP([]))
+        self._parse_solution_modifiers(shim)
+        q.order_by, q.limit, q.offset = shim.order_by, shim.limit, shim.offset
+        if shim.values_clause is not None and pattern is not None:
+            q.pattern = Join(pattern, shim.values_clause)
+        return q
 
     # ---- updates
 

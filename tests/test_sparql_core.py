@@ -234,3 +234,17 @@ def test_trailing_garbage_is_a_syntax_error(engine):
     import pytest as _pytest
     with _pytest.raises(SparqlSyntaxError):
         parse_query("SELECT ?s WHERE { ?s ?p ?o } SOME TRAILING JUNK")
+
+
+def test_describe_solution_modifiers_and_values(engine):
+    # LIMIT selects WHICH solutions feed the describe set (used to be
+    # silently dropped before the r5c EOF-strict parser surfaced it)
+    df = engine.query(
+        'DESCRIBE ?s WHERE { ?s <urn:x:p/n_name> ?n } ORDER BY ?n LIMIT 2')
+    subs = {r.s for r in df.collect() if r.s.startswith("urn:x:nation/")}
+    assert len(subs) == 2
+    df2 = engine.query(
+        'DESCRIBE ?s WHERE { ?s <urn:x:p/n_name> ?n } '
+        'VALUES ?n { "NATION_5" }')
+    subs2 = {r.s for r in df2.collect() if r.s.startswith("urn:x:nation/")}
+    assert len(subs2) == 1
