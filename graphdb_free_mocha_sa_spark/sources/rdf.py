@@ -41,6 +41,42 @@ def read_nquads(spark: SparkSession, path: str, default_graph: str) -> DataFrame
     return _read_line_rdf(spark, path, default_graph, quads=True)
 
 
+def nt_unescape(col: F.Column) -> F.Column:
+    """Full N-Triples literal unescape as pure JVM column expressions
+    (load path stays in codegen — no Python):
+
+    1. escaped backslashes are parked on a sentinel so ``\\\\n`` decodes
+       to backslash+n, not backslash+newline (the ordering bug a naive
+       replace chain has);
+    2. ECHARs decode via regexp_replace;
+    3. ``\\uXXXX`` / ``\\UXXXXXXXX`` codepoints decode by splitting on a
+       lookahead and mapping hex → UTF-32 bytes → string
+       (``decode(unhex(lpad(hex, 8, '0')), 'UTF-32')`` — handles astral
+       planes, no chr()-mod-256 truncation);
+    4. the sentinel restores to a literal backslash.
+    """
+    s = F.regexp_replace(col, r"\\\\", "\x00")
+    for esc, rep in ((r'\\"', '"'), (r"\\n", "\n"), (r"\\t", "\t"),
+                     (r"\\r", "\r"), (r"\\b", "\b"), (r"\\f", "\f"),
+                     (r"\\'", "'")):
+        s = F.regexp_replace(s, esc, rep)
+
+    def seg_dec(seg: F.Column) -> F.Column:
+        cp4 = F.decode(F.unhex(F.lpad(F.substring(seg, 3, 4), 8, "0")),
+                       "UTF-32")
+        cp8 = F.decode(F.unhex(F.substring(seg, 3, 8)), "UTF-32")
+        return (F.when(seg.rlike(r"^\\U[0-9A-Fa-f]{8}"),
+                       F.concat(cp8, F.substring(seg, 11, 2147483647)))
+                .when(seg.rlike(r"^\\u[0-9A-Fa-f]{4}"),
+                      F.concat(cp4, F.substring(seg, 7, 2147483647)))
+                .otherwise(seg))
+
+    parts = F.split(s, r"(?=\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8})")
+    s = F.array_join(F.transform(parts, seg_dec), "")
+    # Java regex replacement: '\\\\' (two escaped backslashes) emits ONE
+    return F.regexp_replace(s, "\x00", "\\\\")
+
+
 def _read_line_rdf(spark: SparkSession, path: str, graph: str,
                    quads: bool) -> DataFrame:
     lines = spark.read.text(path).filter(
@@ -78,9 +114,7 @@ def _read_line_rdf(spark: SparkSession, path: str, graph: str,
     o_dt = F.regexp_extract(rest, r'^"(?:[^"\\]|\\.)*"\^\^<([^>]*)>$', 1)
     is_lit = rest.startswith('"')
 
-    unesc = o_lexq
-    for esc, rep in (('\\\\"', '"'), (r"\\n", "\n"), (r"\\t", "\t"), (r"\\r", "\r")):
-        unesc = F.regexp_replace(unesc, esc, rep)
+    unesc = nt_unescape(o_lexq)
 
     o_lex = (F.when(is_lit, unesc)
               .when(F.length(o_iri) > 0, o_iri)

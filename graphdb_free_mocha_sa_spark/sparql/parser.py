@@ -82,10 +82,25 @@ class SparqlSyntaxError(ValueError):
     pass
 
 
+_ECHAR = {"t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f",
+          '"': '"', "'": "'", "\\": "\\"}
+_ESC_RE = re.compile(r"\\(u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|.)", re.S)
+
+
 def _unescape(s: str) -> str:
-    return (s.replace("\\t", "\t").replace("\\n", "\n").replace("\\r", "\r")
-             .replace("\\b", "\b").replace("\\f", "\f").replace('\\"', '"')
-             .replace("\\'", "'").replace("\\\\", "\\"))
+    """Single-pass SPARQL string unescape: ECHARs plus \\uXXXX/\\UXXXXXXXX
+    codepoints. (A sequential str.replace chain mis-decodes ``\\\\t`` —
+    escaped backslash followed by t — and cannot express UCHARs.)"""
+    def sub(m: "re.Match[str]") -> str:
+        g = m.group(1)
+        if g[0] == "u" and len(g) == 5:
+            return chr(int(g[1:], 16))
+        if g[0] == "U" and len(g) == 9:
+            return chr(int(g[1:], 16))
+        if g in _ECHAR:
+            return _ECHAR[g]
+        raise SparqlSyntaxError(f"invalid string escape \\{g}")
+    return _ESC_RE.sub(sub, s)
 
 
 def _string_value(tok: str) -> str:

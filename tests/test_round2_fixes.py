@@ -508,3 +508,37 @@ def test_transitive_edges_derived_mid_fixpoint_chain(spark):
     assert ("urn:a", "urn:part", "urn:b") in got       # rdfs7
     assert ("urn:a", "urn:part", "urn:c") in got       # rdfp4 over derived edges
     assert ("urn:a", "urn:part", "urn:d") in got       # depth 3
+
+
+# ------------------------------------------------ r5c escape-decoding fixes
+
+def test_sparql_string_escapes_unicode_and_backslash(spark, quads):
+    """\\uXXXX/\\UXXXXXXXX decode to codepoints; escaped-backslash-then-t
+    stays backslash+t (the replace-chain ordering bug)."""
+    from graphdb_free_mocha_sa_spark.sparql.parser import (
+        SparqlSyntaxError, parse_query)
+    q = parse_query('SELECT ?s WHERE { ?s ?p "\\u0041B\\U0001F600" }')
+    lit = q.pattern.triples[0].o
+    assert lit.lex == "AB\U0001F600"
+    q2 = parse_query('SELECT ?s WHERE { ?s ?p "a\\\\tb" }')
+    assert q2.pattern.triples[0].o.lex == "a\\tb"       # backslash, then t
+    import pytest as _pytest
+    with _pytest.raises(SparqlSyntaxError):
+        parse_query('SELECT ?s WHERE { ?s ?p "bad\\z" }')
+
+
+def test_ntriples_escape_decoding(spark, tmp_path):
+    from graphdb_free_mocha_sa_spark.sources.rdf import read_ntriples
+    p = tmp_path / "esc.nt"
+    p.write_text("\n".join([
+        r'<urn:b> <urn:p> "tab\tnl\nquote\"done" .',
+        r'<urn:c> <urn:p> "bs\\t stays" .',
+        r'<urn:d> <urn:p> "A and \U0001F600" .',
+        r'<urn:e> <urn:p> "mixed\\\\double" .',
+    ]) + "\n")
+    rows = {r.s: r.o_lex
+            for r in read_ntriples(spark, str(p), "urn:g").collect()}
+    assert rows["urn:b"] == 'tab\tnl\nquote"done'
+    assert rows["urn:c"] == r"bs\t stays"
+    assert rows["urn:d"] == "A and \U0001F600"
+    assert rows["urn:e"] == r"mixed\\double"
