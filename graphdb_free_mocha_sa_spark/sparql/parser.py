@@ -541,6 +541,10 @@ class Parser:
                     else:
                         row.append(self.parse_term(allow_var=False))
                 self.next()
+                if len(row) != len(names):
+                    raise SparqlSyntaxError(
+                        f"VALUES row has {len(row)} terms for "
+                        f"{len(names)} variables")
                 rows.append(row)
             self.expect_punct("}")
             return ValuesTable(names, rows)
@@ -706,6 +710,10 @@ class Parser:
         q = SelectQuery(projections, pattern, distinct=distinct, reduced=reduced,
                         dataset_default=dd, dataset_named=dn)
         self._parse_solution_modifiers(q)
+        if q.group_by and not q.projections:
+            raise SparqlSyntaxError(
+                "SELECT * cannot be used with GROUP BY (spec 18.2.4.1: "
+                "projected variables must be group keys or aggregates)")
         return q
 
     def _parse_solution_modifiers(self, q):

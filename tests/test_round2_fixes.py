@@ -542,3 +542,14 @@ def test_ntriples_escape_decoding(spark, tmp_path):
     assert rows["urn:c"] == r"bs\t stays"
     assert rows["urn:d"] == "A and \U0001F600"
     assert rows["urn:e"] == r"mixed\\double"
+
+
+def test_values_arity_and_star_groupby_are_syntax_errors():
+    import pytest as _pytest
+    from graphdb_free_mocha_sa_spark.sparql.parser import (
+        SparqlSyntaxError, parse_query)
+    with _pytest.raises(SparqlSyntaxError):
+        parse_query('SELECT ?s WHERE { ?s ?p ?o } '
+                    'VALUES (?s ?o) { (<urn:a>) }')
+    with _pytest.raises(SparqlSyntaxError):
+        parse_query('SELECT * WHERE { ?s ?p ?o } GROUP BY ?s')
