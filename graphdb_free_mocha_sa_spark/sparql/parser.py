@@ -841,6 +841,11 @@ class Parser:
             ops.append(self._parse_update_op())
             if not self.accept_punct(";"):
                 break
+        t = self.peek()
+        if t.kind != "EOF":
+            raise SparqlSyntaxError(
+                f"unexpected trailing input in update at {t.value!r} "
+                f"(pos {t.pos})")
         return ops
 
     def _parse_update_op(self) -> UpdateOp:

@@ -553,3 +553,15 @@ def test_values_arity_and_star_groupby_are_syntax_errors():
                     'VALUES (?s ?o) { (<urn:a>) }')
     with _pytest.raises(SparqlSyntaxError):
         parse_query('SELECT * WHERE { ?s ?p ?o } GROUP BY ?s')
+
+
+def test_update_trailing_garbage_is_a_syntax_error():
+    import pytest as _pytest
+    from graphdb_free_mocha_sa_spark.sparql.parser import (
+        SparqlSyntaxError, parse_update)
+    with _pytest.raises(SparqlSyntaxError):
+        parse_update('INSERT DATA { <urn:e> <urn:q> "z" } TRAILING JUNK')
+    # chained ops still fine
+    assert len(parse_update(
+        'INSERT DATA { <urn:a> <urn:q> "x" } ; '
+        'DELETE DATA { <urn:a> <urn:q> "x" }')) == 2
