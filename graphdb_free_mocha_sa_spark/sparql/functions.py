@@ -159,10 +159,13 @@ class TCol:
 # ---------------------------------------------------------------- operators
 
 
-def _num2(l: TCol, r: TCol, f) -> TCol:
+def _num2(l: TCol, r: TCol, f, force_double: bool = False) -> TCol:
     res = f(l.num, r.num)
-    dt = F.when((l.dt == XSD_INTEGER) & (r.dt == XSD_INTEGER), F.lit(XSD_INTEGER)) \
-          .otherwise(F.lit(XSD_DOUBLE))
+    if force_double:
+        dt = F.lit(XSD_DOUBLE)
+    else:
+        dt = F.when((l.dt == XSD_INTEGER) & (r.dt == XSD_INTEGER),
+                    F.lit(XSD_INTEGER)).otherwise(F.lit(XSD_DOUBLE))
     col = res.cast("double")
     lex = F.when(dt == XSD_INTEGER, col.cast("long").cast("string")).otherwise(col.cast("string"))
     return TCol(lex=F.when(col.isNotNull(), lex),
@@ -204,9 +207,26 @@ def binary(op: str, l: TCol, r: TCol) -> TCol:
     if op == "*":
         return _num2(l, r, lambda a, b: a * b)
     if op == "/":
-        res = _num2(l, r, lambda a, b: a / b)
-        res.dt = F.when(res.num.isNotNull(), F.lit(XSD_DOUBLE))
-        return res
+        # SPARQL op:numeric-divide: division by zero is a TYPE ERROR
+        # (-> unbound/null) for integer/decimal operands, but IEEE
+        # +-Inf/NaN when either operand is double/float. The b != 0
+        # guard also keeps ANSI mode from raising DIVIDE_BY_ZERO and
+        # killing the whole query (CaseWhen branches evaluate lazily).
+        from graphdb_free_mocha_sa_spark.model import XSD_FLOAT
+        ieee = l.dt.isin(XSD_DOUBLE, XSD_FLOAT) | r.dt.isin(XSD_DOUBLE,
+                                                            XSD_FLOAT)
+
+        def div(a, b):
+            inf = (F.when(a > 0, F.lit(float("inf")))
+                   .when(a < 0, F.lit(float("-inf")))
+                   .when(a == 0, F.lit(float("nan"))))
+            return (F.when(b != 0, a / b)
+                    .otherwise(F.when(ieee, inf)))
+
+        # dt forced double UP FRONT so the lexical form is computed on the
+        # double branch (patching dt afterwards left an integer-cast lex:
+        # 5/2 used to serialize as "2" with num 2.5)
+        return _num2(l, r, div, force_double=True)
     raise ValueError(f"unknown binary op {op}")
 
 

@@ -565,3 +565,25 @@ def test_update_trailing_garbage_is_a_syntax_error():
     assert len(parse_update(
         'INSERT DATA { <urn:a> <urn:q> "x" } ; '
         'DELETE DATA { <urn:a> <urn:q> "x" }')) == 2
+
+
+def test_division_semantics(spark, quads):
+    """r5c: division by zero is a type error (unbound) for integers but
+    IEEE Inf/NaN for doubles; integer division serializes its true
+    decimal value (5/2 used to serialize as "2")."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark, quads))
+    out = eng.query_json(
+        'SELECT ?x ?y WHERE { <urn:x:nation/1> <urn:x:p/n_regionkey> ?r '
+        'BIND(5 / 2 AS ?x) BIND(5 / 0 AS ?y) }')
+    assert '"value": "2.5"' in out
+    assert '"y": {' not in out                   # unbound, row kept
+    inf = eng.query_json(
+        'SELECT ?s WHERE { ?s <urn:x:p/n_name> ?n '
+        'FILTER(2e0 / 0 > 1) } LIMIT 1')         # 2e0 = xsd:double
+    assert '"type": "uri"' in inf                # IEEE +Inf passes filter
+    dec = eng.query_json(
+        'SELECT ?s WHERE { ?s <urn:x:p/n_name> ?n '
+        'FILTER(2.0 / 0 > 1) } LIMIT 1')         # 2.0 = xsd:decimal
+    assert '"bindings":[]' in dec                # decimal/0 = type error
