@@ -272,7 +272,10 @@ def builtin(name: str, args: list[TCol]) -> TCol:
     if n == "FLOOR":
         return TCol.from_num(F.floor(a[0].num).cast("double"), XSD_INTEGER)
     if n == "ROUND":
-        return TCol.from_num(F.round(a[0].num, 0))
+        # fn:numeric-round: ties round toward POSITIVE infinity
+        # (round(-2.5) = -2), which HALF_UP F.round gets wrong for
+        # negative halves — floor(x + 0.5) is the exact rule
+        return TCol.from_num(F.floor(a[0].num + F.lit(0.5)).cast("double"))
     if n == "CONCAT":
         return TCol.from_str(F.concat(*[x.lex for x in a]))
     if n == "STRLEN":

@@ -587,3 +587,20 @@ def test_division_semantics(spark, quads):
         'SELECT ?s WHERE { ?s <urn:x:p/n_name> ?n '
         'FILTER(2.0 / 0 > 1) } LIMIT 1')         # 2.0 = xsd:decimal
     assert '"bindings":[]' in dec                # decimal/0 = type error
+
+
+def test_round_ties_toward_positive_infinity(spark, quads):
+    """fn:numeric-round: ROUND(-2.5) = -2, not HALF_UP's -3 (r5c fix)."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark, quads))
+    out = eng.query_json(
+        'SELECT ?a ?b ?c ?d WHERE { <urn:x:nation/1> ?p ?o '
+        'BIND(ROUND(2.5) AS ?a) BIND(ROUND(-2.5) AS ?b) '
+        'BIND(ROUND(-3.5) AS ?c) BIND(ROUND(2.4) AS ?d) } LIMIT 1')
+    import json
+    b = json.loads(out)["results"]["bindings"][0]
+    assert float(b["a"]["value"]) == 3.0
+    assert float(b["b"]["value"]) == -2.0
+    assert float(b["c"]["value"]) == -3.0
+    assert float(b["d"]["value"]) == 2.0
