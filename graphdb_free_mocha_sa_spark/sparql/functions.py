@@ -172,6 +172,18 @@ def _num2(l: TCol, r: TCol, f, force_double: bool = False) -> TCol:
                 dt=F.when(col.isNotNull(), dt), num=col)
 
 
+def _strlit(col: Column, lang: Column) -> TCol:
+    """String-literal result carrying a (possibly null) language tag —
+    the §17.4.3 rule: UCASE/LCASE/SUBSTR/REPLACE/STRBEFORE/STRAFTER
+    results keep the first argument's language; CONCAT keeps a tag all
+    arguments share."""
+    lang = F.when(col.isNotNull(), lang)
+    dt = F.when(col.isNotNull(),
+                F.when(lang.isNotNull(), F.lit(RDF_LANGSTRING))
+                .otherwise(F.lit(XSD_STRING)))
+    return TCol(lex=col, dt=dt, lang=lang)
+
+
 def _cmp(l: TCol, r: TCol, op: str) -> Column:
     import operator
     ops = {"=": operator.eq, "!=": operator.ne, "<": operator.lt,
@@ -277,13 +289,16 @@ def builtin(name: str, args: list[TCol]) -> TCol:
         # negative halves — floor(x + 0.5) is the exact rule
         return TCol.from_num(F.floor(a[0].num + F.lit(0.5)).cast("double"))
     if n == "CONCAT":
-        return TCol.from_str(F.concat(*[x.lex for x in a]))
+        lang = a[0].lang if a else F.lit(None).cast("string")
+        for x in a[1:]:
+            lang = F.when(lang.eqNullSafe(x.lang), lang)
+        return _strlit(F.concat(*[x.lex for x in a]), lang)
     if n == "STRLEN":
         return TCol.from_num(F.length(a[0].lex).cast("double"), XSD_INTEGER)
     if n == "UCASE":
-        return TCol.from_str(F.upper(a[0].lex))
+        return _strlit(F.upper(a[0].lex), a[0].lang)
     if n == "LCASE":
-        return TCol.from_str(F.lower(a[0].lex))
+        return _strlit(F.lower(a[0].lex), a[0].lang)
     if n == "ENCODE_FOR_URI":
         return TCol.from_str(_iri_localname_encode(a[0].lex))
     if n == "CONTAINS":
@@ -294,21 +309,35 @@ def builtin(name: str, args: list[TCol]) -> TCol:
         return TCol.from_bool(a[0].lex.endswith(a[1].lex))
     if n == "STRBEFORE":
         pos = F.position(a[1].lex, a[0].lex)
-        return TCol.from_str(F.when(pos > 0, F.substring(a[0].lex, F.lit(1), pos - 1))
-                              .otherwise(F.lit("")))
+        return _strlit(F.when(pos > 0, F.substring(a[0].lex, F.lit(1),
+                                                   pos - 1))
+                       .otherwise(F.lit("")),
+                       F.when(pos > 0, a[0].lang))
     if n == "STRAFTER":
         pos = F.position(a[1].lex, a[0].lex)
-        return TCol.from_str(
+        return _strlit(
             F.when(pos > 0,
                    a[0].lex.substr(pos + F.length(a[1].lex), F.length(a[0].lex)))
-             .otherwise(F.lit("")))
+            .otherwise(F.lit("")),
+            F.when(pos > 0, a[0].lang))
     if n == "SUBSTR":
-        start = a[1].num.cast("int")
+        # fn:substring index math: chars at 1-based positions p with
+        # round(start) <= p < round(start)+round(len) — a start below 1
+        # CONSUMES length (SUBSTR("12345", 0, 3) = "12", not "123"), and
+        # negative starts do NOT count from the end
+        start = F.round(a[1].num).cast("int")
+        lo = F.greatest(start, F.lit(1))
         if len(a) > 2:
-            return TCol.from_str(a[0].lex.substr(start, a[2].num.cast("int")))
-        return TCol.from_str(a[0].lex.substr(start, F.length(a[0].lex)))
+            cnt = F.greatest(start + F.round(a[2].num).cast("int") - lo,
+                             F.lit(0))
+        else:
+            cnt = F.length(a[0].lex)
+        return _strlit(a[0].lex.substr(lo, cnt), a[0].lang)
     if n == "REPLACE":
-        return TCol.from_str(F.regexp_replace(a[0].lex, a[1].lex, a[2].lex))
+        pat = a[1].lex
+        if len(a) > 3:
+            pat = F.concat(F.lit("(?"), a[3].lex, F.lit(")"), pat)
+        return _strlit(F.regexp_replace(a[0].lex, pat, a[2].lex), a[0].lang)
     if n == "REGEX":
         pat = a[1].lex
         if len(a) > 2:

@@ -604,3 +604,31 @@ def test_round_ties_toward_positive_infinity(spark, quads):
     assert float(b["b"]["value"]) == -2.0
     assert float(b["c"]["value"]) == -3.0
     assert float(b["d"]["value"]) == 2.0
+
+
+def test_string_functions_lang_and_xpath_semantics(spark, quads):
+    """r5c: UCASE/LCASE/SUBSTR/REPLACE/STRBEFORE/STRAFTER keep the first
+    argument's language tag; CONCAT keeps a tag all args share; SUBSTR
+    uses fn:substring index math (start<1 consumes length, no
+    count-from-end); REPLACE accepts a flags argument."""
+    import json
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark, quads))
+    out = json.loads(eng.query_json(
+        'SELECT ?a ?b ?c ?d ?e ?f ?g WHERE { <urn:x:nation/1> ?p ?o '
+        'BIND(SUBSTR("12345", 0, 3) AS ?a) '
+        'BIND(SUBSTR("12345", -1, 3) AS ?b) '
+        'BIND(UCASE("chat"@en) AS ?c) '
+        'BIND(CONCAT("x"@en, "y"@en) AS ?d) '
+        'BIND(CONCAT("x"@en, "y"@fr) AS ?e) '
+        'BIND(STRBEFORE("ab"@en, "b") AS ?f) '
+        'BIND(REPLACE("aBcB", "b", "X", "i") AS ?g) } LIMIT 1'))
+    b = out["results"]["bindings"][0]
+    assert b["a"]["value"] == "12"
+    assert b["b"]["value"] == "1"
+    assert (b["c"]["value"], b["c"].get("xml:lang")) == ("CHAT", "en")
+    assert (b["d"]["value"], b["d"].get("xml:lang")) == ("xy", "en")
+    assert (b["e"]["value"], b["e"].get("xml:lang")) == ("xy", None)
+    assert (b["f"]["value"], b["f"].get("xml:lang")) == ("a", "en")
+    assert b["g"]["value"] == "aXcX"
