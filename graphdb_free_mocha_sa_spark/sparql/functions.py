@@ -246,7 +246,14 @@ def unary(op: str, x: TCol) -> TCol:
     if op == "!":
         return TCol.from_bool(~x.ebv())
     if op == "-":
-        return TCol.from_num(-x.num)
+        # negation preserves the numeric datatype: -(2) is an integer
+        col = -x.num
+        dt = F.when(x.dt == XSD_INTEGER, F.lit(XSD_INTEGER)) \
+              .otherwise(F.lit(XSD_DOUBLE))
+        lex = F.when(dt == XSD_INTEGER, col.cast("long").cast("string")) \
+               .otherwise(col.cast("string"))
+        return TCol(lex=F.when(col.isNotNull(), lex),
+                    dt=F.when(col.isNotNull(), dt), num=col)
     return x
 
 

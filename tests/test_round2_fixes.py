@@ -632,3 +632,17 @@ def test_string_functions_lang_and_xpath_semantics(spark, quads):
     assert (b["e"]["value"], b["e"].get("xml:lang")) == ("xy", None)
     assert (b["f"]["value"], b["f"].get("xml:lang")) == ("a", "en")
     assert b["g"]["value"] == "aXcX"
+
+
+def test_unary_minus_preserves_integer_datatype(spark, quads):
+    import json
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark, quads))
+    out = json.loads(eng.query_json(
+        'SELECT ?a ?b WHERE { <urn:x:nation/1> ?p ?o '
+        'BIND(-(2) AS ?a) BIND(-(2e0) AS ?b) } LIMIT 1'))
+    b = out["results"]["bindings"][0]
+    assert b["a"]["value"] == "-2"
+    assert b["a"]["datatype"].endswith("integer")
+    assert b["b"]["datatype"].endswith("double")
