@@ -1649,7 +1649,8 @@ def oracle_sql() -> dict[str, str]:
         "func_numerics": """
             SELECT 'urn:x:customer/' || c_custkey AS s,
                    abs(c_acctbal - 5000) AS a, ceil(c_acctbal) AS c,
-                   floor(c_acctbal) AS f, round(c_acctbal) AS r,
+                   floor(c_acctbal) AS f,
+                   floor(c_acctbal + 0.5) AS r,  -- fn:round: ties -> +inf
                    -c_acctbal AS neg
             FROM customer""",
         "func_dates": """
