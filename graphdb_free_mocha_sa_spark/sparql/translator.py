@@ -1016,11 +1016,27 @@ class Translator:
                 agg_cols.append(col.cast("double").alias(aname + "__rawnum"))
                 post.append((aname, "num"))
             elif func in ("MIN", "MAX"):
-                fn = F.min if func == "MIN" else F.max
-                agg_cols.append(fn(inp.num).alias(aname + "__rawnum"))
-                agg_cols.append(fn(F.when(inp.num.isNull(), inp.lex)).alias(aname + "__rawlex"))
-                agg_cols.append(fn(inp.ts).alias(aname + "__rawts"))
-                post.append((aname, "minmax"))
+                # min_by/max_by over a value-order key so the ORIGINAL
+                # TERM survives (plain min(num) re-serialized integers as
+                # doubles). Key field 1 makes numerics win over
+                # non-numerics in both directions (the previous
+                # behaviour); unbound rows yield a NULL key and are
+                # ignored by the aggregate.
+                term_st = F.struct(inp.lex.alias("lex"), inp.dt.alias("dt"),
+                                   inp.lang.alias("lang"),
+                                   inp.num.alias("num"), inp.ts.alias("ts"))
+                if func == "MIN":
+                    key = F.struct(inp.num.isNull(), inp.num,
+                                   inp.ts.isNull(), inp.ts, inp.lex)
+                    col = F.min_by(term_st,
+                                   F.when(inp.lex.isNotNull(), key))
+                else:
+                    key = F.struct(inp.num.isNotNull(), inp.num,
+                                   inp.ts.isNotNull(), inp.ts, inp.lex)
+                    col = F.max_by(term_st,
+                                   F.when(inp.lex.isNotNull(), key))
+                agg_cols.append(col.alias(aname + "__rawst"))
+                post.append((aname, "sample"))
             elif func == "SAMPLE":
                 agg_cols.append(F.min_by(
                     F.struct(inp.lex.alias("lex"), inp.dt.alias("dt"),

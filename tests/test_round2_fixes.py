@@ -646,3 +646,18 @@ def test_unary_minus_preserves_integer_datatype(spark, quads):
     assert b["a"]["value"] == "-2"
     assert b["a"]["datatype"].endswith("integer")
     assert b["b"]["datatype"].endswith("double")
+
+
+def test_min_max_preserve_original_term(spark, quads):
+    """r5c: MIN/MAX return the original TERM (min(num) re-serialized
+    integers as doubles and dropped datatypes/lang tags)."""
+    import json
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark, quads))
+    out = json.loads(eng.query_json(
+        'SELECT (MIN(?k) AS ?lo) (MAX(?k) AS ?hi) WHERE '
+        '{ ?s <urn:x:p/n_regionkey> ?k }'))
+    b = out["results"]["bindings"][0]
+    assert b["lo"]["type"] == "uri"              # region IRIs, not numbers
+    assert b["lo"]["value"].startswith("urn:x:region/")
