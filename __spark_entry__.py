@@ -812,9 +812,14 @@ def q_ext_embed_quantize(spark, sf_dir):
         quantize_embeddings)
     (e,) = _tables(spark, sf_dir, "embeddings")
     q = quantize_embeddings(e)
-    return q.select("vec_id",
-                    F.transform("q8", lambda x: x.cast("int")).alias("q8"),
-                    F.col("scale").cast("double").alias("scale"))
+    # r6: emit the vector as a comma-joined string — the driver's pandas
+    # canonicalizer cannot sort raw list values (VERDICT r5 "What's wrong"
+    # #1), and a deterministic scalar encoding compares identically.
+    return q.select(
+        "vec_id",
+        F.concat_ws(",", F.transform(
+            "q8", lambda x: x.cast("int").cast("string"))).alias("q8"),
+        F.col("scale").cast("double").alias("scale"))
 
 
 def q_ext_dedup_minhash(spark, sf_dir):
@@ -1820,8 +1825,10 @@ def oracle_sql() -> dict[str, str]:
                               1e-12) AS sc
               FROM embeddings)
             SELECT vec_id,
-                   list_transform(embedding,
-                                  x -> CAST(round(x / sc) AS INTEGER)) AS q8,
+                   array_to_string(
+                     list_transform(embedding,
+                                    x -> CAST(CAST(round(x / sc) AS INTEGER)
+                                              AS VARCHAR)), ',') AS q8,
                    CAST(CAST(sc AS FLOAT) AS DOUBLE) AS scale
             FROM s""",
         "ext_decontaminate": """

@@ -81,16 +81,28 @@ class Schema:
 
     def __init__(self, quads: DataFrame = None, tbox_rows=None):
         if tbox_rows is None:
+            # The rdf:type leg is bounded to the four OWL property-class
+            # objects the parse loop consumes — rdf:type is typically the
+            # largest predicate in a real store, so collecting it
+            # unrestricted would be a driver OOM at scale. This keeps the
+            # collect O(TBox), independent of ABox type cardinality.
             tbox_rows = (quads.filter(F.col("p").isin(SUBCLASS, SUBPROP, DOMAIN,
                                                       RANGE, INVERSE, EQ_CLASS,
-                                                      EQ_PROP, RDF_TYPE,
+                                                      EQ_PROP,
                                                       ON_PROPERTY, HAS_VALUE,
-                                                      SOME_VALUES, ALL_VALUES))
+                                                      SOME_VALUES, ALL_VALUES)
+                                      | ((F.col("p") == RDF_TYPE)
+                                         & F.col("o_lex").isin(
+                                             TRANSITIVE, SYMMETRIC,
+                                             FUNCTIONAL, INV_FUNCTIONAL)))
                          .filter(F.col("o_dt").isNull()
                                  | (F.col("p") == HAS_VALUE))
                          .select("p", "s", "o_lex", "o_dt", "o_lang",
                                  "o_num", "o_ts").collect())
         tbox = tbox_rows
+        # Observable for tests: how many rows the extractor actually pulled
+        # to the driver (must be O(TBox), never O(ABox)).
+        self.collected_rows = len(tbox)
         sc, sp, dom, rng, inv, trans, sym = set(), set(), set(), set(), set(), set(), set()
         func, invfunc = set(), set()
         on_prop: dict = {}            # restriction node -> property

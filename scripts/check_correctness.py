@@ -29,7 +29,13 @@ def canon(v):
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
     if isinstance(v, list):
-        return "[" + ",".join(canon(x) for x in v) + "]"
+        # The DRIVER's pandas canonicalizer cannot sort list cells
+        # (unhashable) — it errors the entry. Mirror that exactly so
+        # mirror-green ⇒ driver-green (r5 lesson: list-handling here hid
+        # the ext_embed_quantize driver failure for two rounds).
+        raise TypeError(
+            "list-valued result column — driver cannot canonicalize; "
+            "emit a scalar encoding (concat_ws/to_json) instead")
     return str(v)
 
 
@@ -96,7 +102,12 @@ def main():
                   f"oracle={sorted(ocols)}")
             n_fail += 1
             continue
-        a, b = canon_rows(cols, rows), canon_rows(ocols, orows)
+        try:
+            a, b = canon_rows(cols, rows), canon_rows(ocols, orows)
+        except TypeError as e:
+            print(f"FAIL {name}: canonicalization: {e}")
+            n_fail += 1
+            continue
         if len(a) != len(b):
             print(f"FAIL {name}: rowcount spark={len(a)} oracle={len(b)}")
             n_fail += 1
