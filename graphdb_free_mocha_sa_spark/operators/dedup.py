@@ -458,6 +458,13 @@ def neardup_against_index(df: DataFrame, path: str,
     Scale shape: band-bucket equi-join against the index (24 B rows both
     sides), exact verification joins only the candidate pairs' hashed
     shingle sets. No text ever shuffles.
+
+    Note (r6, ADVICE): ``threshold=1.0`` means Jaccard 1.0 on the word
+    SHINGLE SETS, which is weaker than byte equality — texts differing
+    only in case, punctuation, or token multiplicity also fire. The
+    ``ext_neardup_incremental`` oracle compares exact text because the
+    document fixtures contain no such variant pairs; for byte-exact
+    semantics use :func:`dedup_against_index` (digest-based) instead.
     """
     spark = df.sparkSession
     meta = spark.read.parquet(path + "/meta").collect()[0]

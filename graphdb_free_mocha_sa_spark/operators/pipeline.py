@@ -286,6 +286,17 @@ def pack_token_budget(df: DataFrame, budget: int,
        single-partition window (#blocks rows, not #docs) and broadcast
        back onto the blocks.
     """
+    from pyspark.sql import types as T
+    dt = df.schema[order_col].dataType
+    if not isinstance(dt, T.NumericType):
+        # r6 (ADVICE): a non-numeric order_col used to cast to NULL __blk
+        # for every row — the equi-join on __blk then silently dropped the
+        # whole frame. Fail fast instead; callers with string ids should
+        # derive a numeric key first (e.g. xxhash64(id)).
+        raise TypeError(
+            f"pack_token_budget: order_col {order_col!r} must be numeric "
+            f"(got {dt.simpleString()}); derive a numeric key first, e.g. "
+            f"F.xxhash64({order_col!r})")
     blk = (F.col(order_col) / F.lit(block_size)).cast("bigint").alias("__blk")
     d = df.select("*", blk)
     w_local = (Window.partitionBy("__blk").orderBy(order_col)

@@ -167,9 +167,41 @@ def _num2(l: TCol, r: TCol, f, force_double: bool = False) -> TCol:
         dt = F.when((l.dt == XSD_INTEGER) & (r.dt == XSD_INTEGER),
                     F.lit(XSD_INTEGER)).otherwise(F.lit(XSD_DOUBLE))
     col = res.cast("double")
-    lex = F.when(dt == XSD_INTEGER, col.cast("long").cast("string")).otherwise(col.cast("string"))
+    # xsd:double canonical lexical forms for the IEEE specials: Spark's
+    # double→string cast yields "Infinity"/"-Infinity", which are NOT valid
+    # xsd:double lexicals and would not round-trip (r6, ADVICE).
+    dbl_lex = (F.when(col == F.lit(float("inf")), F.lit("INF"))
+               .when(col == F.lit(float("-inf")), F.lit("-INF"))
+               .when(F.isnan(col), F.lit("NaN"))
+               .otherwise(col.cast("string")))
+    lex = F.when(dt == XSD_INTEGER, col.cast("long").cast("string")).otherwise(dbl_lex)
     return TCol(lex=F.when(col.isNotNull(), lex),
                 dt=F.when(col.isNotNull(), dt), num=col)
+
+
+def _apply_regex_flags(pat: Column, flags: Column | None) -> Column:
+    """Splice XPath regex flags into a Java pattern as an inline group.
+
+    r6 fixes (ADVICE): an EMPTY flags argument used to compile '(?)' and the
+    XPath 'q' flag is not a valid Java inline flag — both raised a runtime
+    regex exception that killed the whole query. Now: empty flags are a
+    no-op; 'q' quotes the pattern (\\Q...\\E, with embedded \\E split the
+    way Pattern.quote does); remaining flags (smix) splice only when
+    non-empty. Unknown flags still surface as a regex error — matching
+    fn:matches, which makes them static errors."""
+    if flags is None:
+        return pat
+    rest = F.regexp_replace(flags, "q", "")
+    quoted = F.concat(
+        F.lit("\\Q"),
+        # Pattern.quote: an embedded \E must close the quote, emit a
+        # literal \E, and reopen — otherwise it terminates quoting early
+        F.replace(pat, F.lit("\\E"), F.lit("\\E\\\\E\\Q")),
+        F.lit("\\E"))
+    body = F.when(flags.contains("q"), quoted).otherwise(pat)
+    return F.when(F.length(rest) > 0,
+                  F.concat(F.lit("(?"), rest, F.lit(")"), body)) \
+            .otherwise(body)
 
 
 def _strlit(col: Column, lang: Column) -> TCol:
@@ -331,24 +363,23 @@ def builtin(name: str, args: list[TCol]) -> TCol:
         # fn:substring index math: chars at 1-based positions p with
         # round(start) <= p < round(start)+round(len) — a start below 1
         # CONSUMES length (SUBSTR("12345", 0, 3) = "12", not "123"), and
-        # negative starts do NOT count from the end
-        start = F.round(a[1].num).cast("int")
+        # negative starts do NOT count from the end. Rounding is fn:round
+        # (ties toward +infinity) = floor(x + 0.5), NOT F.round's HALF_UP:
+        # SUBSTR("12345", -0.5, 3) must yield "12" (r6, ADVICE).
+        start = F.floor(a[1].num + F.lit(0.5)).cast("int")
         lo = F.greatest(start, F.lit(1))
         if len(a) > 2:
-            cnt = F.greatest(start + F.round(a[2].num).cast("int") - lo,
-                             F.lit(0))
+            cnt = F.greatest(
+                start + F.floor(a[2].num + F.lit(0.5)).cast("int") - lo,
+                F.lit(0))
         else:
             cnt = F.length(a[0].lex)
         return _strlit(a[0].lex.substr(lo, cnt), a[0].lang)
     if n == "REPLACE":
-        pat = a[1].lex
-        if len(a) > 3:
-            pat = F.concat(F.lit("(?"), a[3].lex, F.lit(")"), pat)
+        pat = _apply_regex_flags(a[1].lex, a[3].lex if len(a) > 3 else None)
         return _strlit(F.regexp_replace(a[0].lex, pat, a[2].lex), a[0].lang)
     if n == "REGEX":
-        pat = a[1].lex
-        if len(a) > 2:
-            pat = F.concat(F.lit("(?"), a[2].lex, F.lit(")"), pat)
+        pat = _apply_regex_flags(a[1].lex, a[2].lex if len(a) > 2 else None)
         return TCol.from_bool(F.regexp_like(a[0].lex, pat))
     if n == "LANGMATCHES":
         tag, rng = F.lower(a[0].lex), F.lower(a[1].lex)

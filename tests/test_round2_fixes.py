@@ -661,3 +661,45 @@ def test_min_max_preserve_original_term(spark, quads):
     b = out["results"]["bindings"][0]
     assert b["lo"]["type"] == "uri"              # region IRIs, not numbers
     assert b["lo"]["value"].startswith("urn:x:region/")
+
+
+def test_r6_advice_regressions(spark, quads):
+    """r6 ADVICE sweep: SUBSTR rounds with fn:round tie semantics
+    (floor(x+0.5), not HALF_UP); REPLACE/REGEX tolerate an empty flags
+    argument and implement the XPath 'q' (quote) flag; IEEE division
+    serializes the xsd:double canonical specials INF/-INF/NaN."""
+    import json
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark, quads))
+    out = json.loads(eng.query_json(
+        'SELECT ?a ?b ?c ?d ?e ?f ?g ?h WHERE { <urn:x:nation/1> ?p ?o '
+        'BIND(SUBSTR("12345", -0.5, 3) AS ?a) '
+        'BIND(REPLACE("a.c", ".", "X", "") AS ?b) '
+        'BIND(REPLACE("a.c", ".", "X", "q") AS ?c) '
+        'BIND(REPLACE("A.c", "a.", "X", "qi") AS ?d) '
+        'BIND(REGEX("abc", "a.c", "q") AS ?e) '
+        'BIND(1e0 / 0 AS ?f) BIND(-1e0 / 0 AS ?g) '
+        'BIND(0e0 / 0 AS ?h) } LIMIT 1'))
+    b = out["results"]["bindings"][0]
+    # fn:round(-0.5) = 0 (ties toward +inf) -> positions 0..2 -> "12"
+    assert b["a"]["value"] == "12"
+    # empty flags: '.' stays a metacharacter, no '(?)' compile error
+    assert b["b"]["value"] == "XXX"
+    # 'q': '.' is literal
+    assert b["c"]["value"] == "aXc"
+    # 'q' composes with 'i': literal "a." matched case-insensitively
+    assert b["d"]["value"] == "Xc"
+    assert b["e"]["value"] == "false"
+    assert (b["f"]["value"], b["f"]["datatype"].rsplit("#")[-1]) \
+        == ("INF", "double")
+    assert b["g"]["value"] == "-INF"
+    assert b["h"]["value"] == "NaN"
+
+
+def test_r6_pack_token_budget_rejects_non_numeric_order_col(spark):
+    import pytest as _pytest
+    from graphdb_free_mocha_sa_spark.operators.pipeline import pack_token_budget
+    df = spark.createDataFrame([("a", 5), ("b", 7)], "id string, n_tok int")
+    with _pytest.raises(TypeError, match="must be numeric"):
+        pack_token_budget(df, budget=8, order_col="id")
