@@ -397,14 +397,19 @@ def q_b19_describe(spark, sf_dir):
 
 
 def q_b33_load(spark, sf_dir):
+    """LOAD of both an N-Triples file and a TriG file (r6): TriG named
+    blocks keep their graphs, default-graph statements land in the LOAD
+    target graph (the N-Quads default-graph convention)."""
     from graphdb_free_mocha_sa_spark.engine import Engine
     from graphdb_free_mocha_sa_spark.store import QuadStore
     eng = Engine(spark, QuadStore(spark))
     eng.update("LOAD <file:///root/repo/fixtures/sample.nt> "
                "INTO GRAPH <urn:loaded>")
+    eng.update("LOAD <file:///root/repo/fixtures/sample.trig> "
+               "INTO GRAPH <urn:loaded2>")
     return eng.query("""
-        SELECT ?s ?p ?o WHERE { GRAPH <urn:loaded> { ?s ?p ?o } }
-    """).finalize({"s": "str", "p": "str", "o": "str"})
+        SELECT ?g ?s ?p ?o WHERE { GRAPH ?g { ?s ?p ?o } }
+    """).finalize({"g": "str", "s": "str", "p": "str", "o": "str"})
 
 
 def q_b36_copy_add_graph(spark, sf_dir):
@@ -1704,11 +1709,15 @@ def oracle_sql() -> dict[str, str]:
                                   ('urn:c', 'new')) t(s, v)""",
         "b33_load": """
             SELECT * FROM (VALUES
-              ('urn:f:a', 'urn:f:knows', 'urn:f:b'),
-              ('urn:f:b', 'urn:f:knows', 'urn:f:c'),
-              ('urn:f:a', 'urn:f:name', 'Alpha'),
-              ('urn:f:b', 'urn:f:name', 'Beta'),
-              ('urn:f:c', 'urn:f:age', '30')) t(s, p, o)""",
+              ('urn:loaded', 'urn:f:a', 'urn:f:knows', 'urn:f:b'),
+              ('urn:loaded', 'urn:f:b', 'urn:f:knows', 'urn:f:c'),
+              ('urn:loaded', 'urn:f:a', 'urn:f:name', 'Alpha'),
+              ('urn:loaded', 'urn:f:b', 'urn:f:name', 'Beta'),
+              ('urn:loaded', 'urn:f:c', 'urn:f:age', '30'),
+              ('urn:loaded2', 'urn:f:d', 'urn:f:name', 'Default'),
+              ('urn:g:one', 'urn:f:a', 'urn:f:knows', 'urn:f:b'),
+              ('urn:g:one', 'urn:f:a', 'urn:f:name', 'Alpha'),
+              ('urn:g:two', 'urn:f:b', 'urn:f:age', '41')) t(g, s, p, o)""",
         "b34_clear_graph": "SELECT 'urn:k' AS s",
         "b36_copy_add_graph": """
             SELECT * FROM (VALUES ('urn:a', 1), ('urn:b', 2)) t(s, v)""",

@@ -179,9 +179,52 @@ def read_turtle(spark: SparkSession, path: str, graph: str) -> DataFrame:
         .select(*QUAD_COLS)
 
 
+def read_trig(spark: SparkSession, path: str, default_graph: str) -> DataFrame:
+    """TriG reader (named-graph Turtle; reference parses it via
+    rdf4j-rio-trig, pom.xml:56-90). Same Spark shape as
+    :func:`read_turtle` — TriG is not line-splittable, so one FILE is one
+    parse unit and a directory of files parses in parallel. Default-graph
+    statements land in ``default_graph`` (the N-Quads convention)."""
+    from pyspark.sql.types import (DoubleType, StringType, StructField,
+                                   StructType, TimestampType)
+    schema = StructType([
+        StructField("g", StringType()), StructField("s", StringType()),
+        StructField("p", StringType()), StructField("o_lex", StringType()),
+        StructField("o_dt", StringType()), StructField("o_lang", StringType()),
+        StructField("o_num", DoubleType()), StructField("o_ts", TimestampType()),
+    ])
+
+    def parse_files(rows):
+        import datetime as _dt
+
+        from graphdb_free_mocha_sa_spark.sources.turtle import parse_trig
+
+        for row in rows:
+            for g, s, p, (lex, dt, lang) in parse_trig(row.value):
+                num = ts = None
+                if dt in NUMERIC_DTS:
+                    try:
+                        num = float(lex)
+                    except ValueError:
+                        num = None
+                elif dt == XSD_DATETIME:
+                    try:
+                        ts = _dt.datetime.fromisoformat(lex)
+                    except ValueError:
+                        ts = None
+                yield (g if g is not None else default_graph,
+                       s, p, lex, dt, lang, num, ts)
+
+    files = spark.read.text(path, wholetext=True)
+    return spark.createDataFrame(files.rdd.mapPartitions(parse_files), schema) \
+        .select(*QUAD_COLS)
+
+
 def read_rdf_file(spark: SparkSession, path: str, graph: str) -> DataFrame:
     if path.endswith((".nt", ".ntriples")):
         return read_ntriples(spark, path, graph)
     if path.endswith((".nq", ".nquads")):
         return read_nquads(spark, path, graph)
+    if path.endswith(".trig"):
+        return read_trig(spark, path, graph)
     return read_turtle(spark, path, graph)

@@ -41,9 +41,9 @@ _TOKEN = re.compile(
     | (?P<DECIMAL>[+-]?(?:\d+\.\d+|\.\d+))
     | (?P<INTEGER>[+-]?\d+)
     | (?P<DTMARK>\^\^)
-    | (?P<PUNCT>[.;,\[\]()])
+    | (?P<PUNCT>[.;,\[\](){}])
     | (?P<PNAME>(?:[A-Za-z][A-Za-z0-9_.-]*)?:(?:[A-Za-z0-9_%](?:[A-Za-z0-9_.%-]*[A-Za-z0-9_%-])?)?)
-    | (?P<KW>\b(?:a|true|false|PREFIX|BASE)\b)
+    | (?P<KW>\b(?:a|true|false|PREFIX|BASE|[Gg][Rr][Aa][Pp][Hh])\b)
     """,
     re.X,
 )
@@ -322,3 +322,82 @@ def parse_turtle(text: str):
     """Iterate (s, p, (o_lex, o_dt, o_lang)) triples of one Turtle document.
     Objects that are IRIs/bnodes have ``o_dt`` and ``o_lang`` None."""
     yield from TurtleParser(text).parse()
+
+
+class TriGParser(TurtleParser):
+    """TriG (SURVEY B50 named-graph serialization; the reference's Rio
+    stack parses it via rdf4j-rio-trig, pom.xml:56-90): Turtle plus graph
+    blocks. Reuses the whole Turtle grammar — a block's body is plain
+    ``triples`` statements — and adds the four top-level block forms:
+
+        GRAPH <g> { ... }      (keyword form, keyword case-insensitive)
+        <g> { ... }            (label form)
+        { ... }                (explicit default graph)
+        <plain turtle triples> (default graph)
+
+    Yields (g, s, p, (lex, dt, lang)) with ``g=None`` for the default
+    graph — the reader maps None onto the LOAD target graph, matching the
+    N-Quads reader's default-graph convention.
+    """
+
+    def parse(self):
+        while self._peek() is not None:
+            t = self._peek()
+            if t.kind == "ATKW" or (t.kind == "KW"
+                                    and t.value in ("PREFIX", "BASE")):
+                self._directive()
+                continue
+            if t.kind == "KW" and t.value.upper() == "GRAPH":
+                self._next()
+                g = self._graph_label()
+                yield from self._wrapped_graph(g)
+                continue
+            if t.kind == "PUNCT" and t.value == "{":
+                yield from self._wrapped_graph(None)
+                continue
+            if t.kind in ("IRI", "PNAME", "BNODE"):
+                # labelOrSubject: only a following '{' makes it a graph
+                # label; otherwise rewind and parse as a plain subject
+                save = self.i
+                g = self._graph_label()
+                nxt = self._peek()
+                if nxt is not None and nxt.value == "{":
+                    yield from self._wrapped_graph(g)
+                    continue
+                self.i = save
+            for s, p, o in self._triples():
+                yield (None, s, p, o)
+            self._expect(".")
+
+    def _graph_label(self) -> str:
+        t = self._next()
+        if t.kind == "IRI":
+            return self._resolve_iri(t.value)
+        if t.kind == "PNAME":
+            return self._resolve_pname(t.value)
+        if t.kind == "BNODE":
+            return t.value
+        raise ValueError(f"trig: bad graph label {t!r}")
+
+    def _wrapped_graph(self, g: str | None):
+        self._expect("{")
+        while True:
+            t = self._peek()
+            if t is None:
+                raise ValueError("trig: unterminated graph block")
+            if t.value == "}":
+                break
+            for s, p, o in self._triples():
+                yield (g, s, p, o)
+            t = self._peek()
+            if t is not None and t.value == ".":
+                self._next()
+            elif t is None or t.value != "}":
+                raise ValueError(f"trig: expected '.' or '}}', got {t!r}")
+        self._expect("}")
+
+
+def parse_trig(text: str):
+    """Iterate (g, s, p, (o_lex, o_dt, o_lang)) quads of one TriG document;
+    ``g`` is None for default-graph statements."""
+    yield from TriGParser(text).parse()

@@ -280,3 +280,56 @@ def test_nquads_reader(spark, tmp_path):
     assert df.count() == 6
     # extension dispatch
     assert read_rdf_file(spark, str(nq), "urn:default").count() == 6
+
+
+def test_trig_parser_edges():
+    """r6 (B50): TriG block forms, case-insensitive GRAPH keyword, bnode
+    graph labels, optional trailing '.', empty blocks, and strictness —
+    unterminated blocks and bad labels raise."""
+    import pytest as _pytest
+    from graphdb_free_mocha_sa_spark.sources.turtle import (parse_trig,
+                                                            parse_turtle)
+    doc = """
+    @prefix e: <urn:e:> .
+    e:s0 e:p 1 .
+    GRAPH e:g1 { e:s1 e:p e:o1 ; e:q "x"@en . e:s2 a e:T }
+    e:g2 { e:s3 e:p (1) . }
+    { e:s4 e:p "def" }
+    graph e:g3 { }
+    _:bg { e:s5 e:p true }
+    """
+    quads = list(parse_trig(doc))
+    gs = {g for g, *_ in quads}
+    # g3's block is empty -> absent from the output
+    assert gs == {None, "urn:e:g1", "urn:e:g2", "_:bg"}
+    assert ("urn:e:g1", "urn:e:s2",
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            ("urn:e:T", None, None)) in quads
+    # default-graph rows carry g=None
+    assert sum(1 for g, *_ in quads if g is None) == 2
+    # plain Turtle must still reject graph blocks (EOF-strict)
+    with _pytest.raises(ValueError):
+        list(parse_turtle("{ <u:a> <u:b> <u:c> }"))
+    with _pytest.raises(ValueError):
+        list(parse_trig("GRAPH <urn:g> { <u:a> <u:b> <u:c> "))
+    with _pytest.raises(ValueError):
+        list(parse_trig('GRAPH "lit" { <u:a> <u:b> <u:c> }'))
+
+
+def test_trig_load_through_engine(spark, tmp_path):
+    """LOAD <file.trig> INTO GRAPH g: named blocks keep their graphs,
+    default statements land in g (N-Quads default-graph convention)."""
+    import json
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    p = tmp_path / "mini.trig"
+    p.write_text('@prefix e: <urn:e:> .\n'
+                 'e:d e:name "D" .\n'
+                 'GRAPH e:g1 { e:a e:knows e:b }\n')
+    eng = Engine(spark, QuadStore(spark))
+    eng.update(f"LOAD <file://{p}> INTO GRAPH <urn:tgt>")
+    out = json.loads(eng.query_json(
+        "SELECT ?g ?s WHERE { GRAPH ?g { ?s ?p ?o } } ORDER BY ?g"))
+    rows = [(b["g"]["value"], b["s"]["value"])
+            for b in out["results"]["bindings"]]
+    assert rows == [("urn:e:g1", "urn:e:a"), ("urn:tgt", "urn:e:d")]
