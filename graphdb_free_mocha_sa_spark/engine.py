@@ -9,6 +9,7 @@ prepareUpdate path (:228).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -330,6 +331,14 @@ class Engine:
             return self._size_basis[1]
         n = self.store.df.count()
         decision = n >= self.ENCODE_MIN_QUADS
+        if decision and os.environ.get("SPARK_GRAFT_FORCE_ENCODE"):
+            # scale-probe pin (r6, VERDICT item 3): on a real cluster the
+            # dictionary-encoded path IS the 100 TB regime, so the probe
+            # must not silently flip to string mode when the local sandbox
+            # heap disqualifies the build — measurements of the encoded
+            # path at 10x are meaningless otherwise.
+            self._size_basis = (basis[0], True)
+            return True
         if decision:
             # a 1 GB default-heap session cannot checkpoint a multi-GB
             # dictionary + id table — degrade to string joins rather than

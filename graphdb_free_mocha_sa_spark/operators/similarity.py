@@ -353,7 +353,7 @@ def quantized_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 def semantic_dedup(df: DataFrame, threshold: float = 0.95,
                    n_centroids: int = 16, iters: int = 2,
                    vec_col: str = "embedding", id_col: str = "vec_id",
-                   seed: int = 42) -> DataFrame:
+                   seed: int = 42, centroids: "np.ndarray" = None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): embedding
     near-dups are only searched WITHIN k-means clusters, replacing the
     O(N²) all-pairs problem with O(Σ cluster²):
@@ -374,7 +374,12 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
     identical vectors always share a cluster, so exact duplicates are
     always caught. Recall bounds are asserted in tests.
     """
-    C = kmeans_centroids(df, n_centroids, iters, vec_col, seed)
+    # ``centroids`` replaces the k-means step with caller-fixed cluster
+    # seeds (r6): the pair scan + dominance rule are then exactly
+    # oracle-replicable in SQL (entry ext_semantic_pairs), while the
+    # default k-means path stays the scale configuration.
+    C = centroids if centroids is not None \
+        else kmeans_centroids(df, n_centroids, iters, vec_col, seed)
     a = _assign_cid(df.select(id_col, vec_col), C, vec_col)
     left = a.select("__cid", F.col(id_col).alias("id_a"),
                     F.col(vec_col).alias("__va"))

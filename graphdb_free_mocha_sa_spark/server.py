@@ -84,7 +84,10 @@ def handle_request_stream(engine: Engine, body: str, write,
     return 200
 
 
-def serve(engine: Engine, port: int = 7200) -> None:
+def serve(engine: Engine, port: int = 7200) -> "HTTPServer":
+    """Build the endpoint (returns the HTTPServer — callers own the loop:
+    ``serve_forever`` for the CLI, ``server.shutdown()`` for tests/bench
+    round-trips)."""
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -153,7 +156,11 @@ def serve(engine: Engine, port: int = 7200) -> None:
         def log_message(self, *args):  # quiet
             pass
 
-    HTTPServer(("0.0.0.0", port), Handler).serve_forever()
+    return HTTPServer(("0.0.0.0", port), Handler)
+
+
+def serve_forever(engine: Engine, port: int = 7200) -> None:
+    serve(engine, port).serve_forever()
 
 
 def main() -> None:
@@ -178,7 +185,7 @@ def main() -> None:
         code, payload = handle_request(engine, args.query)
         print(payload)
         raise SystemExit(0 if code == 200 else 1)
-    serve(engine, args.port)
+    serve_forever(engine, args.port)
 
 
 if __name__ == "__main__":

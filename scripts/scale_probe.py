@@ -89,6 +89,10 @@ def run_probes(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entry_mod
     qs = entry_mod.queries()
     out: dict[str, float] = {}
+    # fresh engine each pass: rdf_load then measures store-open + encoded
+    # state from the published on-disk artifacts (the steady-state a new
+    # session pays), not a dict hit on the entry module's engine cache
+    entry_mod._ENGINES.pop(f"{id(spark)}:{sf_dir}", None)
     t0 = time.time()
     eng = entry_mod._engine(spark, sf_dir)
     eng.store.df.count()
@@ -115,22 +119,41 @@ def main() -> None:
         print(f"generated 10x dataset at {big} in {time.time()-t0:.1f}s",
               file=sys.stderr)
 
+    # r6 (VERDICT items 3+4): pin the dictionary-encoded regime — on a
+    # real cluster encoding IS the 100 TB path, so a probe that silently
+    # flips to string mode at 10x measures the wrong engine. And run each
+    # scale TWICE in-session: the first pass pays artifact build + page
+    # cache + JIT ("cold"), the second is steady-state ("warm") — the
+    # scaling claim rests on the warm ratios, with the cold numbers kept
+    # so cache-build asymmetry is attributed, not guessed.
+    os.environ.setdefault("SPARK_GRAFT_FORCE_ENCODE", "1")
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    small_cold = run_probes(spark, sf_dir)
     small = run_probes(spark, sf_dir)
+    large_cold = run_probes(spark, big)
     large = run_probes(spark, big)
     ratios = {k: (round(large[k] / small[k], 2)
                   if isinstance(small.get(k), float) and small[k] > 0
                   and isinstance(large.get(k), float) else None)
               for k in small}
+    ratios_cold = {k: (round(large_cold[k] / small_cold[k], 2)
+                       if isinstance(small_cold.get(k), float)
+                       and small_cold[k] > 0
+                       and isinstance(large_cold.get(k), float) else None)
+                   for k in small_cold}
     result = {
         "probe": "10x_scale",
         "copies": COPIES,
         "sf_small": sf_dir,
         "sf_large": big,
+        "encode_pinned": bool(os.environ.get("SPARK_GRAFT_FORCE_ENCODE")),
+        "small_cold": small_cold,
         "small": small,
+        "large_cold": large_cold,
         "large": large,
         "ratio_10x": ratios,
+        "ratio_10x_cold": ratios_cold,
         "measured_unix": int(time.time()),
     }
     path = os.path.join(C.cache_root(), "scale_probe_results.json")

@@ -88,3 +88,44 @@ def test_query_json_to_ask(spark, mini_engine):
     parts = []
     mini_engine.query_json_to("ASK { <urn:a> <urn:p> ?o }", parts.append)
     assert json.loads("".join(parts))["boolean"] is True
+
+
+def test_http_server_real_socket_roundtrip(spark):
+    """r6: serve() returns the HTTPServer (callers own the loop); a real
+    GET + chunked-streaming response round-trips through a socket."""
+    import json
+    import threading
+    import urllib.parse
+    import urllib.request
+
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.model import QUAD_SCHEMA
+    from graphdb_free_mocha_sa_spark.server import serve
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+
+    rows = [("urn:g", f"urn:s{i}", "urn:p", f"v{i}", None, None, None, None)
+            for i in range(3)]
+    eng = Engine(spark, QuadStore(spark, spark.createDataFrame(rows, QUAD_SCHEMA)))
+    srv = serve(eng, port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        q = urllib.parse.quote("SELECT ?s ?o WHERE { ?s <urn:p> ?o } ORDER BY ?s")
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/sparql?query={q}", timeout=60) as r:
+            assert r.status == 200
+            out = json.loads(r.read())
+        assert [b["o"]["value"] for b in out["results"]["bindings"]] \
+            == ["v0", "v1", "v2"]
+        # POST an update, then re-query through the same socket server
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/sparql",
+            data=b'INSERT DATA { <urn:s9> <urn:p> "v9" }', method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert json.loads(r.read())["ok"] is True
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/sparql?query={q}", timeout=60) as r:
+            assert len(json.loads(r.read())["results"]["bindings"]) == 4
+    finally:
+        srv.shutdown()
+        srv.server_close()
