@@ -435,23 +435,29 @@ class Engine:
         degrade to the sentinel; a failure mid-stream (rare: the plan has
         already started executing) raises to the caller, which owns the
         half-written sink."""
-        from graphdb_free_mocha_sa_spark.sparql.results import (
-            ask_json, iter_select_json)
+        self.query_to(sparql, write, fmt="json")
+
+    def query_to(self, sparql: str, write, fmt: str = "json") -> None:
+        """query_json_to generalized over the B51+ result formats (r6):
+        ``fmt`` in {json, xml, csv, tsv} — rdf4j ships all four writers
+        (pom.xml:80-90); the failure sentinel degrades in-format."""
+        from graphdb_free_mocha_sa_spark.sparql.results import RESULT_FORMATS
+        iter_select, ask_ser, sentinel = RESULT_FORMATS[fmt]
         self._progress["tasks_received"] += 1
         try:
             res = self.query(sparql)
             if isinstance(res, bool):
-                chunks = iter((ask_json(res),))
+                chunks = iter((ask_ser(res),))
             elif isinstance(res, SelectResult):
-                chunks = iter_select_json(res.df, res.variables)
+                chunks = iter_select(res.df, res.variables)
             else:
-                chunks = iter_select_json(res, None)
+                chunks = iter_select(res, None)
             # pull header + first row inside the try: parse/translate errors
             # and first-fetch execution errors all degrade to the sentinel
             head = [c for _, c in zip(range(2), chunks)]
         except Exception:
             self._progress["tasks_failed"] += 1
-            write(SENTINEL)
+            write(sentinel)
             return
         for chunk in head:
             write(chunk)

@@ -45,9 +45,32 @@ def handle_request(engine: Engine, body: str,
     return 200, engine.query_json(query)
 
 
+#: Accept-header negotiation (B51+, r6): first recognized media type wins;
+#: default JSON (the reference adapter's only format)
+_ACCEPT_FORMATS = (
+    ("application/sparql-results+json", "json"),
+    ("application/sparql-results+xml", "xml"),
+    ("text/csv", "csv"),
+    ("text/tab-separated-values", "tsv"),
+)
+_FMT_CONTENT_TYPE = {
+    "json": "application/sparql-results+json",
+    "xml": "application/sparql-results+xml",
+    "csv": "text/csv",
+    "tsv": "text/tab-separated-values",
+}
+
+
+def negotiate_format(accept: str) -> str:
+    for media, fmt in _ACCEPT_FORMATS:
+        if media in (accept or ""):
+            return fmt
+    return "json"
+
+
 def handle_request_stream(engine: Engine, body: str, write,
                           content_type: str = "",
-                          start=None) -> int:
+                          start=None, fmt: str = "json") -> int:
     """Streaming request handler: query results are piped into ``write``
     chunk-by-chunk (Engine.query_json_to — driver memory independent of
     result size); updates and errors emit one small chunk. ``start(code)``,
@@ -80,7 +103,7 @@ def handle_request_stream(engine: Engine, body: str, write,
         return code
     if start is not None:
         start(200)
-    engine.query_json_to(query, write)
+    engine.query_to(query, write, fmt=fmt)
     return 200
 
 
@@ -99,12 +122,12 @@ def serve(engine: Engine, port: int = 7200) -> "HTTPServer":
             # result set (B51/B52 bounded leg). start() fires before the
             # first chunk, so the status line is always correct.
             started = []
+            fmt = negotiate_format(self.headers.get("Accept", ""))
 
             def start(code: int) -> None:
                 started.append(code)
                 self.send_response(code)
-                self.send_header("Content-Type",
-                                 "application/sparql-results+json")
+                self.send_header("Content-Type", _FMT_CONTENT_TYPE[fmt])
                 self.send_header("Transfer-Encoding", "chunked")
                 self.end_headers()
 
@@ -116,7 +139,8 @@ def serve(engine: Engine, port: int = 7200) -> "HTTPServer":
             try:
                 handle_request_stream(
                     engine, body, write,
-                    self.headers.get("Content-Type", ""), start=start)
+                    self.headers.get("Content-Type", ""), start=start,
+                    fmt=fmt)
             except Exception:  # noqa: BLE001 — 500 if nothing sent yet
                 if not started:
                     start(500)
@@ -131,12 +155,12 @@ def serve(engine: Engine, port: int = 7200) -> "HTTPServer":
                 self.end_headers()
                 return
             started = []
+            fmt = negotiate_format(self.headers.get("Accept", ""))
 
             def start(code: int) -> None:
                 started.append(code)
                 self.send_response(code)
-                self.send_header("Content-Type",
-                                 "application/sparql-results+json")
+                self.send_header("Content-Type", _FMT_CONTENT_TYPE[fmt])
                 self.send_header("Transfer-Encoding", "chunked")
                 self.end_headers()
 
@@ -147,7 +171,7 @@ def serve(engine: Engine, port: int = 7200) -> "HTTPServer":
 
             try:
                 handle_request_stream(engine, qs["query"][0], write,
-                                      start=start)
+                                      start=start, fmt=fmt)
             except Exception:  # noqa: BLE001
                 if not started:
                     start(500)

@@ -220,6 +220,47 @@ def read_trig(spark: SparkSession, path: str, default_graph: str) -> DataFrame:
         .select(*QUAD_COLS)
 
 
+def read_rdfxml(spark: SparkSession, path: str, graph: str) -> DataFrame:
+    """RDF/XML reader (sources/rdfxml.py striped-syntax parser). Same
+    Spark shape as :func:`read_turtle`: one FILE per parse task (XML is
+    not splittable), the file's own URI as the xml:base fallback."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (DoubleType, StringType, StructField,
+                                   StructType, TimestampType)
+    schema = StructType([
+        StructField("g", StringType()), StructField("s", StringType()),
+        StructField("p", StringType()), StructField("o_lex", StringType()),
+        StructField("o_dt", StringType()), StructField("o_lang", StringType()),
+        StructField("o_num", DoubleType()), StructField("o_ts", TimestampType()),
+    ])
+
+    def parse_files(rows):
+        import datetime as _dt
+
+        from graphdb_free_mocha_sa_spark.sources.rdfxml import parse_rdfxml
+
+        for row in rows:
+            for s, p, (lex, dt, lang) in parse_rdfxml(row.value,
+                                                      base=row.base):
+                num = ts = None
+                if dt in NUMERIC_DTS:
+                    try:
+                        num = float(lex)
+                    except ValueError:
+                        num = None
+                elif dt == XSD_DATETIME:
+                    try:
+                        ts = _dt.datetime.fromisoformat(lex)
+                    except ValueError:
+                        ts = None
+                yield (graph, s, p, lex, dt, lang, num, ts)
+
+    files = spark.read.text(path, wholetext=True) \
+        .withColumn("base", F.input_file_name())
+    return spark.createDataFrame(files.rdd.mapPartitions(parse_files), schema) \
+        .select(*QUAD_COLS)
+
+
 def read_rdf_file(spark: SparkSession, path: str, graph: str) -> DataFrame:
     if path.endswith((".nt", ".ntriples")):
         return read_ntriples(spark, path, graph)
@@ -227,4 +268,6 @@ def read_rdf_file(spark: SparkSession, path: str, graph: str) -> DataFrame:
         return read_nquads(spark, path, graph)
     if path.endswith(".trig"):
         return read_trig(spark, path, graph)
+    if path.endswith((".rdf", ".rdfxml", ".owl", ".xml")):
+        return read_rdfxml(spark, path, graph)
     return read_turtle(spark, path, graph)

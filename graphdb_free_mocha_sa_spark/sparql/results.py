@@ -86,6 +86,129 @@ def ask_json(value: bool) -> str:
     return json.dumps({"head": {}, "boolean": bool(value)})
 
 
+# ---------------------------------------- XML / CSV / TSV writers (B51+, r6)
+# The reference's rdf4j stack ships SPARQL-Results XML/CSV/TSV writers
+# alongside JSON (pom.xml:80-90); the adapter only exercises JSON, so these
+# are parity-plus. Same streaming contract as iter_select_json: rows flow
+# through toLocalIterator, driver memory independent of result size.
+
+_XMLNS = "http://www.w3.org/2005/sparql-results#"
+
+
+def _xml_escape(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace('"', "&quot;"))
+
+
+def iter_select_xml(df: DataFrame, variables: list[str] | None = None):
+    """Yield the SPARQL Query Results XML document in streaming chunks."""
+    if variables is None:
+        variables = [c for c in df.columns if "__" not in c]
+    yield ('<?xml version="1.0"?>\n<sparql xmlns="' + _XMLNS + '"><head>'
+           + "".join(f'<variable name="{_xml_escape(v)}"/>'
+                     for v in variables)
+           + "</head><results>")
+    for row in df.toLocalIterator(prefetchPartitions=False):
+        parts = ["<result>"]
+        for v in variables:
+            cell = _binding(row, v)
+            if cell is None:
+                continue
+            val = _xml_escape(cell["value"])
+            if cell["type"] == "uri":
+                term = f"<uri>{val}</uri>"
+            elif cell["type"] == "bnode":
+                term = f"<bnode>{val}</bnode>"
+            elif "xml:lang" in cell:
+                term = (f'<literal xml:lang="{_xml_escape(cell["xml:lang"])}"'
+                        f">{val}</literal>")
+            elif "datatype" in cell:
+                term = (f'<literal datatype="{_xml_escape(cell["datatype"])}"'
+                        f">{val}</literal>")
+            else:
+                term = f"<literal>{val}</literal>"
+            parts.append(f'<binding name="{_xml_escape(v)}">{term}</binding>')
+        parts.append("</result>")
+        yield "".join(parts)
+    yield "</results></sparql>"
+
+
+def ask_xml(value: bool) -> str:
+    return ('<?xml version="1.0"?>\n<sparql xmlns="' + _XMLNS
+            + '"><head/><boolean>' + ("true" if value else "false")
+            + "</boolean></sparql>")
+
+
+def _csv_cell(s: str) -> str:
+    if any(c in s for c in ',"\n\r'):
+        return '"' + s.replace('"', '""') + '"'
+    return s
+
+
+def iter_select_csv(df: DataFrame, variables: list[str] | None = None):
+    """SPARQL 1.1 Results CSV (lossy lexical forms per spec §3): IRIs bare,
+    bnodes ``_:label``, literals raw lexical values, RFC 4180 quoting,
+    CRLF row terminators."""
+    if variables is None:
+        variables = [c for c in df.columns if "__" not in c]
+    yield ",".join(_csv_cell(v) for v in variables) + "\r\n"
+    for row in df.toLocalIterator(prefetchPartitions=False):
+        cells = []
+        for v in variables:
+            cell = _binding(row, v)
+            if cell is None:
+                cells.append("")
+            elif cell["type"] == "bnode":
+                cells.append(_csv_cell("_:" + cell["value"]))
+            else:
+                cells.append(_csv_cell(cell["value"]))
+        yield ",".join(cells) + "\r\n"
+
+
+def _tsv_term(cell: dict | None) -> str:
+    if cell is None:
+        return ""
+    if cell["type"] == "uri":
+        return "<" + cell["value"] + ">"
+    if cell["type"] == "bnode":
+        return "_:" + cell["value"]
+    lex = (cell["value"].replace("\\", "\\\\").replace('"', '\\"')
+           .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t"))
+    out = '"' + lex + '"'
+    if "xml:lang" in cell:
+        return out + "@" + cell["xml:lang"]
+    if "datatype" in cell:
+        return out + "^^<" + cell["datatype"] + ">"
+    return out
+
+
+def iter_select_tsv(df: DataFrame, variables: list[str] | None = None):
+    """SPARQL 1.1 Results TSV (lossless Turtle-style terms per spec §4)."""
+    if variables is None:
+        variables = [c for c in df.columns if "__" not in c]
+    yield "\t".join("?" + v for v in variables) + "\n"
+    for row in df.toLocalIterator(prefetchPartitions=False):
+        yield "\t".join(_tsv_term(_binding(row, v))
+                        for v in variables) + "\n"
+
+
+#: per-format (select-iterator, ask-serializer, error sentinel) — the
+#: sentinel mirrors the reference's JSON error shape (var xxx literal XXX)
+#: in each format, so every format degrades the same way
+RESULT_FORMATS = {
+    "json": (iter_select_json, ask_json, SENTINEL),
+    "xml": (iter_select_xml, ask_xml,
+            '<?xml version="1.0"?>\n<sparql xmlns="' + _XMLNS
+            + '"><head><variable name="xxx"/></head><results><result>'
+            '<binding name="xxx"><literal>XXX</literal></binding>'
+            "</result></results></sparql>"),
+    "csv": (iter_select_csv, lambda v: "_askResult\r\n%s\r\n"
+            % ("true" if v else "false"), "xxx\r\nXXX\r\n"),
+    "tsv": (iter_select_tsv, lambda v: "?_askResult\n%s\n"
+            % ("true" if v else "false"), '?xxx\n"XXX"\n'),
+}
+
+
 # -------------------------------------------------- result-sink framing (A14)
 
 

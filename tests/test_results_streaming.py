@@ -129,3 +129,85 @@ def test_http_server_real_socket_roundtrip(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_result_formats_xml_csv_tsv(spark):
+    """r6 (B51+): XML/CSV/TSV writers — streaming, spec-shaped terms,
+    in-format failure sentinels, Accept-header negotiation."""
+    import json
+    import threading
+    import urllib.request
+    import xml.etree.ElementTree as ET
+
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.model import QUAD_SCHEMA
+    from graphdb_free_mocha_sa_spark.server import serve
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+
+    rows = [
+        ("urn:g", "urn:s1", "urn:p", "plain, \"quoted\"",
+         "http://www.w3.org/2001/XMLSchema#string", None, None, None),
+        ("urn:g", "urn:s2", "urn:p", "bonjour",
+         "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString", "fr",
+         None, None),
+        ("urn:g", "urn:s3", "urn:p", "5",
+         "http://www.w3.org/2001/XMLSchema#integer", None, 5.0, None),
+        ("urn:g", "urn:s4", "urn:p", "urn:o", None, None, None, None),
+    ]
+    eng = Engine(spark, QuadStore(spark,
+                                  spark.createDataFrame(rows, QUAD_SCHEMA)))
+    q = "SELECT ?s ?o WHERE { ?s <urn:p> ?o } ORDER BY ?s"
+
+    xml_doc = []
+    eng.query_to(q, xml_doc.append, fmt="xml")
+    root = ET.fromstring("".join(xml_doc))
+    ns = "{http://www.w3.org/2005/sparql-results#}"
+    results = root.findall(f"{ns}results/{ns}result")
+    assert len(results) == 4
+    lit = results[1].findall(f"{ns}binding")[1][0]
+    assert lit.get("{http://www.w3.org/XML/1998/namespace}lang") == "fr"
+    assert results[2].findall(f"{ns}binding")[1][0].get("datatype") \
+        == "http://www.w3.org/2001/XMLSchema#integer"
+    assert results[3].findall(f"{ns}binding")[1][0].tag == f"{ns}uri"
+
+    csv_doc = []
+    eng.query_to(q, csv_doc.append, fmt="csv")
+    lines = "".join(csv_doc).split("\r\n")
+    assert lines[0] == "s,o"
+    assert lines[1] == 'urn:s1,"plain, ""quoted"""'
+    assert lines[3] == "urn:s3,5"
+
+    tsv_doc = []
+    eng.query_to(q, tsv_doc.append, fmt="tsv")
+    tlines = "".join(tsv_doc).splitlines()
+    assert tlines[0] == "?s\t?o"
+    assert tlines[2] == '<urn:s2>\t"bonjour"@fr'
+    assert tlines[3] == ('<urn:s3>\t"5"^^'
+                         "<http://www.w3.org/2001/XMLSchema#integer>")
+    assert tlines[4] == "<urn:s4>\t<urn:o>"
+
+    # in-format sentinel on a parse error
+    bad = []
+    eng.query_to("SELECT ?x WHERE { broken", bad.append, fmt="csv")
+    assert "".join(bad) == "xxx\r\nXXX\r\n"
+
+    # Accept negotiation through a real socket
+    srv = serve(eng, port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        import urllib.parse
+        url = (f"http://127.0.0.1:{port}/sparql?query="
+               + urllib.parse.quote(q))
+        req = urllib.request.Request(url, headers={"Accept": "text/csv"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.headers["Content-Type"] == "text/csv"
+            assert r.read().decode().startswith("s,o\r\n")
+        req = urllib.request.Request(
+            url, headers={"Accept": "application/sparql-results+xml"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert "xml" in r.headers["Content-Type"]
+            ET.fromstring(r.read())
+    finally:
+        srv.shutdown()
+        srv.server_close()

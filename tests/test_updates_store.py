@@ -333,3 +333,75 @@ def test_trig_load_through_engine(spark, tmp_path):
     rows = [(b["g"]["value"], b["s"]["value"])
             for b in out["results"]["bindings"]]
     assert rows == [("urn:e:g1", "urn:e:a"), ("urn:tgt", "urn:e:d")]
+
+
+def test_rdfxml_parser_edges():
+    """r6 (B50): RDF/XML striped syntax — typed nodes, property attrs,
+    parseType Resource/Literal/Collection, rdf:ID/xml:base resolution,
+    rdf:li containers, inherited xml:lang."""
+    from graphdb_free_mocha_sa_spark.sources.rdfxml import parse_rdfxml
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    doc = """<?xml version="1.0"?>
+    <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+             xmlns:ex="http://ex.org/" xml:base="http://base.org/doc"
+             xml:lang="en">
+      <ex:Person rdf:ID="p1" ex:nick="Al">
+        <ex:name>Alpha</ex:name>
+        <ex:age rdf:datatype="http://www.w3.org/2001/XMLSchema#integer"
+        >30</ex:age>
+        <ex:knows rdf:resource="#p2"/>
+        <ex:addr rdf:parseType="Resource"><ex:city>Paris</ex:city></ex:addr>
+        <ex:tags rdf:parseType="Collection">
+          <rdf:Description rdf:about="http://ex.org/t1"/>
+        </ex:tags>
+      </ex:Person>
+      <rdf:Seq rdf:about="http://ex.org/seq">
+        <rdf:li>one</rdf:li><rdf:li>two</rdf:li>
+      </rdf:Seq>
+    </rdf:RDF>"""
+    ts = list(parse_rdfxml(doc))
+    d = {}
+    for s, p, o in ts:
+        d.setdefault((s, p), []).append(o)
+    P1 = "http://base.org/doc#p1"
+    assert d[(P1, RDF + "type")] == [("http://ex.org/Person", None, None)]
+    # xml:lang inherits from the rdf:RDF root into property attrs + elements
+    assert d[(P1, "http://ex.org/nick")][0][2] == "en"
+    assert d[(P1, "http://ex.org/name")][0] \
+        == ("Alpha", RDF + "langString", "en")
+    assert d[(P1, "http://ex.org/age")][0][1].endswith("integer")
+    assert d[(P1, "http://ex.org/knows")][0] \
+        == ("http://base.org/doc#p2", None, None)
+    addr = d[(P1, "http://ex.org/addr")][0][0]
+    assert addr.startswith("_:")
+    assert d[(addr, "http://ex.org/city")][0][0] == "Paris"
+    head = d[(P1, "http://ex.org/tags")][0][0]
+    assert d[(head, RDF + "first")][0][0] == "http://ex.org/t1"
+    assert d[(head, RDF + "rest")][0][0] == RDF + "nil"
+    assert d[("http://ex.org/seq", RDF + "_1")][0][0] == "one"
+    assert d[("http://ex.org/seq", RDF + "_2")][0][0] == "two"
+
+
+def test_rdfxml_load_through_engine(spark, tmp_path):
+    """LOAD <file.rdf> routes through the RDF/XML reader."""
+    import json
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    p = tmp_path / "mini.rdf"
+    p.write_text('<?xml version="1.0"?>\n'
+                 '<rdf:RDF xmlns:rdf='
+                 '"http://www.w3.org/1999/02/22-rdf-syntax-ns#"\n'
+                 '         xmlns:ex="urn:e:">\n'
+                 '  <rdf:Description rdf:about="urn:e:a">\n'
+                 '    <ex:name>Alpha</ex:name>\n'
+                 '    <ex:knows rdf:resource="urn:e:b"/>\n'
+                 '  </rdf:Description>\n'
+                 '</rdf:RDF>\n')
+    eng = Engine(spark, QuadStore(spark))
+    eng.update(f"LOAD <file://{p}> INTO GRAPH <urn:tgt>")
+    out = json.loads(eng.query_json(
+        "SELECT ?p ?o WHERE { GRAPH <urn:tgt> { <urn:e:a> ?p ?o } } "
+        "ORDER BY ?p"))
+    rows = [(b["p"]["value"], b["o"]["value"])
+            for b in out["results"]["bindings"]]
+    assert rows == [("urn:e:knows", "urn:e:b"), ("urn:e:name", "Alpha")]
