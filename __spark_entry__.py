@@ -777,8 +777,11 @@ def q_ext_quantiles(spark, sf_dir):
 def q_ext_dedup_exact(spark, sf_dir):
     from graphdb_free_mocha_sa_spark.operators.dedup import exact_hash_dedup
     (d,) = _tables(spark, sf_dir, "documents")
-    dups = d.limit(20).select((F.col("doc_id") + 1000000).alias("doc_id"),
-                              "text", "lang", "source", "n_chars")
+    # r6: where(), not limit() — an unordered limit became partition-
+    # dependent once the documents source gained a parallelism floor
+    dups = d.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "text", "lang", "source", "n_chars")
     return (exact_hash_dedup(d.unionByName(dups))
             .select("doc_id", "dup_count"))
 
@@ -832,8 +835,9 @@ def q_ext_dedup_minhash(spark, sf_dir):
     validated in tests/test_ext_operators.py against exact Jaccard)."""
     from graphdb_free_mocha_sa_spark.operators.dedup import minhash_lsh_candidates
     (d,) = _tables(spark, sf_dir, "documents")
-    dups = d.limit(10).select((F.col("doc_id") + 1000000).alias("doc_id"),
-                              "text", "lang", "source", "n_chars")
+    dups = d.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "text", "lang", "source", "n_chars")
     return (minhash_lsh_candidates(d.unionByName(dups))
             .where(F.col("jaccard") >= 0.999)
             .select("id_a", "id_b"))
@@ -843,8 +847,9 @@ def q_ext_dedup_simhash(spark, sf_dir):
     """SimHash hamming-0 dup pairs (bit-sketch; no SQL oracle)."""
     from graphdb_free_mocha_sa_spark.operators.dedup import simhash_near_dups
     (d,) = _tables(spark, sf_dir, "documents")
-    dups = d.limit(10).select((F.col("doc_id") + 1000000).alias("doc_id"),
-                              "text", "lang", "source", "n_chars")
+    dups = d.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "text", "lang", "source", "n_chars")
     return (simhash_near_dups(d.unionByName(dups), max_hamming=0)
             .select("id_a", "id_b"))
 
@@ -894,8 +899,9 @@ def q_ext_ngram_jaccard(spark, sf_dir):
     documents + injected copies (blocked brute force; E1)."""
     from graphdb_free_mocha_sa_spark.operators.dedup import ngram_jaccard_pairs
     (d,) = _tables(spark, sf_dir, "documents")
-    dups = d.limit(10).select((F.col("doc_id") + 1000000).alias("doc_id"),
-                              "text", "lang", "source", "n_chars")
+    dups = d.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "text", "lang", "source", "n_chars")
     return (ngram_jaccard_pairs(d.unionByName(dups), threshold=0.999)
             .select("id_a", "id_b"))
 

@@ -33,8 +33,27 @@ def load_tables(spark: SparkSession, sf_dir: str,
     for name in (names or ALL_TABLES):
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            out[name] = normalize_nanos_timestamps(spark.read.parquet(path))
+            df = normalize_nanos_timestamps(spark.read.parquet(path))
+            if name == "documents":
+                df = _parallelism_floor(spark, df)
+            out[name] = df
     return out
+
+
+def _parallelism_floor(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition a compute-heavy text table whose scan parallelism is far
+    below the session's cores (r6 scale-probe attribution: a single
+    small parquet file is ONE row group → a 1-task scan no matter how low
+    maxPartitionBytes goes, so regex-heavy map stages like the Gopher
+    filters ran serial at both probe scales and their 10x ratio read as
+    superlinear). Cost: one shuffle of the text — only paid when the scan
+    cannot otherwise parallelize. At real scale inputs are many
+    multi-row-group files, the gate never fires, and the scan keeps its
+    native splits."""
+    target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() * 4 < target:
+        return df.repartition(target)
+    return df
 
 
 def normalize_event_timestamps(df: DataFrame) -> DataFrame:

@@ -109,10 +109,12 @@ def test_http_handler_stream_chunks_and_status_order(spark):
 
 def test_live_server_chunked_round_trip(spark):
     """The real socket server (serve()) speaks HTTP/1.1 chunked encoding:
-    a client reads a multi-row SELECT and an update ack end-to-end."""
+    a client reads a multi-row SELECT and an update ack end-to-end.
+    r6: serve() now RETURNS the HTTPServer (callers own the loop)."""
+    import json
     import threading
     import urllib.request
-    from http.server import HTTPServer
+    from urllib.parse import quote
 
     from graphdb_free_mocha_sa_spark.engine import Engine
     from graphdb_free_mocha_sa_spark.server import serve
@@ -122,28 +124,11 @@ def test_live_server_chunked_round_trip(spark):
     eng.update("INSERT DATA { " + " . ".join(
         f'<urn:r{i}> <urn:p> "{i}"' for i in range(40)) + " }")
 
-    # serve() blocks; run it on a daemon thread on an ephemeral port by
-    # reaching into its HTTPServer via a tiny monkeypatched bind
-    import graphdb_free_mocha_sa_spark.server as S
-    held = {}
-    real_httpserver = HTTPServer
-
-    def grab(addr, handler):
-        srv = real_httpserver(("127.0.0.1", 0), handler)
-        held["srv"] = srv
-        return srv
-    orig = S.HTTPServer
-    S.HTTPServer = grab
+    srv = serve(eng, port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{port}/sparql"
     try:
-        t = threading.Thread(target=serve, args=(eng, 0), daemon=True)
-        t.start()
-        for _ in range(100):
-            if "srv" in held:
-                break
-            import time
-            time.sleep(0.05)
-        port = held["srv"].server_address[1]
-        url = f"http://127.0.0.1:{port}/sparql"
         body = urllib.request.urlopen(urllib.request.Request(
             url, data=b"SELECT ?s ?o WHERE { ?s <urn:p> ?o }",
             method="POST"), timeout=30).read().decode()
@@ -154,13 +139,11 @@ def test_live_server_chunked_round_trip(spark):
             method="POST"), timeout=30).read().decode()
         assert json.loads(ack)["ok"]
         # SPARQL protocol GET ?query= (round 5)
-        from urllib.parse import quote
         got = urllib.request.urlopen(
             url + "?query=" + quote('SELECT ?o WHERE { <urn:x> <urn:p> ?o }'),
             timeout=30).read().decode()
         doc2 = json.loads(got)
         assert doc2["results"]["bindings"][0]["o"]["value"] == "x"
     finally:
-        S.HTTPServer = orig
-        if "srv" in held:
-            held["srv"].shutdown()
+        srv.shutdown()
+        srv.server_close()

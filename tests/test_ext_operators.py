@@ -22,10 +22,12 @@ def embeddings(tables):
 @pytest.fixture(scope="module")
 def docs_with_dups(spark, documents):
     """Fixture docs + synthesized exact and near duplicates."""
-    extra = documents.limit(10).select(
+    # where(), not limit(): unordered limits became partition-dependent
+    # when the documents source gained the r6 parallelism floor
+    extra = documents.where(F.col("doc_id") < 10).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source",
         "n_chars")
-    near = documents.limit(5).select(
+    near = documents.where(F.col("doc_id") < 5).select(
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
         "lang", "source", "n_chars")
