@@ -465,6 +465,20 @@ class Engine:
             write(chunk)
         self._progress["tasks_completed"] += 1
 
+    def construct_to(self, sparql: str, write) -> None:
+        """Serialize a CONSTRUCT/DESCRIBE answer graph as N-Triples into
+        ``write``, streaming (r6 parity-plus: the rdf4j stack answers graph
+        queries through RDFWriters; our JSON path flattens them to a
+        bindings table instead). Raises TypeError for SELECT/ASK."""
+        from graphdb_free_mocha_sa_spark.sparql.results import (
+            iter_construct_ntriples)
+        res = self.query(sparql)
+        if isinstance(res, (bool, SelectResult)):
+            raise TypeError("construct_to serves CONSTRUCT/DESCRIBE answers;"
+                            " use query_to for SELECT/ASK")
+        for chunk in iter_construct_ntriples(res):
+            write(chunk)
+
     def query_framed(self, sparql: str) -> bytes:
         """query_json behind the reference's length-prefixed result framing
         (A14, AbstractSystemAdapter1.java:195-206)."""

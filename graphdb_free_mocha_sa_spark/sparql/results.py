@@ -209,6 +209,31 @@ RESULT_FORMATS = {
 }
 
 
+def _nt_escape(s: str) -> str:
+    return (s.replace("\\", "\\\\").replace('"', '\\"')
+            .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t"))
+
+
+def iter_construct_ntriples(df: DataFrame):
+    """Serialize a CONSTRUCT/DESCRIBE triple frame (columns s, p, o_lex,
+    o_dt, o_lang, ...) as N-Triples, streaming row-by-row (r6 parity-plus:
+    rdf4j answers graph queries through its RDFWriters; the adapter's JSON
+    path flattens to bindings instead)."""
+    for row in df.toLocalIterator(prefetchPartitions=False):
+        s = row["s"] if row["s"].startswith("_:") else f"<{row['s']}>"
+        p = f"<{row['p']}>"
+        dt, lex, lang = row["o_dt"], row["o_lex"], row["o_lang"]
+        if dt is None:
+            o = lex if lex.startswith("_:") else f"<{lex}>"
+        else:
+            o = f'"{_nt_escape(lex)}"'
+            if lang:
+                o += "@" + lang
+            elif dt not in (XSD_STRING, RDF_LANGSTRING):
+                o += f"^^<{dt}>"
+        yield f"{s} {p} {o} .\n"
+
+
 # -------------------------------------------------- result-sink framing (A14)
 
 

@@ -211,3 +211,44 @@ def test_result_formats_xml_csv_tsv(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_construct_ntriples_writer_roundtrip(spark, tmp_path):
+    """r6: CONSTRUCT answers serialize as N-Triples and ROUND-TRIP through
+    the repo's own N-Triples reader."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.model import QUAD_SCHEMA
+    from graphdb_free_mocha_sa_spark.sources.rdf import read_ntriples
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+
+    rows = [
+        ("urn:g", "urn:s1", "urn:p", "line1\nline2",
+         "http://www.w3.org/2001/XMLSchema#string", None, None, None),
+        ("urn:g", "urn:s2", "urn:p", "bonjour",
+         "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString", "fr",
+         None, None),
+        ("urn:g", "urn:s3", "urn:p", "7",
+         "http://www.w3.org/2001/XMLSchema#integer", None, 7.0, None),
+        ("urn:g", "urn:s4", "urn:p", "urn:o", None, None, None, None),
+    ]
+    eng = Engine(spark, QuadStore(spark,
+                                  spark.createDataFrame(rows, QUAD_SCHEMA)))
+    out = []
+    eng.construct_to(
+        "CONSTRUCT { ?s <urn:q> ?o } WHERE { ?s <urn:p> ?o }", out.append)
+    doc = "".join(out)
+    assert '<urn:s2> <urn:q> "bonjour"@fr .' in doc
+    assert ('<urn:s3> <urn:q> "7"^^'
+            "<http://www.w3.org/2001/XMLSchema#integer> .") in doc
+    assert "<urn:s4> <urn:q> <urn:o> ." in doc
+    assert '"line1\\nline2"' in doc
+    p = tmp_path / "round.nt"
+    p.write_text(doc)
+    back = read_ntriples(spark, str(p), "urn:rt")
+    assert back.count() == 4
+    assert back.filter("o_lang = 'fr'").count() == 1
+    assert back.filter("o_num = 7.0").count() == 1
+    # SELECT through construct_to is a type error
+    import pytest as _pytest
+    with _pytest.raises(TypeError):
+        eng.construct_to("SELECT ?s WHERE { ?s ?p ?o }", out.append)
