@@ -271,3 +271,50 @@ def read_rdf_file(spark: SparkSession, path: str, graph: str) -> DataFrame:
     if path.endswith((".rdf", ".rdfxml", ".owl", ".xml")):
         return read_rdfxml(spark, path, graph)
     return read_turtle(spark, path, graph)
+
+
+def nt_escape(col: F.Column) -> F.Column:
+    """N-Triples literal escape as pure JVM column expressions (the export
+    stays in codegen — mirror image of :func:`nt_unescape`; r6)."""
+    s = F.regexp_replace(col, r"\\", r"\\\\")
+    for raw, esc in (('"', r'\\"'), ("\n", r"\\n"), ("\r", r"\\r"),
+                     ("\t", r"\\t")):
+        s = F.regexp_replace(s, raw, esc)
+    return s
+
+
+def export_nquads(quads: DataFrame, path: str,
+                  default_graph: str | None = None) -> None:
+    """Distributed N-Quads export: each quad row is formatted into one
+    line by JVM-side column expressions and written with ``df.write.text``
+    — the dump parallelizes across executors with NO driver streaming, the
+    shape a 100 TB store export needs (the complement of read_nquads; a
+    real deployment points ``path`` at distributed storage).
+
+    Rows whose ``g`` equals ``default_graph`` (default: the store's
+    default-graph sentinel) emit as triples (no graph label), matching the
+    N-Quads spec's default-graph convention.
+    """
+    from graphdb_free_mocha_sa_spark.model import RDF_LANGSTRING
+    from graphdb_free_mocha_sa_spark.store import DEFAULT_GRAPH
+    if default_graph is None:
+        default_graph = DEFAULT_GRAPH
+    term = F.when(F.col("s").startswith("_:"), F.col("s")) \
+            .otherwise(F.concat(F.lit("<"), F.col("s"), F.lit(">")))
+    pred = F.concat(F.lit("<"), F.col("p"), F.lit(">"))
+    lit = F.concat(
+        F.lit('"'), nt_escape(F.col("o_lex")), F.lit('"'),
+        F.when(F.col("o_lang").isNotNull(),
+               F.concat(F.lit("@"), F.col("o_lang")))
+         .when(~F.col("o_dt").isin(XSD_STRING, RDF_LANGSTRING),
+               F.concat(F.lit("^^<"), F.col("o_dt"), F.lit(">")))
+         .otherwise(F.lit("")))
+    obj = F.when(F.col("o_dt").isNotNull(), lit) \
+           .when(F.col("o_lex").startswith("_:"), F.col("o_lex")) \
+           .otherwise(F.concat(F.lit("<"), F.col("o_lex"), F.lit(">")))
+    gpart = F.when(F.col("g").isNull() | (F.col("g") == default_graph),
+                   F.lit("")) \
+             .otherwise(F.concat(F.lit(" <"), F.col("g"), F.lit(">")))
+    line = F.concat(term, F.lit(" "), pred, F.lit(" "), obj, gpart,
+                    F.lit(" ."))
+    quads.select(line.alias("value")).write.mode("overwrite").text(path)

@@ -405,3 +405,37 @@ def test_rdfxml_load_through_engine(spark, tmp_path):
     rows = [(b["p"]["value"], b["o"]["value"])
             for b in out["results"]["bindings"]]
     assert rows == [("urn:e:knows", "urn:e:b"), ("urn:e:name", "Alpha")]
+
+
+def test_export_nquads_roundtrip(spark, tmp_path):
+    """r6: distributed N-Quads export (JVM-side formatting, write.text)
+    round-trips through read_nquads — graphs, bnodes, langs, datatypes,
+    escapes, and the default-graph convention all preserved."""
+    from graphdb_free_mocha_sa_spark.model import QUAD_SCHEMA
+    from graphdb_free_mocha_sa_spark.sources.rdf import (export_nquads,
+                                                         read_nquads)
+    from graphdb_free_mocha_sa_spark.store import DEFAULT_GRAPH
+    rows = [
+        (DEFAULT_GRAPH, "urn:s1", "urn:p", 'tab\there "q" \\ back\nnl',
+         "http://www.w3.org/2001/XMLSchema#string", None, None, None),
+        ("urn:g1", "urn:s2", "urn:p", "bonjour",
+         "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString", "fr",
+         None, None),
+        ("urn:g1", "_:b1", "urn:p", "3.5",
+         "http://www.w3.org/2001/XMLSchema#double", None, 3.5, None),
+        ("urn:g2", "urn:s3", "urn:p", "urn:o", None, None, None, None),
+        ("urn:g2", "urn:s4", "urn:p", "_:b2", None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, QUAD_SCHEMA)
+    out = str(tmp_path / "dump")
+    export_nquads(df, out)
+    back = read_nquads(spark, out, DEFAULT_GRAPH)
+    assert back.count() == 5
+    b = {(r.g, r.s, r.o_lex, r.o_dt, r.o_lang) for r in back.collect()}
+    assert (DEFAULT_GRAPH, "urn:s1", 'tab\there "q" \\ back\nnl',
+            "http://www.w3.org/2001/XMLSchema#string", None) in b
+    assert ("urn:g1", "urn:s2", "bonjour",
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString",
+            "fr") in b
+    assert ("urn:g2", "urn:s4", "_:b2", None, None) in b
+    assert back.filter("o_num = 3.5 AND s = '_:b1'").count() == 1
