@@ -1229,6 +1229,15 @@ def q_ext_semantic_pairs(spark, sf_dir):
                     "keep"))
 
 
+def q_ext_lang_id(spark, sf_dir):
+    """Language-ID (E3) promoted from rows-only to oracle-backed (r6):
+    the stopword-ratio argmax is exactly replicated in SQL with the same
+    stopword lists and the same first-key tie-break."""
+    from graphdb_free_mocha_sa_spark.operators.text import lang_id
+    (d,) = _tables(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
+
+
 def q_ext_bpe_tokens(spark, sf_dir):
     from graphdb_free_mocha_sa_spark.operators.text import bpe_ish_token_count
     (d,) = _tables(spark, sf_dir, "documents")
@@ -1366,6 +1375,9 @@ _DEFERRED_PAST_DRIVER_CAP = [
     # whose behavior changed this round (b33_load TriG, ext_embed_quantize
     # string encoding — both must re-pass the driver gate).
     # r5-and-earlier driver-green entries rotating out this round:
+    "b5_union",              # union semantics stay exercised by
+                             # b13_path_alt_inv in the head (makes room
+                             # for ext_lang_id, new r6 oracle entry)
     "ext_window_rank",
     "ext_dedup_cascade",
     "ext_decontaminate",
@@ -1515,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # promoted into the checked prefix (one per family, round-4):
         "ext_stream_tumbling": q_ext_stream_tumbling,
         "ext_text_termstats": q_ext_text_termstats,
+        "ext_lang_id": q_ext_lang_id,
         "ext_text_tokens": q_ext_text_tokens,
         # round-5b pipeline additions (all oracle-backed):
         "ext_quality_gopher": q_ext_quality_gopher,
@@ -1575,6 +1588,27 @@ def oracle_sql() -> dict[str, str]:
                                               ORDER BY cos DESC, cid) AS rn
                     FROM scored) WHERE rn = 1)"""
     return _defer_tail({
+        "ext_lang_id": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                                    '[^\\pL\\pN'']+'),
+                                 w -> w <> '') AS t
+              FROM documents),
+            sc AS (
+              SELECT doc_id,
+                     len(list_filter(t, w -> list_contains(['the','and','of','to','a','in','is','it','that','was','for','on','with','as','at','by','an','be','this','are'], w)))::DOUBLE / greatest(len(t), 1) AS en,
+                     len(list_filter(t, w -> list_contains(['der','die','das','und','ist','von','zu','den','mit','nicht','ein','eine','auf','für','im','dem','sich','des'], w)))::DOUBLE / greatest(len(t), 1) AS de,
+                     len(list_filter(t, w -> list_contains(['le','la','les','et','de','des','un','une','est','dans','que','qui','pour','sur','pas','au','du','par','ce'], w)))::DOUBLE / greatest(len(t), 1) AS fr,
+                     len(list_filter(t, w -> list_contains(['el','la','los','las','y','de','que','en','un','una','es','por','con','para','no','se','del','al','como'], w)))::DOUBLE / greatest(len(t), 1) AS es
+              FROM tok)
+            SELECT doc_id,
+                   CASE WHEN greatest(en, de, fr, es) = 0 THEN 'unknown'
+                        WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                        WHEN de >= fr AND de >= es THEN 'de'
+                        WHEN fr >= es THEN 'fr'
+                        ELSE 'es' END AS lang_guess
+            FROM sc""",
         "ext_lsh_buckets": f"""
             SELECT vec_id, CAST({_bucket_terms} AS BIGINT) AS bucket
             FROM embeddings""",

@@ -914,3 +914,22 @@ def test_adpcm_through_multimodal_decode():
     # decoded float track follows the source closely
     corr = np.corrcoef(f, tone / 32768.0)[0, 1]
     assert corr > 0.99
+
+
+def test_lang_id_argmax_and_tiebreak(spark):
+    """r6: lang_id picks the max stopword-ratio language, 'unknown' on no
+    hits, and breaks exact ties in dict order (en first)."""
+    from pyspark.sql import functions as F
+
+    from graphdb_free_mocha_sa_spark.operators.text import lang_id
+    rows = [
+        (1, "the cat and the dog of the house"),          # en
+        (2, "der hund und die katze ist von dem haus"),   # de
+        (3, "le chat et le chien est dans la maison"),    # fr
+        (4, "zzz qqq xxx www"),                           # unknown
+        (5, "the der"),                                   # tie en/de -> en
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r.g for r in
+           df.select("doc_id", lang_id(F.col("text")).alias("g")).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "unknown", 5: "en"}
