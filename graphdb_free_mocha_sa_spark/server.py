@@ -62,10 +62,32 @@ _FMT_CONTENT_TYPE = {
 
 
 def negotiate_format(accept: str) -> str:
-    for media, fmt in _ACCEPT_FORMATS:
-        if media in (accept or ""):
-            return fmt
-    return "json"
+    """Pick the result format from an Accept header: q-values honored
+    (q=0 excludes), ties broken by the client's listing order; unknown or
+    empty headers (and */*) fall back to JSON (r6 review fix — the first
+    cut matched by server list order and ignored q)."""
+    known = dict(_ACCEPT_FORMATS)
+    best, best_q, best_pos = "json", -1.0, 1 << 30
+    for pos, part in enumerate((accept or "").split(",")):
+        bits = part.strip().split(";")
+        media = bits[0].strip().lower()
+        q = 1.0
+        for p in bits[1:]:
+            p = p.strip()
+            if p.startswith("q="):
+                try:
+                    q = float(p[2:])
+                except ValueError:
+                    q = 0.0
+        if q <= 0:
+            continue
+        fmt = known.get(media, "json" if media in ("*/*", "application/*",
+                                                   "text/*") else None)
+        if fmt is None:
+            continue
+        if q > best_q or (q == best_q and pos < best_pos):
+            best, best_q, best_pos = fmt, q, pos
+    return best
 
 
 def handle_request_stream(engine: Engine, body: str, write,
@@ -98,11 +120,11 @@ def handle_request_stream(engine: Engine, body: str, write,
             payload, code = json.dumps({"ok": False,
                                         "error": str(e)[:500]}), 400
         if start is not None:
-            start(code)
+            start(code, "json")     # acks are JSON whatever was negotiated
         write(payload)
         return code
     if start is not None:
-        start(200)
+        start(200, fmt)
     engine.query_to(query, write, fmt=fmt)
     return 200
 
@@ -124,10 +146,10 @@ def serve(engine: Engine, port: int = 7200) -> "HTTPServer":
             started = []
             fmt = negotiate_format(self.headers.get("Accept", ""))
 
-            def start(code: int) -> None:
+            def start(code: int, used_fmt: str = "json") -> None:
                 started.append(code)
                 self.send_response(code)
-                self.send_header("Content-Type", _FMT_CONTENT_TYPE[fmt])
+                self.send_header("Content-Type", _FMT_CONTENT_TYPE[used_fmt])
                 self.send_header("Transfer-Encoding", "chunked")
                 self.end_headers()
 
@@ -157,10 +179,10 @@ def serve(engine: Engine, port: int = 7200) -> "HTTPServer":
             started = []
             fmt = negotiate_format(self.headers.get("Accept", ""))
 
-            def start(code: int) -> None:
+            def start(code: int, used_fmt: str = "json") -> None:
                 started.append(code)
                 self.send_response(code)
-                self.send_header("Content-Type", _FMT_CONTENT_TYPE[fmt])
+                self.send_header("Content-Type", _FMT_CONTENT_TYPE[used_fmt])
                 self.send_header("Transfer-Encoding", "chunked")
                 self.end_headers()
 

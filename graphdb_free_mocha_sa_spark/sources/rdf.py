@@ -275,11 +275,14 @@ def read_rdf_file(spark: SparkSession, path: str, graph: str) -> DataFrame:
 
 def nt_escape(col: F.Column) -> F.Column:
     """N-Triples literal escape as pure JVM column expressions (the export
-    stays in codegen — mirror image of :func:`nt_unescape`; r6)."""
-    s = F.regexp_replace(col, r"\\", r"\\\\")
-    for raw, esc in (('"', r'\\"'), ("\n", r"\\n"), ("\r", r"\\r"),
-                     ("\t", r"\\t")):
-        s = F.regexp_replace(s, raw, esc)
+    stays in codegen — mirror image of :func:`nt_unescape`; r6). The ECHAR
+    set comes from results.NT_ESCAPES so the Python writers (TSV /
+    construct N-Triples) and this Column exporter cannot drift."""
+    from graphdb_free_mocha_sa_spark.sparql.results import NT_ESCAPES
+    s = col
+    for raw, esc in NT_ESCAPES:
+        # F.replace is a literal (non-regex) substitution
+        s = F.replace(s, F.lit(raw), F.lit(esc))
     return s
 
 
@@ -314,6 +317,8 @@ def export_nquads(quads: DataFrame, path: str,
            .otherwise(F.concat(F.lit("<"), F.col("o_lex"), F.lit(">")))
     gpart = F.when(F.col("g").isNull() | (F.col("g") == default_graph),
                    F.lit("")) \
+             .when(F.col("g").startswith("_:"),
+                   F.concat(F.lit(" "), F.col("g"))) \
              .otherwise(F.concat(F.lit(" <"), F.col("g"), F.lit(">")))
     line = F.concat(term, F.lit(" "), pred, F.lit(" "), obj, gpart,
                     F.lit(" ."))

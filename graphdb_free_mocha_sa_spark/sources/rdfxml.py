@@ -103,12 +103,14 @@ class RdfXmlParser:
         if tag_uri != RDF_NS + "Description":
             self._emit(subj, RDF_NS + "type", (tag_uri, None, None))
         lang = el.get(_LANG, lang)          # xml:lang inherits (spec §6)
-        # property attributes (plain-literal shorthand)
+        # property attributes (plain-literal shorthand; a lang in scope
+        # makes them rdf:langString — dt=None is reserved for IRI/bnode)
         for k, v in el.attrib.items():
             if k in _SYNTAX_ATTRS or k.startswith("{" + XML_NS + "}"):
                 continue
             self._emit(subj, self._uri_of_tag(k),
-                       (v, None if lang else XSD_STRING, lang))
+                       (v, RDF_NS + "langString" if lang else XSD_STRING,
+                        lang))
         li = 0
         for prop in el:
             li = self._property_element(subj, prop, base, lang, li)
@@ -173,7 +175,8 @@ class RdfXmlParser:
             self._emit(subj, p_uri, (node, None, None))
             for k, v in prop_attrs:
                 self._emit(node, self._uri_of_tag(k),
-                           (v, None if lang else XSD_STRING, lang))
+                           (v, RDF_NS + "langString" if lang else XSD_STRING,
+                            lang))
             return li
         dt = prop.get(_RDF + "datatype")
         lex = prop.text or ""

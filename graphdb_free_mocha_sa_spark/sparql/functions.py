@@ -377,7 +377,16 @@ def builtin(name: str, args: list[TCol]) -> TCol:
         return _strlit(a[0].lex.substr(lo, cnt), a[0].lang)
     if n == "REPLACE":
         pat = _apply_regex_flags(a[1].lex, a[3].lex if len(a) > 3 else None)
-        return _strlit(F.regexp_replace(a[0].lex, pat, a[2].lex), a[0].lang)
+        repl = a[2].lex
+        if len(a) > 3:
+            # fn:replace: under 'q' the replacement is literal too — quote
+            # Java's $group refs and backslashes (Matcher.quoteReplacement)
+            lit_repl = F.replace(
+                F.replace(a[2].lex, F.lit("\\"), F.lit("\\\\")),
+                F.lit("$"), F.lit("\\$"))
+            repl = (F.when(a[3].lex.contains("q"), lit_repl)
+                    .otherwise(a[2].lex))
+        return _strlit(F.regexp_replace(a[0].lex, pat, repl), a[0].lang)
     if n == "REGEX":
         pat = _apply_regex_flags(a[1].lex, a[2].lex if len(a) > 2 else None)
         return TCol.from_bool(F.regexp_like(a[0].lex, pat))

@@ -172,8 +172,7 @@ def _tsv_term(cell: dict | None) -> str:
         return "<" + cell["value"] + ">"
     if cell["type"] == "bnode":
         return "_:" + cell["value"]
-    lex = (cell["value"].replace("\\", "\\\\").replace('"', '\\"')
-           .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t"))
+    lex = _nt_escape(cell["value"])
     out = '"' + lex + '"'
     if "xml:lang" in cell:
         return out + "@" + cell["xml:lang"]
@@ -209,9 +208,17 @@ RESULT_FORMATS = {
 }
 
 
+#: N-Triples/TSV ECHAR table — the single source for the Python writers
+#: here and the Column-expression exporter (sources/rdf.py nt_escape);
+#: ORDER MATTERS: backslash first, or later escapes double-escape
+NT_ESCAPES = (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"),
+              ("\r", "\\r"), ("\t", "\\t"))
+
+
 def _nt_escape(s: str) -> str:
-    return (s.replace("\\", "\\\\").replace('"', '\\"')
-            .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t"))
+    for raw, esc in NT_ESCAPES:
+        s = s.replace(raw, esc)
+    return s
 
 
 def iter_construct_ntriples(df: DataFrame):

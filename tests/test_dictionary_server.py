@@ -73,7 +73,7 @@ def test_http_handler_stream_chunks_and_status_order(spark):
     eng = Engine(spark, QuadStore(spark))
     events = []
 
-    def start(code):
+    def start(code, fmt="json"):     # r6: start receives the ack format too
         events.append(("start", code))
 
     def write(chunk):

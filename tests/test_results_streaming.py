@@ -252,3 +252,45 @@ def test_construct_ntriples_writer_roundtrip(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(TypeError):
         eng.construct_to("SELECT ?s WHERE { ?s ?p ?o }", out.append)
+
+
+def test_r6_review_fixes_server_and_replace(spark):
+    """r6 review sweep: (a) negotiate_format honors q-values and client
+    order; (b) update acks stay JSON-typed under a CSV Accept; (c) REPLACE
+    'q' flag makes the replacement literal too."""
+    import json
+    import threading
+    import urllib.request
+
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.server import negotiate_format, serve
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+
+    assert negotiate_format(
+        "text/csv, application/sparql-results+xml;q=0.1") == "csv"
+    assert negotiate_format("text/csv;q=0") == "json"
+    assert negotiate_format("*/*") == "json"
+    assert negotiate_format(
+        "application/sparql-results+xml;q=0.5, text/csv;q=0.9") == "csv"
+    assert negotiate_format("") == "json"
+
+    eng = Engine(spark, QuadStore(spark))
+    srv = serve(eng, port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/sparql",
+            data=b'INSERT DATA { <urn:s> <urn:p> "v" }', method="POST",
+            headers={"Accept": "text/csv"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.headers["Content-Type"] \
+                == "application/sparql-results+json"
+            assert json.loads(r.read())["ok"] is True
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    out = json.loads(eng.query_json(
+        'SELECT ?a WHERE { BIND(REPLACE("price x", "x", "$5", "q") AS ?a) }'))
+    assert out["results"]["bindings"][0]["a"]["value"] == "price $5"

@@ -439,3 +439,29 @@ def test_export_nquads_roundtrip(spark, tmp_path):
             "fr") in b
     assert ("urn:g2", "urn:s4", "_:b2", None, None) in b
     assert back.filter("o_num = 3.5 AND s = '_:b1'").count() == 1
+
+
+def test_r6_review_fixes_rdf_edges(spark, tmp_path):
+    """r6 review sweep: (a) RDF/XML property attributes under xml:lang are
+    langString literals, not dt-less pseudo-IRIs; (b) export_nquads emits
+    blank-node graph labels bare, per the N-Quads grammar."""
+    from graphdb_free_mocha_sa_spark.model import QUAD_SCHEMA
+    from graphdb_free_mocha_sa_spark.sources.rdf import export_nquads
+    from graphdb_free_mocha_sa_spark.sources.rdfxml import parse_rdfxml
+
+    ts = list(parse_rdfxml(
+        '<rdf:Description '
+        'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:ex="urn:e:" xml:lang="en" rdf:about="urn:e:a" '
+        'ex:nick="Al"/>'))
+    (s, p, (lex, dt, lang)) = ts[0]
+    assert (lex, lang) == ("Al", "en")
+    assert dt == "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+    rows = [("_:bg", "urn:s", "urn:p", "urn:o", None, None, None, None)]
+    out = str(tmp_path / "bngdump")
+    export_nquads(spark.createDataFrame(rows, QUAD_SCHEMA), out)
+    import glob
+    text = "".join(open(f).read()
+                   for f in glob.glob(out + "/part-*"))
+    assert text.strip() == "<urn:s> <urn:p> <urn:o> _:bg ."
