@@ -1238,6 +1238,25 @@ def q_ext_lang_id(spark, sf_dir):
     return d.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
 
 
+def q_ext_quality_features(spark, sf_dir):
+    """Quality-feature vector (E8) promoted to oracle-backed (r6): every
+    feature and the composite score are deterministic double math, and the
+    oracle mirrors the Spark expression tree op-for-op (same associativity,
+    same greatest()-guards), so the doubles are bit-identical."""
+    from graphdb_free_mocha_sa_spark.operators.text import quality_features
+    (d,) = _tables(spark, sf_dir, "documents")
+    return (quality_features(d)
+            .select("doc_id",
+                    F.col("n_tokens").cast("int").alias("n_tokens"),
+                    F.col("punct_ratio").cast("double").alias("punct_ratio"),
+                    F.col("mean_word_len").cast("double")
+                    .alias("mean_word_len"),
+                    F.col("stopword_ratio").cast("double")
+                    .alias("stopword_ratio"),
+                    F.col("quality_score").cast("double")
+                    .alias("quality_score")))
+
+
 def q_ext_bpe_tokens(spark, sf_dir):
     from graphdb_free_mocha_sa_spark.operators.text import bpe_ish_token_count
     (d,) = _tables(spark, sf_dir, "documents")
@@ -1375,6 +1394,9 @@ _DEFERRED_PAST_DRIVER_CAP = [
     # whose behavior changed this round (b33_load TriG, ext_embed_quantize
     # string encoding — both must re-pass the driver gate).
     # r5-and-earlier driver-green entries rotating out this round:
+    "ext_bm25_search",       # pipeline family keeps curation_pipeline
+                             # + lm_score in the head (makes room for
+                             # ext_quality_features, new r6 entry)
     "b5_union",              # union semantics stay exercised by
                              # b13_path_alt_inv in the head (makes room
                              # for ext_lang_id, new r6 oracle entry)
@@ -1528,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_stream_tumbling": q_ext_stream_tumbling,
         "ext_text_termstats": q_ext_text_termstats,
         "ext_lang_id": q_ext_lang_id,
+        "ext_quality_features": q_ext_quality_features,
         "ext_text_tokens": q_ext_text_tokens,
         # round-5b pipeline additions (all oracle-backed):
         "ext_quality_gopher": q_ext_quality_gopher,
@@ -1609,6 +1632,41 @@ def oracle_sql() -> dict[str, str]:
                         WHEN fr >= es THEN 'fr'
                         ELSE 'es' END AS lang_guess
             FROM sc""",
+        "ext_quality_features": """
+            WITH tok AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text),
+                                                    '[^\\pL\\pN'']+'),
+                                 w -> w <> '') AS t
+              FROM documents),
+            f AS (
+              SELECT doc_id,
+                     len(t) AS n_tokens,
+                     greatest(len(t), 1) AS n_tok,
+                     length(text) AS n_chars,
+                     length(regexp_replace(text, '[\\pL\\pN\\s]', '',
+                                           'g')) AS punct,
+                     list_sum(list_transform(t, w -> length(w)))::DOUBLE
+                       / greatest(len(t), 1) AS mean_wl,
+                     len(list_filter(t, w -> list_contains(['the','and','of','to','a','in','is','it','that','was','for','on','with','as','at','by','an','be','this','are'], w)))::DOUBLE
+                       / greatest(len(t), 1) AS sw
+              FROM tok),
+            g AS (
+              SELECT doc_id, n_tokens, mean_wl, sw,
+                     punct::DOUBLE / greatest(n_chars, 1) AS punct_ratio,
+                     n_tok
+              FROM f)
+            SELECT doc_id,
+                   CAST(n_tokens AS INTEGER) AS n_tokens,
+                   punct_ratio,
+                   COALESCE(mean_wl, 0) AS mean_word_len,
+                   sw AS stopword_ratio,
+                   least(n_tok::DOUBLE / 100.0, 1.0) * 0.3
+                     + (1.0 - least(punct_ratio * 4, 1.0)) * 0.3
+                     + least(sw * 4, 1.0) * 0.2
+                     + (CASE WHEN mean_wl >= 3 AND mean_wl <= 10
+                             THEN 1.0 ELSE 0.0 END) * 0.2 AS quality_score
+            FROM g""",
         "ext_lsh_buckets": f"""
             SELECT vec_id, CAST({_bucket_terms} AS BIGINT) AS bucket
             FROM embeddings""",
