@@ -1257,6 +1257,15 @@ def q_ext_quality_features(spark, sf_dir):
                     .alias("quality_score")))
 
 
+def q_ext_chunk_documents(spark, sf_dir):
+    """Sliding-window passage chunking (r6; the pre-embedding/packing
+    stage): 32-token windows, 8-token overlap — window math mirrored
+    exactly in SQL."""
+    from graphdb_free_mocha_sa_spark.operators.pipeline import chunk_documents
+    (d,) = _tables(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=32, overlap=8)
+
+
 def q_ext_bpe_tokens(spark, sf_dir):
     from graphdb_free_mocha_sa_spark.operators.text import bpe_ish_token_count
     (d,) = _tables(spark, sf_dir, "documents")
@@ -1394,6 +1403,9 @@ _DEFERRED_PAST_DRIVER_CAP = [
     # whose behavior changed this round (b33_load TriG, ext_embed_quantize
     # string encoding — both must re-pass the driver gate).
     # r5-and-earlier driver-green entries rotating out this round:
+    "b6_minus",              # MINUS stays pinned by the spec-edge tests
+                             # + randomized oracle sweep (makes room for
+                             # ext_chunk_documents, new r6 entry)
     "ext_bm25_search",       # pipeline family keeps curation_pipeline
                              # + lm_score in the head (makes room for
                              # ext_quality_features, new r6 entry)
@@ -1551,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_text_termstats": q_ext_text_termstats,
         "ext_lang_id": q_ext_lang_id,
         "ext_quality_features": q_ext_quality_features,
+        "ext_chunk_documents": q_ext_chunk_documents,
         "ext_text_tokens": q_ext_text_tokens,
         # round-5b pipeline additions (all oracle-backed):
         "ext_quality_gopher": q_ext_quality_gopher,
@@ -1667,6 +1680,25 @@ def oracle_sql() -> dict[str, str]:
                      + (CASE WHEN mean_wl >= 3 AND mean_wl <= 10
                              THEN 1.0 ELSE 0.0 END) * 0.2 AS quality_score
             FROM g""",
+        "ext_chunk_documents": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                                    '[^\\pL\\pN'']+'),
+                                 w -> w <> '') AS t
+              FROM documents),
+            n AS (SELECT doc_id, t, len(t) AS n FROM tok),
+            k AS (SELECT doc_id, t,
+                         unnest(range(greatest(
+                           CAST(ceil((n - 8)::DOUBLE / 24) AS INT), 1)))
+                         AS k
+                  FROM n)
+            SELECT doc_id,
+                   CAST(k AS INTEGER) AS chunk_id,
+                   array_to_string(t[k*24 + 1 : k*24 + 32], ' ')
+                     AS chunk_text,
+                   CAST(len(t[k*24 + 1 : k*24 + 32]) AS INTEGER) AS n_tok
+            FROM k""",
         "ext_lsh_buckets": f"""
             SELECT vec_id, CAST({_bucket_terms} AS BIGINT) AS bucket
             FROM embeddings""",

@@ -586,3 +586,31 @@ def length_bucket_batches(df: DataFrame, batch_size: int,
         .cast("bigint").alias("batch_id"),
         F.pmod(F.col("__pos"), F.lit(batch_size)).cast("bigint")
         .alias("batch_slot"))
+
+
+def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
+                    overlap: int = 16, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into sliding token windows (r6; the passage-
+    chunking stage every pretraining/RAG pipeline runs before embedding
+    or packing): window ``k`` covers tokens ``[k*stride, k*stride +
+    chunk_tokens)`` with ``stride = chunk_tokens - overlap``; every doc
+    yields at least one chunk (short docs yield themselves).
+
+    Scale shape: tokenize + explode — map-only, no shuffle, chunk count
+    proportional to corpus tokens. Deterministic (chunk_id is the window
+    index, not a partition artifact), so exactly SQL-mirrorable.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    d = df.select(id_col, tokens(F.col(text_col)).alias("__t"))
+    n = F.size("__t")
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / stride).cast("int"),
+        F.lit(1))
+    d = d.withColumn("__k", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+    chunk = F.slice("__t", F.col("__k") * stride + 1, chunk_tokens)
+    return d.select(id_col, F.col("__k").alias("chunk_id"),
+                    F.concat_ws(" ", chunk).alias("chunk_text"),
+                    F.size(chunk).alias("n_tok"))

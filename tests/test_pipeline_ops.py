@@ -369,3 +369,33 @@ def test_length_bucket_batches_padding_bound(spark):
     df = spark.createDataFrame(rows, "doc_id bigint, n_tok int")
     for r in P.length_bucket_batches(df, batch_size=8).collect():
         assert r.n_tok <= r.bucket < 2 * max(r.n_tok, 1)
+
+
+def test_chunk_documents_window_math(spark):
+    """r6: sliding-window chunking — coverage, overlap, short docs, and
+    the at-least-one-chunk rule."""
+    from graphdb_free_mocha_sa_spark.operators.pipeline import chunk_documents
+    rows = [(1, " ".join(f"w{i}" for i in range(10))),   # 10 toks, 1 chunk@W=16
+            (2, " ".join(f"w{i}" for i in range(40))),   # 40 toks
+            (3, "")]                                     # empty
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = chunk_documents(df, chunk_tokens=16, overlap=4)
+    got = {(r.doc_id, r.chunk_id): (r.chunk_text, r.n_tok)
+           for r in out.collect()}
+    # doc 1: single chunk, itself
+    assert got[(1, 0)][1] == 10 and len([k for k in got if k[0] == 1]) == 1
+    # doc 2: stride 12 -> ceil((40-4)/12)=3 chunks at starts 0,12,24
+    ks = sorted(k[1] for k in got if k[0] == 2)
+    assert ks == [0, 1, 2]
+    assert got[(2, 0)][0].split()[:2] == ["w0", "w1"]
+    assert got[(2, 1)][0].split()[0] == "w12"      # overlap of 4: 12..27
+    assert got[(2, 1)][0].split()[-1] == "w27"
+    assert got[(2, 2)][0].split()[0] == "w24"
+    assert got[(2, 2)][1] == 16
+    # empty doc: one empty chunk (deterministic, never dropped)
+    assert got[(3, 0)] == ("", 0)
+    # consecutive chunks overlap by exactly `overlap` tokens
+    assert got[(2, 0)][0].split()[-4:] == got[(2, 1)][0].split()[:4]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
