@@ -10,6 +10,7 @@ prepareUpdate path (:228).
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,6 +61,7 @@ class Engine:
         self._enc = None                      # (basis, term_dict, enc_quads)
         self._const_ids: dict = {}
         self._sameas = None                   # (basis, view, comp, epoch)
+        self._plan_cache: dict = {}           # (sparql, *basis) -> result
         self._progress = {"tasks_received": 0, "tasks_completed": 0,
                           "tasks_failed": 0, "updates_received": 0,
                           "updates_completed": 0}
@@ -352,7 +354,36 @@ class Engine:
         self._size_basis = (basis[0], decision)
         return decision
 
+    #: prepared-query cache size; entries are (sparql, snapshot-basis) →
+    #: translated result, so any mutation (new snapshot / new closure)
+    #: invalidates by key miss and old snapshots age out of the LRU
+    PLAN_CACHE_SIZE = 64
+    _NONCACHEABLE = re.compile(
+        r"\b(?:RAND|UUID|STRUUID|NOW)\s*\(|\bSERVICE\b", re.I)
+
     def query(self, sparql: str):
+        """Parse+translate with a prepared-query LRU (r6): a SPARQL
+        endpoint sees the same query text repeatedly, and translation
+        (parse + algebra + plan build) is pure given the store snapshot —
+        keyed on (text, snapshot basis), skipped for queries containing
+        nondeterministic functions or SERVICE (remote state)."""
+        cacheable = not self._NONCACHEABLE.search(sparql)
+        key = None
+        if cacheable:
+            key = (sparql, *self._basis())
+            hit = self._plan_cache.get(key)
+            if hit is not None:
+                self._plan_cache.pop(key)
+                self._plan_cache[key] = hit      # LRU refresh
+                return hit
+        res = self._query_uncached(sparql)
+        if key is not None:
+            self._plan_cache[key] = res
+            while len(self._plan_cache) > self.PLAN_CACHE_SIZE:
+                self._plan_cache.pop(next(iter(self._plan_cache)))
+        return res
+
+    def _query_uncached(self, sparql: str):
         q = parse_query(sparql)
         if self._should_encode() and not isinstance(q, A.DescribeQuery):
             term_dict, enc_quads = self._encoded_state()

@@ -248,3 +248,27 @@ def test_describe_solution_modifiers_and_values(engine):
         'VALUES ?n { "NATION_5" }')
     subs2 = {r.s for r in df2.collect() if r.s.startswith("urn:x:nation/")}
     assert len(subs2) == 1
+
+
+def test_prepared_query_cache_snapshot_keyed(spark):
+    """r6: the prepared-query LRU returns identical results, invalidates
+    on mutation (snapshot-basis key), and skips nondeterministic/SERVICE
+    queries."""
+    import json
+
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark))
+    eng.update('INSERT DATA { <urn:a> <urn:p> "1" }')
+    q = "SELECT ?s WHERE { ?s <urn:p> ?o }"
+    assert eng.query_json(q) == eng.query_json(q)
+    assert len(eng._plan_cache) == 1
+    eng.update('INSERT DATA { <urn:b> <urn:p> "2" }')
+    assert len(json.loads(eng.query_json(q))["results"]["bindings"]) == 2
+    # nondeterministic and SERVICE queries never enter the cache
+    eng.query_json("SELECT ?r WHERE { BIND(RAND() AS ?r) }")
+    assert all("RAND" not in k[0] for k in eng._plan_cache)
+    # LRU bound holds
+    for i in range(Engine.PLAN_CACHE_SIZE + 5):
+        eng.query(f"ASK {{ <urn:a> <urn:p> \"{i}\" }}")
+    assert len(eng._plan_cache) <= Engine.PLAN_CACHE_SIZE
