@@ -88,7 +88,10 @@ def _read_line_rdf(spark: SparkSession, path: str, graph: str,
     s_bn = F.regexp_extract(v, r"^\s*(_:\S+)", 1)
     s = F.when(F.length(s_iri) > 0, s_iri).when(F.length(s_bn) > 0, s_bn)
     p = F.regexp_extract(v, r"^\s*(?:<[^>]*>|_:\S+)\s+<([^>]*)>", 1)
-    rest = F.regexp_extract(v, r"^\s*(?:<[^>]*>|_:\S+)\s+<[^>]*>\s+(.*?)\s*\.\s*$", 1)
+    # (?s): Java regex counts U+2028/U+2029/U+0085 as line terminators,
+    # so without DOTALL a raw one inside a literal stops `.` mid-line and
+    # the whole statement silently parses empty (r6 fuzz finding)
+    rest = F.regexp_extract(v, r"(?s)^\s*(?:<[^>]*>|_:\S+)\s+<[^>]*>\s+(.*?)\s*\.\s*$", 1)
 
     g_col = F.lit(graph)
     if quads:
@@ -109,9 +112,9 @@ def _read_line_rdf(spark: SparkSession, path: str, graph: str,
 
     o_iri = F.regexp_extract(rest, r"^<([^>]*)>$", 1)
     o_bn = F.regexp_extract(rest, r"^(_:\S+)$", 1)
-    o_lexq = F.regexp_extract(rest, r'^"((?:[^"\\]|\\.)*)"', 1)
-    o_lang = F.regexp_extract(rest, r'^"(?:[^"\\]|\\.)*"@([A-Za-z0-9-]+)$', 1)
-    o_dt = F.regexp_extract(rest, r'^"(?:[^"\\]|\\.)*"\^\^<([^>]*)>$', 1)
+    o_lexq = F.regexp_extract(rest, r'(?s)^"((?:[^"\\]|\\.)*)"', 1)
+    o_lang = F.regexp_extract(rest, r'(?s)^"(?:[^"\\]|\\.)*"@([A-Za-z0-9-]+)$', 1)
+    o_dt = F.regexp_extract(rest, r'(?s)^"(?:[^"\\]|\\.)*"\^\^<([^>]*)>$', 1)
     is_lit = rest.startswith('"')
 
     unesc = nt_unescape(o_lexq)

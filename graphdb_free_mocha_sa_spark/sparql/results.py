@@ -212,7 +212,13 @@ RESULT_FORMATS = {
 #: here and the Column-expression exporter (sources/rdf.py nt_escape);
 #: ORDER MATTERS: backslash first, or later escapes double-escape
 NT_ESCAPES = (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"),
-              ("\r", "\\r"), ("\t", "\\t"))
+              ("\r", "\\r"), ("\t", "\\t"),
+              # Java regex treats these as LINE TERMINATORS (non-UNIX_LINES
+              # mode): a raw U+2028/U+2029/U+0085 inside a literal stops
+              # `.` and `$` in any downstream Java-regex consumer, so emit
+              # them as \uXXXX (readers decode \uXXXX ECHARs anyway)
+              ("\u2028", "\\u2028"), ("\u2029", "\\u2029"),
+              ("\u0085", "\\u0085"))
 
 
 def _nt_escape(s: str) -> str:

@@ -465,3 +465,33 @@ def test_r6_review_fixes_rdf_edges(spark, tmp_path):
     text = "".join(open(f).read()
                    for f in glob.glob(out + "/part-*"))
     assert text.strip() == "<urn:s> <urn:p> <urn:o> _:bg ."
+
+
+def test_export_nquads_roundtrip_nasty_strings(spark):
+    """r6: export→read round-trip over a generated corpus of adversarial
+    literals (escapes, quotes, unicode incl. astral planes, control
+    chars, regex metacharacters) — one Spark job, 200 rows."""
+    import random
+
+    from graphdb_free_mocha_sa_spark.model import QUAD_SCHEMA
+    from graphdb_free_mocha_sa_spark.sources.rdf import (export_nquads,
+                                                         read_nquads)
+    rng = random.Random(42)
+    alphabet = (list('abc \\"\'\t\n\r$^[](){}|.*+?') +
+                ["é", "ß", "中", "🚀", "\u00a0", "\u2028"])
+    nasty = ["".join(rng.choice(alphabet) for _ in range(rng.randint(1, 30)))
+             for _ in range(195)]
+    nasty += ['\\', '"', '\\n', '\t\t', '\\"nested\\"']
+    rows = [("urn:g", f"urn:s{i}", "urn:p", t,
+             "http://www.w3.org/2001/XMLSchema#string", None, None, None)
+            for i, t in enumerate(nasty)]
+    df = spark.createDataFrame(rows, QUAD_SCHEMA)
+    import tempfile
+    out = tempfile.mkdtemp(prefix="nq_nasty_") + "/dump"
+    export_nquads(df, out, default_graph="urn:none")
+    back = read_nquads(spark, out, "urn:none")
+    got = {r.s: r.o_lex for r in back.collect()}
+    want = {f"urn:s{i}": t for i, t in enumerate(nasty)}
+    assert len(got) == len(want) == 200
+    bad = {k: (want[k], got.get(k)) for k in want if got.get(k) != want[k]}
+    assert not bad, list(bad.items())[:3]
