@@ -703,3 +703,73 @@ def test_r6_pack_token_budget_rejects_non_numeric_order_col(spark):
     df = spark.createDataFrame([("a", 5), ("b", 7)], "id string, n_tok int")
     with _pytest.raises(TypeError, match="must be numeric"):
         pack_token_budget(df, budget=8, order_col="id")
+
+
+def test_r6_engine_literal_roundtrip_nasty_strings(spark):
+    """r6 fuzz: INSERT DATA → SELECT round-trip over adversarial literals
+    (escapes, quotes, unicode separators, regex metachars) through the
+    full parser → store → JSON-writer path, plus the CSV and TSV writers
+    parsed back with stdlib readers."""
+    import csv
+    import io
+    import json
+    import random
+
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+
+    rng = random.Random(7)
+    alphabet = (list('abc \\"\'\t$^[](){}|.*+?,') +
+                ["é", "中", "🚀", "\u2028", "\u00a0"])
+    nasty = ["".join(rng.choice(alphabet) for _ in range(rng.randint(1, 25)))
+             for _ in range(60)]
+
+    def sparql_escape(s):
+        return (s.replace("\\", "\\\\").replace('"', '\\"')
+                .replace("\n", "\\n").replace("\r", "\\r")
+                .replace("\t", "\\t"))
+
+    eng = Engine(spark, QuadStore(spark))
+    stmts = " . ".join(f'<urn:s{i}> <urn:p> "{sparql_escape(t)}"'
+                       for i, t in enumerate(nasty))
+    eng.update("INSERT DATA { " + stmts + " }")
+
+    out = json.loads(eng.query_json(
+        "SELECT ?s ?o WHERE { ?s <urn:p> ?o }"))
+    got = {b["s"]["value"]: b["o"]["value"]
+           for b in out["results"]["bindings"]}
+    want = {f"urn:s{i}": t for i, t in enumerate(nasty)}
+    assert got == want
+
+    # CSV writer round-trip via the stdlib RFC-4180 reader
+    chunks = []
+    eng.query_to("SELECT ?s ?o WHERE { ?s <urn:p> ?o }", chunks.append,
+                 fmt="csv")
+    rows = list(csv.reader(io.StringIO("".join(chunks))))
+    assert rows[0] == ["s", "o"]
+    assert {r[0]: r[1] for r in rows[1:]} == want
+
+    # TSV writer: terms decode with the same unescape rules as N-Triples
+    chunks = []
+    eng.query_to("SELECT ?o WHERE { ?s <urn:p> ?o }", chunks.append,
+                 fmt="tsv")
+    lines = "".join(chunks).split("\n")[1:]
+    def tsv_decode(cell):
+        assert cell.startswith('"') and cell.endswith('"'), cell
+        body = cell[1:-1]
+        outs, i = [], 0
+        while i < len(body):
+            if body[i] == "\\":
+                if body[i + 1] == "u":          # \uXXXX codepoint escape
+                    outs.append(chr(int(body[i + 2:i + 6], 16)))
+                    i += 6
+                else:
+                    outs.append({"n": "\n", "r": "\r", "t": "\t",
+                                 '"': '"', "\\": "\\"}[body[i + 1]])
+                    i += 2
+            else:
+                outs.append(body[i])
+                i += 1
+        return "".join(outs)
+    got_tsv = sorted(tsv_decode(l) for l in lines if l)
+    assert got_tsv == sorted(nasty)
