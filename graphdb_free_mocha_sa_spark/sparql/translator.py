@@ -945,6 +945,11 @@ class Translator:
         if isinstance(e, A.EAgg):
             return _fam_tcol(df, agg_ids[id(e)])
         if isinstance(e, A.EVar):
+            if e.name not in df.columns:
+                # never-bound variable: a ROW-level error (all-null term),
+                # not a translation failure — COALESCE/BOUND/IF must be
+                # able to observe and recover from it (r6 probe fix)
+                return TCol()
             return _fam_tcol(df, e.name)
         if isinstance(e, A.ELit):
             return TCol.from_term(e.term)

@@ -773,3 +773,22 @@ def test_r6_engine_literal_roundtrip_nasty_strings(spark):
         return "".join(outs)
     got_tsv = sorted(tsv_decode(l) for l in lines if l)
     assert got_tsv == sorted(nasty)
+
+
+def test_r6_never_bound_var_is_row_error_not_translation_failure(fresh_eng):
+    """SPARQL §17: evaluating an unbound variable is a ROW-level error —
+    COALESCE recovers, BOUND answers false, and a query projecting one
+    must not die to the sentinel (r6 probe fix)."""
+    import json
+    fresh_eng.update('INSERT DATA { <urn:a> <urn:v> 1 }')
+    out = json.loads(fresh_eng.query_json(
+        'SELECT (COALESCE(IF(1>2, "a", ?und), "d") AS ?c) '
+        'WHERE { <urn:a> <urn:v> 1 }'))
+    assert out["results"]["bindings"][0]["c"]["value"] == "d"
+    out = json.loads(fresh_eng.query_json(
+        'SELECT (BOUND(?und) AS ?b) WHERE { <urn:a> <urn:v> 1 }'))
+    assert out["results"]["bindings"][0]["b"]["value"] == "false"
+    out = json.loads(fresh_eng.query_json(
+        'SELECT (?und AS ?u) ?x WHERE { <urn:a> <urn:v> ?x }'))
+    b = out["results"]["bindings"][0]
+    assert "u" not in b and b["x"]["value"] == "1"
