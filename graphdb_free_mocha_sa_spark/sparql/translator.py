@@ -482,6 +482,15 @@ class Translator:
 
     def _scan_path(self, tp: A.TriplePattern, gctx) -> DataFrame:
         from graphdb_free_mocha_sa_spark.operators.paths import eval_path
+        # SPARQL zero-length path: with a */? modifier and identical
+        # CONSTANT endpoints the pattern matches unconditionally — the
+        # zero-length leg connects every term to itself, including terms
+        # absent from the graph (r6 probe fix; matches Jena/rdf4j).
+        if isinstance(tp.p, A.PMod) and tp.p.mod in ("*", "?") \
+                and not isinstance(tp.s, (A.Var, A.BNode)) \
+                and not isinstance(tp.o, (A.Var, A.BNode)) \
+                and term_parts_py(tp.s)[0] == term_parts_py(tp.o)[0]:
+            return self._unit()
         pairs = eval_path(self.spark, self._graph_scan(gctx), tp.p,
                           lookup_id=self.lookup_id if self.encoded else None)
         # pairs carries endpoint families "s"/"o" (key-only in encoded mode —

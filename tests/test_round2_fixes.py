@@ -792,3 +792,17 @@ def test_r6_never_bound_var_is_row_error_not_translation_failure(fresh_eng):
         'SELECT (?und AS ?u) ?x WHERE { <urn:a> <urn:v> ?x }'))
     b = out["results"]["bindings"][0]
     assert "u" not in b and b["x"]["value"] == "1"
+
+
+def test_r6_zero_length_path_constant_endpoints(fresh_eng):
+    """SPARQL §18.4 zero-length paths: */? with identical constant
+    endpoints match even when the term is absent from the graph; + does
+    not (r6 probe fix, matches Jena/rdf4j)."""
+    import json
+    fresh_eng.update('INSERT DATA { <urn:a> <urn:p> <urn:b> }')
+    ask = lambda q: json.loads(fresh_eng.query_json(q))["boolean"]
+    assert ask('ASK { <urn:zzz> <urn:p>* <urn:zzz> }') is True
+    assert ask('ASK { <urn:zzz> <urn:p>? <urn:zzz> }') is True
+    assert ask('ASK { <urn:zzz> <urn:p>+ <urn:zzz> }') is False
+    assert ask('ASK { <urn:a> <urn:p>* <urn:b> }') is True
+    assert ask('ASK { <urn:a> <urn:p>* <urn:zzz> }') is False
