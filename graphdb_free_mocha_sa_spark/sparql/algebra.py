@@ -298,6 +298,10 @@ class Modify:
     insert_template: list[tuple[Optional[U[str, Var]], TriplePattern]]
     where: Pattern
     with_graph: Optional[str] = None
+    #: USING / USING NAMED dataset for the WHERE pattern (r6): when
+    #: present, WITH does not scope the WHERE (SPARQL Update §3.1.3)
+    using: tuple = ()
+    using_named: tuple = ()
 
 
 @dataclass

@@ -854,8 +854,10 @@ class Parser:
             if self.accept_kw("DATA"):
                 return InsertData(self._parse_quad_data())
             ins = self._parse_quad_template()
+            using, using_named = self._parse_using()
             self.expect_kw("WHERE")
-            return Modify([], ins, self.parse_group_graph_pattern())
+            return Modify([], ins, self.parse_group_graph_pattern(),
+                          using=using, using_named=using_named)
         if self.at_kw("DELETE"):
             self.next()
             if self.accept_kw("DATA"):
@@ -869,8 +871,10 @@ class Parser:
             ins: list = []
             if self.accept_kw("INSERT"):
                 ins = self._parse_quad_template()
+            using, using_named = self._parse_using()
             self.expect_kw("WHERE")
-            return Modify(dele, ins, self.parse_group_graph_pattern())
+            return Modify(dele, ins, self.parse_group_graph_pattern(),
+                          using=using, using_named=using_named)
         if self.at_kw("WITH"):
             self.next()
             g = self.parse_iri()
@@ -907,6 +911,18 @@ class Parser:
             dst = None if self.accept_kw("DEFAULT") else (self.accept_kw("GRAPH"), self.parse_iri())[1]
             return CopyMoveAdd(op, src, dst, silent)
         raise SparqlSyntaxError(f"unknown update op at {self.peek()!r}")
+
+    def _parse_using(self) -> tuple:
+        """UsingClause* (SPARQL Update §3.1.3): USING <g> selects the
+        WHERE pattern's default graph, USING NAMED <g> its named set."""
+        using, named = [], []
+        while self.at_kw("USING"):
+            self.next()
+            if self.accept_kw("NAMED"):
+                named.append(self.parse_iri())
+            else:
+                using.append(self.parse_iri())
+        return tuple(using), tuple(named)
 
     def _template_to_pattern(self, tmpl) -> Pattern:
         by_graph: dict[Optional[str], list[TriplePattern]] = {}

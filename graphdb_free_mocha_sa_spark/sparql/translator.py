@@ -172,8 +172,11 @@ class Translator:
                        if i is not None]
                 return F.col("g_id").isin(ids) if ids else F.lit(False)
             if gctx is None:
-                return df.filter(g_in(self.dataset_default)) \
-                    if self.dataset_default else df
+                # a dataset clause REPLACES the default graph: FROM NAMED
+                # alone leaves it EMPTY (SPARQL §13.2; r6 probe fix)
+                if self.dataset_default or self.dataset_named:
+                    return df.filter(g_in(self.dataset_default or []))
+                return df
             if isinstance(gctx, str) and not gctx.startswith("?"):
                 return df.filter(g_in([gctx]))
             if self.dataset_named:
@@ -182,6 +185,8 @@ class Translator:
         if gctx is None:
             if self.dataset_default:
                 df = df.filter(F.col("g").isin(self.dataset_default))
+            elif self.dataset_named:
+                df = df.filter(F.lit(False))      # FROM NAMED only (§13.2)
             return df
         if isinstance(gctx, str) and not gctx.startswith("?"):
             return df.filter(F.col("g") == gctx)
@@ -1027,8 +1032,27 @@ class Translator:
                            else F.sum_distinct(src) / F.count_distinct(src))
                 else:
                     col = F.sum(src) if func == "SUM" else F.avg(src)
-                agg_cols.append(col.cast("double").alias(aname + "__rawnum"))
-                post.append((aname, "num"))
+                if func == "SUM":
+                    # SPARQL §18.5.1.5: Sum over an EMPTY group is 0 (the
+                    # single no-GROUP-BY group over zero solutions), while
+                    # a non-empty group whose values all error stays an
+                    # error (NULL) — distinguish via the row count
+                    col = F.when(F.count(F.lit(1)) == F.lit(0), F.lit(0.0)) \
+                           .otherwise(col)
+                    from graphdb_free_mocha_sa_spark.model import XSD_INTEGER
+                    # result datatype: integer unless any input was wider
+                    # (SUM over integers is an integer, not a double — r6)
+                    agg_cols.append(
+                        F.coalesce(F.max(F.when(inp.dt != XSD_INTEGER, 1)
+                                         .otherwise(0)), F.lit(0))
+                        .alias(aname + "__isdbl"))
+                    agg_cols.append(col.cast("double")
+                                    .alias(aname + "__rawnum"))
+                    post.append((aname, "sum"))
+                else:
+                    agg_cols.append(col.cast("double")
+                                    .alias(aname + "__rawnum"))
+                    post.append((aname, "num"))
             elif func in ("MIN", "MAX"):
                 # min_by/max_by over a value-order key so the ORIGINAL
                 # TERM survives (plain min(num) re-serialized integers as
@@ -1075,7 +1099,20 @@ class Translator:
         # rebuild term families for aggregate results
         from graphdb_free_mocha_sa_spark.model import XSD_DOUBLE, XSD_INTEGER
         for aname, kind in post:
-            if kind in ("int", "num"):
+            if kind == "sum":
+                num = F.col(aname + "__rawnum")
+                isdbl = F.col(aname + "__isdbl") == 1
+                t = TCol(
+                    lex=F.when(num.isNull(), F.lit(None).cast("string"))
+                         .when(isdbl, num.cast("string"))
+                         .otherwise(num.cast("long").cast("string")),
+                    dt=F.when(num.isNotNull(),
+                              F.when(isdbl, F.lit(XSD_DOUBLE))
+                               .otherwise(F.lit(XSD_INTEGER))),
+                    num=num)
+                out = _with_family(out, aname, t)
+                out = out.drop(aname + "__rawnum", aname + "__isdbl")
+            elif kind in ("int", "num"):
                 t = TCol.from_num(F.col(aname + "__rawnum"),
                                   XSD_INTEGER if kind == "int" else XSD_DOUBLE)
                 out = _with_family(out, aname, t)

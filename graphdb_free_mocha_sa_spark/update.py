@@ -67,18 +67,26 @@ class UpdateExecutor:
             pass  # graphs auto-create (reference rewrite rationale, :192)
         elif isinstance(op, A.LoadOp):
             from graphdb_free_mocha_sa_spark.sources.rdf import read_rdf_file
-            quads = read_rdf_file(spark, op.source.replace("file://", ""),
-                                  graph=op.graph or DEFAULT_GRAPH)
-            self.store.add_quads(quads)
+            try:
+                quads = read_rdf_file(spark, op.source.replace("file://", ""),
+                                      graph=op.graph or DEFAULT_GRAPH)
+                self.store.add_quads(quads)
+            except Exception:
+                if not op.silent:      # LOAD SILENT swallows failures (r6)
+                    raise
         elif isinstance(op, A.CopyMoveAdd):
             self.store.copy_graph(op.op, op.src, op.dst)
         else:
             raise TypeError(f"unknown update op {op!r}")
 
     def _modify(self, op: A.Modify) -> None:
-        tr = Translator(self.store.spark, self.store.df)
+        using = getattr(op, "using", ()) or ()
+        using_named = getattr(op, "using_named", ()) or ()
+        tr = Translator(self.store.spark, self.store.df,
+                        list(using) or None, list(using_named) or None)
         where = op.where
-        if op.with_graph is not None:
+        # USING overrides WITH for the WHERE pattern (SPARQL Update §3.1.3)
+        if op.with_graph is not None and not (using or using_named):
             where = A.GraphPat(A.IRI(op.with_graph), where)
         bindings = tr.translate(where)
 

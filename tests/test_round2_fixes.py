@@ -806,3 +806,47 @@ def test_r6_zero_length_path_constant_endpoints(fresh_eng):
     assert ask('ASK { <urn:zzz> <urn:p>+ <urn:zzz> }') is False
     assert ask('ASK { <urn:a> <urn:p>* <urn:b> }') is True
     assert ask('ASK { <urn:a> <urn:p>* <urn:zzz> }') is False
+
+
+def test_r6_update_dataset_and_aggregate_semantics(spark):
+    """r6 probe sweep: LOAD SILENT swallows failures; USING selects the
+    WHERE dataset and overrides WITH; FROM NAMED alone empties the
+    default graph; SUM is 0 over an empty group and keeps xsd:integer
+    for integer inputs."""
+    import json
+
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark))
+    eng.update('INSERT DATA { <urn:a> <urn:v> 1 . '
+               'GRAPH <urn:g1> { <urn:b> <urn:v> 2 } }')
+
+    eng.update("LOAD SILENT <file:///nonexistent-xyz.nt>")   # must not raise
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        eng.update("LOAD <file:///nonexistent-xyz.nt>")
+
+    eng.update('WITH <urn:zzz> DELETE { ?s <urn:v> ?o } '
+               'INSERT { ?s <urn:v2> ?o } USING <urn:g1> '
+               'WHERE { ?s <urn:v> ?o }')
+    def q(s):
+        out = json.loads(eng.query_json(s))
+        return out.get("boolean", out["results"]["bindings"])
+    assert [b["s"]["value"] for b in
+            q('SELECT ?s WHERE { ?s <urn:v2> ?o }')] == ["urn:b"]
+
+    assert q('SELECT ?s FROM NAMED <urn:g1> WHERE { ?s <urn:v> ?o }') == []
+    assert [b["s"]["value"] for b in
+            q('SELECT ?s FROM NAMED <urn:g1> '
+              'WHERE { GRAPH ?g { ?s ?p ?o } }')]
+
+    b = q('SELECT (SUM(?x) AS ?s) (MAX(?x) AS ?m) '
+          'WHERE { ?z <urn:none> ?x }')[0]
+    assert (b["s"]["value"], b["s"]["datatype"].rsplit("#")[-1]) \
+        == ("0", "integer")
+    assert "m" not in b
+    # both <urn:v> values remain (the DELETE scoped to <urn:zzz> matched
+    # nothing) — and the integer sum keeps xsd:integer
+    b = q('SELECT (SUM(?x) AS ?s) WHERE { ?z <urn:v> ?x }')[0]
+    assert (b["s"]["value"], b["s"]["datatype"].rsplit("#")[-1]) \
+        == ("3", "integer")
