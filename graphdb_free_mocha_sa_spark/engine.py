@@ -396,6 +396,7 @@ class Engine:
             tr = Translator(self.spark, self._quads(),
                             getattr(q, "dataset_default", None),
                             getattr(q, "dataset_named", None))
+        tr.query_base = getattr(q, "base", None)
         if isinstance(q, A.SelectQuery):
             df = tr.translate_select(q)
             vs = [v for v in df.columns if "__" not in v]

@@ -297,7 +297,7 @@ def _iri_localname_encode(c: Column) -> Column:
     return F.regexp_replace(F.url_encode(c), r"\+", "%20")
 
 
-def builtin(name: str, args: list[TCol]) -> TCol:
+def builtin(name: str, args: list[TCol], base: str | None = None) -> TCol:
     n = name.upper()
     a = args
 
@@ -308,6 +308,12 @@ def builtin(name: str, args: list[TCol]) -> TCol:
     if n == "DATATYPE":
         return TCol.iri(a[0].dt)
     if n in ("IRI", "URI"):
+        if base:
+            # resolve relative references against the query BASE (r6):
+            # absolute IRIs (scheme present) pass through untouched
+            lex = F.when(a[0].lex.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"),
+                         a[0].lex)                    .otherwise(F.concat(F.lit(base), a[0].lex))
+            return TCol.iri(lex)
         return TCol.iri(a[0].lex)
     if n == "BNODE":
         return TCol(lex=F.concat(F.lit("_:b"), F.expr("uuid()")),

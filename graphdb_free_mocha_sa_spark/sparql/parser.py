@@ -1022,6 +1022,11 @@ def parse_query(text: str) -> Query:
     if t.kind != "EOF":
         raise SparqlSyntaxError(
             f"unexpected trailing input at {t.value!r} (pos {t.pos})")
+    # runtime IRI("rel") resolution needs the prologue's BASE (r6)
+    try:
+        q.base = p.base or None
+    except Exception:
+        pass
     return q
 
 

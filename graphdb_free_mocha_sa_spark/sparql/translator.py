@@ -97,6 +97,9 @@ class Translator:
         self.encoded = term_dict is not None
         self._lookup = lookup_id
         self._n = 0
+        #: prologue BASE of the query being translated (engine sets it);
+        #: consumed by the IRI()/URI() builtin for relative references
+        self.query_base: Optional[str] = None
 
     # ---------------------------------------------------- encoded-mode utils
 
@@ -824,7 +827,7 @@ class Translator:
             return unary(expr.op, self._eval(expr.expr, resolver, exists_map))
         if isinstance(expr, A.EFunc):
             args = [self._eval(e, resolver, exists_map) for e in expr.args]
-            return builtin(expr.name, args)
+            return builtin(expr.name, args, base=self.query_base)
         if isinstance(expr, A.EIn):
             x = self._eval(expr.expr, resolver, exists_map)
             conds = [binary("=", x, self._eval(it, resolver, exists_map)).ebv()
@@ -973,7 +976,9 @@ class Translator:
         if isinstance(e, A.EUnary):
             return unary(e.op, self._eval_with_aggs(e.expr, df, agg_ids))
         if isinstance(e, A.EFunc):
-            return builtin(e.name, [self._eval_with_aggs(x, df, agg_ids) for x in e.args])
+            return builtin(e.name,
+                           [self._eval_with_aggs(x, df, agg_ids)
+                            for x in e.args], base=self.query_base)
         if isinstance(e, A.EIn):
             x = self._eval_with_aggs(e.expr, df, agg_ids)
             acc = F.lit(False)
@@ -1032,27 +1037,26 @@ class Translator:
                            else F.sum_distinct(src) / F.count_distinct(src))
                 else:
                     col = F.sum(src) if func == "SUM" else F.avg(src)
+                # SPARQL §18.5.1.5/.6: Sum AND Avg over an EMPTY group
+                # are 0 (the single no-GROUP-BY group over zero
+                # solutions), while a non-empty group whose values all
+                # error stays an error (NULL) — distinguish via row count
+                col = F.when(F.count(F.lit(1)) == F.lit(0), F.lit(0.0)) \
+                       .otherwise(col)
+                from graphdb_free_mocha_sa_spark.model import XSD_INTEGER
+                # result datatype: SUM of integers is an integer; AVG is
+                # double except the empty-group 0 (xsd:integer per spec)
                 if func == "SUM":
-                    # SPARQL §18.5.1.5: Sum over an EMPTY group is 0 (the
-                    # single no-GROUP-BY group over zero solutions), while
-                    # a non-empty group whose values all error stays an
-                    # error (NULL) — distinguish via the row count
-                    col = F.when(F.count(F.lit(1)) == F.lit(0), F.lit(0.0)) \
-                           .otherwise(col)
-                    from graphdb_free_mocha_sa_spark.model import XSD_INTEGER
-                    # result datatype: integer unless any input was wider
-                    # (SUM over integers is an integer, not a double — r6)
-                    agg_cols.append(
-                        F.coalesce(F.max(F.when(inp.dt != XSD_INTEGER, 1)
-                                         .otherwise(0)), F.lit(0))
-                        .alias(aname + "__isdbl"))
-                    agg_cols.append(col.cast("double")
-                                    .alias(aname + "__rawnum"))
-                    post.append((aname, "sum"))
+                    isdbl = F.coalesce(
+                        F.max(F.when(inp.dt != XSD_INTEGER, 1).otherwise(0)),
+                        F.lit(0))
                 else:
-                    agg_cols.append(col.cast("double")
-                                    .alias(aname + "__rawnum"))
-                    post.append((aname, "num"))
+                    isdbl = F.when(F.count(F.lit(1)) == F.lit(0), F.lit(0)) \
+                             .otherwise(F.lit(1))
+                agg_cols.append(isdbl.alias(aname + "__isdbl"))
+                agg_cols.append(col.cast("double")
+                                .alias(aname + "__rawnum"))
+                post.append((aname, "sum"))
             elif func in ("MIN", "MAX"):
                 # min_by/max_by over a value-order key so the ORIGINAL
                 # TERM survives (plain min(num) re-serialized integers as

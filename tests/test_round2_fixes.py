@@ -850,3 +850,21 @@ def test_r6_update_dataset_and_aggregate_semantics(spark):
     b = q('SELECT (SUM(?x) AS ?s) WHERE { ?z <urn:v> ?x }')[0]
     assert (b["s"]["value"], b["s"]["datatype"].rsplit("#")[-1]) \
         == ("3", "integer")
+
+
+def test_r6_avg_empty_and_iri_base(fresh_eng):
+    """r6 probe round 4: AVG over an empty group is 0 (xsd:integer, spec
+    §18.5.1.6); IRI()/URI() resolve relative references against the query
+    prologue's BASE."""
+    import json
+    fresh_eng.update('INSERT DATA { <urn:a> <urn:v> 1 . <urn:a> <urn:v> 2 }')
+    def q(s): return json.loads(fresh_eng.query_json(s))["results"]["bindings"]
+    b = q('SELECT (AVG(?x) AS ?a) WHERE { ?z <urn:none> ?x }')[0]
+    assert (b["a"]["value"], b["a"]["datatype"].rsplit("#")[-1]) \
+        == ("0", "integer")
+    assert q('SELECT (AVG(?x) AS ?a) WHERE { ?z <urn:v> ?x }'
+             )[0]["a"]["value"] == "1.5"
+    b = q('BASE <http://b.org/> SELECT (IRI("rel") AS ?i) '
+          '(IRI("urn:abs") AS ?j) WHERE { <urn:a> <urn:v> ?x } LIMIT 1')[0]
+    assert b["i"]["value"] == "http://b.org/rel"
+    assert b["j"]["value"] == "urn:abs"
