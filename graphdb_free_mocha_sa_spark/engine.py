@@ -378,6 +378,13 @@ class Engine:
                 return hit
         res = self._query_uncached(sparql)
         if key is not None:
+            basis = key[1:]
+            # entries keyed by superseded snapshots can never hit again —
+            # drop them now so dead localCheckpoint lineage is not pinned
+            # for up to PLAN_CACHE_SIZE insertions (r6 review fix)
+            stale = [k for k in self._plan_cache if k[1:] != basis]
+            for k in stale:
+                self._plan_cache.pop(k)
             self._plan_cache[key] = res
             while len(self._plan_cache) > self.PLAN_CACHE_SIZE:
                 self._plan_cache.pop(next(iter(self._plan_cache)))

@@ -309,10 +309,26 @@ def builtin(name: str, args: list[TCol], base: str | None = None) -> TCol:
         return TCol.iri(a[0].dt)
     if n in ("IRI", "URI"):
         if base:
-            # resolve relative references against the query BASE (r6):
-            # absolute IRIs (scheme present) pass through untouched
-            lex = F.when(a[0].lex.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"),
-                         a[0].lex)                    .otherwise(F.concat(F.lit(base), a[0].lex))
+            # RFC 3986-style resolution against the query BASE (r6; the
+            # review caught the naive-concat cut mangling non-slash bases,
+            # /abs-path, //net-path and #fragment refs). The BASE is a
+            # Python constant, so its components split at build time and
+            # only the reference is dispatched in Column logic.
+            import re as _re
+            m = _re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):(//[^/?#]*)?(.*)$",
+                          base)
+            scheme, auth, rest = m.group(1), m.group(2) or "", m.group(3)
+            root = scheme + ":" + auth
+            dir_path = (rest[:rest.rfind("/") + 1] if "/" in rest
+                        else ("/" if auth else ""))
+            ref = a[0].lex
+            lex = (F.when(ref.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), ref)
+                   .when(ref.startswith("//"),
+                         F.concat(F.lit(scheme + ":"), ref))
+                   .when(ref.startswith("/"), F.concat(F.lit(root), ref))
+                   .when(ref.startswith("#"),
+                         F.concat(F.lit(base.split("#")[0]), ref))
+                   .otherwise(F.concat(F.lit(root + dir_path), ref)))
             return TCol.iri(lex)
         return TCol.iri(a[0].lex)
     if n == "BNODE":

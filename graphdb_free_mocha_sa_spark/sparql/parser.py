@@ -846,6 +846,11 @@ class Parser:
             raise SparqlSyntaxError(
                 f"unexpected trailing input in update at {t.value!r} "
                 f"(pos {t.pos})")
+        for op in ops:                 # IRI() BASE resolution in WHERE (r6)
+            try:
+                op.base = self.base or None
+            except Exception:
+                pass
         return ops
 
     def _parse_update_op(self) -> UpdateOp:

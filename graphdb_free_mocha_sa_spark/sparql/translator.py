@@ -68,6 +68,19 @@ def term_parts_py(term) -> tuple:
     raise TypeError(term)
 
 
+def _path_nullable(p) -> bool:
+    """Whether a property-path expression can match the empty word."""
+    if isinstance(p, A.PMod):
+        return p.mod in ("*", "?") or _path_nullable(p.path)
+    if isinstance(p, A.PAlt):
+        return _path_nullable(p.left) or _path_nullable(p.right)
+    if isinstance(p, A.PSeq):
+        return _path_nullable(p.left) and _path_nullable(p.right)
+    if isinstance(p, A.PInv):
+        return _path_nullable(p.path)
+    return False
+
+
 class Translator:
     """Algebra → DataFrame. Two quad representations:
 
@@ -174,28 +187,35 @@ class Translator:
                 ids = [i for i in (self.lookup_id(n) for n in names)
                        if i is not None]
                 return F.col("g_id").isin(ids) if ids else F.lit(False)
+            # a dataset clause REPLACES the dataset: FROM alone empties
+            # the named set, FROM NAMED alone empties the default graph
+            # (SPARQL §13.2; r6 probe + review fixes)
+            has_ds = bool(self.dataset_default or self.dataset_named)
             if gctx is None:
-                # a dataset clause REPLACES the default graph: FROM NAMED
-                # alone leaves it EMPTY (SPARQL §13.2; r6 probe fix)
-                if self.dataset_default or self.dataset_named:
-                    return df.filter(g_in(self.dataset_default or []))
-                return df
+                return df.filter(g_in(self.dataset_default or [])) \
+                    if has_ds else df
             if isinstance(gctx, str) and not gctx.startswith("?"):
+                if has_ds and gctx not in self.dataset_named:
+                    return df.filter(F.lit(False))
                 return df.filter(g_in([gctx]))
-            if self.dataset_named:
-                df = df.filter(g_in(self.dataset_named))
+            if has_ds:
+                df = df.filter(g_in(self.dataset_named or []))
             return df
+        has_ds = bool(self.dataset_default or self.dataset_named)
         if gctx is None:
-            if self.dataset_default:
-                df = df.filter(F.col("g").isin(self.dataset_default))
-            elif self.dataset_named:
-                df = df.filter(F.lit(False))      # FROM NAMED only (§13.2)
+            if has_ds:
+                df = (df.filter(F.col("g").isin(self.dataset_default))
+                      if self.dataset_default else df.filter(F.lit(False)))
             return df
         if isinstance(gctx, str) and not gctx.startswith("?"):
+            if has_ds and gctx not in self.dataset_named:
+                return df.filter(F.lit(False))
             return df.filter(F.col("g") == gctx)
-        # variable context: restrict to FROM NAMED if given
-        if self.dataset_named:
-            df = df.filter(F.col("g").isin(self.dataset_named))
+        # variable context: the named set (empty when a dataset clause
+        # provided only FROM)
+        if has_ds:
+            df = (df.filter(F.col("g").isin(self.dataset_named))
+                  if self.dataset_named else df.filter(F.lit(False)))
         return df
 
     # ------------------------------------------------------------ joins
@@ -265,6 +285,10 @@ class Translator:
                 def resolver(name: str) -> TCol:
                     if name in shared or name in lvars:
                         return _fam_tcol(left, name)
+                    if name not in r2.columns:
+                        # bound on NEITHER side: row-level error term (r6
+                        # review fix — BOUND(?never) must answer false)
+                        return TCol()
                     return _fam_tcol(r2, name, suffix if name in shared else "")
                 cond = cond & extra(resolver)
             joined = left.join(r2, cond, how)
@@ -490,11 +514,12 @@ class Translator:
 
     def _scan_path(self, tp: A.TriplePattern, gctx) -> DataFrame:
         from graphdb_free_mocha_sa_spark.operators.paths import eval_path
-        # SPARQL zero-length path: with a */? modifier and identical
-        # CONSTANT endpoints the pattern matches unconditionally — the
-        # zero-length leg connects every term to itself, including terms
-        # absent from the graph (r6 probe fix; matches Jena/rdf4j).
-        if isinstance(tp.p, A.PMod) and tp.p.mod in ("*", "?") \
+        # SPARQL zero-length path: a NULLABLE path (one that can match
+        # the empty word — */?, an alternation with a nullable branch, a
+        # sequence of nullables) between identical CONSTANT endpoints
+        # matches unconditionally, including terms absent from the graph
+        # (r6 probe + review fixes; matches Jena/rdf4j).
+        if _path_nullable(tp.p) \
                 and not isinstance(tp.s, (A.Var, A.BNode)) \
                 and not isinstance(tp.o, (A.Var, A.BNode)) \
                 and term_parts_py(tp.s)[0] == term_parts_py(tp.o)[0]:

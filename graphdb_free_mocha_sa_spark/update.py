@@ -84,6 +84,7 @@ class UpdateExecutor:
         using_named = getattr(op, "using_named", ()) or ()
         tr = Translator(self.store.spark, self.store.df,
                         list(using) or None, list(using_named) or None)
+        tr.query_base = getattr(op, "base", None)
         where = op.where
         # USING overrides WITH for the WHERE pattern (SPARQL Update §3.1.3)
         if op.with_graph is not None and not (using or using_named):

@@ -868,3 +868,39 @@ def test_r6_avg_empty_and_iri_base(fresh_eng):
           '(IRI("urn:abs") AS ?j) WHERE { <urn:a> <urn:v> ?x } LIMIT 1')[0]
     assert b["i"]["value"] == "http://b.org/rel"
     assert b["j"]["value"] == "urn:abs"
+
+
+def test_r6_review_fixes_dataset_paths_iri_base(fresh_eng):
+    """r6 review sweep #2: FROM alone empties the named set; GRAPH <g>
+    outside the named set is empty; never-bound vars in OPTIONAL FILTERs
+    are row errors; nullable composite paths (alt/seq of */?) zero-length
+    match constant endpoints; IRI() resolution is RFC 3986-shaped; BASE
+    reaches update WHERE expressions."""
+    import json
+    e = fresh_eng
+    e.update('INSERT DATA { GRAPH <urn:g1> { <urn:b> <urn:v> 2 } . '
+             'GRAPH <urn:g2> { <urn:c> <urn:v> 3 } . <urn:a> <urn:v> 1 }')
+    def q(s):
+        out = json.loads(e.query_json(s))
+        return out["boolean"] if "boolean" in out \
+            else out["results"]["bindings"]
+    assert q('SELECT ?g FROM <urn:g1> WHERE { GRAPH ?g { ?s ?p ?o } }') == []
+    assert q('ASK FROM NAMED <urn:g1> { GRAPH <urn:g2> { ?s ?p ?o } }') is False
+    assert q('ASK FROM NAMED <urn:g1> { GRAPH <urn:g1> { ?s ?p ?o } }') is True
+    assert q('ASK { GRAPH <urn:g2> { ?s ?p ?o } }') is True
+    assert len(q('SELECT ?s WHERE { ?s <urn:v> ?o OPTIONAL { '
+                 '?s <urn:w> ?w FILTER(BOUND(?never)) } }')) == 3
+    assert q('ASK { <urn:zzz> (<urn:p>*|<urn:q>) <urn:zzz> }') is True
+    assert q('ASK { <urn:zzz> <urn:p>*/<urn:q>? <urn:zzz> }') is True
+    assert q('ASK { <urn:zzz> <urn:p>*/<urn:q> <urn:zzz> }') is False
+    b = q('BASE <http://x.org/dir/doc> SELECT (IRI("rel") AS ?a) '
+          '(IRI("/abs") AS ?b) (IRI("#f") AS ?c) (IRI("//h/p") AS ?d) '
+          'WHERE { <urn:a> <urn:v> ?x } LIMIT 1')[0]
+    assert {k: v["value"] for k, v in b.items()} == {
+        "a": "http://x.org/dir/rel", "b": "http://x.org/abs",
+        "c": "http://x.org/dir/doc#f", "d": "http://h/p"}
+    e.update('BASE <http://u.org/> INSERT { ?s <urn:iri> ?i } WHERE '
+             '{ ?s <urn:v> ?o FILTER(?o = 1) BIND(IRI("made") AS ?i) }')
+    assert [r["i"]["value"]
+            for r in q('SELECT ?i WHERE { ?s <urn:iri> ?i }')] \
+        == ["http://u.org/made"]
