@@ -518,6 +518,26 @@ class Engine:
         for chunk in iter_construct_ntriples(res):
             write(chunk)
 
+    def export_to(self, write, fmt: str = "trig") -> None:
+        """Dump the CURRENT store snapshot through ``write`` (r6): 'trig'
+        streams named-graph blocks driver-side (one orderBy); 'nquads'
+        streams N-Quads lines. For cluster-scale dumps use the
+        distributed file exporter (sources.rdf.export_nquads) instead —
+        this surface is the protocol-style streaming dump."""
+        from graphdb_free_mocha_sa_spark.sparql.results import iter_trig
+        from graphdb_free_mocha_sa_spark.store import DEFAULT_GRAPH
+        df = self.store.df
+        if fmt == "trig":
+            for chunk in iter_trig(df, default_graph=DEFAULT_GRAPH):
+                write(chunk)
+            return
+        if fmt == "nquads":
+            from graphdb_free_mocha_sa_spark.sparql.results import iter_nquads
+            for chunk in iter_nquads(df, default_graph=DEFAULT_GRAPH):
+                write(chunk)
+            return
+        raise ValueError(f"unknown export format {fmt!r}")
+
     def query_framed(self, sparql: str) -> bytes:
         """query_json behind the reference's length-prefixed result framing
         (A14, AbstractSystemAdapter1.java:195-206)."""

@@ -274,3 +274,70 @@ def unframe_results(buf: bytes) -> list[bytes]:
         out.append(buf[pos:pos + n])
         pos += n
     return out
+
+
+def iter_nquads(df: DataFrame, default_graph: str | None = None):
+    """Serialize a quad frame as N-Quads lines, streaming row-by-row
+    (the driver-side sibling of the distributed file exporter in
+    sources/rdf.py; r6). Default-graph rows emit as triples."""
+    for row in df.toLocalIterator(prefetchPartitions=False):
+        s = row["s"] if row["s"].startswith("_:") else f"<{row['s']}>"
+        dt, lex, lang = row["o_dt"], row["o_lex"], row["o_lang"]
+        if dt is None:
+            o = lex if lex.startswith("_:") else f"<{lex}>"
+        else:
+            o = f'"{_nt_escape(lex)}"'
+            if lang:
+                o += "@" + lang
+            elif dt not in (XSD_STRING, RDF_LANGSTRING):
+                o += f"^^<{dt}>"
+        g = row["g"]
+        if g is None or g == default_graph:
+            gpart = ""
+        elif g.startswith("_:"):
+            gpart = " " + g
+        else:
+            gpart = f" <{g}>"
+        yield f"{s} <{row['p']}> {o}{gpart} .\n"
+
+
+def iter_trig(df: DataFrame, default_graph: str | None = None):
+    """Serialize a quad frame as TriG, streaming (r6): rows arrive sorted
+    by graph (one orderBy — the only shuffle), consecutive same-graph
+    rows share one block, default-graph rows emit as top-level triples.
+    Terms use the N-Triples forms (always-quoted literals), which are
+    valid TriG — no prefix table needed."""
+    def term(lex, dt, lang):
+        if dt is None:
+            return lex if lex.startswith("_:") else f"<{lex}>"
+        out = f'"{_nt_escape(lex)}"'
+        if lang:
+            return out + "@" + lang
+        if dt not in (XSD_STRING, RDF_LANGSTRING):
+            return out + f"^^<{dt}>"
+        return out
+
+    current = None
+    opened = False
+    for row in (df.orderBy("g").toLocalIterator(prefetchPartitions=False)):
+        g = row["g"]
+        is_default = g is None or g == default_graph
+        s = row["s"] if row["s"].startswith("_:") else f"<{row['s']}>"
+        line = (f"{s} <{row['p']}> "
+                f"{term(row['o_lex'], row['o_dt'], row['o_lang'])} .")
+        if is_default:
+            if opened:
+                yield "}\n"
+                opened = False
+            current = None
+            yield line + "\n"
+            continue
+        if g != current:
+            if opened:
+                yield "}\n"
+            glabel = g if g.startswith("_:") else f"<{g}>"
+            yield f"{glabel} {{\n"
+            current, opened = g, True
+        yield "  " + line + "\n"
+    if opened:
+        yield "}\n"

@@ -495,3 +495,76 @@ def test_export_nquads_roundtrip_nasty_strings(spark):
     assert len(got) == len(want) == 200
     bad = {k: (want[k], got.get(k)) for k in want if got.get(k) != want[k]}
     assert not bad, list(bad.items())[:3]
+
+
+def test_trig_writer_roundtrip_fuzz(spark):
+    """r6: quad frame → TriG text → TriGParser round-trip over
+    adversarial literals and graph labels (incl. bnode graphs and the
+    default graph), closing the TriG loop."""
+    import random
+
+    from graphdb_free_mocha_sa_spark.model import QUAD_SCHEMA
+    from graphdb_free_mocha_sa_spark.sources.turtle import parse_trig
+    from graphdb_free_mocha_sa_spark.sparql.results import iter_trig
+    from graphdb_free_mocha_sa_spark.store import DEFAULT_GRAPH
+
+    rng = random.Random(11)
+    alphabet = (list('ab \\"\'\t\n$^{}|.*?') + ["é", "中", "🚀", "\u2028"])
+    def nasty():
+        return "".join(rng.choice(alphabet)
+                       for _ in range(rng.randint(1, 16)))
+    graphs = [DEFAULT_GRAPH, "urn:g:one", "urn:g:two", "_:bg"]
+    rows = []
+    for i in range(80):
+        g = graphs[i % len(graphs)]
+        kind = i % 3
+        if kind == 0:
+            rows.append((g, f"urn:s{i}", "urn:p", nasty(),
+                         "http://www.w3.org/2001/XMLSchema#string",
+                         None, None, None))
+        elif kind == 1:
+            rows.append((g, f"_:b{i}", "urn:p", nasty(),
+                         "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                         "langString", "fr", None, None))
+        else:
+            rows.append((g, f"urn:s{i}", "urn:p", f"urn:o{i}",
+                         None, None, None, None))
+    df = spark.createDataFrame(rows, QUAD_SCHEMA)
+    doc = "".join(iter_trig(df, default_graph=DEFAULT_GRAPH))
+    back = set()
+    for g, s, p, (lex, dt, lang) in parse_trig(doc):
+        back.add((g if g is not None else DEFAULT_GRAPH, s, p, lex,
+                  lang))
+    want = {(g, s, p, o_lex, o_lang)
+            for g, s, p, o_lex, o_dt, o_lang, *_ in rows}
+    missing = want - back
+    extra = back - want
+    assert not missing and not extra, (sorted(missing)[:3],
+                                       sorted(extra)[:3])
+
+
+def test_engine_export_to_trig_and_nquads(spark):
+    """r6: Engine.export_to streams the store as TriG or N-Quads; both
+    round-trip through the repo's own readers."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.sources.turtle import parse_trig
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    e = Engine(spark, QuadStore(spark))
+    e.update('INSERT DATA { <urn:a> <urn:p> "v" . '
+             'GRAPH <urn:g1> { <urn:b> <urn:q> 5 } }')
+    out = []
+    e.export_to(out.append, fmt="trig")
+    quads = list(parse_trig("".join(out)))
+    assert (None, "urn:a", "urn:p",
+            ("v", "http://www.w3.org/2001/XMLSchema#string", None)) in quads
+    assert ("urn:g1", "urn:b", "urn:q",
+            ("5", "http://www.w3.org/2001/XMLSchema#integer", None)) in quads
+    out = []
+    e.export_to(out.append, fmt="nquads")
+    text = "".join(out)
+    assert '<urn:a> <urn:p> "v" .' in text
+    assert ('<urn:b> <urn:q> "5"^^'
+            "<http://www.w3.org/2001/XMLSchema#integer> <urn:g1> .") in text
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        e.export_to(out.append, fmt="nope")
