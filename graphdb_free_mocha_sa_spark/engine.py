@@ -536,6 +536,11 @@ class Engine:
             for chunk in iter_nquads(df, default_graph=DEFAULT_GRAPH):
                 write(chunk)
             return
+        if fmt == "jsonld":
+            from graphdb_free_mocha_sa_spark.sparql.results import iter_jsonld
+            for chunk in iter_jsonld(df, default_graph=DEFAULT_GRAPH):
+                write(chunk)
+            return
         raise ValueError(f"unknown export format {fmt!r}")
 
     def query_framed(self, sparql: str) -> bytes:

@@ -264,6 +264,50 @@ def read_rdfxml(spark: SparkSession, path: str, graph: str) -> DataFrame:
         .select(*QUAD_COLS)
 
 
+def read_jsonld(spark: SparkSession, path: str,
+                default_graph: str) -> DataFrame:
+    """JSON-LD reader (sources/jsonld.py; the reference's Rio stack maps
+    ``.jsonld`` to rdf4j-rio-jsonld, pom.xml:56-90). Same Spark shape as
+    :func:`read_trig`: JSON is not splittable, one FILE per parse task, a
+    directory of files parses in parallel; named graphs come from
+    ``@graph`` nodes, default-graph statements land in ``default_graph``."""
+    from pyspark.sql.types import (DoubleType, StringType, StructField,
+                                   StructType, TimestampType)
+    schema = StructType([
+        StructField("g", StringType()), StructField("s", StringType()),
+        StructField("p", StringType()), StructField("o_lex", StringType()),
+        StructField("o_dt", StringType()), StructField("o_lang", StringType()),
+        StructField("o_num", DoubleType()), StructField("o_ts", TimestampType()),
+    ])
+
+    def parse_files(rows):
+        import datetime as _dt
+
+        from graphdb_free_mocha_sa_spark.sources.jsonld import parse_jsonld
+
+        for row in rows:
+            for g, s, p, (lex, dt, lang) in parse_jsonld(row.value,
+                                                         base=row.base):
+                num = ts = None
+                if dt in NUMERIC_DTS:
+                    try:
+                        num = float(lex)
+                    except ValueError:
+                        num = None
+                elif dt == XSD_DATETIME:
+                    try:
+                        ts = _dt.datetime.fromisoformat(lex)
+                    except ValueError:
+                        ts = None
+                yield (g if g is not None else default_graph,
+                       s, p, lex, dt, lang, num, ts)
+
+    files = spark.read.text(path, wholetext=True) \
+        .withColumn("base", F.input_file_name())
+    return spark.createDataFrame(files.rdd.mapPartitions(parse_files), schema) \
+        .select(*QUAD_COLS)
+
+
 def read_rdf_file(spark: SparkSession, path: str, graph: str) -> DataFrame:
     if path.endswith((".nt", ".ntriples")):
         return read_ntriples(spark, path, graph)
@@ -271,6 +315,8 @@ def read_rdf_file(spark: SparkSession, path: str, graph: str) -> DataFrame:
         return read_nquads(spark, path, graph)
     if path.endswith(".trig"):
         return read_trig(spark, path, graph)
+    if path.endswith((".jsonld", ".json")):
+        return read_jsonld(spark, path, graph)
     if path.endswith((".rdf", ".rdfxml", ".owl", ".xml")):
         return read_rdfxml(spark, path, graph)
     return read_turtle(spark, path, graph)

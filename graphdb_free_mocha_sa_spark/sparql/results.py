@@ -341,3 +341,79 @@ def iter_trig(df: DataFrame, default_graph: str | None = None):
         yield "  " + line + "\n"
     if opened:
         yield "}\n"
+
+
+def iter_jsonld(df: DataFrame, default_graph: str | None = None):
+    """Serialize a quad frame as one JSON-LD document, streaming (r6c —
+    completes the Rio writer family next to iter_trig/iter_nquads). Rows
+    arrive sorted by (g, s) — one orderBy, the only shuffle — so each
+    subject becomes ONE node object (bounded driver memory: a single
+    subject's property map). Named graphs emit as
+    ``{"@id": g, "@graph": [...]}`` wrappers; default-graph nodes are
+    top-level. Output is expanded-form-compatible (full-IRI keys,
+    ``@value``/``@language``/``@type`` objects) and round-trips through
+    sources/jsonld.py."""
+    import json as _json
+
+    def value_obj(lex, dt, lang):
+        if dt is None:
+            return {"@id": lex}
+        if lang:
+            return {"@value": lex, "@language": lang}
+        if dt == XSD_STRING:
+            return {"@value": lex}
+        return {"@value": lex, "@type": dt}
+
+    def flush_node(subj, props):
+        node = {"@id": subj}
+        node.update(props)
+        return _json.dumps(node, ensure_ascii=False)
+
+    _UNSET = object()
+    cur_g = _UNSET
+    cur_s = None
+    props: dict = {}
+    wrapped = False      # inside a named-graph {"@graph": [ ... ]}
+    first_top = True     # comma state at the top level
+    first_in_g = True    # comma state inside the current @graph array
+
+    yield "[\n"
+    rows = df.orderBy("g", "s").toLocalIterator(prefetchPartitions=False)
+    for row in rows:
+        g = row["g"]
+        if g == default_graph:
+            g = None
+        s = row["s"]
+        if g != cur_g or s != cur_s:
+            if cur_s is not None:
+                chunk = flush_node(cur_s, props)
+                if wrapped:
+                    yield ("" if first_in_g else ",\n") + chunk
+                    first_in_g = False
+                else:
+                    yield ("" if first_top else ",\n") + chunk
+                    first_top = False
+            props = {}
+            if g != cur_g:
+                if wrapped:
+                    yield "]}"
+                    wrapped = False
+                if g is not None:
+                    yield ("" if first_top else ",\n") \
+                        + _json.dumps({"@id": g})[:-1] + ', "@graph": ['
+                    first_top = False
+                    first_in_g = True
+                    wrapped = True
+                cur_g = g
+            cur_s = s
+        props.setdefault(row["p"], []).append(
+            value_obj(row["o_lex"], row["o_dt"], row["o_lang"]))
+    if cur_s is not None:
+        chunk = flush_node(cur_s, props)
+        if wrapped:
+            yield ("" if first_in_g else ",\n") + chunk
+        else:
+            yield ("" if first_top else ",\n") + chunk
+    if wrapped:
+        yield "]}"
+    yield "\n]\n"

@@ -568,3 +568,203 @@ def test_engine_export_to_trig_and_nquads(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         e.export_to(out.append, fmt="nope")
+
+
+def test_jsonld_parser_edges():
+    """r6c (B50): JSON-LD to-RDF — term/compact-IRI/@vocab expansion,
+    @base resolution, type/language coercion, value objects, @list /
+    @set / @language / @index containers, named graphs, @reverse,
+    keyword aliases, canonical xsd:double lexicals, unmapped-term drop."""
+    import pytest
+    from graphdb_free_mocha_sa_spark.sources.jsonld import parse_jsonld
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    doc = """
+    {
+      "@context": {
+        "ex": "http://ex.org/",
+        "id": "@id", "type": "@type",
+        "name": "ex:name",
+        "knows": {"@id": "ex:knows", "@type": "@id"},
+        "age": {"@id": "ex:age",
+                "@type": "http://www.w3.org/2001/XMLSchema#integer"},
+        "nick": {"@id": "ex:nick", "@language": "en"},
+        "tags": {"@id": "ex:tag", "@container": "@list"},
+        "label": {"@id": "ex:label", "@container": "@language"},
+        "childOf": {"@reverse": "ex:parent"},
+        "@base": "http://base.org/",
+        "@vocab": "http://voc.org/"
+      },
+      "id": "n1",
+      "type": "ex:Thing",
+      "name": "Alpha",
+      "age": "30",
+      "nick": "Al",
+      "score": 4.5,
+      "big": 1e21,
+      "active": true,
+      "knows": ["n2", {"id": "ex:n3"}],
+      "tags": ["a", 2],
+      "label": {"en": "Node", "de": ["Knoten", "Punkt"]},
+      "childOf": {"id": "ex:n4"},
+      "vobj": {"@value": "w", "@type": "ex:dt"},
+      "unmapped:not-a-prefix": "kept?",
+      "ex:set": {"@set": ["x", "y"]}
+    }
+    """
+    quads = list(parse_jsonld(doc))
+    assert all(g is None for g, *_ in quads)
+    d = {}
+    for _, s, p, o in quads:
+        d.setdefault((s, p), []).append(o)
+    N1 = "http://base.org/n1"
+    assert d[(N1, RDF + "type")] == [("http://ex.org/Thing", None, None)]
+    assert d[(N1, "http://ex.org/name")] == [("Alpha", XSD + "string", None)]
+    assert d[(N1, "http://ex.org/age")] == [("30", XSD + "integer", None)]
+    assert d[(N1, "http://ex.org/nick")] \
+        == [("Al", RDF + "langString", "en")]
+    # numbers: fractional -> canonical double, integral -> xsd:integer,
+    # but magnitude >= 1e21 JSON floats are doubles
+    assert d[(N1, "http://voc.org/score")] == [("4.5E0", XSD + "double", None)]
+    assert d[(N1, "http://voc.org/big")] == [("1.0E21", XSD + "double", None)]
+    assert d[(N1, "http://voc.org/active")] == [("true", XSD + "boolean", None)]
+    assert d[(N1, "http://ex.org/knows")] \
+        == [("http://base.org/n2", None, None), ("http://ex.org/n3", None, None)]
+    head = d[(N1, "http://ex.org/tag")][0][0]
+    assert head.startswith("_:")
+    assert d[(head, RDF + "first")] == [("a", XSD + "string", None)]
+    nxt = d[(head, RDF + "rest")][0][0]
+    assert d[(nxt, RDF + "first")] == [("2", XSD + "integer", None)]
+    assert d[(nxt, RDF + "rest")] == [(RDF + "nil", None, None)]
+    assert sorted(d[(N1, "http://ex.org/label")]) == [
+        ("Knoten", RDF + "langString", "de"),
+        ("Node", RDF + "langString", "en"),
+        ("Punkt", RDF + "langString", "de")]
+    assert d[("http://ex.org/n4", "http://ex.org/parent")] \
+        == [(N1, None, None)]
+    assert d[(N1, "http://voc.org/vobj")] == [("w", "http://ex.org/dt", None)]
+    assert sorted(d[(N1, "http://ex.org/set")]) == [
+        ("x", XSD + "string", None), ("y", XSD + "string", None)]
+    # "unmapped:not-a-prefix" has an undefined prefix and no @vocab match
+    # via the colon rule -> per spec the colon form IS an IRI; JSON-LD
+    # treats any compact form with an unknown prefix as an absolute IRI
+    assert d[(N1, "unmapped:not-a-prefix")] == [("kept?", XSD + "string", None)]
+    with pytest.raises(ValueError):
+        list(parse_jsonld('{"@context": "http://remote/ctx"}'))
+
+
+def test_jsonld_named_graphs_and_index_and_default_language():
+    from graphdb_free_mocha_sa_spark.sources.jsonld import parse_jsonld
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    doc = """
+    {
+      "@context": {"ex": "http://ex.org/", "@language": "fr",
+                   "byidx": {"@id": "ex:byidx", "@container": "@index"}},
+      "@id": "ex:g1",
+      "@graph": [
+        {"@id": "ex:a", "ex:p": "salut",
+         "byidx": {"i0": {"@value": 1}, "i1": [2, 3]}}
+      ]
+    }
+    """
+    quads = sorted(parse_jsonld(doc), key=str)
+    assert ("http://ex.org/g1", "http://ex.org/a", "http://ex.org/p",
+            ("salut", RDF + "langString", "fr")) in quads
+    idx = [o for g, s, p, o in quads if p == "http://ex.org/byidx"]
+    assert sorted(x[0] for x in idx) == ["1", "2", "3"]
+    # every quad of the named node lands in the named graph
+    assert all(g == "http://ex.org/g1" for g, *_ in quads)
+
+
+def test_jsonld_load_through_engine(spark, tmp_path):
+    """LOAD <file.jsonld> routes through the JSON-LD reader; named
+    graphs keep their labels, default statements land in the target."""
+    import json
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    p = tmp_path / "mini.jsonld"
+    p.write_text(json.dumps({
+        "@context": {"e": "urn:e:"},
+        "@graph": [
+            {"@id": "e:d", "e:name": "D"},
+            {"@id": "e:g1",
+             "@graph": [{"@id": "e:a", "e:knows": {"@id": "e:b"}}]},
+        ],
+    }))
+    eng = Engine(spark, QuadStore(spark))
+    eng.update(f"LOAD <file://{p}> INTO GRAPH <urn:tgt>")
+    out = json.loads(eng.query_json(
+        "SELECT ?g ?s WHERE { GRAPH ?g { ?s ?p ?o } } ORDER BY ?g"))
+    rows = [(b["g"]["value"], b["s"]["value"])
+            for b in out["results"]["bindings"]]
+    assert rows == [("urn:e:g1", "urn:e:a"), ("urn:tgt", "urn:e:d")]
+
+
+def test_jsonld_writer_roundtrip_fuzz(spark):
+    """r6c: quad frame → JSON-LD text → parse_jsonld round-trip over
+    adversarial literals, named/bnode graphs, datatypes and language
+    tags — closing the JSON-LD loop like the TriG fuzz above."""
+    import random
+
+    from graphdb_free_mocha_sa_spark.model import QUAD_SCHEMA
+    from graphdb_free_mocha_sa_spark.sources.jsonld import parse_jsonld
+    from graphdb_free_mocha_sa_spark.sparql.results import iter_jsonld
+    from graphdb_free_mocha_sa_spark.store import DEFAULT_GRAPH
+
+    rng = random.Random(13)
+    alphabet = (list('ab \\"\'\t\n$^{}|.*?[]:') + ["é", "中", "🚀", "\u2028"])
+
+    def nasty():
+        return "".join(rng.choice(alphabet)
+                       for _ in range(rng.randint(1, 16)))
+    graphs = [DEFAULT_GRAPH, "urn:g:one", "urn:g:two", "_:bg"]
+    rows = []
+    for i in range(80):
+        g = graphs[i % len(graphs)]
+        kind = i % 4
+        if kind == 0:
+            rows.append((g, f"urn:s{i % 7}", "urn:p", nasty(),
+                         "http://www.w3.org/2001/XMLSchema#string",
+                         None, None, None))
+        elif kind == 1:
+            rows.append((g, f"_:b{i}", "urn:p", nasty(),
+                         "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                         "langString", "fr", None, None))
+        elif kind == 2:
+            rows.append((g, f"urn:s{i % 7}", f"urn:p{i % 3}", str(i),
+                         "http://www.w3.org/2001/XMLSchema#integer",
+                         None, float(i), None))
+        else:
+            rows.append((g, f"urn:s{i % 7}", "urn:p", f"urn:o{i}",
+                         None, None, None, None))
+    df = spark.createDataFrame(rows, QUAD_SCHEMA)
+    doc = "".join(iter_jsonld(df, default_graph=DEFAULT_GRAPH))
+    back = set()
+    for g, s, p, (lex, dt, lang) in parse_jsonld(doc):
+        back.add((g if g is not None else DEFAULT_GRAPH,
+                  s, p, lex, dt, lang))
+    want = {(g, s, p, o_lex, o_dt, o_lang)
+            for g, s, p, o_lex, o_dt, o_lang, *_ in rows}
+    missing = want - back
+    extra = back - want
+    assert not missing and not extra, (sorted(missing)[:3],
+                                       sorted(extra)[:3])
+
+
+def test_engine_export_to_jsonld(spark):
+    import json
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.sources.jsonld import parse_jsonld
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    e = Engine(spark, QuadStore(spark))
+    e.update('INSERT DATA { <urn:a> <urn:p> "v"@en . '
+             'GRAPH <urn:g1> { <urn:b> <urn:q> 5 } }')
+    out = []
+    e.export_to(out.append, fmt="jsonld")
+    doc = "".join(out)
+    json.loads(doc)  # well-formed JSON
+    quads = set()
+    for g, s, p, (lex, dt, lang) in parse_jsonld(doc):
+        quads.add((g, s, p, lex, lang))
+    assert (None, "urn:a", "urn:p", "v", "en") in quads
+    assert ("urn:g1", "urn:b", "urn:q", "5", None) in quads
