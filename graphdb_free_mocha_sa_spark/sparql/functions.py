@@ -28,6 +28,33 @@ from graphdb_free_mocha_sa_spark.model import (NUMERIC_DTS, RDF_LANGSTRING,
                                                term_kind_rank)
 from graphdb_free_mocha_sa_spark.sparql import algebra as A
 
+#: per-row salt column the translator materializes whenever an expression
+#: tree contains BNODE (one uuid() per row, evaluated exactly once) —
+#: BNODE results are deterministic hashes of it, so a bnode's key and lex
+#: agree and BNODE(str) is stable within a solution (§17.4.2.9)
+BNODE_SALT = "__bnode_salt"
+_BNODE_SITE = 0
+
+
+def expr_has_bnode(e) -> bool:
+    """True if the expression tree contains a BNODE() call (the translator
+    then materializes the BNODE_SALT column before evaluation)."""
+    if isinstance(e, A.EFunc):
+        if e.name.upper() == "BNODE":
+            return True
+        return any(expr_has_bnode(x) for x in e.args)
+    if isinstance(e, A.EBinary):
+        return expr_has_bnode(e.left) or expr_has_bnode(e.right)
+    if isinstance(e, A.EUnary):
+        return expr_has_bnode(e.expr)
+    if isinstance(e, A.EIn):
+        return expr_has_bnode(e.expr) or any(expr_has_bnode(x)
+                                             for x in e.items)
+    if isinstance(e, A.EAgg) and e.expr is not None:
+        return expr_has_bnode(e.expr)
+    return False
+
+
 # lazy: Column construction needs an active SparkSession, so no module-level lits
 def _NS():
     return F.lit(None).cast("string")
@@ -332,8 +359,23 @@ def builtin(name: str, args: list[TCol], base: str | None = None) -> TCol:
             return TCol.iri(lex)
         return TCol.iri(a[0].lex)
     if n == "BNODE":
-        return TCol(lex=F.concat(F.lit("_:b"), F.expr("uuid()")),
-                    key=F.concat(F.lit("_:b"), F.expr("uuid()")))
+        # §17.4.2.9: BNODE(str) returns the SAME blank node for the same
+        # argument within one solution mapping (distinct across solutions);
+        # BNODE() is fresh per call. Both hash the per-row salt column the
+        # translator materializes (one uuid() evaluated once per row —
+        # hashing it keeps key == lex, which two separate uuid() exprs
+        # cannot guarantee), plus a per-call-site nonce for the no-arg form.
+        global _BNODE_SITE
+        _BNODE_SITE += 1
+        salt = F.col(BNODE_SALT)
+        if a:
+            lex = F.concat(F.lit("_:bl"),
+                           F.md5(F.concat_ws("|", salt, a[0].lex)))
+        else:
+            lex = F.concat(F.lit("_:b"),
+                           F.md5(F.concat_ws("|", salt,
+                                             F.lit(str(_BNODE_SITE)))))
+        return TCol(lex=lex, key=lex)
     if n == "BOUND":
         return TCol.from_bool(a[0].key.isNotNull())
     if n == "RAND":

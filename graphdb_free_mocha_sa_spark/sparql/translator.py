@@ -34,7 +34,10 @@ from graphdb_free_mocha_sa_spark.model import (NUMERIC_DTS, VAR_SUFFIXES,
                                                canonical_key_from_parts,
                                                canonical_object_key, var_cols)
 from graphdb_free_mocha_sa_spark.sparql import algebra as A
-from graphdb_free_mocha_sa_spark.sparql.functions import TCol, binary, builtin, unary
+from graphdb_free_mocha_sa_spark.sparql.functions import (BNODE_SALT, TCol,
+                                                          binary, builtin,
+                                                          expr_has_bnode,
+                                                          unary)
 
 _FAM_RE = re.compile(r"__(lex|dt|lang|num|ts)$")
 
@@ -619,6 +622,7 @@ class Translator:
             df, exists_map, flags = self._materialize_exists(expr, df, gctx)
             if self.encoded:
                 df = self._string_rep(df, _expr_vars(expr))
+            df, flags = self._salt_bnode(df, expr, flags)
             cond = self._eval(expr, _df_resolver(df), exists_map).ebv()
             return df.filter(cond).drop(*flags)
         if isinstance(node, A.Extend):
@@ -626,6 +630,7 @@ class Translator:
             df, exists_map, flags = self._materialize_exists(node.expr, df, gctx)
             if self.encoded:
                 df = self._string_rep(df, _expr_vars(node.expr))
+            df, flags = self._salt_bnode(df, node.expr, flags)
             t = self._eval(node.expr, _df_resolver(df), exists_map)
             return _with_family(df, node.var, t).drop(*flags)
         if isinstance(node, A.ValuesTable):
@@ -810,6 +815,22 @@ class Translator:
 
     # ------------------------------------------------------------ EXISTS
 
+    def _salt_bnode(self, df: DataFrame, expr, flags):
+        """If ``expr`` contains a BNODE() call, materialize the per-row
+        salt column it hashes (§17.4.2.9: BNODE(str) must be stable within
+        one solution, and a bnode's key must equal its lex — two separate
+        nondeterministic uuid() expressions guarantee neither). The single
+        uuid() lives in its OWN projection; CollapseProject never inlines a
+        multiply-referenced nondeterministic producer, so it evaluates
+        exactly once per row. Returns (df, flags + [salt]) for the caller's
+        trailing drop."""
+        if not expr_has_bnode(expr):
+            return df, flags
+        if BNODE_SALT in df.columns:
+            return df, flags
+        return (df.withColumn(BNODE_SALT, F.expr("uuid()")),
+                list(flags) + [BNODE_SALT])
+
     def _materialize_exists(self, expr, df: DataFrame, gctx):
         """Compute a boolean flag column per EXISTS node inside ``expr``."""
         exists_map: dict[int, Column] = {}
@@ -916,6 +937,13 @@ class Translator:
                 if e is not None and not (isinstance(e, A.EVar) and e.name == name):
                     post_vars |= _expr_vars(e)
             df = self._string_rep(df, post_vars)
+
+        post_exprs = list(q.having) \
+            + [e for _, e in q.projections if e is not None] \
+            + [e for e, _ in q.order_by]
+        if any(expr_has_bnode(e) for e in post_exprs):
+            df, _ = self._salt_bnode(df, next(
+                e for e in post_exprs if expr_has_bnode(e)), [])
 
         # HAVING
         for h in q.having:

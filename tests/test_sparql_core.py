@@ -272,3 +272,42 @@ def test_prepared_query_cache_snapshot_keyed(spark):
     for i in range(Engine.PLAN_CACHE_SIZE + 5):
         eng.query(f"ASK {{ <urn:a> <urn:p> \"{i}\" }}")
     assert len(eng._plan_cache) <= Engine.PLAN_CACHE_SIZE
+
+
+def test_bnode_fn_same_solution_stability(spark):
+    """r6c probe fix (§17.4.2.9): BNODE(str) returns the SAME blank node
+    for the same argument within one solution mapping and DIFFERENT nodes
+    across solutions; BNODE() is fresh per call; a constructed bnode's
+    key equals its lex (it joins/compares as itself). Scope note: the
+    guarantee covers one expression evaluation context (one SELECT
+    clause / one BIND), matching rdf4j's evaluation strategy."""
+    import json
+
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark))
+    eng.update('INSERT DATA { <urn:a> <urn:age> 30 . <urn:b> <urn:age> 20 }')
+    out = json.loads(eng.query_json(
+        'SELECT (BNODE() AS ?b1) (BNODE() AS ?b0) (BNODE("k") AS ?b2) '
+        '(BNODE("k") AS ?b3) (BNODE("m") AS ?b4) '
+        'WHERE { ?s <urn:age> ?a } ORDER BY ?a'))
+    rows = [{k: v["value"] for k, v in b.items()}
+            for b in out["results"]["bindings"]]
+    assert len(rows) == 2
+    assert all(b["type"] == "bnode"
+               for r in out["results"]["bindings"] for b in r.values())
+    for r in rows:
+        assert r["b2"] == r["b3"]          # same arg, same solution
+        assert r["b2"] != r["b4"]          # different arg
+        assert r["b1"] != r["b0"]          # no-arg: fresh per call
+    assert rows[0]["b2"] != rows[1]["b2"]  # across solutions: fresh
+    # within one expression, BNODE(str) compares equal to itself
+    out = json.loads(eng.query_json(
+        'SELECT ?ok WHERE { <urn:a> <urn:age> ?a . '
+        'BIND(sameTerm(BNODE("z"), BNODE("z")) AS ?ok) }'))
+    assert [b["ok"]["value"] for b in out["results"]["bindings"]] == ["true"]
+    # isBlank sees the constructed term as a bnode (key == lex)
+    out = json.loads(eng.query_json(
+        'SELECT ?t WHERE { <urn:a> <urn:age> ?a . '
+        'BIND(isBlank(BNODE("q")) AS ?t) }'))
+    assert [b["t"]["value"] for b in out["results"]["bindings"]] == ["true"]
