@@ -22,8 +22,8 @@ from pyspark.sql import functions as F
 
 from graphdb_free_mocha_sa_spark.model import (NUMERIC_DTS, RDF_LANGSTRING,
                                                XSD, XSD_BOOLEAN, XSD_DATETIME,
-                                               XSD_DOUBLE, XSD_INTEGER,
-                                               XSD_STRING,
+                                               XSD_DECIMAL, XSD_DOUBLE,
+                                               XSD_INTEGER, XSD_STRING,
                                                canonical_key_from_parts,
                                                term_kind_rank)
 from graphdb_free_mocha_sa_spark.sparql import algebra as A
@@ -231,6 +231,17 @@ def _apply_regex_flags(pat: Column, flags: Column | None) -> Column:
             .otherwise(body)
 
 
+def _argcompat(l: TCol, r: TCol) -> Column:
+    """§17.4.3.1.1 argument compatibility for two-arg string functions
+    (CONTAINS/STRSTARTS/STRENDS/STRBEFORE/STRAFTER): both simple/xsd:string,
+    or arg1 lang-tagged with arg2 simple/xsd:string, or both lang-tagged
+    with the SAME tag. Anything else — including a lang tag only on arg2 —
+    is a type error (r6c probe fix)."""
+    return (l.dt.isin(XSD_STRING, RDF_LANGSTRING)
+            & ((r.dt == XSD_STRING)
+               | ((r.dt == RDF_LANGSTRING) & l.lang.eqNullSafe(r.lang))))
+
+
 def _strlit(col: Column, lang: Column) -> TCol:
     """String-literal result carrying a (possibly null) language tag —
     the §17.4.3 rule: UCASE/LCASE/SUBSTR/REPLACE/STRBEFORE/STRAFTER
@@ -253,10 +264,24 @@ def _cmp(l: TCol, r: TCol, op: str) -> Column:
     both_str = l.dt.isin(XSD_STRING, RDF_LANGSTRING) & r.dt.isin(XSD_STRING, RDF_LANGSTRING)
     both_bool = (l.dt == XSD_BOOLEAN) & (r.dt == XSD_BOOLEAN)
     if op in ("=", "!="):
-        # IRIs/bnodes compare by identity too
+        # §17.4.1.7 RDFterm-equal (r6c probe fix): when no operator-table
+        # comparison applies, identical terms are equal, a non-literal on
+        # either side makes distinct terms UNEQUAL, but two DISTINCT
+        # literals outside the comparable value spaces (unknown datatypes,
+        # langString pairs, string-vs-number) are a TYPE ERROR — not false
+        # for '=' and not true for '!='.
+        both_plain = (l.dt == XSD_STRING) & (r.dt == XSD_STRING)
+        same_lang = l.lang.isNotNull() & l.lang.eqNullSafe(r.lang)
+        comparable = both_num | both_ts | both_plain | both_bool \
+            | (both_str & same_lang)
         return (F.when(both_num, f(l.num, r.num))
                  .when(both_ts, f(l.ts, r.ts))
-                 .otherwise(f(l.key, r.key)))
+                 .when(comparable, f(l.lex, r.lex))
+                 .when(l.key == r.key, F.lit(op == "="))
+                 .when(l.key.isNotNull() & r.key.isNotNull()
+                       & (l.dt.isNull() | r.dt.isNull()),
+                       F.lit(op == "!="))
+                 .otherwise(_NB()))
     return (F.when(both_num, f(l.num, r.num))
              .when(both_ts, f(l.ts, r.ts))
              .when(both_str, f(l.lex, r.lex))
@@ -405,23 +430,28 @@ def builtin(name: str, args: list[TCol], base: str | None = None) -> TCol:
     if n == "ENCODE_FOR_URI":
         return TCol.from_str(_iri_localname_encode(a[0].lex))
     if n == "CONTAINS":
-        return TCol.from_bool(a[0].lex.contains(a[1].lex))
+        return TCol.from_bool(F.when(_argcompat(a[0], a[1]),
+                                     a[0].lex.contains(a[1].lex)))
     if n == "STRSTARTS":
-        return TCol.from_bool(a[0].lex.startswith(a[1].lex))
+        return TCol.from_bool(F.when(_argcompat(a[0], a[1]),
+                                     a[0].lex.startswith(a[1].lex)))
     if n == "STRENDS":
-        return TCol.from_bool(a[0].lex.endswith(a[1].lex))
+        return TCol.from_bool(F.when(_argcompat(a[0], a[1]),
+                                     a[0].lex.endswith(a[1].lex)))
     if n == "STRBEFORE":
         pos = F.position(a[1].lex, a[0].lex)
-        return _strlit(F.when(pos > 0, F.substring(a[0].lex, F.lit(1),
-                                                   pos - 1))
-                       .otherwise(F.lit("")),
+        ok = _argcompat(a[0], a[1])
+        return _strlit(F.when(ok & (pos > 0),
+                              F.substring(a[0].lex, F.lit(1), pos - 1))
+                       .when(ok, F.lit("")),
                        F.when(pos > 0, a[0].lang))
     if n == "STRAFTER":
         pos = F.position(a[1].lex, a[0].lex)
+        ok = _argcompat(a[0], a[1])
         return _strlit(
-            F.when(pos > 0,
+            F.when(ok & (pos > 0),
                    a[0].lex.substr(pos + F.length(a[1].lex), F.length(a[0].lex)))
-            .otherwise(F.lit("")),
+            .when(ok, F.lit("")),
             F.when(pos > 0, a[0].lang))
     if n == "SUBSTR":
         # fn:substring index math: chars at 1-based positions p with
@@ -470,26 +500,57 @@ def builtin(name: str, args: list[TCol], base: str | None = None) -> TCol:
     if n == "MINUTES":
         return TCol.from_num(F.minute(a[0].ts).cast("double"), XSD_INTEGER)
     if n == "SECONDS":
-        return TCol.from_num(F.second(a[0].ts).cast("double"), XSD_INTEGER)
-    if n in ("TIMEZONE", "TZ"):
-        # fixture literals are timezone-less: SPARQL TZ() returns ""
-        return TCol.from_str(F.when(a[0].ts.isNotNull(), F.lit("")))
+        # fn:seconds-from-dateTime returns xsd:decimal INCLUDING the
+        # fractional part — read it from the original lexical form (the
+        # ts shadow column truncates to whole timestamps); fall back to
+        # second(ts) for computed timestamps with no dateTime lexical
+        # (r6c probe fix)
+        sec_lex = F.regexp_extract(a[0].lex,
+                                   r"T\d{2}:\d{2}:(\d{2}(?:\.\d+)?)", 1)
+        val = (F.when(F.length(sec_lex) > 0, sec_lex.cast("double"))
+               .otherwise(F.second(a[0].ts).cast("double")))
+        return TCol.from_num(F.when(a[0].ts.isNotNull(), val), XSD_DECIMAL)
+    if n == "TZ":
+        # simple literal: "Z", "+02:00", or "" when the literal carries
+        # no timezone (r6c probe fix: used to always return "")
+        tz = F.regexp_extract(a[0].lex, r"(Z|[+-]\d{2}:\d{2})$", 1)
+        return TCol.from_str(F.when(a[0].ts.isNotNull(), tz))
+    if n == "TIMEZONE":
+        # xsd:dayTimeDuration ("PT0S" for Z, "-PT5H"/"PT2H30M" for
+        # offsets); a literal WITHOUT a timezone is a type error
+        # (r6c probe fix: used to return "")
+        tz = F.regexp_extract(a[0].lex, r"(Z|[+-]\d{2}:\d{2})$", 1)
+        hh = F.regexp_extract(tz, r"[+-](\d{2}):", 1).cast("int")
+        mm = F.regexp_extract(tz, r":(\d{2})$", 1).cast("int")
+        sign = F.when(tz.startswith("-") & ((hh > 0) | (mm > 0)),
+                      F.lit("-")).otherwise(F.lit(""))
+        body = (F.when((hh > 0) & (mm > 0),
+                       F.concat(hh.cast("string"), F.lit("H"),
+                                mm.cast("string"), F.lit("M")))
+                .when(hh > 0, F.concat(hh.cast("string"), F.lit("H")))
+                .when(mm > 0, F.concat(mm.cast("string"), F.lit("M")))
+                .otherwise(F.lit("0S")))
+        dur = (F.when(tz == "Z", F.lit("PT0S"))
+               .when(F.length(tz) > 0,
+                     F.concat(sign, F.lit("PT"), body)))
+        return TCol(lex=dur,
+                    dt=F.when(dur.isNotNull(),
+                              F.lit(XSD + "dayTimeDuration")))
     if n == "NOW":
         return TCol.from_ts(F.current_timestamp())
     if n == "UUID":
         return TCol.iri(F.concat(F.lit("urn:uuid:"), F.expr("uuid()")))
     if n == "STRUUID":
         return TCol.from_str(F.expr("uuid()"))
-    if n == "MD5":
-        return TCol.from_str(F.md5(a[0].lex))
-    if n == "SHA1":
-        return TCol.from_str(F.sha1(a[0].lex))
-    if n == "SHA256":
-        return TCol.from_str(F.sha2(a[0].lex, 256))
-    if n == "SHA384":
-        return TCol.from_str(F.sha2(a[0].lex, 384))
-    if n == "SHA512":
-        return TCol.from_str(F.sha2(a[0].lex, 512))
+    if n in ("MD5", "SHA1", "SHA256", "SHA384", "SHA512"):
+        # the hash family takes a simple literal / xsd:string — a language
+        # tag (or non-string datatype) is a type error (r6c probe fix)
+        arg = F.when(a[0].dt == XSD_STRING, a[0].lex)
+        if n == "MD5":
+            return TCol.from_str(F.md5(arg))
+        if n == "SHA1":
+            return TCol.from_str(F.sha1(arg))
+        return TCol.from_str(F.sha2(arg, int(n[3:])))
     if n == "COALESCE":
         out = a[0]
         for nxt in a[1:]:
@@ -501,18 +562,27 @@ def builtin(name: str, args: list[TCol], base: str | None = None) -> TCol:
                        ts=F.when(cond, out.ts).otherwise(nxt.ts))
         return out
     if n == "IF":
+        # §17.4.1.2: an ERROR in the condition propagates (the old
+        # .otherwise() chain silently took the else-branch on a null
+        # EBV — r6c probe fix): when/when leaves NULL rows NULL
         c = a[0].ebv()
         t, e = a[1], a[2]
-        return TCol(lex=F.when(c, t.lex).otherwise(e.lex),
-                    dt=F.when(c, t.dt).otherwise(e.dt),
-                    lang=F.when(c, t.lang).otherwise(e.lang),
-                    num=F.when(c, t.num).otherwise(e.num),
-                    ts=F.when(c, t.ts).otherwise(e.ts))
+        return TCol(lex=F.when(c, t.lex).when(~c, e.lex),
+                    dt=F.when(c, t.dt).when(~c, e.dt),
+                    lang=F.when(c, t.lang).when(~c, e.lang),
+                    num=F.when(c, t.num).when(~c, e.num),
+                    ts=F.when(c, t.ts).when(~c, e.ts))
     if n == "STRLANG":
-        return TCol(lex=a[0].lex, dt=F.lit(RDF_LANGSTRING), lang=F.lower(a[1].lex))
+        # both args must be simple literals / xsd:string — STRLANG on an
+        # already-tagged or typed literal is a type error (r6c probe fix)
+        ok = (a[0].dt == XSD_STRING) & (a[1].dt == XSD_STRING)
+        return TCol(lex=F.when(ok, a[0].lex),
+                    dt=F.when(ok, F.lit(RDF_LANGSTRING)),
+                    lang=F.when(ok, F.lower(a[1].lex)))
     if n == "STRDT":
-        dt = a[1].lex
-        return TCol(lex=a[0].lex, dt=dt,
+        ok = a[0].dt == XSD_STRING
+        dt = F.when(ok, a[1].lex)
+        return TCol(lex=F.when(ok, a[0].lex), dt=dt,
                     num=F.when(dt.isin(*NUMERIC_DTS), a[0].lex.try_cast("double")),
                     ts=F.when(dt == XSD_DATETIME,
                               F.to_timestamp(F.regexp_replace(a[0].lex, "T", " "))))

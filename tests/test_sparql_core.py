@@ -311,3 +311,68 @@ def test_bnode_fn_same_solution_stability(spark):
         'SELECT ?t WHERE { <urn:a> <urn:age> ?a . '
         'BIND(isBlank(BNODE("q")) AS ?t) }'))
     assert [b["t"]["value"] for b in out["results"]["bindings"]] == ["true"]
+
+
+def test_r6c_function_spec_probe_fixes(spark):
+    """r6c probe sweep: STRLANG/STRDT simple-literal constraints,
+    §17.4.3.1.1 argument compatibility, IF error propagation,
+    fractional-decimal SECONDS, TZ/TIMEZONE, hash-family string
+    constraint, RDFterm-equal type errors on =/!=."""
+    import json
+
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark))
+    eng.update('INSERT DATA { <urn:t1> <urn:when> '
+               '"2024-03-05T10:20:30.25+02:00"'
+               '^^<http://www.w3.org/2001/XMLSchema#dateTime> . '
+               '<urn:t3> <urn:when> "2024-03-05T10:20:30-05:30"'
+               '^^<http://www.w3.org/2001/XMLSchema#dateTime> }')
+
+    def one(sel):
+        out = json.loads(eng.query_json(f"SELECT {sel} WHERE {{}}"))
+        b = out["results"]["bindings"][0]
+        return {k: v["value"] for k, v in b.items()}
+
+    def ask(body):
+        return json.loads(eng.query_json(f"ASK {{ {body} }}"))["boolean"]
+
+    # STRLANG/STRDT error on non-simple first args; fine on simple
+    r = one('(STRLANG("hi","EN") AS ?ok) (STRLANG("hi"@en,"fr") AS ?x) '
+            '(STRDT("hi"@en,<urn:dt>) AS ?y)')
+    assert r == {"ok": "hi"}
+    # argument compatibility: tag only on arg2 errors; matching tags fine
+    r = one('(STRSTARTS("ab","a"@en) AS ?x) (CONTAINS("ab"@en,"b"@fr) AS ?y)'
+            ' (CONTAINS("ab"@en,"b"@en) AS ?ok) (STRBEFORE("abc","b"@en) AS ?z)')
+    assert r == {"ok": "true"}
+    # IF: error in the condition propagates instead of taking else
+    r = one('(IF(1/0 > 0, 1, 2) AS ?x) (IF(false, 1, 2) AS ?ok)')
+    assert r == {"ok": "2"}
+    # hash family rejects langString
+    r = one('(MD5("a"@en) AS ?x) (SHA256("a"@en) AS ?y) (MD5("a") AS ?ok)')
+    assert r == {"ok": "0cc175b9c0f1b6a831c399e269772661"}
+    # SECONDS keeps the fraction as xsd:decimal; TZ/TIMEZONE read the zone
+    out = json.loads(eng.query_json(
+        'SELECT (SECONDS(?w) AS ?s) (TZ(?w) AS ?tz) (TIMEZONE(?w) AS ?d) '
+        'WHERE { <urn:t1> <urn:when> ?w }'))
+    b = out["results"]["bindings"][0]
+    assert b["s"]["value"] == "30.25"
+    assert b["s"]["datatype"].endswith("decimal")
+    assert b["tz"]["value"] == "+02:00"
+    assert b["d"]["value"] == "PT2H"
+    assert b["d"]["datatype"].endswith("dayTimeDuration")
+    out = json.loads(eng.query_json(
+        'SELECT (TZ(?w) AS ?tz) (TIMEZONE(?w) AS ?d) '
+        'WHERE { <urn:t3> <urn:when> ?w }'))
+    b = out["results"]["bindings"][0]
+    assert b["tz"]["value"] == "-05:30" and b["d"]["value"] == "-PT5H30M"
+    # RDFterm-equal: same unknown-dt term true; distinct unknown-dt pair
+    # errors BOTH ways; non-literals keep plain identity semantics
+    assert ask('FILTER("x"^^<urn:mydt> = "x"^^<urn:mydt>)') is True
+    assert ask('FILTER("x"^^<urn:mydt> = "y"^^<urn:mydt>)') is False
+    assert ask('FILTER("x"^^<urn:mydt> != "y"^^<urn:mydt>)') is False
+    assert ask('FILTER(<urn:a> != <urn:b>)') is True
+    assert ask('FILTER("a" != "b")') is True
+    assert ask('FILTER("a"@en != "b")') is False      # error, not true
+    assert ask('FILTER(5 != "5")') is False           # error, not true
+    assert ask('FILTER("a"@en != "b"@en)') is True    # same-tag comparison
