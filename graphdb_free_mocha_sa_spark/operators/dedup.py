@@ -229,18 +229,34 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------- SimHash
 
 
+def _md5_hash64(col: Column) -> Column:
+    """Signed 64-bit token hash from the first 16 hex chars of md5 —
+    slower than xxhash64 but portable: DuckDB computes the identical
+    value, which makes the full SimHash signature exactly oracle-able
+    (r6c; the ext_simhash_sig driver entry)."""
+    u = F.conv(F.substring(F.md5(col), 1, 16), 16, 10).cast("decimal(20,0)")
+    # 2**63 / 2**64 overflow a Java long literal — ship them as strings
+    two63 = F.lit(str(2 ** 63)).cast("decimal(20,0)")
+    two64 = F.lit(str(2 ** 64)).cast("decimal(20,0)")
+    return (F.when(u >= two63, (u - two64).cast("long"))
+            .otherwise(u.cast("long")))
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 64) -> DataFrame:
+            bits: int = 64, hasher: str = "xxhash64") -> DataFrame:
     """64-bit SimHash per document, JVM-side.
 
     Per bit b: sum over token hashes of ±1 depending on bit b; bit set iff
     sum > 0. Expressed as an aggregate over the exploded token-hash column
-    with bitwise ops — no Python in the loop.
+    with bitwise ops — no Python in the loop. ``hasher`` picks the token
+    hash: xxhash64 (default, fastest) or md5 (portable — bit-identical in
+    DuckDB, used by the exact-oracle entry).
     """
     toks = F.explode(F.filter(F.split(F.lower(F.col(text_col)), r"\W+"),
                               lambda w: F.length(w) > 0)).alias("tok")
     th = df.select(F.col(id_col).alias("id"), toks) \
-           .withColumn("h", F.xxhash64("tok"))
+           .withColumn("h", _md5_hash64(F.col("tok")) if hasher == "md5"
+                       else F.xxhash64("tok"))
     aggs = [F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
                          1).otherwise(-1)).alias(f"b{b}") for b in range(bits)]
     sums = th.groupBy("id").agg(*aggs)

@@ -1093,9 +1093,15 @@ class Translator:
                 # SPARQL §18.5.1.5/.6: Sum AND Avg over an EMPTY group
                 # are 0 (the single no-GROUP-BY group over zero
                 # solutions), while a non-empty group whose values all
-                # error stays an error (NULL) — distinguish via row count
-                col = F.when(F.count(F.lit(1)) == F.lit(0), F.lit(0.0)) \
-                       .otherwise(col)
+                # error stays an error (NULL) — distinguish via row count.
+                # A BOUND but non-numeric value in the group is a type
+                # error that poisons the whole aggregate (op:numeric-add
+                # folding — r6c probe fix: it used to be silently
+                # skipped); unbound rows keep the lenient skip.
+                bad = F.max(F.when(inp.key.isNotNull() & inp.num.isNull(),
+                                   1).otherwise(0))
+                col = (F.when(F.count(F.lit(1)) == F.lit(0), F.lit(0.0))
+                       .when(F.coalesce(bad, F.lit(0)) == 0, col))
                 from graphdb_free_mocha_sa_spark.model import XSD_INTEGER
                 # result datatype: SUM of integers is an integer; AVG is
                 # double except the empty-group 0 (xsd:integer per spec)

@@ -91,6 +91,21 @@ class UpdateExecutor:
             where = A.GraphPat(A.IRI(op.with_graph), where)
         bindings = tr.translate(where)
 
+        def has_bnode(template) -> bool:
+            return any(isinstance(t, A.BNode)
+                       for _, tp in (template or ())
+                       for t in (tp.s, tp.o))
+
+        # SPARQL Update §3.1.3: blank nodes in an INSERT template are
+        # instantiated FRESH per WHERE solution, coreferent across the
+        # template triples of one solution (r6c probe fix: the label used
+        # to insert as one shared constant bnode). One uuid() per solution
+        # row, pinned by a lazy checkpoint so every template piece (and
+        # the delete set) reads the SAME materialized salts.
+        if has_bnode(op.insert_template):
+            bindings = bindings.withColumn(
+                "__bn_salt", F.expr("uuid()")).localCheckpoint(eager=False)
+
         def instantiate(template) -> Optional[DataFrame]:
             if not template:
                 return None
@@ -102,16 +117,27 @@ class UpdateExecutor:
                 else:
                     gcol = F.lit(gspec or op.with_graph or DEFAULT_GRAPH)
                 cols.append(gcol.alias("g"))
+                def fresh_bn(term) -> F.Column:
+                    return F.concat(F.lit("_:" + term.label + "_"),
+                                    F.md5(F.col("__bn_salt")))
+
                 for term, pos in ((tp.s, "s"), (tp.p, "p")):
                     if isinstance(term, A.PLink):
                         term = A.IRI(term.iri)
                     if isinstance(term, A.Var):
                         cols.append(F.col(term.name + "__lex").alias(pos))
+                    elif isinstance(term, A.BNode) \
+                            and "__bn_salt" in bindings.columns:
+                        cols.append(fresh_bn(term).alias(pos))
                     else:
                         cols.append(F.lit(term_parts_py(term)[0]).alias(pos))
                 o = tp.o
                 if isinstance(o, A.Var):
                     fam = _fam_tcol(bindings, o.name)
+                elif isinstance(o, A.BNode) \
+                        and "__bn_salt" in bindings.columns:
+                    bc = fresh_bn(o)
+                    fam = TCol(lex=bc, key=bc)
                 else:
                     fam = TCol.from_term(o)
                 cols.extend([fam.lex.alias("o_lex"), fam.dt.alias("o_dt"),

@@ -376,3 +376,23 @@ def test_r6c_function_spec_probe_fixes(spark):
     assert ask('FILTER("a"@en != "b")') is False      # error, not true
     assert ask('FILTER(5 != "5")') is False           # error, not true
     assert ask('FILTER("a"@en != "b"@en)') is True    # same-tag comparison
+
+
+def test_sum_avg_poisoned_by_non_numeric_group_value(spark):
+    """r6c probe fix: SUM/AVG over a group containing a BOUND non-numeric
+    value are a type error (unbound) per op:numeric-add folding — not a
+    silent skip; COUNT still counts every bound value."""
+    import json
+
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark))
+    eng.update('INSERT DATA { <urn:a> <urn:v> 1 . <urn:a> <urn:v> 2 . '
+               '<urn:c> <urn:v> 4 . <urn:c> <urn:v> "oops" }')
+    out = json.loads(eng.query_json(
+        'SELECT ?s (SUM(?v) AS ?sum) (AVG(?v) AS ?avg) (COUNT(?v) AS ?c) '
+        'WHERE { ?s <urn:v> ?v } GROUP BY ?s ORDER BY ?s'))
+    rows = [{k: v["value"] for k, v in b.items()}
+            for b in out["results"]["bindings"]]
+    assert rows == [{"s": "urn:a", "sum": "3", "avg": "1.5", "c": "2"},
+                    {"s": "urn:c", "c": "2"}]

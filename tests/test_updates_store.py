@@ -768,3 +768,28 @@ def test_engine_export_to_jsonld(spark):
         quads.add((g, s, p, lex, lang))
     assert (None, "urn:a", "urn:p", "v", "en") in quads
     assert ("urn:g1", "urn:b", "urn:q", "5", None) in quads
+
+
+def test_insert_template_bnodes_fresh_per_solution(spark):
+    """r6c probe fix (Update §3.1.3): a blank node in an INSERT template
+    is instantiated fresh per WHERE solution — coreferent across the
+    template triples of ONE solution, distinct across solutions (it used
+    to insert a single shared constant bnode)."""
+    import json
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark))
+    eng.update('INSERT DATA { <urn:a> <urn:v> 1 . <urn:a> <urn:v> 2 . '
+               '<urn:b> <urn:v> 3 }')
+    eng.update('INSERT { ?s <urn:tag> _:t . _:t <urn:of> ?s } '
+               'WHERE { ?s <urn:v> ?x }')
+    out = json.loads(eng.query_json(
+        'SELECT ?s ?o WHERE { ?s <urn:tag> ?o . ?o <urn:of> ?s }'))
+    rows = [(b["s"]["value"], b["o"]["value"], b["o"]["type"])
+            for b in out["results"]["bindings"]]
+    # every solution produced a coreferent (tag, of) pair
+    assert len(rows) == 3
+    assert all(t == "bnode" for _, _, t in rows)
+    # bnodes are distinct across solutions (a had TWO solutions -> but
+    # dedup happens per (s, node) pair; distinctness across the 3 pairs)
+    assert len({o for _, o, _ in rows}) == 3
