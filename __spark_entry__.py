@@ -854,6 +854,17 @@ def q_ext_dedup_simhash(spark, sf_dir):
             .select("id_a", "id_b"))
 
 
+def q_ext_simhash_sig(spark, sf_dir):
+    """Exact-subcomponent oracle for the rows-only SimHash operator (r6c,
+    VERDICT r5 item 6 pattern): the FULL 64-bit signature aggregation
+    (explode → ±1 per bit → sign fold) with the portable md5 token hash —
+    DuckDB computes the identical signed value bit-for-bit."""
+    from graphdb_free_mocha_sa_spark.operators.dedup import simhash
+    (d,) = _tables(spark, sf_dir, "documents")
+    return (simhash(d.where(F.col("doc_id") < 40), hasher="md5")
+            .select(F.col("id").alias("doc_id"), "simhash"))
+
+
 def q_ext_topk_cosine(spark, sf_dir):
     from graphdb_free_mocha_sa_spark.operators.similarity import brute_force_topk
     (e,) = _tables(spark, sf_dir, "embeddings")
@@ -1413,6 +1424,9 @@ _DEFERRED_PAST_DRIVER_CAP = [
                              # b13_path_alt_inv in the head (makes room
                              # for ext_lang_id, new r6 oracle entry)
     "ext_window_rank",
+    "ext_dedup_exact",       # r6c: driver-green since r5; the new
+                             # ext_simhash_sig (exact 64-bit signature
+                             # oracle) takes the head dedup-family slot
     "ext_dedup_cascade",
     "ext_decontaminate",
     "ext_topk_cosine",
@@ -1556,6 +1570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_lsh_buckets": q_ext_lsh_buckets,
         "ext_ivf_assign": q_ext_ivf_assign,
         "ext_semantic_pairs": q_ext_semantic_pairs,
+        # r6c: exact signature oracle for the rows-only SimHash sketch
+        "ext_simhash_sig": q_ext_simhash_sig,
         "ext_embed_neardup": q_ext_embed_neardup,
         "ext_ngram_jaccard": q_ext_ngram_jaccard,
         # promoted into the checked prefix (one per family, round-4):
@@ -1723,6 +1739,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS vec_id, CAST(a.cid AS INTEGER) AS cid,
                    dom.vec_id IS NULL AS keep
             FROM a LEFT JOIN dom ON a.vec_id = dom.vec_id""",
+        "ext_simhash_sig": r"""
+            WITH toks AS (
+              SELECT doc_id, tok
+              FROM (SELECT doc_id, lower(text) AS t FROM documents
+                    WHERE doc_id < 40) d,
+                   unnest(string_split_regex(d.t, '\W+')) AS u(tok)
+              WHERE length(tok) > 0
+            ),
+            th AS (SELECT doc_id,
+                          ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+                   FROM toks),
+            bits AS (
+              SELECT doc_id, g.b,
+                     sum(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM th, generate_series(0, 63) AS g(b)
+              GROUP BY doc_id, g.b
+            )
+            SELECT doc_id,
+                   sum(CASE WHEN s > 0 THEN
+                         CASE WHEN b = 63 THEN (-9223372036854775807 - 1)
+                              ELSE (1::BIGINT << b) END
+                       ELSE 0 END)::BIGINT AS simhash
+            FROM bits GROUP BY doc_id""",
         "b1_scan": """
             SELECT 'urn:x:customer/' || c_custkey AS s, c_acctbal AS bal
             FROM customer""",

@@ -933,3 +933,39 @@ def test_lang_id_argmax_and_tiebreak(spark):
     out = {r.doc_id: r.g for r in
            df.select("doc_id", lang_id(F.col("text")).alias("g")).collect()}
     assert out == {1: "en", 2: "de", 3: "fr", 4: "unknown", 5: "en"}
+
+
+def test_simhash_md5_matches_reference_and_xxhash_structure(spark):
+    """r6c: the md5-hasher simhash (the exact-oracle path) matches an
+    independent pure-Python SimHash over the same tokens, and agrees
+    with the xxhash64 variant on duplicate-detection structure (equal
+    texts -> equal signatures)."""
+    import hashlib
+    import re
+
+    from graphdb_free_mocha_sa_spark.operators.dedup import simhash
+    rows = [(1, "the quick brown fox"), (2, "the quick brown fox"),
+            (3, "pack my box with five dozen jugs"), (4, "é ünïcode tokens")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r.simhash for r in simhash(df, hasher="md5").collect()}
+
+    def py_simhash(text):
+        sums = [0] * 64
+        # Java-regex \W (and DuckDB's RE2) are ASCII word classes, unlike
+        # Python's unicode-aware \W — mirror the engines' semantics
+        for tok in (t for t in re.split(r"[^0-9A-Za-z_]+", text.lower())
+                    if t):
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+            for b in range(64):
+                sums[b] += 1 if (h >> b) & 1 else -1
+        sig = 0
+        for b in range(64):
+            if sums[b] > 0:
+                sig += -(2 ** 63) if b == 63 else (1 << b)
+        return sig
+
+    for i, text in rows:
+        assert got[i] == py_simhash(text), i
+    assert got[1] == got[2] and got[1] != got[3]
+    xx = {r.id: r.simhash for r in simhash(df).collect()}
+    assert xx[1] == xx[2] and xx[1] != xx[3]
