@@ -32,6 +32,18 @@ from graphdb_free_mocha_sa_spark.sparql import algebra as A
 MAX_ITERS = 64
 CHECKPOINT_EVERY = 4
 
+#: pair-frame column carrying the graph of each edge when a path is
+#: evaluated under GRAPH ?var (r6c): closures and sequence joins are then
+#: keyed per graph, so paths NEVER chain across named graphs (§18.4
+#: evaluates the pattern once per named graph).
+GROUP_COL = "__pg"
+
+
+def _grp(quads: DataFrame) -> list:
+    """Leading group column for pair selections (empty when ungrouped)."""
+    return [(F.col("g_id") if _is_enc(quads) else F.col("g"))
+            .alias(GROUP_COL)]
+
 
 def _sufs(df: DataFrame) -> list[str]:
     """Family suffixes actually present on a pair DataFrame ([''] in
@@ -65,7 +77,7 @@ def _is_enc(quads: DataFrame) -> bool:
 
 
 def _swap(df: DataFrame) -> DataFrame:
-    sel = []
+    sel = [F.col(GROUP_COL)] if GROUP_COL in df.columns else []
     for suf in _sufs(df):
         sel.append(F.col("o" + suf).alias("s" + suf))
         sel.append(F.col("s" + suf).alias("o" + suf))
@@ -73,24 +85,34 @@ def _swap(df: DataFrame) -> DataFrame:
 
 
 def _link(quads: DataFrame, iri: str,
-          lookup_id: Optional[Callable[[str], Optional[int]]]) -> DataFrame:
+          lookup_id: Optional[Callable[[str], Optional[int]]],
+          group: bool = False) -> DataFrame:
     enc = _is_enc(quads)
+    pre = _grp(quads) if group else []
     if enc:
         pid = lookup_id(iri) if lookup_id else None
         flt = (F.col("p_id") == pid) if pid is not None else F.lit(False)
-        return quads.filter(flt).select(*_s_family(True), *_o_family(True))
-    return quads.filter(F.col("p") == iri).select(*_s_family(False), *_o_family(False))
+        return quads.filter(flt).select(*pre, *_s_family(True),
+                                        *_o_family(True))
+    return quads.filter(F.col("p") == iri).select(
+        *pre, *_s_family(False), *_o_family(False))
 
 
-def _nodes(quads: DataFrame) -> DataFrame:
-    """All graph nodes (subjects ∪ objects) as an identity-pair DataFrame."""
+def _nodes(quads: DataFrame, group: bool = False) -> DataFrame:
+    """All graph nodes (subjects ∪ objects) as an identity-pair DataFrame
+    (per graph when ``group``: a term occurring only in graph g1 yields
+    its zero-length pair only under g1)."""
     enc = _is_enc(quads)
-    subs = quads.select(*_s_family(enc))
-    objs = quads.select(*_o_family(enc))
+    pre = _grp(quads) if group else []
+    subs = quads.select(*pre, *_s_family(enc))
+    objs = quads.select(*pre, *_o_family(enc))
     sufs = _sufs(objs)
-    objs = objs.select(*[F.col("o" + suf).alias("s" + suf) for suf in sufs])
-    nodes = subs.unionByName(objs).dropDuplicates(["s"])
-    sel = [F.col("s" + suf) for suf in sufs] + \
+    keep = ([GROUP_COL] if group else [])
+    objs = objs.select(*[F.col(c) for c in keep],
+                       *[F.col("o" + suf).alias("s" + suf) for suf in sufs])
+    nodes = subs.unionByName(objs).dropDuplicates(keep + ["s"])
+    sel = [F.col(c) for c in keep] + \
+          [F.col("s" + suf) for suf in sufs] + \
           [F.col("s" + suf).alias("o" + suf) for suf in sufs]
     return nodes.select(*sel)
 
@@ -102,15 +124,18 @@ def _nodes(quads: DataFrame) -> DataFrame:
 SMALL_GRAPH_EDGES = 500
 
 
-def _closure_small(edges: DataFrame, sufs: list[str]) -> DataFrame:
+def _closure_small(edges: DataFrame, sufs: list[str],
+                   grouped: bool = False) -> DataFrame:
     """Driver-side reachability for graphs under SMALL_GRAPH_EDGES edges.
-    Memory is bounded: ≤ 1000 nodes → ≤ 10⁶ result pairs."""
+    Memory is bounded: ≤ 1000 nodes → ≤ 10⁶ result pairs. When grouped,
+    adjacency is keyed (graph, node) so closure stays within one graph."""
     rows = edges.collect()
     adj: dict = {}
     fam_s: dict = {}
     fam_o: dict = {}
     for r in rows:
-        a, b = r["s"], r["o"]
+        g = r[GROUP_COL] if grouped else None
+        a, b = (g, r["s"]), (g, r["o"])
         adj.setdefault(a, set()).add(b)
         fam_s[a] = tuple(r["s" + suf] for suf in sufs)
         fam_o[b] = tuple(r["o" + suf] for suf in sufs)
@@ -124,38 +149,53 @@ def _closure_small(edges: DataFrame, sufs: list[str]) -> DataFrame:
                 continue
             seen.add(nxt)
             stack.extend(adj.get(nxt, ()))
-        out.extend(fam_s[start] + fam_o[t] for t in seen)
+        out.extend((((start[0],) if grouped else ())
+                    + fam_s[start] + fam_o[t]) for t in seen)
     schema = edges.schema
     return edges.sparkSession.createDataFrame(out, schema) if out \
         else edges.sparkSession.createDataFrame([], schema)
 
 
 def transitive_closure(pairs: DataFrame) -> DataFrame:
-    """Semi-naive reachability over distinct (s,o) pairs."""
+    """Semi-naive reachability over distinct (s,o) pairs. When the frame
+    carries GROUP_COL (path under GRAPH ?var), reachability is computed
+    independently PER GRAPH — every join below adds the group key, so a
+    g1 edge can never extend a g2 path (r6c)."""
+    grouped = GROUP_COL in pairs.columns
+    keys = ([GROUP_COL] if grouped else []) + ["s", "o"]
     sufs = _sufs(pairs)
-    edges = pairs.dropDuplicates(["s", "o"]).localCheckpoint()
+    edges = pairs.dropDuplicates(keys).localCheckpoint()
     n_edges = edges.count()
     if n_edges < SMALL_GRAPH_EDGES:
-        return _closure_small(edges, sufs)
+        return _closure_small(edges, sufs, grouped)
     # Mid-size graphs don't need 32-way shuffles per iteration — task-launch
     # overhead dominates. Size once (free after the checkpoint) and coalesce
     # the loop's parallelism to match; big graphs keep full parallelism.
     if n_edges < 100_000:
         edges = edges.repartition(4).localCheckpoint()
-    # joined frontier: delta.o == edges.s
+    # joined frontier: delta.o == edges.s (within one graph when grouped)
     e2 = edges.select(
+        *([F.col(GROUP_COL).alias("__mg")] if grouped else []),
         F.col("s").alias("__m"),
         *[F.col("o" + suf).alias("__e_o" + suf) for suf in sufs])
     acc = edges
     delta = edges
     for i in range(MAX_ITERS):
-        stepped = (delta.join(e2, delta["o"] == e2["__m"])
-                   .select(*[F.col("s" + suf) for suf in sufs],
+        step_on = delta["o"] == e2["__m"]
+        if grouped:
+            step_on = step_on & (delta[GROUP_COL] == e2["__mg"])
+        stepped = (delta.join(e2, step_on)
+                   .select(*([delta[GROUP_COL]] if grouped else []),
+                           *[F.col("s" + suf) for suf in sufs],
                            *[F.col("__e_o" + suf).alias("o" + suf) for suf in sufs])
-                   .dropDuplicates(["s", "o"]))
-        new = stepped.join(acc.select(F.col("s").alias("__as"), F.col("o").alias("__ao")),
-                           (stepped["s"] == F.col("__as")) & (stepped["o"] == F.col("__ao")),
-                           "left_anti")
+                   .dropDuplicates(keys))
+        seen = acc.select(
+            *([F.col(GROUP_COL).alias("__ag")] if grouped else []),
+            F.col("s").alias("__as"), F.col("o").alias("__ao"))
+        anti_on = (stepped["s"] == F.col("__as")) & (stepped["o"] == F.col("__ao"))
+        if grouped:
+            anti_on = anti_on & (stepped[GROUP_COL] == F.col("__ag"))
+        new = stepped.join(seen, anti_on, "left_anti")
         new = new.localCheckpoint() if (i % CHECKPOINT_EVERY == 0) else new
         if new.isEmpty():
             return acc
@@ -167,32 +207,44 @@ def transitive_closure(pairs: DataFrame) -> DataFrame:
 
 
 def eval_path(spark: SparkSession, quads: DataFrame, path,
-              lookup_id: Optional[Callable[[str], Optional[int]]] = None) -> DataFrame:
-    """Evaluate a property path to an (s-family, o-family) pair DataFrame."""
+              lookup_id: Optional[Callable[[str], Optional[int]]] = None,
+              group: bool = False) -> DataFrame:
+    """Evaluate a property path to an (s-family, o-family) pair DataFrame.
+    With ``group=True`` every pair additionally carries GROUP_COL (the
+    graph it was derived in) and sequence joins / closures / zero-length
+    identities are keyed per graph — the GRAPH ?var evaluation (r6c)."""
+    keys = ([GROUP_COL] if group else []) + ["s", "o"]
     if isinstance(path, A.PLink):
-        return _link(quads, path.iri, lookup_id)
+        return _link(quads, path.iri, lookup_id, group)
     if isinstance(path, A.PInv):
-        return _swap(eval_path(spark, quads, path.path, lookup_id))
+        return _swap(eval_path(spark, quads, path.path, lookup_id, group))
     if isinstance(path, A.PSeq):
-        l = eval_path(spark, quads, path.left, lookup_id)
-        r = eval_path(spark, quads, path.right, lookup_id)
+        l = eval_path(spark, quads, path.left, lookup_id, group)
+        r = eval_path(spark, quads, path.right, lookup_id, group)
         sufs = _sufs(l)
-        r2 = r.select(F.col("s").alias("__m"),
+        r2 = r.select(*([F.col(GROUP_COL).alias("__mg")] if group else []),
+                      F.col("s").alias("__m"),
                       *[F.col("o" + suf).alias("__r_o" + suf) for suf in sufs])
-        return (l.join(r2, l["o"] == r2["__m"])
-                .select(*[F.col("s" + suf) for suf in sufs],
+        on = l["o"] == r2["__m"]
+        if group:
+            on = on & (l[GROUP_COL] == r2["__mg"])
+        return (l.join(r2, on)
+                .select(*([l[GROUP_COL]] if group else []),
+                        *[F.col("s" + suf) for suf in sufs],
                         *[F.col("__r_o" + suf).alias("o" + suf) for suf in sufs]))
     if isinstance(path, A.PAlt):
-        return (eval_path(spark, quads, path.left, lookup_id)
-                .unionByName(eval_path(spark, quads, path.right, lookup_id)))
+        return (eval_path(spark, quads, path.left, lookup_id, group)
+                .unionByName(eval_path(spark, quads, path.right, lookup_id,
+                                       group)))
     if isinstance(path, A.PMod):
-        inner = eval_path(spark, quads, path.path, lookup_id)
+        inner = eval_path(spark, quads, path.path, lookup_id, group)
         if path.mod == "+":
             return transitive_closure(inner)
         if path.mod == "*":
-            return transitive_closure(inner).unionByName(_nodes(quads)).dropDuplicates(["s", "o"])
+            return (transitive_closure(inner)
+                    .unionByName(_nodes(quads, group)).dropDuplicates(keys))
         if path.mod == "?":
-            return inner.unionByName(_nodes(quads)).dropDuplicates(["s", "o"])
+            return inner.unionByName(_nodes(quads, group)).dropDuplicates(keys)
         raise ValueError(path.mod)
     if isinstance(path, A.PNeg):
         enc = _is_enc(quads)
@@ -208,13 +260,15 @@ def eval_path(spark: SparkSession, quads: DataFrame, path,
                 return df.filter(~F.col("p_id").isin(ids)) if ids else df
             return df.filter(~F.col("p").isin(*iris))
 
+        pre = _grp(quads) if group else []
         pieces = []
         if path.forward or not path.inverse:
             fwd = neg_filter(quads, path.forward)
-            pieces.append(fwd.select(*_s_family(enc), *_o_family(enc)))
+            pieces.append(fwd.select(*pre, *_s_family(enc), *_o_family(enc)))
         if path.inverse:
             inv = neg_filter(quads, path.inverse)
-            pieces.append(_swap(inv.select(*_s_family(enc), *_o_family(enc))))
+            pieces.append(_swap(inv.select(*pre, *_s_family(enc),
+                                           *_o_family(enc))))
         out = pieces[0]
         for piece in pieces[1:]:
             out = out.unionByName(piece)

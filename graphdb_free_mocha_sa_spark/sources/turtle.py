@@ -42,7 +42,7 @@ _TOKEN = re.compile(
     | (?P<INTEGER>[+-]?\d+)
     | (?P<DTMARK>\^\^)
     | (?P<PUNCT>[.;,\[\](){}])
-    | (?P<PNAME>(?:[A-Za-z][A-Za-z0-9_.-]*)?:(?:[A-Za-z0-9_%](?:[A-Za-z0-9_.%-]*[A-Za-z0-9_%-])?)?)
+    | (?P<PNAME>(?:[A-Za-z][A-Za-z0-9_.-]*)?:(?:(?:[A-Za-z0-9_%]|\\[-_~.!$&'()*+,;=/?\#@%])(?:(?:[A-Za-z0-9_.%:-]|\\[-_~.!$&'()*+,;=/?\#@%])*(?:[A-Za-z0-9_%:-]|\\[-_~.!$&'()*+,;=/?\#@%]))?)?)
     | (?P<KW>\b(?:a|true|false|PREFIX|BASE|[Gg][Rr][Aa][Pp][Hh])\b)
     """,
     re.X,
@@ -146,7 +146,9 @@ class TurtleParser:
         ns, _, local = raw.partition(":")
         if ns not in self.prefixes:
             raise ValueError(f"turtle: undefined prefix {ns!r}:")
-        return self.prefixes[ns] + local.replace("\\", "")
+        # PN_LOCAL_ESC: drop the escaping backslash, keep the character
+        return self.prefixes[ns] + re.sub(
+            r"\\([-_~.!$&'()*+,;=/?#@%])", r"\1", local)
 
     # -- grammar --------------------------------------------------------
 

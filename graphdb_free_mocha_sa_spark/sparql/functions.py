@@ -169,7 +169,10 @@ class TCol:
             return self._bool
         return (
             F.when(self.dt == XSD_BOOLEAN, self.lex == "true")
-             .when(self.num.isNotNull(), self.num != 0.0)
+             # NaN EBV is false (§17.2.2) — Spark's `!=` puts NaN on the
+             # TRUE side (NaN equals NaN in Spark SQL), so test explicitly
+             .when(self.num.isNotNull(),
+                   (self.num != 0.0) & ~F.isnan(self.num))
              .when(self.dt.isin(XSD_STRING, RDF_LANGSTRING), F.length(self.lex) > 0)
              .otherwise(_NB())
         )
@@ -229,6 +232,13 @@ def _apply_regex_flags(pat: Column, flags: Column | None) -> Column:
     return F.when(F.length(rest) > 0,
                   F.concat(F.lit("(?"), rest, F.lit(")"), body)) \
             .otherwise(body)
+
+
+def _str_arg(t: TCol) -> Column:
+    """First-argument constraint of the unary string functions
+    (§17.4.3: string literal = simple / xsd:string / langString) — an
+    IRI or bnode argument is a type error (r6c probe fix)."""
+    return F.when(t.dt.isin(XSD_STRING, RDF_LANGSTRING), t.lex)
 
 
 def _argcompat(l: TCol, r: TCol) -> Column:
@@ -354,7 +364,9 @@ def builtin(name: str, args: list[TCol], base: str | None = None) -> TCol:
     a = args
 
     if n == "STR":
-        return TCol.from_str(a[0].lex)
+        # §17.4.2.5: STR takes a literal or an IRI — a blank node is a
+        # type error (r6c probe fix)
+        return TCol.from_str(F.when(~a[0].is_bnode(), a[0].lex))
     if n == "LANG":
         return TCol.from_str(F.coalesce(a[0].lang, F.when(a[0].is_literal(), F.lit(""))))
     if n == "DATATYPE":
@@ -422,13 +434,14 @@ def builtin(name: str, args: list[TCol], base: str | None = None) -> TCol:
             lang = F.when(lang.eqNullSafe(x.lang), lang)
         return _strlit(F.concat(*[x.lex for x in a]), lang)
     if n == "STRLEN":
-        return TCol.from_num(F.length(a[0].lex).cast("double"), XSD_INTEGER)
+        return TCol.from_num(F.length(_str_arg(a[0])).cast("double"),
+                             XSD_INTEGER)
     if n == "UCASE":
-        return _strlit(F.upper(a[0].lex), a[0].lang)
+        return _strlit(F.upper(_str_arg(a[0])), a[0].lang)
     if n == "LCASE":
-        return _strlit(F.lower(a[0].lex), a[0].lang)
+        return _strlit(F.lower(_str_arg(a[0])), a[0].lang)
     if n == "ENCODE_FOR_URI":
-        return TCol.from_str(_iri_localname_encode(a[0].lex))
+        return TCol.from_str(_iri_localname_encode(_str_arg(a[0])))
     if n == "CONTAINS":
         return TCol.from_bool(F.when(_argcompat(a[0], a[1]),
                                      a[0].lex.contains(a[1].lex)))

@@ -47,7 +47,7 @@ TOKEN_RE = re.compile(r"""
   | (?P<DOUBLE>(?:\d+\.\d*|\.\d+|\d+)[eE][+-]?\d+)
   | (?P<DECIMAL>\d+\.\d*|\.\d+)
   | (?P<INTEGER>\d+)
-  | (?P<PNAME>(?:[A-Za-z_][A-Za-z0-9_-]*)?:(?:[A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)?)
+  | (?P<PNAME>(?:[A-Za-z_][A-Za-z0-9_-]*)?:(?:(?:[A-Za-z0-9_]|%[0-9A-Fa-f]{2}|\\[-_~.!$&'()*+,;=/?\#@%])(?:(?:[A-Za-z0-9_.:-]|%[0-9A-Fa-f]{2}|\\[-_~.!$&'()*+,;=/?\#@%])*(?:[A-Za-z0-9_:-]|%[0-9A-Fa-f]{2}|\\[-_~.!$&'()*+,;=/?\#@%]))?)?)
   | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<PUNCT>\^\^|&&|\|\||!=|<=|>=|[{}()\[\],;.*/|^?+\-=<>!@])
 """, re.VERBOSE)
@@ -203,6 +203,9 @@ class Parser:
             if ns in builtin:
                 return builtin[ns] + local
             raise SparqlSyntaxError(f"unknown prefix {ns!r}")
+        # PN_LOCAL_ESC: backslash-escaped punctuation in local names
+        # (ex:f\,g — the escape is grammar-level, the IRI keeps the char)
+        local = re.sub(r"\\([-_~.!$&'()*+,;=/?#@%])", r"\1", local)
         return self.prefixes[ns] + local
 
     def parse_iri(self) -> str:

@@ -34,6 +34,7 @@ from graphdb_free_mocha_sa_spark.model import (NUMERIC_DTS, VAR_SUFFIXES,
                                                canonical_key_from_parts,
                                                canonical_object_key, var_cols)
 from graphdb_free_mocha_sa_spark.sparql import algebra as A
+from graphdb_free_mocha_sa_spark.store import DEFAULT_GRAPH
 from graphdb_free_mocha_sa_spark.sparql.functions import (BNODE_SALT, TCol,
                                                           binary, builtin,
                                                           expr_has_bnode,
@@ -202,8 +203,11 @@ class Translator:
                     return df.filter(F.lit(False))
                 return df.filter(g_in([gctx]))
             if has_ds:
-                df = df.filter(g_in(self.dataset_named or []))
-            return df
+                return df.filter(g_in(self.dataset_named or []))
+            # GRAPH ?var ranges over NAMED graphs only — default-graph
+            # rows must not leak a sentinel binding (r6c probe fix)
+            did = self.lookup_id(DEFAULT_GRAPH)
+            return df.filter(F.col("g_id") != did) if did is not None else df
         has_ds = bool(self.dataset_default or self.dataset_named)
         if gctx is None:
             if has_ds:
@@ -215,11 +219,12 @@ class Translator:
                 return df.filter(F.lit(False))
             return df.filter(F.col("g") == gctx)
         # variable context: the named set (empty when a dataset clause
-        # provided only FROM)
+        # provided only FROM); without a dataset clause, NAMED graphs only —
+        # the default-graph sentinel must not leak a binding (r6c probe fix)
         if has_ds:
-            df = (df.filter(F.col("g").isin(self.dataset_named))
-                  if self.dataset_named else df.filter(F.lit(False)))
-        return df
+            return (df.filter(F.col("g").isin(self.dataset_named))
+                    if self.dataset_named else df.filter(F.lit(False)))
+        return df.filter(F.col("g") != DEFAULT_GRAPH)
 
     # ------------------------------------------------------------ joins
 
@@ -515,29 +520,49 @@ class Translator:
             sel = [F.lit(1).alias(self._uniq("__one"))]
         return df.select(*sel)
 
+    def _named_graphs_df(self, gctx, gvar: str) -> DataFrame:
+        """One row per named graph visible in ``gctx``, bound to ``gvar``
+        (id-keyed in encoded mode, full family otherwise)."""
+        scan = self._graph_scan(gctx)
+        if self.encoded:
+            return scan.select(F.col("g_id").alias(gvar)).dropDuplicates()
+        return scan.select(*_pos_family("g", gvar)).dropDuplicates([gvar])
+
     def _scan_path(self, tp: A.TriplePattern, gctx) -> DataFrame:
-        from graphdb_free_mocha_sa_spark.operators.paths import eval_path
+        from graphdb_free_mocha_sa_spark.operators.paths import (GROUP_COL,
+                                                                 eval_path)
+        grouped = isinstance(gctx, str) and gctx.startswith("?")
+        gvar = gctx[1:] if grouped else None
+        nullable = _path_nullable(tp.p)
+        s_const = not isinstance(tp.s, (A.Var, A.BNode))
+        o_const = not isinstance(tp.o, (A.Var, A.BNode))
         # SPARQL zero-length path: a NULLABLE path (one that can match
         # the empty word — */?, an alternation with a nullable branch, a
         # sequence of nullables) between identical CONSTANT endpoints
         # matches unconditionally, including terms absent from the graph
-        # (r6 probe + review fixes; matches Jena/rdf4j).
-        if _path_nullable(tp.p) \
-                and not isinstance(tp.s, (A.Var, A.BNode)) \
-                and not isinstance(tp.o, (A.Var, A.BNode)) \
+        # (r6 probe + review fixes; matches Jena/rdf4j). Under GRAPH ?g it
+        # matches once PER NAMED GRAPH (§18.4 per-graph evaluation).
+        if nullable and s_const and o_const \
                 and term_parts_py(tp.s)[0] == term_parts_py(tp.o)[0]:
-            return self._unit()
+            return self._named_graphs_df(gctx, gvar) if grouped \
+                else self._unit()
+        # under a graph VARIABLE the evaluation is per named graph: pairs
+        # carry GROUP_COL and closures/joins are graph-keyed (no
+        # cross-graph chaining — r6c fix; this used to drop ?g and crash)
         pairs = eval_path(self.spark, self._graph_scan(gctx), tp.p,
-                          lookup_id=self.lookup_id if self.encoded else None)
+                          lookup_id=self.lookup_id if self.encoded else None,
+                          group=grouped)
         # pairs carries endpoint families "s"/"o" (key-only in encoded mode —
         # the whole fixpoint then shuffles 8-byte ids)
         sufs = [suf for suf in VAR_SUFFIXES if ("o" + suf) in pairs.columns]
         df = pairs
         out_cols: list[Column] = []
+        bound: dict[str, str] = {}
         for term, pos in ((tp.s, "s"), (tp.o, "o")):
             if isinstance(term, A.BNode):
                 term = A.Var("__bnp_" + term.label)
             if isinstance(term, A.Var):
+                bound.setdefault(term.name, pos)
                 for suf in sufs:
                     out_cols.append(F.col(pos + suf).alias(term.name + suf))
             else:
@@ -551,9 +576,63 @@ class Translator:
         if isinstance(tp.s, A.Var) and isinstance(tp.o, A.Var) and tp.s.name == tp.o.name:
             df = df.filter(F.col("s") == F.col("o"))
             out_cols = [F.col("s" + suf).alias(tp.s.name + suf) for suf in sufs]
+        if grouped:
+            if gvar in bound:
+                # GRAPH ?g { ?g <p>* ?o }: graph name = endpoint value
+                df = df.filter(F.col(GROUP_COL) == F.col(bound[gvar]))
+            elif self.encoded:
+                out_cols.append(F.col(GROUP_COL).alias(gvar))
+            else:
+                c = F.col(GROUP_COL)
+                out_cols.extend([
+                    c.alias(gvar), c.alias(gvar + "__lex"),
+                    F.lit(None).cast("string").alias(gvar + "__dt"),
+                    F.lit(None).cast("string").alias(gvar + "__lang"),
+                    F.lit(None).cast("double").alias(gvar + "__num"),
+                    F.lit(None).cast("timestamp").alias(gvar + "__ts")])
         if not out_cols:
             out_cols = [F.lit(1).alias(self._uniq("__one"))]
-        return df.select(*out_cols)
+        out = df.select(*out_cols)
+        if nullable and (s_const != o_const):
+            out = self._zero_length_supplement(out, tp, gctx, gvar)
+        return out
+
+    def _zero_length_supplement(self, out: DataFrame, tp: A.TriplePattern,
+                                gctx, gvar) -> DataFrame:
+        """§18.4 ZeroOrOne/ZeroOrMorePath with a constant endpoint X and a
+        variable V: the result INCLUDES V ← X even when X occurs nowhere
+        in the graph (r6c probe fix — the identity-pair union only covers
+        terms present in the graph). Under GRAPH ?g the row repeats per
+        named graph. The supplement is string-keyed (the term may be
+        absent from the dictionary), so in encoded mode the main result is
+        re-keyed first; anti-join keeps the row out when already present."""
+        from pyspark.sql.types import (DoubleType, StringType, StructField,
+                                       StructType, TimestampType)
+        s_const = not isinstance(tp.s, (A.Var, A.BNode))
+        const, var = (tp.s, tp.o) if s_const else (tp.o, tp.s)
+        vname = ("__bnp_" + var.label) if isinstance(var, A.BNode) \
+            else var.name
+        fields = [StructField(vname, StringType()),
+                  StructField(vname + "__lex", StringType()),
+                  StructField(vname + "__dt", StringType()),
+                  StructField(vname + "__lang", StringType()),
+                  StructField(vname + "__num", DoubleType()),
+                  StructField(vname + "__ts", TimestampType())]
+        zr = self.spark.createDataFrame([term_parts_py(const)],
+                                        StructType(fields))
+        keys = [vname]
+        if gvar is not None:
+            gdf = self._named_graphs_df(gctx, gvar)
+            if self.encoded:
+                gdf = self._string_rep(gdf, [gvar])
+            zr = zr.crossJoin(gdf)
+            keys.append(gvar)
+        if self.encoded:
+            out = self._string_rep(out, [vname] + ([gvar] if gvar else []))
+        zr = zr.select(*out.columns)
+        zr = zr.join(out.select(*keys).dropDuplicates(),
+                     on=keys, how="left_anti")
+        return out.unionByName(zr)
 
     # ------------------------------------------------------------ patterns
 

@@ -396,3 +396,123 @@ def test_sum_avg_poisoned_by_non_numeric_group_value(spark):
             for b in out["results"]["bindings"]]
     assert rows == [{"s": "urn:a", "sum": "3", "avg": "1.5", "c": "2"},
                     {"s": "urn:c", "c": "2"}]
+
+
+@pytest.mark.parametrize("force_encode", [False, True])
+def test_paths_under_graph_variable_scoped_per_graph(spark, force_encode,
+                                                     monkeypatch):
+    """r6c probe fixes (§18.4): (1) property paths under GRAPH ?g bind ?g
+    and the closure NEVER chains across named graphs; (2) GRAPH ?g ranges
+    over named graphs only (no default-sentinel leak); (3) zero-length
+    nullable paths with one constant endpoint bind the variable to the
+    constant even when the term is absent from the graph/dictionary —
+    per named graph under GRAPH ?g."""
+    import json
+
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    if force_encode:
+        monkeypatch.setenv("SPARK_GRAFT_FORCE_ENCODE", "1")
+    eng = Engine(spark, QuadStore(spark))
+    eng.update("""INSERT DATA {
+      GRAPH <urn:g1> { <urn:a> <urn:p> <urn:b> . <urn:b> <urn:p> <urn:c> }
+      GRAPH <urn:g2> { <urn:c> <urn:p> <urn:d> }
+      <urn:x> <urn:p> <urn:a> .
+    }""")
+
+    def rows(q):
+        out = json.loads(eng.query_json(q))
+        return [tuple(b[v]["value"] for v in out["head"]["vars"] if v in b)
+                for b in out["results"]["bindings"]]
+
+    # closure scoped per graph: d is NOT reachable from a under GRAPH ?g
+    assert rows('SELECT ?g ?o WHERE { GRAPH ?g { <urn:a> <urn:p>+ ?o } } '
+                'ORDER BY ?g ?o') \
+        == [("urn:g1", "urn:b"), ("urn:g1", "urn:c")]
+    # zero-length identity appears once PER NAMED GRAPH (even in g2
+    # where <urn:a> does not occur)
+    assert rows('SELECT ?g ?o WHERE { GRAPH ?g { <urn:a> <urn:p>* ?o } } '
+                'ORDER BY ?g ?o') \
+        == [("urn:g1", "urn:a"), ("urn:g1", "urn:b"), ("urn:g1", "urn:c"),
+            ("urn:g2", "urn:a")]
+    # no default-graph sentinel binding
+    assert rows('SELECT ?g ?s WHERE { GRAPH ?g { ?s ?p ?o } } ORDER BY ?g') \
+        == [("urn:g1", "urn:a"), ("urn:g1", "urn:b"), ("urn:g2", "urn:c")]
+    # zero-length with a term absent from the data (and the dictionary)
+    assert rows('SELECT ?o WHERE { <urn:zzz> <urn:p>? ?o }') \
+        == [("urn:zzz",)]
+    assert rows('SELECT ?s WHERE { ?s <urn:p>? <urn:zzz2> }') \
+        == [("urn:zzz2",)]
+    # default graph keeps the GraphDB union semantics for paths
+    assert rows('SELECT ?o WHERE { <urn:x> <urn:p>+ ?o } ORDER BY ?o') \
+        == [("urn:a",), ("urn:b",), ("urn:c",), ("urn:d",)]
+    # sequence paths stay within one graph too
+    assert rows('SELECT ?g ?o WHERE '
+                '{ GRAPH ?g { <urn:a> (<urn:p>/<urn:p>) ?o } }') \
+        == [("urn:g1", "urn:c")]
+
+
+def test_r6c_ebv_and_term_function_guards(spark):
+    """r6c probe sweep #3: NaN EBV is false (Spark's != keeps NaN);
+    STR rejects blank nodes; unary string functions (UCASE/LCASE/STRLEN/
+    ENCODE_FOR_URI) reject IRI/bnode args; IN error semantics."""
+    import json
+
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark))
+    eng.update('INSERT DATA { <urn:a> <urn:p> _:bn1 }')
+
+    def ask(body):
+        return json.loads(eng.query_json(f"ASK {{ {body} }}"))["boolean"]
+
+    def one(sel, where="{}"):
+        out = json.loads(eng.query_json(f"SELECT {sel} WHERE {where}"))
+        return {k: v["value"]
+                for k, v in out["results"]["bindings"][0].items()}
+
+    assert ask('FILTER("NaN"^^<http://www.w3.org/2001/XMLSchema#double>)') \
+        is False
+    assert ask('FILTER("0")') is True          # plain "0": length > 0
+    assert ask('FILTER(0.0)') is False
+    assert ask('FILTER(<urn:iri>)') is False   # EBV of IRI: error
+    # STR: literal/IRI fine, bnode errors
+    r = one('(STR(?o) AS ?x) (STR(<urn:i>) AS ?ok)',
+            "{ <urn:a> <urn:p> ?o }")
+    assert r == {"ok": "urn:i"}
+    # unary string functions demand string literals
+    r = one('(UCASE(<urn:i>) AS ?x) (STRLEN(<urn:i>) AS ?y) '
+            '(UCASE("ab"@en) AS ?ok)')
+    assert r == {"ok": "AB"}
+    # IN: short-circuit across errors both directions; NOT IN poisoned
+    assert ask('FILTER(2 IN (2, 1/0))') is True
+    assert ask('FILTER(2 IN (1/0, 2))') is True
+    assert one('(2 NOT IN (3, 1/0) AS ?x)') == {}
+
+
+def test_pn_local_escapes_and_percent(spark):
+    """r6c parser probe: PN_LOCAL_ESC (ex:f\\,g) and percent-encoding
+    (ex:z%20w) in prefixed local names, in BOTH the SPARQL parser and the
+    Turtle reader; ':' legal mid-local-name."""
+    import json
+
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.sources.turtle import parse_turtle
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark))
+    eng.update('INSERT DATA { <urn:ex#f,g> <urn:p> "v" . '
+               '<urn:ex#z%20w> <urn:p> "pct" . <urn:ex#a:b> <urn:p> "c" }')
+
+    def vals(q):
+        out = json.loads(eng.query_json(q))
+        return [b["o"]["value"] for b in out["results"]["bindings"]]
+
+    assert vals('PREFIX ex: <urn:ex#> '
+                'SELECT ?o WHERE { ex:f\\,g <urn:p> ?o }') == ["v"]
+    assert vals('PREFIX ex: <urn:ex#> '
+                'SELECT ?o WHERE { ex:z%20w <urn:p> ?o }') == ["pct"]
+    assert vals('PREFIX ex: <urn:ex#> '
+                'SELECT ?o WHERE { ex:a:b <urn:p> ?o }') == ["c"]
+    triples = list(parse_turtle(
+        "@prefix ex: <urn:ex#> .\nex:f\\,g ex:p ex:x\\/y ."))
+    assert triples == [("urn:ex#f,g", "urn:ex#p", ("urn:ex#x/y", None, None))]
