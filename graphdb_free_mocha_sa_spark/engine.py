@@ -443,8 +443,25 @@ class Engine:
                              quads["s"] == F.col("k"))
         as_obj = quads.filter(F.col("o_dt").isNull()).join(
             F.broadcast(resources), quads["o_lex"] == F.col("k"))
-        out = as_subj.unionByName(as_obj)
-        return out.drop("k").dropDuplicates(["s", "p", "o_lex", "o_dt", "o_lang"])
+        out = as_subj.unionByName(as_obj).drop("k")
+        # CBD blank-node closure (r6c probe fix): a described resource's
+        # bnode objects are expanded transitively — their outgoing arcs
+        # join the description (rdf4j DescribeIteration behaviour). Each
+        # round is one broadcast equi-join on the NEW bnode frontier;
+        # depth is bounded by the data's bnode-nesting depth (capped).
+        seen = resources
+        for _ in range(16):
+            frontier = (out.filter(F.col("o_dt").isNull()
+                                   & F.col("o_lex").startswith("_:"))
+                        .select(F.col("o_lex").alias("k")).dropDuplicates()
+                        .join(seen, "k", "left_anti").localCheckpoint())
+            if frontier.isEmpty():
+                break
+            seen = seen.unionByName(frontier)
+            out = out.unionByName(
+                quads.join(F.broadcast(frontier),
+                           quads["s"] == F.col("k")).drop("k"))
+        return out.dropDuplicates(["s", "p", "o_lex", "o_dt", "o_lang"])
 
     def query_json(self, sparql: str) -> str:
         """Serialize-or-sentinel, mirroring GraphDBSystemAdapter.java:246-258."""

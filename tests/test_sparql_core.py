@@ -516,3 +516,23 @@ def test_pn_local_escapes_and_percent(spark):
     triples = list(parse_turtle(
         "@prefix ex: <urn:ex#> .\nex:f\\,g ex:p ex:x\\/y ."))
     assert triples == [("urn:ex#f,g", "urn:ex#p", ("urn:ex#x/y", None, None))]
+
+
+def test_describe_expands_bnode_closure(spark):
+    """r6c probe fix: DESCRIBE returns the concise bounded description —
+    blank-node objects expand transitively (rdf4j DescribeIteration),
+    unrelated bnodes stay out, inbound arcs to the resource kept."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark))
+    eng.update("""INSERT DATA {
+      <urn:d> <urn:addr> _:ad . _:ad <urn:city> "Paris" .
+      _:ad <urn:sub> _:ad2 . _:ad2 <urn:deep> "d" .
+      <urn:e> <urn:ref> <urn:d> . _:other <urn:x> "unrelated" }""")
+    rows = sorted((r.s, r.p, r.o_lex)
+                  for r in eng.query("DESCRIBE <urn:d>").collect())
+    assert ("_:ad", "urn:city", "Paris") in rows
+    assert ("_:ad2", "urn:deep", "d") in rows          # nested bnode
+    assert ("urn:e", "urn:ref", "urn:d") in rows       # inbound arc
+    assert not any(s == "_:other" for s, _, _ in rows)
+    assert len(rows) == 5
