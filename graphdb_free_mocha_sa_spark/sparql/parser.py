@@ -532,6 +532,9 @@ class Parser:
                 v = self.next()
                 names.append(v.value[1:])
             self.next()
+            if len(set(names)) != len(names):
+                raise SparqlSyntaxError(
+                    "VALUES: duplicate variable in the variable list")
             self.expect_punct("{")
             rows = []
             while self.at_punct("("):
@@ -706,6 +709,11 @@ class Parser:
                     projections.append((v.value[1:], expr))
                 else:
                     break
+        names = [n for n, _ in projections]
+        if len(set(names)) != len(names):
+            raise SparqlSyntaxError(
+                "SELECT: a variable may appear only once in the "
+                "projection (duplicate or AS over a projected name)")
         dd, dn = ([], []) if sub else self._parse_datasets()
         if self.at_kw("WHERE"):
             self.next()

@@ -706,6 +706,14 @@ class Translator:
             return df.filter(cond).drop(*flags)
         if isinstance(node, A.Extend):
             df = self.translate(node.pattern, gctx)
+            if node.var in var_names(df):
+                # §10.1: the BIND target must not be in-scope in the
+                # preceding pattern (r6c probe fix: it silently overwrote)
+                from graphdb_free_mocha_sa_spark.sparql.parser import \
+                    SparqlSyntaxError
+                raise SparqlSyntaxError(
+                    f"BIND: variable ?{node.var} is already bound in "
+                    "the group")
             df, exists_map, flags = self._materialize_exists(node.expr, df, gctx)
             if self.encoded:
                 df = self._string_rep(df, _expr_vars(node.expr))
@@ -998,6 +1006,22 @@ class Translator:
         agg_ids: dict[int, str] = {}
         if q.group_by or aggs:
             df, agg_ids = self._group_aggregate(df, q, aggs)
+            # §18.2.4.1: outside aggregates, only GROUP BY keys (and
+            # earlier AS projections) may be referenced (r6c probe fix:
+            # Spark's unresolved-column error now becomes a clean
+            # SparqlSyntaxError before any plan is built)
+            from graphdb_free_mocha_sa_spark.sparql.parser import \
+                SparqlSyntaxError
+            allowed = set(var_names(df))
+            for name, e in q.projections:
+                refs = {name} if e is None else _expr_vars(e)
+                stray = refs - allowed
+                if stray:
+                    raise SparqlSyntaxError(
+                        "SELECT with GROUP BY: variable ?"
+                        + sorted(stray)[0]
+                        + " is neither grouped nor aggregated")
+                allowed.add(name)
 
         def resolver(name: str) -> TCol:
             return _fam_tcol(df, name)

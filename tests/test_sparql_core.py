@@ -536,3 +536,34 @@ def test_describe_expands_bnode_closure(spark):
     assert ("urn:e", "urn:ref", "urn:d") in rows       # inbound arc
     assert not any(s == "_:other" for s, _, _ in rows)
     assert len(rows) == 5
+
+
+def test_static_scope_errors(spark):
+    """r6c probe sweep #4: grammar-level static errors surface as clean
+    SparqlSyntaxError instead of silent overwrites / raw Spark analysis
+    exceptions — BIND over an in-scope var (§10.1), duplicate projection
+    names, ungrouped var in a grouped SELECT (§18.2.4.1), duplicate
+    VALUES variables."""
+    import pytest as _pytest
+
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.sparql.parser import SparqlSyntaxError
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark))
+    eng.update('INSERT DATA { <urn:a> <urn:p> 1 }')
+    for bad in [
+        'SELECT ?v WHERE { ?s <urn:p> ?v . BIND(9 AS ?v) }',
+        'SELECT ?s (1 AS ?s) WHERE { ?s <urn:p> ?v }',
+        'SELECT ?s ?s WHERE { ?s <urn:p> ?v }',
+        'SELECT ?s ?v WHERE { ?s <urn:p> ?v } GROUP BY ?s',
+        'SELECT (?v + COUNT(*) AS ?x) WHERE { ?s <urn:p> ?v }',
+        'SELECT * WHERE { VALUES (?x ?x) { (1 2) } }',
+    ]:
+        with _pytest.raises(SparqlSyntaxError):
+            eng.query(bad)
+    # positives: fresh BIND target; AS referencing group keys/aliases
+    import json
+    out = json.loads(eng.query_json(
+        'SELECT ?s (COUNT(*)+1 AS ?d) (STR(?s) AS ?t) WHERE { ?s ?p ?o } '
+        'GROUP BY ?s'))
+    assert out["results"]["bindings"][0]["d"]["value"] == "2"
