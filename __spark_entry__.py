@@ -1313,6 +1313,26 @@ def q_ext_fingerprint(spark, sf_dir):
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+def q_ext_fingerprint_md5(spark, sf_dir):
+    """Exact-subcomponent oracle for the rows-only fingerprint operator
+    (r6c): the FULL normalize-then-hash pipeline with the portable md5
+    hasher — DuckDB computes the identical signed 64-bit value."""
+    from graphdb_free_mocha_sa_spark.operators.text import fingerprint
+    (d,) = _tables(spark, sf_dir, "documents")
+    return (d.where(F.col("doc_id") < 50)
+            .select("doc_id",
+                    fingerprint(F.col("text"), hasher="md5").alias("fp")))
+
+
+def q_ext_quantiles_exact(spark, sf_dir):
+    """Exact-percentile subcomponent for the rows-only sketch entry
+    (r6c): Spark's exact `percentile` (linear interpolation) mirrors
+    DuckDB quantile_cont to the driver's 6-decimal hash."""
+    (o,) = _tables(spark, sf_dir, "orders")
+    qs = F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))")
+    return o.agg(qs[0].alias("q25"), qs[1].alias("q50"), qs[2].alias("q75"))
+
+
 def q_ext_stream_tumbling(spark, sf_dir):
     import os
     from graphdb_free_mocha_sa_spark.streaming.ingest import (
@@ -1424,6 +1444,10 @@ _DEFERRED_PAST_DRIVER_CAP = [
                              # b13_path_alt_inv in the head (makes room
                              # for ext_lang_id, new r6 oracle entry)
     "ext_window_rank",
+    "ext_dedup_simhash",     # r6c: rows-only; ext_simhash_sig is its
+                             # exact oracle-backed head proxy
+    "ext_quantiles",         # r6c: rows-only sketch; ext_quantiles_exact
+                             # is its exact oracle-backed head proxy
     "ext_dedup_exact",       # r6c: driver-green since r5; the new
                              # ext_simhash_sig (exact 64-bit signature
                              # oracle) takes the head dedup-family slot
@@ -1555,6 +1579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_window_lag": q_ext_window_lag,
         "ext_approx_distinct": q_ext_approx_distinct,
         "ext_quantiles": q_ext_quantiles,
+        # r6c: exact-percentile subcomponent for the sketch entry
+        "ext_quantiles_exact": q_ext_quantiles_exact,
         "ext_dedup_exact": q_ext_dedup_exact,
         "ext_dedup_cascade": q_ext_dedup_cascade,
         "ext_decontaminate": q_ext_decontaminate,
@@ -1601,6 +1627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_length_batches": q_ext_length_batches,
         "ext_text_quality": q_ext_text_quality,
         "ext_fingerprint": q_ext_fingerprint,
+        # r6c: exact md5 fingerprint oracle for the rows-only entry
+        "ext_fingerprint_md5": q_ext_fingerprint_md5,
         "ext_bpe_tokens": q_ext_bpe_tokens,
         "ext_stream_dedup": q_ext_stream_dedup,
         "ext_stream_sliding": q_ext_stream_sliding,
@@ -1762,6 +1790,26 @@ def oracle_sql() -> dict[str, str]:
                               ELSE (1::BIGINT << b) END
                        ELSE 0 END)::BIGINT AS simhash
             FROM bits GROUP BY doc_id""",
+        "ext_fingerprint_md5": r"""
+            WITH n AS (
+              SELECT doc_id,
+                     array_to_string(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9'']+'),
+                       x -> x <> ''), ' ') AS norm
+              FROM documents WHERE doc_id < 50),
+            h AS (SELECT doc_id,
+                         ('0x' || substr(md5(norm), 1, 16))::UBIGINT AS u
+                  FROM n)
+            SELECT doc_id,
+                   (CASE WHEN u >= 9223372036854775808::UBIGINT
+                         THEN u::HUGEINT - 18446744073709551616::HUGEINT
+                         ELSE u::HUGEINT END)::BIGINT AS fp
+            FROM h""",
+        "ext_quantiles_exact": """
+            SELECT quantile_cont(o_totalprice, 0.25) AS q25,
+                   quantile_cont(o_totalprice, 0.50) AS q50,
+                   quantile_cont(o_totalprice, 0.75) AS q75
+            FROM orders""",
         "b1_scan": """
             SELECT 'urn:x:customer/' || c_custkey AS s, c_acctbal AS bal
             FROM customer""",

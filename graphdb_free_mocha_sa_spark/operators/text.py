@@ -83,10 +83,16 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         sw.alias("stopword_ratio"), score.alias("quality_score"))
 
 
-def fingerprint(text: Column) -> Column:
+def fingerprint(text: Column, hasher: str = "xxhash64") -> Column:
     """Deterministic 64-bit document fingerprint over normalized content
-    (case/whitespace/punctuation-insensitive rolling hash)."""
+    (case/whitespace/punctuation-insensitive rolling hash). ``hasher``
+    picks xxhash64 (default, fastest) or md5 (portable — DuckDB computes
+    the identical signed value, the exact-oracle path of
+    ``ext_fingerprint_md5``, r6c)."""
     norm = F.concat_ws(" ", tokens(text))
+    if hasher == "md5":
+        from graphdb_free_mocha_sa_spark.operators.dedup import _md5_hash64
+        return _md5_hash64(norm)
     return F.xxhash64(norm)
 
 

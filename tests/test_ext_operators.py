@@ -969,3 +969,33 @@ def test_simhash_md5_matches_reference_and_xxhash_structure(spark):
     assert got[1] == got[2] and got[1] != got[3]
     xx = {r.id: r.simhash for r in simhash(df).collect()}
     assert xx[1] == xx[2] and xx[1] != xx[3]
+
+
+def test_fingerprint_md5_matches_reference(spark):
+    """r6c: the md5-hasher fingerprint (the exact-oracle path) matches an
+    independent pure-Python normalize+hash, and normalization invariance
+    holds for both hashers."""
+    import hashlib
+    import re
+
+    from graphdb_free_mocha_sa_spark.operators.text import fingerprint
+    from pyspark.sql import functions as F
+    rows = [(1, "The  quick, Brown FOX!"), (2, "the quick brown fox"),
+            (3, "something else")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.fp for r in df.select(
+        "doc_id", fingerprint(F.col("text"), hasher="md5").alias("fp"))
+        .collect()}
+
+    def py_fp(text):
+        toks = [t for t in re.split(r"[^0-9a-z']+", text.lower(),
+                                    flags=re.ASCII) if t]
+        norm = " ".join(toks)
+        u = int(hashlib.md5(norm.encode()).hexdigest()[:16], 16)
+        return u - 2 ** 64 if u >= 2 ** 63 else u
+    for i, text in rows:
+        assert got[i] == py_fp(text), i
+    assert got[1] == got[2] and got[1] != got[3]
+    xx = {r.doc_id: r.fp for r in df.select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")).collect()}
+    assert xx[1] == xx[2] and xx[1] != xx[3]
