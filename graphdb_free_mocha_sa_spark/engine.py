@@ -450,7 +450,7 @@ class Engine:
         # round is one broadcast equi-join on the NEW bnode frontier;
         # depth is bounded by the data's bnode-nesting depth (capped).
         seen = resources
-        for _ in range(16):
+        for i in range(64):
             frontier = (out.filter(F.col("o_dt").isNull()
                                    & F.col("o_lex").startswith("_:"))
                         .select(F.col("o_lex").alias("k")).dropDuplicates()
@@ -461,6 +461,11 @@ class Engine:
             out = out.unionByName(
                 quads.join(F.broadcast(frontier),
                            quads["s"] == F.col("k")).drop("k"))
+        else:
+            # loud, not silently truncated (review fix) — matches the
+            # path-closure non-convergence contract
+            raise RuntimeError(
+                "DESCRIBE bnode closure did not converge in 64 rounds")
         return out.dropDuplicates(["s", "p", "o_lex", "o_dt", "o_lang"])
 
     def query_json(self, sparql: str) -> str:

@@ -304,8 +304,12 @@ class JsonLdParser:
             for _, vals in value.items():
                 out.extend(self._objects(ctx, td, vals, graph, quads))
             return out
-        if "@list" in container and isinstance(value, list):
-            value = {"@list": value}
+        if "@list" in container and not isinstance(value, dict):
+            # expansion array-wraps single values before list conversion
+            # (review fix: a lone scalar under @container:@list used to
+            # emit a plain literal instead of a one-element rdf:List)
+            value = {"@list": value if isinstance(value, list)
+                     else [value]}
         if isinstance(value, dict):
             set_key = self._alias_of(ctx, value, "@set")
             if set_key is not None:
@@ -340,6 +344,10 @@ class JsonLdParser:
                 return (iri, None, None)
             if coerce is not None:
                 dt = self._expand_iri(ctx, coerce, vocab=True)
+                if dt is None:
+                    raise ValueError(
+                        f"jsonld: @type {coerce!r} does not expand to an "
+                        "IRI")
                 return (value, dt, None)
             lang = td["@language"] if "@language" in td else ctx.language
             if lang:
@@ -369,12 +377,16 @@ class JsonLdParser:
         lg_key = self._alias_of(ctx, value, "@language")
         if ty_key is not None and lg_key is not None:
             raise ValueError("jsonld: @value with both @type and @language")
-        if lg_key is not None:
+        if lg_key is not None and value[lg_key] is not None:
             if not isinstance(v, str):
                 raise ValueError("jsonld: @language on a non-string @value")
             return (v, RDF_LANGSTRING, value[lg_key].lower())
         if ty_key is not None:
             dt = self._expand_iri(ctx, value[ty_key], vocab=True)
+            if dt is None:
+                raise ValueError(
+                    f"jsonld: @type {value[ty_key]!r} does not expand to "
+                    "an IRI")
             if isinstance(v, bool):
                 v = "true" if v else "false"
             elif isinstance(v, float):

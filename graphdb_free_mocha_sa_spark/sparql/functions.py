@@ -273,6 +273,11 @@ def _cmp(l: TCol, r: TCol, op: str) -> Column:
     both_ts = l.ts.isNotNull() & r.ts.isNotNull()
     both_str = l.dt.isin(XSD_STRING, RDF_LANGSTRING) & r.dt.isin(XSD_STRING, RDF_LANGSTRING)
     both_bool = (l.dt == XSD_BOOLEAN) & (r.dt == XSD_BOOLEAN)
+    # op:numeric-* with a NaN operand: every comparison is FALSE except
+    # != which is TRUE (XPath) — Spark SQL instead treats NaN = NaN as
+    # true and sorts NaN above everything (review fix)
+    any_nan = F.isnan(F.coalesce(l.num, F.lit(0.0))) \
+        | F.isnan(F.coalesce(r.num, F.lit(0.0)))
     if op in ("=", "!="):
         # §17.4.1.7 RDFterm-equal (r6c probe fix): when no operator-table
         # comparison applies, identical terms are equal, a non-literal on
@@ -284,7 +289,8 @@ def _cmp(l: TCol, r: TCol, op: str) -> Column:
         same_lang = l.lang.isNotNull() & l.lang.eqNullSafe(r.lang)
         comparable = both_num | both_ts | both_plain | both_bool \
             | (both_str & same_lang)
-        return (F.when(both_num, f(l.num, r.num))
+        return (F.when(both_num & any_nan, F.lit(op == "!="))
+                 .when(both_num, f(l.num, r.num))
                  .when(both_ts, f(l.ts, r.ts))
                  .when(comparable, f(l.lex, r.lex))
                  .when(l.key == r.key, F.lit(op == "="))
@@ -292,7 +298,8 @@ def _cmp(l: TCol, r: TCol, op: str) -> Column:
                        & (l.dt.isNull() | r.dt.isNull()),
                        F.lit(op == "!="))
                  .otherwise(_NB()))
-    return (F.when(both_num, f(l.num, r.num))
+    return (F.when(both_num & any_nan, F.lit(False))
+             .when(both_num, f(l.num, r.num))
              .when(both_ts, f(l.ts, r.ts))
              .when(both_str, f(l.lex, r.lex))
              .when(both_bool, f(l.num, r.num))
@@ -406,8 +413,14 @@ def builtin(name: str, args: list[TCol], base: str | None = None) -> TCol:
         _BNODE_SITE += 1
         salt = F.col(BNODE_SALT)
         if a:
-            lex = F.concat(F.lit("_:bl"),
-                           F.md5(F.concat_ws("|", salt, a[0].lex)))
+            # §17.4.2.9: the argument must be a simple literal /
+            # xsd:string; an errored or non-string argument is a type
+            # error, NOT a fresh node (review fix: concat_ws skipped the
+            # NULL and minted a bnode from the salt alone)
+            ok = a[0].dt == XSD_STRING
+            lex = F.when(ok, F.concat(
+                F.lit("_:bl"),
+                F.md5(F.concat_ws("|", salt, a[0].lex))))
         else:
             lex = F.concat(F.lit("_:b"),
                            F.md5(F.concat_ws("|", salt,
@@ -530,9 +543,11 @@ def builtin(name: str, args: list[TCol], base: str | None = None) -> TCol:
         return TCol.from_str(F.when(a[0].ts.isNotNull(), tz))
     if n == "TIMEZONE":
         # xsd:dayTimeDuration ("PT0S" for Z, "-PT5H"/"PT2H30M" for
-        # offsets); a literal WITHOUT a timezone is a type error
-        # (r6c probe fix: used to return "")
-        tz = F.regexp_extract(a[0].lex, r"(Z|[+-]\d{2}:\d{2})$", 1)
+        # offsets); a literal WITHOUT a timezone — or any non-dateTime
+        # term (review fix) — is a type error (r6c probe fix: used to
+        # return "")
+        tz = F.when(a[0].ts.isNotNull(),
+                    F.regexp_extract(a[0].lex, r"(Z|[+-]\d{2}:\d{2})$", 1))
         hh = F.regexp_extract(tz, r"[+-](\d{2}):", 1).cast("int")
         mm = F.regexp_extract(tz, r":(\d{2})$", 1).cast("int")
         sign = F.when(tz.startswith("-") & ((hh > 0) | (mm > 0)),

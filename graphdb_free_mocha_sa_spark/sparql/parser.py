@@ -195,6 +195,11 @@ class Parser:
 
     def resolve_pname(self, pname: str) -> str:
         ns, _, local = pname.partition(":")
+        # PN_LOCAL_ESC: backslash-escaped punctuation in local names
+        # (ex:f\,g — the escape is grammar-level, the IRI keeps the
+        # char); applied BEFORE either resolution branch so builtin and
+        # declared prefixes agree (review fix)
+        local = re.sub(r"\\([-_~.!$&'()*+,;=/?#@%])", r"\1", local)
         if ns not in self.prefixes:
             # built-in convenience prefixes
             builtin = {"rdf": RDF, "xsd": XSD,
@@ -203,9 +208,6 @@ class Parser:
             if ns in builtin:
                 return builtin[ns] + local
             raise SparqlSyntaxError(f"unknown prefix {ns!r}")
-        # PN_LOCAL_ESC: backslash-escaped punctuation in local names
-        # (ex:f\,g — the escape is grammar-level, the IRI keeps the char)
-        local = re.sub(r"\\([-_~.!$&'()*+,;=/?#@%])", r"\1", local)
         return self.prefixes[ns] + local
 
     def parse_iri(self) -> str:

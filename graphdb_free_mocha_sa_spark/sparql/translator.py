@@ -618,6 +618,20 @@ class Translator:
                   StructField(vname + "__lang", StringType()),
                   StructField(vname + "__num", DoubleType()),
                   StructField(vname + "__ts", TimestampType())]
+        if gvar is not None and gvar == vname:
+            # GRAPH ?g { ?g <p>? <const> }: the zero-length row binds the
+            # graph var to the constant, so it exists only if the
+            # constant IS a named graph (review fix: the crossJoin path
+            # duplicated the gvar columns and crashed)
+            gdf = self._named_graphs_df(gctx, gvar)
+            if self.encoded:
+                gdf = self._string_rep(gdf, [gvar])
+                out = self._string_rep(out, [vname])
+            zr = gdf.filter(F.col(gvar) == F.lit(term_parts_py(const)[0]))
+            zr = zr.select(*out.columns)
+            zr = zr.join(out.select(gvar).dropDuplicates(),
+                         on=[gvar], how="left_anti")
+            return out.unionByName(zr)
         zr = self.spark.createDataFrame([term_parts_py(const)],
                                         StructType(fields))
         keys = [vname]
@@ -1013,6 +1027,10 @@ class Translator:
             from graphdb_free_mocha_sa_spark.sparql.parser import \
                 SparqlSyntaxError
             allowed = set(var_names(df))
+            if post_values is not None:
+                # trailing VALUES joins after grouping (18.2.4.2) — its
+                # variables ARE in scope for select expressions (review)
+                allowed |= set(post_values.variables)
             for name, e in q.projections:
                 refs = {name} if e is None else _expr_vars(e)
                 stray = refs - allowed
