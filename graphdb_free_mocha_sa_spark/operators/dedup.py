@@ -155,6 +155,52 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", (inter / union).alias("jaccard")))
 
 
+def minhash_band_table(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       num_hashes: int = 8, bands: int = 4,
+                       hasher: str = "xxhash64") -> DataFrame:
+    """Deterministic LSH band table ``(id, band, bh)`` — the exact
+    subcomputation behind ``minhash_lsh_candidates``' bucket join, exposed
+    so an external SQL engine can reproduce it bit-for-bit when
+    ``hasher='md5'`` (oracle evidence for the sketch operator, the same
+    pattern ``simhash(hasher='md5')`` provides for SimHash).
+
+    Hash chain (md5-portable path): token hash ``h = signed64(md5(
+    shingle))``; per-seed rehash ``signed64(md5(str(h) || ':' || seed))``;
+    band hash ``signed64(md5(csv of the band's seed minima))``. The
+    xxhash64 default keeps the fast production chain of
+    ``_minhash_sig_table``/``_band_rows``.
+    """
+    rows = num_hashes // bands
+    md5p = hasher == "md5"
+    hash1 = _md5_hash64 if md5p else F.xxhash64
+
+    def rehash(hcol: Column, seed: int) -> Column:
+        if md5p:
+            return _md5_hash64(F.concat(hcol.cast("string"),
+                                        F.lit(f":{seed}")))
+        return F.xxhash64(hcol, F.lit(seed))
+
+    base = (df.select(F.col(id_col).alias("id"),
+                      word_shingles(F.col(text_col), n).alias("sh"))
+            .where(F.size("sh") > 0))
+    ex = (base.select("id", F.explode("sh").alias("shingle"))
+          .withColumn("h", hash1(F.col("shingle"))))
+    sig = ex.groupBy("id").agg(
+        *[F.min(rehash(F.col("h"), s)).alias(f"m{s}")
+          for s in range(num_hashes)])
+    band_structs = []
+    for b in range(bands):
+        key = F.concat_ws(",", *[F.col(f"m{b * rows + r}").cast("string")
+                                 for r in range(rows)])
+        band_structs.append(F.struct(
+            F.lit(b).alias("band"),
+            (_md5_hash64(key) if md5p else F.xxhash64(key)).alias("bh")))
+    return (sig.select("id", F.explode(F.array(*band_structs)).alias("bb"))
+            .select("id", F.col("bb.band").alias("band"),
+                    F.col("bb.bh").alias("bh")))
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.8,

@@ -137,8 +137,23 @@ def _closure_small(edges: DataFrame, sufs: list[str],
         g = r[GROUP_COL] if grouped else None
         a, b = (g, r["s"]), (g, r["o"])
         adj.setdefault(a, set()).add(b)
-        fam_s[a] = tuple(r["s" + suf] for suf in sufs)
-        fam_o[b] = tuple(r["o" + suf] for suf in sufs)
+        fam_s[a] = {suf: r["s" + suf] for suf in sufs}
+        fam_o[b] = {suf: r["o" + suf] for suf in sufs}
+    # emit values in the INPUT frame's field order — a _swap()ed (inverse)
+    # or PSeq-joined frame interleaves s/o family columns, so positional
+    # (s-family, o-family) tuples would land in the wrong fields (r7 fuzz
+    # fix: (^p)+ returned all-null families)
+    schema = edges.schema
+    def mk_row(g, s_fam, o_fam):
+        vals = []
+        for f in schema.fields:
+            if f.name == GROUP_COL:
+                vals.append(g)
+            elif f.name.startswith("s"):
+                vals.append(s_fam[f.name[1:]])
+            else:
+                vals.append(o_fam[f.name[1:]])
+        return tuple(vals)
     out = []
     for start in adj:
         seen: set = set()
@@ -149,9 +164,7 @@ def _closure_small(edges: DataFrame, sufs: list[str],
                 continue
             seen.add(nxt)
             stack.extend(adj.get(nxt, ()))
-        out.extend((((start[0],) if grouped else ())
-                    + fam_s[start] + fam_o[t]) for t in seen)
-    schema = edges.schema
+        out.extend(mk_row(start[0], fam_s[start], fam_o[t]) for t in seen)
     return edges.sparkSession.createDataFrame(out, schema) if out \
         else edges.sparkSession.createDataFrame([], schema)
 

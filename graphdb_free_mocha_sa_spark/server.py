@@ -12,7 +12,8 @@ itself executed on a 2-thread pool (GraphDBSystemAdapter.java:81).
 from __future__ import annotations
 
 import json
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import (BaseHTTPRequestHandler, HTTPServer,
+                         ThreadingHTTPServer)
 from urllib.parse import parse_qs
 
 from graphdb_free_mocha_sa_spark.engine import Engine
@@ -202,7 +203,15 @@ def serve(engine: Engine, port: int = 7200) -> "HTTPServer":
         def log_message(self, *args):  # quiet
             pass
 
-    return HTTPServer(("0.0.0.0", port), Handler)
+    # Threaded (r7, VERDICT r6 item 5): the reference served its adapter
+    # from a 2-thread pool (GraphDBSystemAdapter.java:81) — readers keep
+    # streaming while an update executes. Safe because reads run against
+    # immutable store snapshots (QuadStore.df) and writers swap them under
+    # the store lock; Spark job submission is thread-safe.
+    class _Server(ThreadingHTTPServer):
+        daemon_threads = True
+
+    return _Server(("0.0.0.0", port), Handler)
 
 
 def serve_forever(engine: Engine, port: int = 7200) -> None:

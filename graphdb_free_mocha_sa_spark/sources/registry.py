@@ -35,25 +35,45 @@ def load_tables(spark: SparkSession, sf_dir: str,
         if os.path.exists(path):
             df = normalize_nanos_timestamps(spark.read.parquet(path))
             if name == "documents":
-                df = _parallelism_floor(spark, df)
+                df = _parallelism_floor(spark, df, sf_dir, name)
             out[name] = df
     return out
 
 
-def _parallelism_floor(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Repartition a compute-heavy text table whose scan parallelism is far
-    below the session's cores (r6 scale-probe attribution: a single
-    small parquet file is ONE row group → a 1-task scan no matter how low
-    maxPartitionBytes goes, so regex-heavy map stages like the Gopher
-    filters ran serial at both probe scales and their 10x ratio read as
-    superlinear). Cost: one shuffle of the text — only paid when the scan
-    cannot otherwise parallelize. At real scale inputs are many
-    multi-row-group files, the gate never fires, and the scan keeps its
-    native splits."""
+def _parallelism_floor(spark: SparkSession, df: DataFrame, sf_dir: str,
+                       name: str) -> DataFrame:
+    """Give a compute-heavy text table whose scan parallelism is far below
+    the session's cores a multi-split layout (r6 scale-probe attribution: a
+    single small parquet file is ONE row group → a 1-task scan no matter
+    how low maxPartitionBytes goes, so regex-heavy map stages like the
+    Gopher filters ran serial at both probe scales and their 10x ratio read
+    as superlinear).
+
+    r7 (VERDICT r6 item 3): the r6 version repartitioned the lazy scan,
+    which taxed EVERY query over the table with a full-text shuffle —
+    measured as the ~2x regressions on ext_bm25_search / ext_pack_sequences
+    / ext_line_dedup in BENCH_r06. Now the shuffle is paid ONCE per
+    (fixture, core-count): the split copy is written to the fingerprint-
+    keyed artifact cache and every later load reads the multi-file parquet
+    with native split parallelism and no per-query shuffle. At real scale
+    inputs are many multi-row-group files, the gate never fires, and the
+    scan keeps its native splits."""
     target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    if df.rdd.getNumPartitions() * 4 < target:
-        return df.repartition(target)
-    return df
+    if df.rdd.getNumPartitions() * 4 >= target:
+        return df
+    from graphdb_free_mocha_sa_spark import cache as C
+    split_path = os.path.join(C.artifact_dir(sf_dir, [name]),
+                              f"{name}_split{target}")
+    try:
+        if C.is_published(split_path):
+            return spark.read.parquet(split_path)
+        tmp = C.scratch_dir(split_path)
+        df.repartition(target).write.mode("overwrite").parquet(tmp)
+        if C.publish(tmp, split_path) or C.is_published(split_path):
+            return spark.read.parquet(split_path)
+    except Exception:
+        pass                 # unwritable cache dir → per-session shuffle
+    return df.repartition(target)
 
 
 def normalize_event_timestamps(df: DataFrame) -> DataFrame:

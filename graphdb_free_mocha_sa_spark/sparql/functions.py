@@ -390,16 +390,50 @@ def builtin(name: str, args: list[TCol], base: str | None = None) -> TCol:
                           base)
             scheme, auth, rest = m.group(1), m.group(2) or "", m.group(3)
             root = scheme + ":" + auth
-            dir_path = (rest[:rest.rfind("/") + 1] if "/" in rest
-                        else ("/" if auth else ""))
+            # dir comes from the base PATH (query/fragment stripped — r7
+            # advisor fix; '?x' refs used to resolve path-relative)
+            path_only = rest.split("#")[0].split("?")[0]
+            dir_path = (path_only[:path_only.rfind("/") + 1]
+                        if "/" in path_only else ("/" if auth else ""))
             ref = a[0].lex
+
+            def _dedot(merged):
+                # RFC 3986 §5.2.4 remove_dot_segments, column-space (same
+                # contract as sources/jsonld.py _resolve_ref). merged always
+                # starts with '/' here, so the join keeps the leading ''.
+                segs = F.aggregate(
+                    F.split(merged, "/"),
+                    F.array().cast("array<string>"),
+                    lambda acc, seg: (
+                        F.when(seg == F.lit(".."),
+                               F.when(F.size(acc) <= 1,
+                                      F.array().cast("array<string>"))
+                               .otherwise(F.slice(acc, 1, F.size(acc) - 1)))
+                        .when(seg == F.lit("."), acc)
+                        .otherwise(F.concat(acc, F.array(seg)))))
+                out = F.concat_ws("/", segs)
+                out = F.when(out.startswith("/"), out) \
+                    .otherwise(F.concat(F.lit("/"), out))
+                return F.when(merged.rlike(r"/\.\.?$") & ~out.endswith("/"),
+                              F.concat(out, F.lit("/"))).otherwise(out)
+
+            if auth or dir_path.startswith("/"):
+                slash_out = F.concat(F.lit(root), _dedot(ref))
+                rel_out = F.concat(F.lit(root),
+                                   _dedot(F.concat(F.lit(dir_path), ref)))
+            else:   # opaque base (urn:...): plain concat, nothing to dedot
+                slash_out = F.concat(F.lit(root), ref)
+                rel_out = F.concat(F.lit(root + dir_path), ref)
             lex = (F.when(ref.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), ref)
                    .when(ref.startswith("//"),
                          F.concat(F.lit(scheme + ":"), ref))
-                   .when(ref.startswith("/"), F.concat(F.lit(root), ref))
+                   .when(ref == F.lit(""), F.lit(base.split("#")[0]))
                    .when(ref.startswith("#"),
                          F.concat(F.lit(base.split("#")[0]), ref))
-                   .otherwise(F.concat(F.lit(root + dir_path), ref)))
+                   .when(ref.startswith("?"),
+                         F.concat(F.lit(root + path_only), ref))
+                   .when(ref.startswith("/"), slash_out)
+                   .otherwise(rel_out))
             return TCol.iri(lex)
         return TCol.iri(a[0].lex)
     if n == "BNODE":
@@ -535,7 +569,15 @@ def builtin(name: str, args: list[TCol], base: str | None = None) -> TCol:
                                    r"T\d{2}:\d{2}:(\d{2}(?:\.\d+)?)", 1)
         val = (F.when(F.length(sec_lex) > 0, sec_lex.cast("double"))
                .otherwise(F.second(a[0].ts).cast("double")))
-        return TCol.from_num(F.when(a[0].ts.isNotNull(), val), XSD_DECIMAL)
+        # keep the EXACT extracted lexical (zero-padding canonicalized) —
+        # routing through a double cast serialized 5 as '5.0' and could
+        # round long fractional parts (r7 advisor fix)
+        lex = (F.when(F.length(sec_lex) > 0,
+                      F.regexp_replace(sec_lex, r"^0(\d)", r"$1"))
+               .otherwise(F.second(a[0].ts).cast("long").cast("string")))
+        ok = a[0].ts.isNotNull()
+        return TCol(lex=F.when(ok, lex), dt=F.when(ok, F.lit(XSD_DECIMAL)),
+                    num=F.when(ok, val))
     if n == "TZ":
         # simple literal: "Z", "+02:00", or "" when the literal carries
         # no timezone (r6c probe fix: used to always return "")

@@ -544,8 +544,16 @@ class Translator:
         # matches once PER NAMED GRAPH (§18.4 per-graph evaluation).
         if nullable and s_const and o_const \
                 and term_parts_py(tp.s)[0] == term_parts_py(tp.o)[0]:
-            return self._named_graphs_df(gctx, gvar) if grouped \
-                else self._unit()
+            if grouped:
+                return self._named_graphs_df(gctx, gvar)
+            if isinstance(gctx, str):
+                # GRAPH <g> { <x> p* <x> }: the unit solution exists only if
+                # <g> is actually a named graph of the dataset — same
+                # membership check the GRAPH ?g branch performs via
+                # _named_graphs_df (r7 advisor fix).
+                return (self._graph_scan(gctx).limit(1)
+                        .select(F.lit(1).alias(self._uniq("__one"))))
+            return self._unit()
         # under a graph VARIABLE the evaluation is per named graph: pairs
         # carry GROUP_COL and closures/joins are graph-keyed (no
         # cross-graph chaining — r6c fix; this used to drop ?g and crash)
@@ -1019,6 +1027,15 @@ class Translator:
 
         agg_ids: dict[int, str] = {}
         if q.group_by or aggs:
+            # BNODE() inside an aggregate argument or a computed GROUP BY
+            # key evaluates before projection salts the frame — materialize
+            # __bnode_salt first or F.col(BNODE_SALT) is unresolved (r7
+            # advisor fix).
+            pre_exprs = [e for _, e in q.group_by] \
+                + [a.expr for a in aggs if a.expr is not None]
+            if any(expr_has_bnode(e) for e in pre_exprs):
+                df, _ = self._salt_bnode(df, next(
+                    e for e in pre_exprs if expr_has_bnode(e)), [])
             df, agg_ids = self._group_aggregate(df, q, aggs)
             # §18.2.4.1: outside aggregates, only GROUP BY keys (and
             # earlier AS projections) may be referenced (r6c probe fix:

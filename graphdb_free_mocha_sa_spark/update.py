@@ -70,6 +70,13 @@ class UpdateExecutor:
             try:
                 quads = read_rdf_file(spark, op.source.replace("file://", ""),
                                       graph=op.graph or DEFAULT_GRAPH)
+                # force the distributed read NOW: a parse error inside the
+                # lazily-unioned store lineage would otherwise surface only
+                # AFTER the update reported success, poisoning every later
+                # query over the store (r7 advisor fix). The checkpoint also
+                # pins the parsed quads so downstream queries never re-parse
+                # the source file.
+                quads = quads.localCheckpoint(eager=True)
                 self.store.add_quads(quads)
             except Exception:
                 if not op.silent:      # LOAD SILENT swallows failures (r6)
