@@ -169,9 +169,89 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"bench: server_roundtrip_20 failed: {e}", file=sys.stderr)
         timings["server_roundtrip_20"] = -1.0
+
+    # B51 non-JSON result writers through the endpoint (r7, VERDICT r6
+    # item 8): same query, Accept-negotiated XML/CSV/TSV — 4 round-trips
+    # per format. Compares against server_roundtrip_20's per-request JSON
+    # cost (~0.09 s/req expected: the plan dominates, serialization is
+    # format-independent streaming).
+    try:
+        t0 = time.time()
+        ok = True
+        for accept, marker in (
+                ("application/sparql-results+xml", b"<sparql"),
+                ("text/csv", b"s,o"),
+                ("text/tab-separated-values", b"?s\t?o")):
+            for _ in range(4):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/sparql?query={q}",
+                    headers={"Accept": accept})
+                with urllib.request.urlopen(req, timeout=60) as resp:
+                    if marker not in resp.read():
+                        ok = False
+        timings["server_formats_12"] = round(time.time() - t0, 3) if ok \
+            else -1.0
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: server_formats_12 failed: {e}", file=sys.stderr)
+        timings["server_formats_12"] = -1.0
     finally:
         srv.shutdown()
         srv.server_close()
+
+    # A9/A11 protocol-level concurrency (r7, VERDICT r6 item 5): 3 reader
+    # threads × 4 SELECTs streaming against snapshots WHILE a writer
+    # commits 5 INSERT micro-batches through the update leg — wall clock
+    # for the whole mix on a dedicated fresh store (the warm fixture store
+    # stays untouched). Consistency itself is pinned by
+    # tests/test_server_concurrent.py; this line records served read
+    # latency under write load.
+    try:
+        from graphdb_free_mocha_sa_spark.engine import Engine
+        from graphdb_free_mocha_sa_spark.store import QuadStore
+        mix_eng = Engine(spark, QuadStore(spark))
+        mix_eng.update("INSERT DATA { <urn:seed> <urn:p> <urn:o> }")
+        srv2 = serve(mix_eng, port=0)
+        port2 = srv2.server_address[1]
+        threading.Thread(target=srv2.serve_forever, daemon=True).start()
+        rq = urllib.parse.quote(
+            "SELECT ?s (COUNT(*) AS ?c) WHERE { ?s ?p ?o } GROUP BY ?s")
+        torn: list[str] = []
+
+        def mix_reader():
+            import json as _json
+            for _ in range(4):
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port2}/sparql?query={rq}",
+                        timeout=120) as resp:
+                    res = _json.loads(resp.read())
+                for b in res["results"]["bindings"]:
+                    if b["s"]["value"].startswith("urn:pair:") \
+                            and int(b["c"]["value"]) != 2:
+                        torn.append(b["s"]["value"])
+
+        def mix_writer():
+            for i in range(5):
+                body = urllib.parse.urlencode({"update": (
+                    f"INSERT DATA {{ <urn:pair:{i}> <urn:a> <urn:x> . "
+                    f"<urn:pair:{i}> <urn:b> <urn:x> }}")}).encode()
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port2}/sparql", data=body,
+                    headers={"Content-Type":
+                             "application/x-www-form-urlencoded"})
+                urllib.request.urlopen(req, timeout=120).read()
+
+        t0 = time.time()
+        workers = [threading.Thread(target=mix_reader) for _ in range(3)] \
+            + [threading.Thread(target=mix_writer)]
+        [w.start() for w in workers]
+        [w.join() for w in workers]
+        timings["server_concurrent_mix"] = round(time.time() - t0, 3) \
+            if not torn else -1.0
+        srv2.shutdown()
+        srv2.server_close()
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: server_concurrent_mix failed: {e}", file=sys.stderr)
+        timings["server_concurrent_mix"] = -1.0
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     out = {

@@ -74,7 +74,16 @@ def artifact_dir(sf_dir: str, names: list[str] | None = None) -> str:
     """Directory all artifacts for this fixture generation live under:
     ``<sf-dir basename>-<content fingerprint>`` — the basename prefix lets
     GC scope itself to generations of the SAME fixture set, so publishing
-    a new sf0.1 generation never evicts the live sf0.01/sf0.001 caches."""
+    a new sf0.1 generation never evicts the live sf0.01/sf0.001 caches.
+
+    CAUTION (r7): every artifact for a given ``sf_dir`` must use the SAME
+    ``names`` key (the default). Passing a different ``names`` list mints a
+    sibling ``<basename>-<other fp>`` dir, and the publish-time GC then
+    deletes one of the two as a "stale generation" — razing live artifacts.
+    Artifacts derived from a subset of tables should put that subset's
+    fingerprint in the artifact NAME inside the default dir (see
+    sources/registry._parallelism_floor); synthetic datasets must use a
+    distinct basename (see scripts/scale_probe*.py)."""
     base = os.path.basename(os.path.abspath(sf_dir)) or "sf"
     return os.path.join(
         cache_root(),

@@ -72,6 +72,29 @@ class Engine:
         return (self.store.df,
                 self.store._inferred if self.use_inference else None)
 
+    def _basis_stats(self) -> tuple:
+        """(base row count, any owl:sameAs in the read view) — ONE Spark
+        job per snapshot instead of the separate count + isEmpty probes
+        (r7 served-path fix: a version-churning INSERT workload paid two
+        ~0.3 s jobs on every first read of a new snapshot)."""
+        basis = self._basis()
+        cached = getattr(self, "_stats", None)
+        if cached is not None and cached[0][0] is basis[0] \
+                and cached[0][1] is basis[1]:
+            return cached[1]
+        from pyspark.sql import functions as F
+        from graphdb_free_mocha_sa_spark.operators.inference import (
+            INFERRED_GRAPH, SAMEAS)
+        base = (self.store.df_with_inference() if self.use_inference
+                else self.store.df)
+        row = base.agg(
+            F.count(F.when(F.col("g") != INFERRED_GRAPH, 1)).alias("n"),
+            F.max((F.col("p") == SAMEAS)
+                  & F.col("o_dt").isNull()).alias("has")).first()
+        stats = (row["n"], bool(row["has"]))
+        self._stats = (basis, stats)
+        return stats
+
     def _quads(self) -> DataFrame:
         if self.use_inference and self.store._inferred is None:
             # config-driven engines (ruleset != empty) materialize lazily on
@@ -100,11 +123,9 @@ class Engine:
         if cached is not None and cached[0][0] is basis[0] \
                 and cached[0][1] is basis[1]:
             return cached[1]
-        from pyspark.sql import functions as F
         from graphdb_free_mocha_sa_spark.operators.inference import (
-            SAMEAS, expand_sameas, sameas_components)
-        has = not base.filter((F.col("p") == SAMEAS)
-                              & F.col("o_dt").isNull()).isEmpty()
+            expand_sameas, sameas_components)
+        has = self._basis_stats()[1]
         if not has:
             view, comp = base, None
         else:
@@ -331,7 +352,7 @@ class Engine:
         if getattr(self, "_size_basis", None) is not None \
                 and self._size_basis[0] is basis[0]:
             return self._size_basis[1]
-        n = self.store.df.count()
+        n = self._basis_stats()[0]     # shared per-snapshot probe (r7)
         decision = n >= self.ENCODE_MIN_QUADS
         if decision and os.environ.get("SPARK_GRAFT_FORCE_ENCODE"):
             # scale-probe pin (r6, VERDICT item 3): on a real cluster the

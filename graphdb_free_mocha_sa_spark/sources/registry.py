@@ -62,8 +62,16 @@ def _parallelism_floor(spark: SparkSession, df: DataFrame, sf_dir: str,
     if df.rdd.getNumPartitions() * 4 >= target:
         return df
     from graphdb_free_mocha_sa_spark import cache as C
-    split_path = os.path.join(C.artifact_dir(sf_dir, [name]),
-                              f"{name}_split{target}")
+    # inside the STANDARD generation dir (artifact_dir with the default
+    # RDF_TABLES key): publishing under a sibling generation dir (e.g.
+    # artifact_dir(sf_dir, ["documents"])) makes _prune_stale_generations
+    # delete the engine's live quads/encoded artifacts as a "stale
+    # generation" — that razed the warm cache mid-bench. The documents
+    # fingerprint goes into the artifact NAME instead, so regenerating the
+    # documents fixture alone still invalidates this artifact.
+    fp = C.fixture_fingerprint(sf_dir, [name])
+    split_path = os.path.join(C.artifact_dir(sf_dir),
+                              f"{name}_split{target}-{fp}")
     try:
         if C.is_published(split_path):
             return spark.read.parquet(split_path)

@@ -26,7 +26,9 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from graphdb_free_mocha_sa_spark.model import GRAPH_VERSION_PREFIX, QUAD_COLS, QUAD_SCHEMA
+from graphdb_free_mocha_sa_spark.model import (GRAPH_VERSION_PREFIX,
+                                               QUAD_COLS, QUAD_SCHEMA,
+                                               local_quads_df)
 
 DEFAULT_GRAPH = "urn:x-default:graph"
 
@@ -35,7 +37,7 @@ class QuadStore:
     def __init__(self, spark: SparkSession, quads: Optional[DataFrame] = None):
         self.spark = spark
         self._df = quads.select(*QUAD_COLS) if quads is not None \
-            else spark.createDataFrame([], QUAD_SCHEMA)
+            else local_quads_df(spark, [])
         self._version = 0
         self._lock = threading.Lock()
         self._inferred: Optional[DataFrame] = None

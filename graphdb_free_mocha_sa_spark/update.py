@@ -13,7 +13,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
 
-from graphdb_free_mocha_sa_spark.model import QUAD_COLS
+from graphdb_free_mocha_sa_spark.model import QUAD_COLS, local_quads_df
 from graphdb_free_mocha_sa_spark.sparql import algebra as A
 from graphdb_free_mocha_sa_spark.sparql.parser import parse_update
 from graphdb_free_mocha_sa_spark.sparql.translator import (Translator,
@@ -55,10 +55,13 @@ class UpdateExecutor:
         spark = self.store.spark
         if isinstance(op, A.InsertData):
             rows = _ground_rows(op.data, DEFAULT_GRAPH)
-            self.store.add_quads(spark.createDataFrame(rows, self.store.df.schema))
+            # LocalRelation leaf (model.local_quads_df): a pickled-RDD leaf
+            # would launch Python workers on every later read job over the
+            # store's union lineage (r7 served-path profiling)
+            self.store.add_quads(local_quads_df(spark, rows))
         elif isinstance(op, A.DeleteData):
             rows = _ground_rows(op.data, DEFAULT_GRAPH)
-            self.store.delete_quads(spark.createDataFrame(rows, self.store.df.schema))
+            self.store.delete_quads(local_quads_df(spark, rows))
         elif isinstance(op, A.Modify):
             self._modify(op)
         elif isinstance(op, A.ClearDrop):

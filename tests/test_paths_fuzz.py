@@ -19,7 +19,7 @@ import random
 
 import pytest
 
-from graphdb_free_mocha_sa_spark.model import QUAD_SCHEMA
+from graphdb_free_mocha_sa_spark.model import local_quads_df
 from graphdb_free_mocha_sa_spark.store import DEFAULT_GRAPH
 
 PREDS = ["urn:p", "urn:q", "urn:r"]
@@ -106,7 +106,7 @@ def test_path_fuzz_differential(spark, seed):
     edges = set(_random_graph(rng, rng.randint(12, 28)))
     rows = [(DEFAULT_GRAPH, s, p, o, None, None, None, None)
             for s, p, o in edges]
-    eng = Engine(spark, QuadStore(spark, spark.createDataFrame(rows, QUAD_SCHEMA)))
+    eng = Engine(spark, QuadStore(spark, local_quads_df(spark, rows)))
     E = sorted(edges)
     T = sorted({s for s, _, _ in edges} | {o for _, _, o in edges})
 
