@@ -584,6 +584,24 @@ class Engine:
             for chunk in iter_jsonld(df, default_graph=DEFAULT_GRAPH):
                 write(chunk)
             return
+        if fmt == "trix":
+            from graphdb_free_mocha_sa_spark.sparql.results import iter_trix
+            for chunk in iter_trix(df, default_graph=DEFAULT_GRAPH):
+                write(chunk)
+            return
+        if fmt == "rdfjson":
+            from graphdb_free_mocha_sa_spark.sparql.results import (
+                iter_rdfjson)
+            for chunk in iter_rdfjson(df, default_graph=DEFAULT_GRAPH):
+                write(chunk)
+            return
+        if fmt == "binaryrdf":
+            # the one BINARY member of the dump family: chunks are bytes
+            from graphdb_free_mocha_sa_spark.sparql.results import (
+                iter_binaryrdf)
+            for chunk in iter_binaryrdf(df, default_graph=DEFAULT_GRAPH):
+                write(chunk)
+            return
         raise ValueError(f"unknown export format {fmt!r}")
 
     def query_framed(self, sparql: str) -> bytes:

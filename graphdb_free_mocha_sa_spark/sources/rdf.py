@@ -308,6 +308,108 @@ def read_jsonld(spark: SparkSession, path: str,
         .select(*QUAD_COLS)
 
 
+def _typed_quad(graph, s, p, lex, dt, lang):
+    """Attach the derived numeric/timestamp columns to one parsed term —
+    the shared tail of every whole-file reader."""
+    import datetime as _dt
+    num = ts = None
+    if dt in NUMERIC_DTS:
+        try:
+            num = float(lex)
+        except ValueError:
+            num = None
+    elif dt == XSD_DATETIME:
+        try:
+            ts = _dt.datetime.fromisoformat(lex)
+        except ValueError:
+            ts = None
+    return (graph, s, p, lex, dt, lang, num, ts)
+
+
+def _read_wholefile_quads(spark: SparkSession, path: str, parse_quads):
+    """Shared Spark shape of the non-splittable readers (r7 — the N3 /
+    TriX / RDF-JSON family): one FILE per parse task, a directory of
+    files parses in parallel. ``parse_quads(text)`` yields
+    (g, s, p, (lex, dt, lang)) with g=None for the default graph; the
+    caller's closure maps None onto the LOAD target graph."""
+    from pyspark.sql.types import (DoubleType, StringType, StructField,
+                                   StructType, TimestampType)
+    schema = StructType([
+        StructField("g", StringType()), StructField("s", StringType()),
+        StructField("p", StringType()), StructField("o_lex", StringType()),
+        StructField("o_dt", StringType()), StructField("o_lang", StringType()),
+        StructField("o_num", DoubleType()), StructField("o_ts", TimestampType()),
+    ])
+
+    def parse_files(rows):
+        for row in rows:
+            for g, s, p, (lex, dt, lang) in parse_quads(row.value):
+                yield _typed_quad(g, s, p, lex, dt, lang)
+
+    files = spark.read.text(path, wholetext=True)
+    return spark.createDataFrame(files.rdd.mapPartitions(parse_files), schema) \
+        .select(*QUAD_COLS)
+
+
+def read_n3(spark: SparkSession, path: str, graph: str) -> DataFrame:
+    """Notation3 reader (sources/turtle.py N3Parser — the Turtle grammar
+    plus the N3 shorthands with an RDF representation; reference parses
+    N3 via rdf4j-runtime's Rio registry, pom.xml:80-90)."""
+    def parse(text):
+        from graphdb_free_mocha_sa_spark.sources.turtle import parse_n3
+        for s, p, o in parse_n3(text):
+            yield (graph, s, p, o)
+    return _read_wholefile_quads(spark, path, parse)
+
+
+def read_trix(spark: SparkSession, path: str, default_graph: str) -> DataFrame:
+    """TriX reader (sources/trix.py). Unnamed-graph statements land in
+    ``default_graph`` (the N-Quads convention)."""
+    def parse(text):
+        from graphdb_free_mocha_sa_spark.sources.trix import parse_trix
+        for g, s, p, o in parse_trix(text):
+            yield (g if g is not None else default_graph, s, p, o)
+    return _read_wholefile_quads(spark, path, parse)
+
+
+def read_rdfjson(spark: SparkSession, path: str, graph: str) -> DataFrame:
+    """RDF/JSON reader (sources/rdfjson.py; single-graph format — every
+    triple lands in ``graph``)."""
+    def parse(text):
+        from graphdb_free_mocha_sa_spark.sources.rdfjson import parse_rdfjson
+        for s, p, o in parse_rdfjson(text):
+            yield (graph, s, p, o)
+    return _read_wholefile_quads(spark, path, parse)
+
+
+def read_binaryrdf(spark: SparkSession, path: str,
+                   default_graph: str) -> DataFrame:
+    """Binary RDF reader (sources/binaryrdf.py). Binary files come in
+    through Spark's binaryFile source — one file per parse task, same
+    parallelism shape as the other non-splittable readers."""
+    from pyspark.sql.types import (DoubleType, StringType, StructField,
+                                   StructType, TimestampType)
+    schema = StructType([
+        StructField("g", StringType()), StructField("s", StringType()),
+        StructField("p", StringType()), StructField("o_lex", StringType()),
+        StructField("o_dt", StringType()), StructField("o_lang", StringType()),
+        StructField("o_num", DoubleType()), StructField("o_ts", TimestampType()),
+    ])
+
+    def parse_files(rows):
+        from graphdb_free_mocha_sa_spark.sources.binaryrdf import (
+            parse_binaryrdf)
+        for row in rows:
+            for g, s, p, (lex, dt, lang) in parse_binaryrdf(bytes(row.content)):
+                yield _typed_quad(g if g is not None else default_graph,
+                                  s, p, lex, dt, lang)
+
+    files = spark.read.format("binaryFile").load(path) \
+        .select("content")
+    return spark.createDataFrame(files.rdd.mapPartitions(parse_files), schema) \
+        .select(*QUAD_COLS)
+
+
 def read_rdf_file(spark: SparkSession, path: str, graph: str) -> DataFrame:
     if path.endswith((".nt", ".ntriples")):
         return read_ntriples(spark, path, graph)
@@ -315,6 +417,14 @@ def read_rdf_file(spark: SparkSession, path: str, graph: str) -> DataFrame:
         return read_nquads(spark, path, graph)
     if path.endswith(".trig"):
         return read_trig(spark, path, graph)
+    if path.endswith(".trix"):
+        return read_trix(spark, path, graph)
+    if path.endswith(".n3"):
+        return read_n3(spark, path, graph)
+    if path.endswith((".rj", ".rdfjson")):
+        return read_rdfjson(spark, path, graph)
+    if path.endswith(".brf"):
+        return read_binaryrdf(spark, path, graph)
     if path.endswith((".jsonld", ".json")):
         return read_jsonld(spark, path, graph)
     if path.endswith((".rdf", ".rdfxml", ".owl", ".xml")):

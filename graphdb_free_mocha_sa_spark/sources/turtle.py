@@ -24,29 +24,51 @@ import zlib
 
 RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 XSD = "http://www.w3.org/2001/XMLSchema#"
+OWL = "http://www.w3.org/2002/07/owl#"
+LOG = "http://www.w3.org/2000/10/swap/log#"
 
-_TOKEN = re.compile(
-    r"""
+
+def _token_re(n3: bool = False) -> re.Pattern:
+    """Assemble the token regex. Turtle and N3 share every production;
+    N3 adds the operator tokens (``= => <= ! ^``), the ``has/is/of``
+    keywords, and the quantifier directives (parsed so they can be
+    REJECTED honestly — see :class:`N3Parser`). Alternation order
+    matters: DTMARK ``^^`` before the single-``^`` path operator, the
+    N3 ops before IRI so ``<=`` never starts an IRI parse."""
+    atkw = r"@prefix\b|@base\b"
+    kw = r"a|true|false|PREFIX|BASE|[Gg][Rr][Aa][Pp][Hh]"
+    n3op = ""
+    if n3:
+        atkw += r"|@forAll\b|@forSome\b|@keywords\b"
+        kw += r"|has|is|of"
+        n3op = r"| (?P<N3OP>=>|<=|=|!|\^(?!\^))"
+    return re.compile(
+        r"""
       (?P<COMMENT>\#[^\n]*)
     | (?P<WS>\s+)
     | (?P<LONGSTR2>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\")
     | (?P<LONGSTR1>'''(?:[^'\\]|\\.|'(?!''))*''')
     | (?P<STR2>"(?:[^"\\\n]|\\.)*")
     | (?P<STR1>'(?:[^'\\\n]|\\.)*')
+    | (?P<DTMARK>\^\^)
+    """ + n3op + r"""
     | (?P<IRI><[^<>"{}|^`\\\x00-\x20]*>)
     | (?P<BNODE>_:[A-Za-z0-9][A-Za-z0-9_.-]*)
-    | (?P<ATKW>@prefix\b|@base\b)
+    | (?P<ATKW>""" + atkw + r""")
     | (?P<LANG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
     | (?P<DOUBLE>[+-]?(?:\d+\.\d*|\.\d+|\d+)[eE][+-]?\d+)
     | (?P<DECIMAL>[+-]?(?:\d+\.\d+|\.\d+))
     | (?P<INTEGER>[+-]?\d+)
-    | (?P<DTMARK>\^\^)
     | (?P<PUNCT>[.;,\[\](){}])
     | (?P<PNAME>(?:[A-Za-z][A-Za-z0-9_.-]*)?:(?:(?:[A-Za-z0-9_%]|\\[-_~.!$&'()*+,;=/?\#@%])(?:(?:[A-Za-z0-9_.%:-]|\\[-_~.!$&'()*+,;=/?\#@%])*(?:[A-Za-z0-9_%:-]|\\[-_~.!$&'()*+,;=/?\#@%]))?)?)
-    | (?P<KW>\b(?:a|true|false|PREFIX|BASE|[Gg][Rr][Aa][Pp][Hh])\b)
+    | (?P<KW>\b(?:""" + kw + r""")\b)
     """,
-    re.X,
-)
+        re.X,
+    )
+
+
+_TOKEN = _token_re()
+_TOKEN_N3 = _token_re(n3=True)
 
 _ESCAPES = {"t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f",
             '"': '"', "'": "'", "\\": "\\"}
@@ -87,11 +109,11 @@ class _Tok:
         return f"{self.kind}({self.value!r})"
 
 
-def _tokenize(text: str) -> list[_Tok]:
+def _tokenize(text: str, token_re: re.Pattern = _TOKEN) -> list[_Tok]:
     toks, pos = [], 0
     n = len(text)
     while pos < n:
-        m = _TOKEN.match(text, pos)
+        m = token_re.match(text, pos)
         if m is None:
             raise ValueError(f"turtle: cannot tokenize at {text[pos:pos+40]!r}")
         pos = m.end()
@@ -105,8 +127,10 @@ def _tokenize(text: str) -> list[_Tok]:
 class TurtleParser:
     """One document → iterator of (s, p, (lex, dt, lang)) triples."""
 
+    TOKEN_RE = _TOKEN
+
     def __init__(self, text: str):
-        self.toks = _tokenize(text)
+        self.toks = _tokenize(text, self.TOKEN_RE)
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self.base: str | None = None
@@ -403,3 +427,175 @@ def parse_trig(text: str):
     """Iterate (g, s, p, (o_lex, o_dt, o_lang)) quads of one TriG document;
     ``g`` is None for default-graph statements."""
     yield from TriGParser(text).parse()
+
+
+class N3Parser(TurtleParser):
+    """Notation3 reader, RDF-compatible subset (SURVEY B50; the
+    reference's Rio stack registers an N3 parser via rdf4j-runtime,
+    pom.xml:80-90 — rdf4j reads N3 with its Turtle grammar plus the N3
+    shorthands below, and that is exactly the subset with an RDF triple
+    representation):
+
+    - ``=``  → ``owl:sameAs``            (W3C N3 Team Submission §4)
+    - ``=>`` → ``log:implies``; ``<=`` is the inverted form
+    - ``has <p>``  → forward predicate; ``is <p> of`` → inverted
+    - path expressions ``x!p`` / ``x^p`` → fresh-bnode chains
+    - ``@keywords`` accepted for the standard keyword set
+
+    Constructs with NO RDF counterpart are rejected honestly with a
+    descriptive error rather than silently mangled: formulas ``{...}``,
+    ``@forAll`` / ``@forSome`` quantification, bare-word IRIs from a
+    non-standard ``@keywords`` list, and literal subjects produced by
+    ``is…of`` / ``^`` on a literal.
+    """
+
+    TOKEN_RE = _TOKEN_N3
+
+    _STD_KEYWORDS = {"a", "is", "of", "has", "true", "false",
+                     "prefix", "base"}
+
+    # -- directives -------------------------------------------------------
+
+    def _directive(self):
+        t = self._peek()
+        if t.kind == "ATKW" and t.value in ("@forAll", "@forSome"):
+            raise ValueError(
+                f"n3: {t.value} quantification has no RDF counterpart")
+        if t.kind == "ATKW" and t.value == "@keywords":
+            self._next()
+            while True:
+                w = self._next()
+                if w.value == ".":
+                    return iter(())
+                if w.value == ",":
+                    continue
+                if w.value.lower() not in self._STD_KEYWORDS:
+                    raise ValueError(
+                        "n3: @keywords beyond the standard set would make "
+                        f"bare words IRIs ({w.value!r}); not representable "
+                        "here")
+        return super()._directive()
+
+    def parse(self):
+        while self._peek() is not None:
+            t = self._peek()
+            if t.kind == "ATKW" or (t.kind == "KW"
+                                    and t.value in ("PREFIX", "BASE")):
+                yield from self._directive()
+            else:
+                yield from self._triples()
+                self._expect(".")
+
+    # -- N3 verbs and paths ------------------------------------------------
+
+    def _verb_n3(self):
+        """Returns (predicate_iri, inverted)."""
+        t = self._peek()
+        if t.kind == "N3OP" and t.value in ("=", "=>", "<="):
+            self._next()
+            if t.value == "=":
+                return OWL + "sameAs", False
+            return LOG + "implies", t.value == "<="
+        if t.kind == "KW" and t.value == "has":
+            self._next()
+            return self._verb(), False
+        if t.kind == "KW" and t.value == "is":
+            self._next()
+            p = self._verb()
+            of = self._next()
+            if not (of.kind == "KW" and of.value == "of"):
+                raise ValueError(f"n3: expected 'of' after 'is {p}', "
+                                 f"got {of!r}")
+            return p, True
+        return self._verb(), False
+
+    def _apply_path(self, node: str, emitted: list):
+        """Consume ``!p`` / ``^p`` tails: each step mints a fresh bnode
+        b and emits (node, p, b) for ``!`` or (b, p, node) for ``^``,
+        then continues from b (N3 Team Submission §3: paths)."""
+        while (self._peek() is not None and self._peek().kind == "N3OP"
+               and self._peek().value in ("!", "^")):
+            op = self._next().value
+            p = self._verb()
+            b = self._fresh_bnode()
+            if op == "!":
+                emitted.append((node, p, (b, None, None)))
+            else:
+                emitted.append((b, p, (node, None, None)))
+            node = b
+        return node
+
+    # -- grammar overrides ---------------------------------------------------
+
+    def _triples(self):
+        t = self._peek()
+        if t.kind == "PUNCT" and t.value == "{":
+            raise ValueError(
+                "n3: formulas ({ ... }) have no RDF counterpart")
+        if t.kind == "PUNCT" and t.value in ("[", "("):
+            yield from super()._triples()
+            return
+        subj = self._subject()
+        extra: list = []
+        subj = self._apply_path(subj, extra)
+        yield from extra
+        yield from self._predicate_object_list(subj)
+
+    def _predicate_object_list(self, subj: str):
+        while True:
+            p, inverted = self._verb_n3()
+            while True:
+                obj, emitted = self._object()
+                yield from emitted
+                if inverted:
+                    lex, dt, lang = obj
+                    if dt is not None or lang is not None:
+                        raise ValueError(
+                            "n3: 'is ... of' / '<=' with a literal object "
+                            "would need a literal SUBJECT — not "
+                            "representable in RDF")
+                    yield (lex, p, (subj, None, None))
+                else:
+                    yield (subj, p, obj)
+                nt = self._peek()
+                if nt is not None and nt.value == ",":
+                    self._next()
+                    continue
+                break
+            nt = self._peek()
+            if nt is not None and nt.value == ";":
+                self._next()
+                nt = self._peek()
+                while nt is not None and nt.value == ";":
+                    self._next()
+                    nt = self._peek()
+                if nt is None or nt.value in (".", "]"):
+                    return
+                continue
+            return
+
+    def _object(self):
+        t = self._peek()
+        if t.kind == "PUNCT" and t.value == "{":
+            raise ValueError(
+                "n3: formulas ({ ... }) have no RDF counterpart")
+        obj, emitted = super()._object()
+        lex, dt, lang = obj
+        nt = self._peek()
+        if (dt is None and lang is None and nt is not None
+                and nt.kind == "N3OP" and nt.value in ("!", "^")):
+            extra = list(emitted)
+            node = self._apply_path(lex, extra)
+            return (node, None, None), extra
+        if (nt is not None and nt.kind == "N3OP"
+                and nt.value in ("!", "^")):
+            raise ValueError(
+                "n3: path expressions starting from a literal would emit "
+                "a literal subject — not representable in RDF")
+        return obj, emitted
+
+
+def parse_n3(text: str):
+    """Iterate (s, p, (o_lex, o_dt, o_lang)) triples of one Notation3
+    document (RDF-compatible subset; see :class:`N3Parser`)."""
+    yield from N3Parser(text).parse()

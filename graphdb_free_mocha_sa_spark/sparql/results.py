@@ -417,3 +417,107 @@ def iter_jsonld(df: DataFrame, default_graph: str | None = None):
     if wrapped:
         yield "]}"
     yield "\n]\n"
+
+
+def iter_trix(df: DataFrame, default_graph: str | None = None):
+    """Serialize a quad frame as TriX, streaming (r7 — completes the Rio
+    writer family with sources/trix.py as its reader). Rows arrive
+    sorted by graph (one orderBy, the only shuffle); consecutive
+    same-graph rows share one <graph> block; default-graph rows emit in
+    an unnamed <graph>. Unnamed-graph rows sort first (g ascending with
+    the default name), so at most one unnamed block opens."""
+    from xml.sax.saxutils import escape, quoteattr
+
+    def term_xml(lex, dt, lang):
+        if dt is None:
+            if lex.startswith("_:"):
+                return f"<id>{escape(lex[2:])}</id>"
+            return f"<uri>{escape(lex)}</uri>"
+        if lang:
+            return (f"<plainLiteral xml:lang={quoteattr(lang)}>"
+                    f"{escape(lex)}</plainLiteral>")
+        if dt == XSD_STRING:
+            return f"<plainLiteral>{escape(lex)}</plainLiteral>"
+        return (f"<typedLiteral datatype={quoteattr(dt)}>"
+                f"{escape(lex)}</typedLiteral>")
+
+    yield ('<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/">\n')
+    _UNSET = object()
+    current = _UNSET
+    for row in df.orderBy("g").toLocalIterator(prefetchPartitions=False):
+        g = row["g"]
+        if g == default_graph:
+            g = None
+        if g != current:
+            if current is not _UNSET:
+                yield "  </graph>\n"
+            yield "  <graph>\n"
+            if g is not None:
+                yield f"    <uri>{escape(g)}</uri>\n"
+            current = g
+        s = term_xml(row["s"], None, None)
+        p = f"<uri>{escape(row['p'])}</uri>"
+        o = term_xml(row["o_lex"], row["o_dt"], row["o_lang"])
+        yield f"    <triple>{s}{p}{o}</triple>\n"
+    if current is not _UNSET:
+        yield "  </graph>\n"
+    yield "</TriX>\n"
+
+
+def iter_rdfjson(df: DataFrame, default_graph: str | None = None):
+    """Serialize a quad frame as one RDF/JSON document, streaming (r7).
+    Rows arrive sorted by (s, p) — one orderBy — so each subject becomes
+    one object and each predicate one array (bounded driver memory: one
+    (s, p) group's value objects never buffer; only comma state is
+    kept). RDF/JSON has no named-graph slot: graph names are DROPPED,
+    exactly like rdf4j's RDFJSONWriter drops statement contexts — use
+    trig/nquads/trix for graph-preserving dumps."""
+    def value_obj(lex, dt, lang):
+        if dt is None:
+            if lex.startswith("_:"):
+                return {"value": lex, "type": "bnode"}
+            return {"value": lex, "type": "uri"}
+        out = {"value": lex, "type": "literal"}
+        if lang:
+            out["lang"] = lang
+        elif dt not in (XSD_STRING, RDF_LANGSTRING):
+            out["datatype"] = dt
+        return out
+
+    yield "{\n"
+    cur_s = cur_p = None
+    for row in (df.orderBy("s", "p")
+                .toLocalIterator(prefetchPartitions=False)):
+        s, p = row["s"], row["p"]
+        if s != cur_s:
+            if cur_s is not None:
+                yield "]},\n"
+            yield json.dumps(s) + ": {"
+            cur_s, cur_p = s, None
+        if p != cur_p:
+            if cur_p is not None:
+                yield "], "
+            yield json.dumps(p) + ": ["
+            cur_p = p
+        else:
+            yield ", "
+        yield json.dumps(value_obj(row["o_lex"], row["o_dt"],
+                                   row["o_lang"]), ensure_ascii=False)
+    if cur_s is not None:
+        yield "]}\n"
+    yield "}\n"
+
+
+def iter_binaryrdf(df: DataFrame, default_graph: str | None = None):
+    """Serialize a quad frame as binary RDF (r7), streaming row-by-row —
+    chunks are BYTES (the one binary member of the writer family; the
+    callers that negotiate this format must write binary). Default-graph
+    rows carry a NULL context."""
+    from graphdb_free_mocha_sa_spark.sources.binaryrdf import (
+        write_footer, write_header, write_statement)
+    yield write_header()
+    for row in df.toLocalIterator(prefetchPartitions=False):
+        yield write_statement(row["g"], row["s"], row["p"], row["o_lex"],
+                              row["o_dt"], row["o_lang"],
+                              default_graph=default_graph)
+    yield write_footer()
