@@ -410,6 +410,34 @@ def read_binaryrdf(spark: SparkSession, path: str,
         .select(*QUAD_COLS)
 
 
+def read_rdfa(spark: SparkSession, path: str, graph: str) -> DataFrame:
+    """RDFa 1.1 reader over HTML/XHTML pages (sources/rdfa.py; the last
+    member of the reference's Rio parse-format family, pom.xml:80-90).
+    One PAGE per parse task — HTML is not splittable — with the file's own
+    URI as the base, so relative @about/@resource/@href resolve the way a
+    browser would resolve them."""
+    from pyspark.sql.types import (DoubleType, StringType, StructField,
+                                   StructType, TimestampType)
+    schema = StructType([
+        StructField("g", StringType()), StructField("s", StringType()),
+        StructField("p", StringType()), StructField("o_lex", StringType()),
+        StructField("o_dt", StringType()), StructField("o_lang", StringType()),
+        StructField("o_num", DoubleType()), StructField("o_ts", TimestampType()),
+    ])
+
+    def parse_files(rows):
+        from graphdb_free_mocha_sa_spark.sources.rdfa import parse_rdfa
+        for row in rows:
+            for s, p, (lex, dt, lang) in parse_rdfa(row.value,
+                                                    base=row.base):
+                yield _typed_quad(graph, s, p, lex, dt, lang)
+
+    files = spark.read.text(path, wholetext=True) \
+        .withColumn("base", F.input_file_name())
+    return spark.createDataFrame(files.rdd.mapPartitions(parse_files), schema) \
+        .select(*QUAD_COLS)
+
+
 def read_rdf_file(spark: SparkSession, path: str, graph: str) -> DataFrame:
     if path.endswith((".nt", ".ntriples")):
         return read_ntriples(spark, path, graph)
@@ -425,6 +453,8 @@ def read_rdf_file(spark: SparkSession, path: str, graph: str) -> DataFrame:
         return read_rdfjson(spark, path, graph)
     if path.endswith(".brf"):
         return read_binaryrdf(spark, path, graph)
+    if path.endswith((".html", ".xhtml", ".htm")):
+        return read_rdfa(spark, path, graph)
     if path.endswith((".jsonld", ".json")):
         return read_jsonld(spark, path, graph)
     if path.endswith((".rdf", ".rdfxml", ".owl", ".xml")):
