@@ -11,8 +11,14 @@ Every expression evaluates to a :class:`TCol` — the same flat term-column
 family used for variables (key/lex/dt/lang/num/ts) so computed terms can be
 joined, grouped, ordered and projected uniformly.
 
-Deviations (documented): xsd:decimal arithmetic is carried as DOUBLE
-(Spark-native); GROUP_CONCAT sorts its inputs for determinism (SURVEY B24).
+Deviations (documented): the numeric SHADOW column (``num``) is a DOUBLE for
+every numeric datatype — result *datatypes* follow the §17.3 promotion ladder
+(integer → decimal → double, with ``/`` promoting integer operands to
+decimal) and xsd:decimal result lexicals are recovered through a
+``decimal(38,15)`` rounding of the double (exact for operands with ≤ 15
+significant digits), but value-space comparisons of decimal expressions use
+the IEEE double approximation. GROUP_CONCAT sorts its inputs for determinism
+(SURVEY B24).
 """
 
 from __future__ import annotations
@@ -23,9 +29,16 @@ from pyspark.sql import functions as F
 from graphdb_free_mocha_sa_spark.model import (NUMERIC_DTS, RDF_LANGSTRING,
                                                XSD, XSD_BOOLEAN, XSD_DATETIME,
                                                XSD_DECIMAL, XSD_DOUBLE,
-                                               XSD_INTEGER, XSD_STRING,
+                                               XSD_FLOAT, XSD_INT,
+                                               XSD_INTEGER, XSD_LONG,
+                                               XSD_STRING,
                                                canonical_key_from_parts,
                                                term_kind_rank)
+
+#: the integer-valued XSD types (promote together per §17.3)
+INT_DTS = (XSD_INTEGER, XSD_LONG, XSD_INT)
+#: the IEEE types (promote everything they touch to double)
+DBL_DTS = (XSD_DOUBLE, XSD_FLOAT)
 from graphdb_free_mocha_sa_spark.sparql import algebra as A
 
 #: per-row salt column the translator materializes whenever an expression
@@ -112,7 +125,13 @@ class TCol:
             if term.dt == XSD_DATETIME:
                 ts = F.to_timestamp(F.lit(term.lex.replace("T", " ")))
             if term.dt == XSD_BOOLEAN:
-                return cls.from_bool(F.lit(term.lex == "true"))
+                # "1"/"0" are valid xsd:boolean lexicals; an invalid one
+                # has NO boolean value (falls through every operator)
+                if term.lex in ("true", "1"):
+                    return cls.from_bool(F.lit(True))
+                if term.lex in ("false", "0"):
+                    return cls.from_bool(F.lit(False))
+                return cls(lex=F.lit(term.lex), dt=F.lit(XSD_BOOLEAN))
             return cls(lex=F.lit(term.lex), dt=F.lit(term.dt or XSD_STRING),
                        lang=F.lit(term.lang) if term.lang else None,
                        num=num, ts=ts)
@@ -120,9 +139,13 @@ class TCol:
 
     @classmethod
     def from_bool(cls, col: Column) -> "TCol":
+        # NO 0/1 shadow num: the engine-wide invariant is that a non-null
+        # num implies a NUMERIC datatype with a valid lexical — operators
+        # gate on num nullness alone, which keeps Column trees small
+        # (per-level fan-out is what OOMed deeply nested expressions, r7).
+        # Boolean ordering falls back to the lex ("false" < "true").
         lex = F.when(col, F.lit("true")).when(~col, F.lit("false"))
         return cls(lex=lex, dt=F.when(col.isNotNull(), F.lit(XSD_BOOLEAN)),
-                   num=F.when(col, F.lit(1.0)).when(~col, F.lit(0.0)),
                    boolean=col)
 
     @classmethod
@@ -150,9 +173,14 @@ class TCol:
 
     @property
     def key(self) -> Column:
-        if self._key is not None:
-            return self._key
-        return canonical_key_from_parts(self.lex, self.dt, self.lang)
+        # memoized: repeated .key accesses (RDFterm-equal references it 3×
+        # per comparison, IN once per item) must share ONE Column tree —
+        # rebuilding it per access multiplied nested-expression plan size
+        # enough to OOM analysis on adversarial BIND chains (r7)
+        if self._key is None:
+            self._key = canonical_key_from_parts(self.lex, self.dt,
+                                                 self.lang)
+        return self._key
 
     def is_literal(self) -> Column:
         return self.dt.isNotNull()
@@ -168,11 +196,16 @@ class TCol:
         if self._bool is not None:
             return self._bool
         return (
-            F.when(self.dt == XSD_BOOLEAN, self.lex == "true")
+            # "1"/"0" are valid xsd:boolean lexicals too; an INVALID
+            # lexical form for a boolean/numeric literal has EBV false,
+            # not error (§17.2.2 rule 1 — r7 fuzz fix)
+            F.when(self.dt == XSD_BOOLEAN, self.lex.isin("true", "1"))
              # NaN EBV is false (§17.2.2) — Spark's `!=` puts NaN on the
              # TRUE side (NaN equals NaN in Spark SQL), so test explicitly
-             .when(self.num.isNotNull(),
+             .when(self.dt.isin(*NUMERIC_DTS) & self.num.isNotNull(),
                    (self.num != 0.0) & ~F.isnan(self.num))
+             .when(self.dt.isin(*NUMERIC_DTS) & self.lex.isNotNull(),
+                   F.lit(False))
              .when(self.dt.isin(XSD_STRING, RDF_LANGSTRING), F.length(self.lex) > 0)
              .otherwise(_NB())
         )
@@ -189,24 +222,55 @@ class TCol:
 # ---------------------------------------------------------------- operators
 
 
-def _num2(l: TCol, r: TCol, f, force_double: bool = False) -> TCol:
-    res = f(l.num, r.num)
-    if force_double:
-        dt = F.lit(XSD_DOUBLE)
-    else:
-        dt = F.when((l.dt == XSD_INTEGER) & (r.dt == XSD_INTEGER),
-                    F.lit(XSD_INTEGER)).otherwise(F.lit(XSD_DOUBLE))
-    col = res.cast("double")
+def _dbl_lex(col: Column) -> Column:
     # xsd:double canonical lexical forms for the IEEE specials: Spark's
-    # double→string cast yields "Infinity"/"-Infinity", which are NOT valid
-    # xsd:double lexicals and would not round-trip (r6, ADVICE).
-    dbl_lex = (F.when(col == F.lit(float("inf")), F.lit("INF"))
-               .when(col == F.lit(float("-inf")), F.lit("-INF"))
-               .when(F.isnan(col), F.lit("NaN"))
-               .otherwise(col.cast("string")))
-    lex = F.when(dt == XSD_INTEGER, col.cast("long").cast("string")).otherwise(dbl_lex)
-    return TCol(lex=F.when(col.isNotNull(), lex),
-                dt=F.when(col.isNotNull(), dt), num=col)
+    # double→string cast yields "Infinity"/"-Infinity", which are NOT
+    # valid xsd:double lexicals and would not round-trip (r6, ADVICE).
+    # One regexp over ONE cast keeps the Column tree small — deeply
+    # nested arithmetic multiplies every reference of the child tree,
+    # and a high per-level fan-out OOMs plan construction (r7).
+    return F.regexp_replace(col.cast("string"), "^(-?)Infinity$", "$1INF")
+
+
+def _dec_lex(col: Column) -> Column:
+    """xsd:decimal lexical recovered from the double shadow: round at 15
+    fractional digits (hides IEEE representation error for operands of
+    sane scale), trim trailing zeros, keep one fractional digit. A value
+    outside decimal(38,15) falls back to the double lexical."""
+    s = F.coalesce(col.try_cast("decimal(38,15)").cast("string"),
+                   col.cast("string"))
+    s = F.regexp_replace(s, r"(\.\d*?)0+$", r"$1")
+    return F.regexp_replace(s, r"\.$", ".0")
+
+
+def _num_tcol(num: Column, dt: Column) -> TCol:
+    """Numeric result family: datatype-appropriate lexical over the double
+    shadow column. ``num`` must already be null for type-error rows (the
+    engine invariant: non-null num ⟹ numeric datatype, valid lexical)."""
+    lex = (F.when(dt == XSD_INTEGER, num.try_cast("long").cast("string"))
+           .when(dt == XSD_DECIMAL, _dec_lex(num))
+           .otherwise(_dbl_lex(num)))
+    return TCol(lex=lex, dt=F.when(lex.isNotNull(), dt), num=num)
+
+
+def _promoted_dt(l: TCol, r: TCol, div: bool = False) -> Column:
+    """§17.3 numeric promotion: any IEEE operand → double; both integer →
+    integer (but ``/`` promotes to decimal); otherwise decimal."""
+    is_dbl = l.dt.isin(*DBL_DTS) | r.dt.isin(*DBL_DTS)
+    is_int = l.dt.isin(*INT_DTS) & r.dt.isin(*INT_DTS)
+    out = F.when(is_dbl, F.lit(XSD_DOUBLE))
+    if not div:
+        out = out.when(is_int, F.lit(XSD_INTEGER))
+    return out.otherwise(F.lit(XSD_DECIMAL))
+
+
+def _num2(l: TCol, r: TCol, f, div: bool = False) -> TCol:
+    # operands must be numeric literals with valid lexical forms — the
+    # from_bool invariant (booleans/strings/IRIs/errors carry a NULL num)
+    # makes f's null propagation the type-error gate (r7 fuzz fix:
+    # `false + false` used to evaluate a 0/1 boolean shadow to 0.0e0)
+    res = f(l.num, r.num).cast("double")
+    return _num_tcol(res, _promoted_dt(l, r, div=div))
 
 
 def _apply_regex_flags(pat: Column, flags: Column | None) -> Column:
@@ -269,10 +333,24 @@ def _cmp(l: TCol, r: TCol, op: str) -> Column:
     ops = {"=": operator.eq, "!=": operator.ne, "<": operator.lt,
            "<=": operator.le, ">": operator.gt, ">=": operator.ge}
     f = ops[op]
+    # op:numeric-* applies to numeric literals only — booleans carry NO
+    # 0/1 shadow num (from_bool invariant), so `true = 1` is never
+    # numerically comparable (r7 fuzz fix)
     both_num = l.num.isNotNull() & r.num.isNotNull()
     both_ts = l.ts.isNotNull() & r.ts.isNotNull()
-    both_str = l.dt.isin(XSD_STRING, RDF_LANGSTRING) & r.dt.isin(XSD_STRING, RDF_LANGSTRING)
-    both_bool = (l.dt == XSD_BOOLEAN) & (r.dt == XSD_BOOLEAN)
+    # the §17.3 operator table defines `<` only for xsd:string / simple
+    # literals — an ORDER comparison of lang-tagged literals is a type
+    # error (r7 fuzz fix; `=`/`!=` handle same-tag pairs separately below)
+    both_str = (l.dt == XSD_STRING) & (r.dt == XSD_STRING)
+    # op:boolean-* works on the VALUE space (valid lexicals true/false/1/0)
+    # — VALUES-sourced booleans carry no num shadow, so compare lexically
+    # (r7 fuzz fix: `?b <= ?b` on a bound boolean used to error)
+    lb = F.when(l.lex.isin("true", "1"), F.lit(True)) \
+          .when(l.lex.isin("false", "0"), F.lit(False))
+    rb = F.when(r.lex.isin("true", "1"), F.lit(True)) \
+          .when(r.lex.isin("false", "0"), F.lit(False))
+    both_bool = ((l.dt == XSD_BOOLEAN) & (r.dt == XSD_BOOLEAN)
+                 & lb.isNotNull() & rb.isNotNull())
     # op:numeric-* with a NaN operand: every comparison is FALSE except
     # != which is TRUE (XPath) — Spark SQL instead treats NaN = NaN as
     # true and sorts NaN above everything (review fix)
@@ -285,13 +363,13 @@ def _cmp(l: TCol, r: TCol, op: str) -> Column:
         # literals outside the comparable value spaces (unknown datatypes,
         # langString pairs, string-vs-number) are a TYPE ERROR — not false
         # for '=' and not true for '!='.
-        both_plain = (l.dt == XSD_STRING) & (r.dt == XSD_STRING)
-        same_lang = l.lang.isNotNull() & l.lang.eqNullSafe(r.lang)
-        comparable = both_num | both_ts | both_plain | both_bool \
-            | (both_str & same_lang)
+        both_lang = ((l.dt == RDF_LANGSTRING) & (r.dt == RDF_LANGSTRING)
+                     & F.lower(l.lang).eqNullSafe(F.lower(r.lang)))
+        comparable = both_num | both_ts | both_str | both_lang
         return (F.when(both_num & any_nan, F.lit(op == "!="))
                  .when(both_num, f(l.num, r.num))
                  .when(both_ts, f(l.ts, r.ts))
+                 .when(both_bool, f(lb, rb))
                  .when(comparable, f(l.lex, r.lex))
                  .when(l.key == r.key, F.lit(op == "="))
                  .when(l.key.isNotNull() & r.key.isNotNull()
@@ -302,7 +380,7 @@ def _cmp(l: TCol, r: TCol, op: str) -> Column:
              .when(both_num, f(l.num, r.num))
              .when(both_ts, f(l.ts, r.ts))
              .when(both_str, f(l.lex, r.lex))
-             .when(both_bool, f(l.num, r.num))
+             .when(both_bool, f(lb, rb))
              .otherwise(_NB()))
 
 
@@ -322,39 +400,46 @@ def binary(op: str, l: TCol, r: TCol) -> TCol:
     if op == "/":
         # SPARQL op:numeric-divide: division by zero is a TYPE ERROR
         # (-> unbound/null) for integer/decimal operands, but IEEE
-        # +-Inf/NaN when either operand is double/float. The b != 0
-        # guard also keeps ANSI mode from raising DIVIDE_BY_ZERO and
-        # killing the whole query (CaseWhen branches evaluate lazily).
-        from graphdb_free_mocha_sa_spark.model import XSD_FLOAT
-        ieee = l.dt.isin(XSD_DOUBLE, XSD_FLOAT) | r.dt.isin(XSD_DOUBLE,
-                                                            XSD_FLOAT)
+        # +-Inf/NaN when either operand is double/float (result sign
+        # honors a negative-zero divisor). The b != 0 guard keeps ANSI
+        # mode from raising DIVIDE_BY_ZERO and killing the whole query
+        # (CaseWhen branches evaluate lazily). Integer ÷ integer promotes
+        # to DECIMAL per §17.3 (r7 fuzz fix: used to force double).
+        ieee = l.dt.isin(*DBL_DTS) | r.dt.isin(*DBL_DTS)
 
         def div(a, b):
-            inf = (F.when(a > 0, F.lit(float("inf")))
+            # −0.0 == 0.0 numerically; its string form keeps the sign
+            b_neg = b.cast("string").startswith("-")
+            mag = (F.when(a > 0, F.lit(float("inf")))
                    .when(a < 0, F.lit(float("-inf")))
-                   .when(a == 0, F.lit(float("nan"))))
+                   .otherwise(F.lit(float("nan"))))
+            inf = F.when(b_neg, -mag).otherwise(mag)
+            # the IEEE branch fires only for an ACTUAL zero divisor with a
+            # bound numerator — a type-errored operand (null num) must
+            # stay an error (r7 fuzz fix: `1e0 / <iri>` leaked INF)
             return (F.when(b != 0, a / b)
-                    .otherwise(F.when(ieee, inf)))
+                    .otherwise(F.when(ieee & (b == 0) & a.isNotNull(),
+                                      inf)))
 
-        # dt forced double UP FRONT so the lexical form is computed on the
-        # double branch (patching dt afterwards left an integer-cast lex:
-        # 5/2 used to serialize as "2" with num 2.5)
-        return _num2(l, r, div, force_double=True)
+        return _num2(l, r, div, div=True)
     raise ValueError(f"unknown binary op {op}")
 
 
 def unary(op: str, x: TCol) -> TCol:
     if op == "!":
         return TCol.from_bool(~x.ebv())
-    if op == "-":
-        # negation preserves the numeric datatype: -(2) is an integer
-        col = -x.num
-        dt = F.when(x.dt == XSD_INTEGER, F.lit(XSD_INTEGER)) \
-              .otherwise(F.lit(XSD_DOUBLE))
-        lex = F.when(dt == XSD_INTEGER, col.cast("long").cast("string")) \
-               .otherwise(col.cast("string"))
-        return TCol(lex=F.when(col.isNotNull(), lex),
-                    dt=F.when(col.isNotNull(), dt), num=col)
+    if op in ("-", "+"):
+        # op:numeric-unary-minus/-plus: numeric literals only (an IRI,
+        # boolean or string operand is a type error — r7 fuzz fix: unary
+        # minus used to negate a boolean's 0/1 shadow and unary plus was
+        # dropped by the parser, passing ANY term through); the numeric
+        # datatype is preserved, incl. decimal (used to collapse to
+        # double). The from_bool invariant makes num-null the type gate.
+        col = -x.num if op == "-" else x.num
+        dt = (F.when(x.dt.isin(*INT_DTS), F.lit(XSD_INTEGER))
+              .when(x.dt == XSD_DECIMAL, F.lit(XSD_DECIMAL))
+              .otherwise(F.lit(XSD_DOUBLE)))
+        return _num_tcol(col, dt)
     return x
 
 
@@ -379,6 +464,13 @@ def builtin(name: str, args: list[TCol], base: str | None = None) -> TCol:
     if n == "DATATYPE":
         return TCol.iri(a[0].dt)
     if n in ("IRI", "URI"):
+        # §17.4.2.6: IRI() takes a simple literal / xsd:string or an IRI
+        # (passed through) — a numeric/boolean/typed literal or bnode is a
+        # type error (r7 fuzz fix: IRI(-0.5) used to mint an IRI "-0.5")
+        a = [TCol(lex=F.when(a[0].is_iri() | (a[0].dt == XSD_STRING),
+                             a[0].lex),
+                  key=F.when(a[0].is_iri() | (a[0].dt == XSD_STRING),
+                             a[0].key))] + a[1:]
         if base:
             # RFC 3986-style resolution against the query BASE (r6; the
             # review caught the naive-concat cut mangling non-slash bases,
@@ -464,22 +556,41 @@ def builtin(name: str, args: list[TCol], base: str | None = None) -> TCol:
         return TCol.from_bool(a[0].key.isNotNull())
     if n == "RAND":
         return TCol.from_num(F.rand())
-    if n == "ABS":
-        return TCol.from_num(F.abs(a[0].num))
-    if n == "CEIL":
-        return TCol.from_num(F.ceil(a[0].num).cast("double"), XSD_INTEGER)
-    if n == "FLOOR":
-        return TCol.from_num(F.floor(a[0].num).cast("double"), XSD_INTEGER)
-    if n == "ROUND":
-        # fn:numeric-round: ties round toward POSITIVE infinity
-        # (round(-2.5) = -2), which HALF_UP F.round gets wrong for
-        # negative halves — floor(x + 0.5) is the exact rule
-        return TCol.from_num(F.floor(a[0].num + F.lit(0.5)).cast("double"))
+    if n in ("ABS", "CEIL", "FLOOR", "ROUND"):
+        # fn:numeric-abs/-ceil/-floor/-round: numeric literals only, and
+        # the result PRESERVES the argument's numeric type (ceil of a
+        # decimal is a decimal, round of an integer an integer — r7 fuzz
+        # fix: used to force xsd:integer / bare double). fn:round ties
+        # round toward POSITIVE infinity (round(-2.5) = -2), which
+        # HALF_UP F.round gets wrong for negative halves — floor(x + 0.5)
+        # is the exact rule. NaN/±INF/huge values pass through untouched
+        # (F.floor silently clamps them to Long.MAX / 0 — r7 fuzz fix).
+        x = a[0]
+        v = x.num
+        whole = F.isnan(v) | (F.abs(v) >= F.lit(2.0 ** 62))
+        if n == "ABS":
+            res = F.abs(v)
+        elif n == "CEIL":
+            res = F.when(whole, v).otherwise(F.ceil(v).cast("double"))
+        elif n == "FLOOR":
+            res = F.when(whole, v).otherwise(F.floor(v).cast("double"))
+        else:
+            res = F.when(whole, v).otherwise(
+                F.floor(v + F.lit(0.5)).cast("double"))
+        dt = (F.when(x.dt.isin(*INT_DTS), F.lit(XSD_INTEGER))
+              .when(x.dt == XSD_DECIMAL, F.lit(XSD_DECIMAL))
+              .otherwise(F.lit(XSD_DOUBLE)))
+        return _num_tcol(res, dt)
     if n == "CONCAT":
-        lang = a[0].lang if a else F.lit(None).cast("string")
+        # every argument must be a string literal (§17.4.3.12 — an IRI,
+        # boolean, numeric or unknown-datatype argument is a type error;
+        # r7 fuzz fix: args used to concatenate by bare lexical form)
+        if not a:
+            return TCol.from_str(F.lit(""))
+        lang = a[0].lang
         for x in a[1:]:
             lang = F.when(lang.eqNullSafe(x.lang), lang)
-        return _strlit(F.concat(*[x.lex for x in a]), lang)
+        return _strlit(F.concat(*[_str_arg(x) for x in a]), lang)
     if n == "STRLEN":
         return TCol.from_num(F.length(_str_arg(a[0])).cast("double"),
                              XSD_INTEGER)
@@ -519,16 +630,31 @@ def builtin(name: str, args: list[TCol], base: str | None = None) -> TCol:
         # CONSUMES length (SUBSTR("12345", 0, 3) = "12", not "123"), and
         # negative starts do NOT count from the end. Rounding is fn:round
         # (ties toward +infinity) = floor(x + 0.5), NOT F.round's HALF_UP:
-        # SUBSTR("12345", -0.5, 3) must yield "12" (r6, ADVICE).
-        start = F.floor(a[1].num + F.lit(0.5)).cast("int")
-        lo = F.greatest(start, F.lit(1))
+        # SUBSTR("12345", -0.5, 3) must yield "12" (r6, ADVICE). The source
+        # must be a string literal and start/length numeric literals — a
+        # dateTime/IRI/boolean source or boolean index is a type error
+        # (r7 fuzz fix). A NaN start/length yields the empty string
+        # (fn:substring on the empty position range), not an error.
+        src = _str_arg(a[0])
+        s_num = a[1].num
+        start = F.when(~F.isnan(s_num),
+                       F.floor(s_num + F.lit(0.5))).try_cast("int")
+        empty = F.isnan(s_num)
+        # F.greatest IGNORES nulls — a non-numeric start (null num) must
+        # stay an error, not default to position 1 (r7 fuzz fix)
+        lo = F.when(s_num.isNotNull(), F.greatest(start, F.lit(1)))
         if len(a) > 2:
-            cnt = F.greatest(
-                start + F.floor(a[2].num + F.lit(0.5)).cast("int") - lo,
-                F.lit(0))
+            l_num = a[2].num
+            empty = empty | F.isnan(l_num)
+            cnt = F.when(l_num.isNotNull(), F.greatest(
+                start + F.floor(F.when(~F.isnan(l_num), l_num)
+                                + F.lit(0.5)).try_cast("int") - lo,
+                F.lit(0)))
         else:
-            cnt = F.length(a[0].lex)
-        return _strlit(a[0].lex.substr(lo, cnt), a[0].lang)
+            cnt = F.length(src)
+        out = F.when(empty & src.isNotNull(), F.lit("")) \
+               .otherwise(src.substr(lo, cnt))
+        return _strlit(out, a[0].lang)
     if n == "REPLACE":
         pat = _apply_regex_flags(a[1].lex, a[3].lex if len(a) > 3 else None)
         repl = a[2].lex
@@ -540,10 +666,11 @@ def builtin(name: str, args: list[TCol], base: str | None = None) -> TCol:
                 F.lit("$"), F.lit("\\$"))
             repl = (F.when(a[3].lex.contains("q"), lit_repl)
                     .otherwise(a[2].lex))
-        return _strlit(F.regexp_replace(a[0].lex, pat, repl), a[0].lang)
+        return _strlit(F.regexp_replace(_str_arg(a[0]), pat, repl),
+                       a[0].lang)
     if n == "REGEX":
         pat = _apply_regex_flags(a[1].lex, a[2].lex if len(a) > 2 else None)
-        return TCol.from_bool(F.regexp_like(a[0].lex, pat))
+        return TCol.from_bool(F.regexp_like(_str_arg(a[0]), pat))
     if n == "LANGMATCHES":
         tag, rng = F.lower(a[0].lex), F.lower(a[1].lex)
         return TCol.from_bool(
@@ -652,42 +779,98 @@ def builtin(name: str, args: list[TCol], base: str | None = None) -> TCol:
     if n == "STRDT":
         ok = a[0].dt == XSD_STRING
         dt = F.when(ok, a[1].lex)
-        return TCol(lex=F.when(ok, a[0].lex), dt=dt,
-                    num=F.when(dt.isin(*NUMERIC_DTS), a[0].lex.try_cast("double")),
+        # the numeric shadow is set only for a lexical VALID for the
+        # target type (r7 fuzz fix: STRDT("2.5", xsd:integer) used to get
+        # num 2.5, joining the numeric value space with an invalid form)
+        num = (F.when(dt.isin(*INT_DTS)
+                      & a[0].lex.rlike(r"^[+-]?[0-9]+$"),
+                      a[0].lex.try_cast("double"))
+               .when((dt == XSD_DECIMAL)
+                     & a[0].lex.rlike(
+                         r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)$"),
+                     a[0].lex.try_cast("double"))
+               .when(dt.isin(*DBL_DTS),
+                     F.when(a[0].lex == "INF", F.lit(float("inf")))
+                      .when(a[0].lex == "-INF", F.lit(float("-inf")))
+                      .when(a[0].lex == "NaN", F.lit(float("nan")))
+                      .when(a[0].lex.rlike(
+                          r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)"
+                          r"([eE][+-]?[0-9]+)?$"),
+                          a[0].lex.try_cast("double"))))
+        return TCol(lex=F.when(ok, a[0].lex), dt=dt, num=num,
                     ts=F.when(dt == XSD_DATETIME,
                               F.to_timestamp(F.regexp_replace(a[0].lex, "T", " "))))
     if n == "SAMETERM":
         return TCol.from_bool(a[0].key == a[1].key)
+    # the term testers propagate an errored/unbound argument as a type
+    # error — isIRI(1/0) is an error, not false (r7 fuzz fix: IF/COALESCE
+    # could observe a spurious `false`)
     if n in ("ISIRI", "ISURI"):
-        return TCol.from_bool(a[0].is_iri())
+        return TCol.from_bool(F.when(a[0].key.isNotNull(), a[0].is_iri()))
     if n == "ISBLANK":
-        return TCol.from_bool(a[0].is_bnode())
+        return TCol.from_bool(F.when(a[0].key.isNotNull(), a[0].is_bnode()))
     if n == "ISLITERAL":
-        return TCol.from_bool(a[0].is_literal())
+        return TCol.from_bool(F.when(a[0].key.isNotNull(), a[0].is_literal()))
     if n == "ISNUMERIC":
-        return TCol.from_bool(a[0].num.isNotNull() & a[0].dt.isin(*NUMERIC_DTS))
+        return TCol.from_bool(F.when(
+            a[0].key.isNotNull(),
+            a[0].num.isNotNull() & a[0].dt.isin(*NUMERIC_DTS)))
 
-    # casts: full XSD constructor IRIs
+    # casts: full XSD constructor IRIs. XPath §19 casting rules (r7 fuzz
+    # fixes): the SOURCE of a string-lexical cast must itself be a
+    # simple/xsd:string literal with a lexical form valid for the TARGET
+    # type (xsd:integer("2.5") is an error, not 2); booleans cast by
+    # value, not via their 0/1 shadow; NaN/±INF don't cast to the exact
+    # types; "INF"/"-INF"/"NaN" are the only special double lexicals
+    # (Spark's try_cast also accepts "Infinity", which XPath rejects).
+    # try_cast: a malformed lexical form is an ERROR (→ unbound), never a
+    # runtime failure (ANSI cast would throw).
     if n.startswith(XSD.upper()) or name.startswith(XSD):
         local = name[len(XSD):].lower()
         x = a[0]
-        # try_cast: SPARQL cast of a malformed lexical form is an ERROR
-        # (→ unbound), never a runtime failure (ANSI cast would throw)
+        is_num = x.dt.isin(*NUMERIC_DTS)
+        bool01 = F.when(x.lex.isin("true", "1"), F.lit(1.0)) \
+                  .when(x.lex.isin("false", "0"), F.lit(0.0))
+        finite = ~F.isnan(x.num) & (F.abs(x.num) != F.lit(float("inf")))
         if local in ("integer", "long", "int"):
-            return TCol.from_num(
-                F.coalesce(x.num, x.lex.try_cast("double"))
-                .try_cast("long").cast("double"),
-                XSD_INTEGER)
-        if local in ("double", "float", "decimal"):
-            return TCol.from_num(F.coalesce(x.num, x.lex.try_cast("double")))
+            v = (F.when(is_num & finite, x.num)
+                 .when(x.dt == XSD_BOOLEAN, bool01)
+                 .when((x.dt == XSD_STRING)
+                       & x.lex.rlike(r"^[+-]?[0-9]+$"),
+                       x.lex.try_cast("double")))
+            return _num_tcol(v.try_cast("long").cast("double"),
+                             F.lit(XSD_INTEGER))
+        if local == "decimal":
+            v = (F.when(is_num & finite, x.num)
+                 .when(x.dt == XSD_BOOLEAN, bool01)
+                 .when((x.dt == XSD_STRING)
+                       & x.lex.rlike(r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)$"),
+                       x.lex.try_cast("double")))
+            return _num_tcol(v, F.lit(XSD_DECIMAL))
+        if local in ("double", "float"):
+            v = (F.when(is_num, x.num)
+                 .when(x.dt == XSD_BOOLEAN, bool01)
+                 .when(x.dt == XSD_STRING,
+                       F.when(x.lex == "INF", F.lit(float("inf")))
+                        .when(x.lex == "-INF", F.lit(float("-inf")))
+                        .when(x.lex == "NaN", F.lit(float("nan")))
+                        .when(x.lex.rlike(
+                            r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)"
+                            r"([eE][+-]?[0-9]+)?$"),
+                            x.lex.try_cast("double"))))
+            return _num_tcol(v, F.lit(XSD_DOUBLE))
         if local == "string":
-            return TCol.from_str(x.lex)
+            # literals and IRIs stringify; a bnode is a type error
+            return TCol.from_str(F.when(~x.is_bnode(), x.lex))
         if local == "boolean":
             return TCol.from_bool(
-                F.when(x.dt == XSD_BOOLEAN, x.lex == "true")
-                 .when(x.num.isNotNull(), x.num != 0)
-                 .when(x.lex.isin("true", "1"), F.lit(True))
-                 .when(x.lex.isin("false", "0"), F.lit(False)))
+                F.when(x.dt == XSD_BOOLEAN, x.lex.isin("true", "1"))
+                 .when(is_num & x.num.isNotNull(),
+                       (x.num != 0) & ~F.isnan(x.num))
+                 .when((x.dt == XSD_STRING) & x.lex.isin("true", "1"),
+                       F.lit(True))
+                 .when((x.dt == XSD_STRING) & x.lex.isin("false", "0"),
+                       F.lit(False)))
         if local == "datetime":
             return TCol.from_ts(F.coalesce(
                 x.ts, F.to_timestamp(F.regexp_replace(x.lex, "T", " "))))

@@ -363,8 +363,11 @@ class Parser:
             self.next()
             return EUnary("-", self._expr_unary())
         if self.at_punct("+"):
+            # op:numeric-unary-plus is NOT the identity: a non-numeric
+            # operand must be a type error, so the node is kept (r7 fuzz
+            # fix: `+<iri>` used to pass the IRI through unchanged)
             self.next()
-            return self._expr_unary()
+            return EUnary("+", self._expr_unary())
         return self._expr_primary()
 
     def _expr_primary(self) -> Expr:

@@ -57,7 +57,12 @@ def term_parts_py(term) -> tuple:
     if isinstance(term, A.Literal):
         import datetime
         dt = term.dt or "http://www.w3.org/2001/XMLSchema#string"
-        num = float(term.lex) if dt in NUMERIC_DTS else None
+        num = None
+        if dt in NUMERIC_DTS:
+            try:
+                num = float(term.lex)
+            except ValueError:
+                num = None      # invalid numeric lexical: no value shadow
         ts = None
         if dt == XSD_DATETIME:
             try:
