@@ -35,8 +35,10 @@ from graphdb_free_mocha_sa_spark.model import (NUMERIC_DTS, VAR_SUFFIXES,
                                                canonical_object_key, var_cols)
 from graphdb_free_mocha_sa_spark.sparql import algebra as A
 from graphdb_free_mocha_sa_spark.store import DEFAULT_GRAPH
-from graphdb_free_mocha_sa_spark.sparql.functions import (BNODE_SALT, TCol,
-                                                          binary, builtin,
+from graphdb_free_mocha_sa_spark.sparql.functions import (BNODE_SALT, DBL_DTS,
+                                                          INT_DTS, TCol,
+                                                          _num_tcol, binary,
+                                                          builtin,
                                                           expr_has_bnode,
                                                           unary)
 
@@ -1228,34 +1230,50 @@ class Translator:
                 post.append((aname, "int"))
             elif func in ("SUM", "AVG"):
                 src = inp.num
+                from graphdb_free_mocha_sa_spark.model import XSD_DECIMAL
+                # per-row numeric tier drives the §17.3 promotion of the
+                # RESULT datatype (r7 fuzz-cluster fix: SUM/AVG over
+                # decimals used to collapse to xsd:double; AVG over
+                # integers is xsd:decimal — op:numeric-divide)
+                row_tier = (F.when(inp.dt.isin(*DBL_DTS), 2)
+                            .when(inp.dt == XSD_DECIMAL, 1)
+                            .when(inp.dt.isin(*INT_DTS), 0))
                 if node.distinct:
-                    col = (F.sum_distinct(src) if func == "SUM"
-                           else F.sum_distinct(src) / F.count_distinct(src))
+                    # DISTINCT is TERM-distinct: 5, 5.0 and 5e0 are three
+                    # values even though their doubles collide (plain
+                    # sum_distinct dedups on the number). collect_set
+                    # merges partial sets map-side; per-group state is
+                    # O(distinct terms), same class as any distinct agg.
+                    terms = F.collect_set(
+                        F.when(src.isNotNull(),
+                               F.struct(inp.key.alias("k"),
+                                        src.alias("v"))))
+                    sumv = F.aggregate(terms, F.lit(0.0),
+                                       lambda a, x: a + x["v"])
+                    cnt = F.size(terms)
                 else:
-                    col = F.sum(src) if func == "SUM" else F.avg(src)
+                    sumv = F.sum(src)
+                    cnt = F.count(src)
+                col = sumv if func == "SUM" else sumv / cnt
                 # SPARQL §18.5.1.5/.6: Sum AND Avg over an EMPTY group
                 # are 0 (the single no-GROUP-BY group over zero
-                # solutions), while a non-empty group whose values all
-                # error stays an error (NULL) — distinguish via row count.
-                # A BOUND but non-numeric value in the group is a type
-                # error that poisons the whole aggregate (op:numeric-add
-                # folding — r6c probe fix: it used to be silently
-                # skipped); unbound rows keep the lenient skip.
-                bad = F.max(F.when(inp.key.isNotNull() & inp.num.isNull(),
+                # solutions). A BOUND but non-numeric value in the group
+                # is a type error that poisons the whole aggregate
+                # (op:numeric-add folding — r6c probe fix); unbound rows
+                # keep the lenient skip, so an all-unbound group sums to
+                # 0 like the empty group.
+                bad = F.max(F.when(inp.key.isNotNull() & src.isNull(),
                                    1).otherwise(0))
-                col = (F.when(F.count(F.lit(1)) == F.lit(0), F.lit(0.0))
-                       .when(F.coalesce(bad, F.lit(0)) == 0, col))
-                from graphdb_free_mocha_sa_spark.model import XSD_INTEGER
-                # result datatype: SUM of integers is an integer; AVG is
-                # double except the empty-group 0 (xsd:integer per spec)
-                if func == "SUM":
-                    isdbl = F.coalesce(
-                        F.max(F.when(inp.dt != XSD_INTEGER, 1).otherwise(0)),
-                        F.lit(0))
-                else:
-                    isdbl = F.when(F.count(F.lit(1)) == F.lit(0), F.lit(0)) \
-                             .otherwise(F.lit(1))
-                agg_cols.append(isdbl.alias(aname + "__isdbl"))
+                col = (F.when(F.coalesce(bad, F.lit(0)) == 1,
+                              F.lit(None).cast("double"))
+                       .when(cnt == 0, F.lit(0.0))
+                       .otherwise(col))
+                tier = F.coalesce(F.max(row_tier), F.lit(0))
+                if func == "AVG":
+                    # integer ÷ count promotes to decimal; empty = 0 int
+                    tier = F.when(cnt == 0, F.lit(0)) \
+                            .otherwise(F.greatest(tier, F.lit(1)))
+                agg_cols.append(tier.alias(aname + "__tier"))
                 agg_cols.append(col.cast("double")
                                 .alias(aname + "__rawnum"))
                 post.append((aname, "sum"))
@@ -1288,7 +1306,18 @@ class Translator:
                              inp.ts.alias("ts")), inp.key).alias(aname + "__rawst"))
                 post.append((aname, "sample"))
             elif func == "GROUP_CONCAT":
-                coll = F.collect_set(inp.lex) if node.distinct else F.collect_list(inp.lex)
+                if node.distinct:
+                    # TERM-distinct: "5"^^xsd:integer and "5" share a lex
+                    # but are two values (r7 fix: collect_set(lex) merged
+                    # them); dedup on the canonical key, then project lex
+                    coll = F.transform(
+                        F.collect_set(
+                            F.when(inp.key.isNotNull(),
+                                   F.struct(inp.key.alias("k"),
+                                            inp.lex.alias("lex")))),
+                        lambda x: x["lex"])
+                else:
+                    coll = F.collect_list(inp.lex)
                 agg_cols.append(F.array_join(F.array_sort(coll), node.separator)
                                 .alias(aname + "__rawlex"))
                 post.append((aname, "str"))
@@ -1306,18 +1335,14 @@ class Translator:
         from graphdb_free_mocha_sa_spark.model import XSD_DOUBLE, XSD_INTEGER
         for aname, kind in post:
             if kind == "sum":
+                from graphdb_free_mocha_sa_spark.model import XSD_DECIMAL
                 num = F.col(aname + "__rawnum")
-                isdbl = F.col(aname + "__isdbl") == 1
-                t = TCol(
-                    lex=F.when(num.isNull(), F.lit(None).cast("string"))
-                         .when(isdbl, num.cast("string"))
-                         .otherwise(num.cast("long").cast("string")),
-                    dt=F.when(num.isNotNull(),
-                              F.when(isdbl, F.lit(XSD_DOUBLE))
-                               .otherwise(F.lit(XSD_INTEGER))),
-                    num=num)
-                out = _with_family(out, aname, t)
-                out = out.drop(aname + "__rawnum", aname + "__isdbl")
+                tier = F.col(aname + "__tier")
+                dt_col = (F.when(tier == 2, F.lit(XSD_DOUBLE))
+                          .when(tier == 1, F.lit(XSD_DECIMAL))
+                          .otherwise(F.lit(XSD_INTEGER)))
+                out = _with_family(out, aname, _num_tcol(num, dt_col))
+                out = out.drop(aname + "__rawnum", aname + "__tier")
             elif kind in ("int", "num"):
                 t = TCol.from_num(F.col(aname + "__rawnum"),
                                   XSD_INTEGER if kind == "int" else XSD_DOUBLE)
