@@ -693,6 +693,14 @@ class Translator:
             extra = None
             if node.expr is not None:
                 expr = node.expr
+                if _expr_has_exists(expr):
+                    # (NOT) EXISTS needs flag columns materialized on a
+                    # concrete merged frame — impossible inside a join
+                    # condition. Use the §18.2.2.2 algebra directly:
+                    # LeftJoin(L,R,F) = Filter(F, Join(L,R)) ∪ Diff(L,R,F)
+                    # (r7 fix: used to error the whole query → sentinel)
+                    return self._leftjoin_with_exists(left, right, expr,
+                                                      gctx)
                 if self.encoded:
                     ev = _expr_vars(expr)
                     left = self._string_rep(left, ev & set(var_names(left)))
@@ -906,6 +914,36 @@ class Translator:
                 l = self._ensure_family(l, [v])
                 r = self._ensure_family(r, [v])
         return l, r
+
+    def _leftjoin_with_exists(self, left: DataFrame, right: DataFrame,
+                              expr, gctx) -> DataFrame:
+        """LeftJoin whose embedded FILTER contains (NOT) EXISTS.
+
+        §18.2.2.2: LeftJoin(Ω1, Ω2, F) = Filter(F, Join(Ω1, Ω2)) ∪
+        Diff(Ω1, Ω2, F). The EXISTS flags materialize on the concrete
+        joined frame (the standard shared-var semi-join machinery), which
+        a join *condition* cannot host. Cost: one inner join + one
+        id-keyed anti-join instead of a single left join — only paid when
+        the OPTIONAL filter actually contains EXISTS."""
+        lid = self._uniq("__lj")
+        # stable row ids across the two uses of `left` (the lazy
+        # localCheckpoint guarantees one evaluation of the nondeterministic
+        # id — same pattern as the compat-join mask fan-out)
+        left = left.withColumn(lid, F.monotonically_increasing_id()) \
+                   .localCheckpoint(eager=False)
+        joined = self._join(left, right, "inner")
+        joined, exists_map, flags = self._materialize_exists(expr, joined,
+                                                             gctx)
+        if self.encoded:
+            joined = self._string_rep(joined, _expr_vars(expr))
+        joined, flags = self._salt_bnode(joined, expr, flags)
+        cond = self._eval(expr, _df_resolver(joined), exists_map).ebv()
+        matched = joined.filter(cond).drop(*flags)
+        # Diff: keep μ1 with NO compatible-and-satisfying μ2
+        anti = left.join(matched.select(lid), on=lid, how="left_anti")
+        out = _union_pad(anti, matched).drop(lid)
+        return _mark_maybe_unbound(
+            out, sorted(set(var_names(right)) - set(var_names(left))))
 
     def _values_df(self, node: A.ValuesTable) -> DataFrame:
         from pyspark.sql.types import (DoubleType, StringType, StructField,
@@ -1634,6 +1672,13 @@ def _union_pad(l: DataFrame, r: DataFrame) -> DataFrame:
     r = _mark_maybe_unbound(r, sorted(lv - rv))
     return l.unionByName(r, allowMissingColumns=True) if set(l.columns) != set(r.columns) \
         else l.unionByName(r)
+
+
+def _expr_has_exists(e) -> bool:
+    found = []
+    _walk_expr(e, lambda x: found.append(x) if isinstance(x, A.EExists)
+               else None)
+    return bool(found)
 
 
 def _walk_expr(e, fn):

@@ -867,8 +867,11 @@ def _run_cases(engine, block, envs, cases):
                     f"expr={s} env={ {v: env.get(v) for v in VARS} }")
 
 
-@pytest.mark.parametrize("seed", [11, 22, 33])
-def test_expr_fuzz_differential(spark, seed):
+@pytest.mark.parametrize("seed,encoded", [(11, False), (22, False),
+                                          (33, False), (11, True)])
+def test_expr_fuzz_differential(spark, seed, encoded):
+    """Seeds 11/22/33 on the string path; seed 11 repeated through the
+    production BIGINT-dictionary path (encoded=True) for parity."""
     from graphdb_free_mocha_sa_spark.engine import Engine
     from graphdb_free_mocha_sa_spark.model import local_quads_df
     from graphdb_free_mocha_sa_spark.store import DEFAULT_GRAPH, QuadStore
@@ -877,7 +880,7 @@ def test_expr_fuzz_differential(spark, seed):
     rows = [(DEFAULT_GRAPH, "urn:x:a", "urn:p", "urn:x:b",
              None, None, None, None)]
     eng = Engine(spark, QuadStore(spark, local_quads_df(spark, rows)),
-                 encoded=False)
+                 encoded=encoded)
     block, envs = _values_block(rng)
 
     cases = [gen_expr(rng, rng.randint(1, 3)) for _ in range(96)]
