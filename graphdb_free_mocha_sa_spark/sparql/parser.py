@@ -770,7 +770,11 @@ class Parser:
                     q.order_by.append((EVar(t.value[1:]), True))
                 elif t.kind == "PUNCT" and t.value == "(":
                     q.order_by.append((self._bracketted(), True))
-                elif t.kind == "NAME" and t.value.upper() in BUILTIN_FUNCS:
+                elif t.kind == "NAME" and (
+                        t.value.upper() in BUILTIN_FUNCS
+                        # (NOT) EXISTS is a BuiltInCall and therefore a
+                        # valid bare OrderCondition (r7 fix)
+                        or t.value.upper() in ("EXISTS", "NOT")):
                     q.order_by.append((self._expr_primary(), True))
                 else:
                     break

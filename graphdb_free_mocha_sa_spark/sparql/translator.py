@@ -666,6 +666,10 @@ class Translator:
     # ------------------------------------------------------------ patterns
 
     def translate(self, node, gctx=None) -> DataFrame:
+        if isinstance(node, _DFLeaf):
+            # prepared solution frame injected by the correlated-EXISTS
+            # decorrelation (§8.1.4 substitute semantics)
+            return node.df
         if isinstance(node, A.BGP):
             if not node.triples:
                 return self._unit()
@@ -992,7 +996,24 @@ class Translator:
         nodes: list[A.EExists] = []
         _walk_expr(expr, lambda e: nodes.append(e) if isinstance(e, A.EExists) else None)
         for node in nodes:
-            right = self.translate(node.pattern, gctx)
+            pat = node.pattern
+            # §8.1.4 substitute semantics: outer vars referenced from
+            # EXPRESSION position inside the pattern (or anywhere in a
+            # nested EXISTS) are visible even though the pattern never
+            # binds them — decorrelate by joining the distinct outer
+            # bindings into every group scope (r7 fix: a FILTER(?w = ?x)
+            # inside EXISTS used to see ?x unbound and drop every row).
+            # Vars the pattern binds positionally don't need injection —
+            # the shared-var semi-join below already correlates them.
+            corr = sorted(_pattern_expr_vars_deep(pat)
+                          & set(var_names(df)))
+            if corr:
+                cols = [c for v in corr for c in var_cols(v)
+                        if c in df.columns]
+                cdf = (df.select(*cols).dropDuplicates(corr)
+                       .localCheckpoint(eager=False))
+                pat = _inject_correlation(pat, _DFLeaf(cdf))
+            right = self.translate(pat, gctx)
             shared = sorted(set(var_names(df)) & set(var_names(right)))
             df, right = self._normalize_shared(df, right, shared)
             flag = self._uniq("__ex")
@@ -1081,7 +1102,15 @@ class Translator:
             if any(expr_has_bnode(e) for e in pre_exprs):
                 df, _ = self._salt_bnode(df, next(
                     e for e in pre_exprs if expr_has_bnode(e)), [])
-            df, agg_ids = self._group_aggregate(df, q, aggs)
+            # EXISTS inside aggregate arguments / computed GROUP BY keys:
+            # materialize the flags on the pre-aggregation frame (the
+            # group-by projection drops them afterwards)
+            pre_emap: dict[int, Column] = {}
+            for e in pre_exprs:
+                if _expr_has_exists(e):
+                    df, m, _fl = self._materialize_exists(e, df, None)
+                    pre_emap.update(m)
+            df, agg_ids = self._group_aggregate(df, q, aggs, pre_emap)
             # §18.2.4.1: outside aggregates, only GROUP BY keys (and
             # earlier AS projections) may be referenced (r6c probe fix:
             # Spark's unresolved-column error now becomes a clean
@@ -1128,9 +1157,14 @@ class Translator:
             df, _ = self._salt_bnode(df, next(
                 e for e in post_exprs if expr_has_bnode(e)), [])
 
-        # HAVING
+        # HAVING (EXISTS flags materialize per condition on the grouped
+        # frame and are dropped right after the filter consumes them)
         for h in q.having:
-            df = df.filter(self._eval_with_aggs(h, df, agg_ids).ebv())
+            df, h_emap, h_flags = self._materialize_exists(h, df, None)
+            df = df.filter(
+                self._eval_with_aggs(h, df, agg_ids, h_emap).ebv())
+            if h_flags:
+                df = df.drop(*h_flags)
 
         # post-aggregation trailing VALUES join (spec order: after
         # grouping and HAVING, before select expressions)
@@ -1145,8 +1179,11 @@ class Translator:
                 continue
             if isinstance(e, A.EVar) and e.name == name:
                 continue
-            t = self._eval_with_aggs(e, df, agg_ids)
+            df, p_emap, p_flags = self._materialize_exists(e, df, None)
+            t = self._eval_with_aggs(e, df, agg_ids, p_emap)
             df = _with_family(df, name, t)
+            if p_flags:
+                df = df.drop(*p_flags)
 
         if not proj_vars:           # SELECT *
             proj_vars = [v for v in var_names(df) if not v.startswith("__")]
@@ -1154,10 +1191,14 @@ class Translator:
 
         def apply_order(d: DataFrame) -> DataFrame:
             sort_cols: list[Column] = []
+            o_flags: list[str] = []
             for e, asc in q.order_by:
-                t = self._eval_with_aggs(e, d, agg_ids)
+                d, o_emap, fl = self._materialize_exists(e, d, None)
+                o_flags += fl
+                t = self._eval_with_aggs(e, d, agg_ids, o_emap)
                 sort_cols.extend(t.order_keys(asc))
-            return d.orderBy(*sort_cols)
+            d = d.orderBy(*sort_cols)
+            return d.drop(*o_flags) if o_flags else d
 
         if self.encoded:
             order_vars: set[str] = set()
@@ -1194,7 +1235,8 @@ class Translator:
             df = df.limit(q.limit)
         return df
 
-    def _eval_with_aggs(self, e, df: DataFrame, agg_ids: dict[int, str]) -> TCol:
+    def _eval_with_aggs(self, e, df: DataFrame, agg_ids: dict[int, str],
+                        exists_map: dict[int, Column] | None = None) -> TCol:
         if isinstance(e, A.EAgg):
             return _fam_tcol(df, agg_ids[id(e)])
         if isinstance(e, A.EVar):
@@ -1207,24 +1249,37 @@ class Translator:
         if isinstance(e, A.ELit):
             return TCol.from_term(e.term)
         if isinstance(e, A.EBinary):
-            return binary(e.op, self._eval_with_aggs(e.left, df, agg_ids),
-                          self._eval_with_aggs(e.right, df, agg_ids))
+            return binary(e.op,
+                          self._eval_with_aggs(e.left, df, agg_ids, exists_map),
+                          self._eval_with_aggs(e.right, df, agg_ids, exists_map))
         if isinstance(e, A.EUnary):
-            return unary(e.op, self._eval_with_aggs(e.expr, df, agg_ids))
+            return unary(e.op,
+                         self._eval_with_aggs(e.expr, df, agg_ids, exists_map))
         if isinstance(e, A.EFunc):
             return builtin(e.name,
-                           [self._eval_with_aggs(x, df, agg_ids)
+                           [self._eval_with_aggs(x, df, agg_ids, exists_map)
                             for x in e.args], base=self.query_base)
         if isinstance(e, A.EIn):
-            x = self._eval_with_aggs(e.expr, df, agg_ids)
+            x = self._eval_with_aggs(e.expr, df, agg_ids, exists_map)
             acc = F.lit(False)
             for it in e.items:
-                acc = acc | binary("=", x, self._eval_with_aggs(it, df, agg_ids)).ebv()
+                acc = acc | binary(
+                    "=", x,
+                    self._eval_with_aggs(it, df, agg_ids, exists_map)).ebv()
             return TCol.from_bool(~acc if e.negated else acc)
+        if isinstance(e, A.EExists):
+            # flags are materialized by the caller phase (HAVING /
+            # projection / ORDER BY / aggregate inputs — r7 fix: every
+            # host used to raise and sentinel the query)
+            if exists_map and id(e) in exists_map:
+                return TCol.from_bool(exists_map[id(e)])
+            raise ValueError("EXISTS not materialized for this context")
         raise TypeError(f"unsupported expression in aggregate context: {e!r}")
 
     def _group_aggregate(self, df: DataFrame, q: A.SelectQuery,
-                         aggs: list[A.EAgg]) -> tuple[DataFrame, dict[int, str]]:
+                         aggs: list[A.EAgg],
+                         exists_map: dict[int, Column] | None = None
+                         ) -> tuple[DataFrame, dict[int, str]]:
         if self.encoded:
             # aggregate inputs and computed group keys evaluate expressions →
             # they need string-rep families; plain-var group keys stay on ids
@@ -1243,7 +1298,7 @@ class Translator:
                 group_vars.append(e.name)
             else:
                 gname = name or f"__gk{i}"
-                t = self._eval(e, _df_resolver(df), {})
+                t = self._eval(e, _df_resolver(df), exists_map or {})
                 df = _with_family(df, gname, t)
                 group_vars.append(gname)
 
@@ -1255,7 +1310,7 @@ class Translator:
                 continue
             aname = f"__agg{i}"
             agg_ids[id(node)] = aname
-            inp = (self._eval(node.expr, _df_resolver(df), {})
+            inp = (self._eval(node.expr, _df_resolver(df), exists_map or {})
                    if node.expr is not None else None)
             func = node.func
             if func == "COUNT":
@@ -1672,6 +1727,130 @@ def _union_pad(l: DataFrame, r: DataFrame) -> DataFrame:
     r = _mark_maybe_unbound(r, sorted(lv - rv))
     return l.unionByName(r, allowMissingColumns=True) if set(l.columns) != set(r.columns) \
         else l.unionByName(r)
+
+
+class _DFLeaf:
+    """Pseudo-pattern leaf wrapping a prepared solution DataFrame —
+    injected by the correlated-EXISTS decorrelation so every group scope
+    inside the pattern sees the outer bindings."""
+
+    __slots__ = ("df",)
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+
+def _pattern_scope_vars(p) -> set[str]:
+    """Every variable a pattern can bind or reference — triple/path
+    positions, VALUES columns, GRAPH vars, BIND targets, Filter/BIND/
+    LeftJoin expressions, nested EXISTS patterns. SubSelect contributes
+    only its projection (substitution does not descend into subqueries);
+    SERVICE groups are opaque remote text."""
+    out: set[str] = set()
+
+    def term(t):
+        if isinstance(t, A.Var):
+            out.add(t.name)
+
+    def expr(e):
+        out.update(_expr_vars(e))
+        _walk_expr(e, lambda x: walk(x.pattern)
+                   if isinstance(x, A.EExists) else None)
+
+    def walk(n):
+        if isinstance(n, _DFLeaf):
+            out.update(var_names(n.df))
+        elif isinstance(n, A.BGP):
+            for tp in n.triples:
+                term(tp.s)
+                term(tp.o)
+                if isinstance(tp.p, A.Var):
+                    out.add(tp.p.name)
+        elif isinstance(n, (A.Join, A.Union, A.Minus)):
+            walk(n.left)
+            walk(n.right)
+        elif isinstance(n, A.LeftJoin):
+            walk(n.left)
+            walk(n.right)
+            if n.expr is not None:
+                expr(n.expr)
+        elif isinstance(n, A.Filter):
+            expr(n.expr)
+            walk(n.pattern)
+        elif isinstance(n, A.Extend):
+            out.add(n.var)
+            expr(n.expr)
+            walk(n.pattern)
+        elif isinstance(n, A.ValuesTable):
+            out.update(n.variables)
+        elif isinstance(n, A.GraphPat):
+            term(n.graph)
+            walk(n.pattern)
+        elif isinstance(n, A.SubSelect):
+            out.update(name for name, _ in n.query.projections)
+
+    walk(p)
+    return out
+
+
+def _pattern_expr_vars_deep(p) -> set[str]:
+    """Variables referenced from EXPRESSION position (Filter / BIND /
+    LeftJoin conditions) anywhere in a pattern, plus every variable of a
+    nested EXISTS pattern — exactly the references §8.1.4 substitution
+    must make visible even when the pattern never binds them."""
+    out: set[str] = set()
+
+    def expr(e):
+        out.update(_expr_vars(e))
+        _walk_expr(e, lambda x: out.update(_pattern_scope_vars(x.pattern))
+                   if isinstance(x, A.EExists) else None)
+
+    def walk(n):
+        if isinstance(n, (A.Join, A.Union, A.Minus)):
+            walk(n.left)
+            walk(n.right)
+        elif isinstance(n, A.LeftJoin):
+            walk(n.left)
+            walk(n.right)
+            if n.expr is not None:
+                expr(n.expr)
+        elif isinstance(n, A.Filter):
+            expr(n.expr)
+            walk(n.pattern)
+        elif isinstance(n, A.Extend):
+            expr(n.expr)
+            walk(n.pattern)
+        elif isinstance(n, A.GraphPat):
+            walk(n.pattern)
+
+    walk(p)
+    return out
+
+
+def _inject_correlation(p, leaf: "_DFLeaf"):
+    """Join the outer-bindings leaf into every group of an EXISTS
+    pattern (leaf-level cross/equi joins), so Filter/BIND scopes inside
+    the pattern see the correlated variables — the distributed
+    equivalent of per-solution substitution."""
+    if isinstance(p, A.Filter):
+        return A.Filter(p.expr, _inject_correlation(p.pattern, leaf))
+    if isinstance(p, A.Extend):
+        return A.Extend(_inject_correlation(p.pattern, leaf), p.var, p.expr)
+    if isinstance(p, A.Join):
+        return A.Join(_inject_correlation(p.left, leaf),
+                      _inject_correlation(p.right, leaf))
+    if isinstance(p, A.LeftJoin):
+        return A.LeftJoin(_inject_correlation(p.left, leaf),
+                          _inject_correlation(p.right, leaf), p.expr)
+    if isinstance(p, A.Union):
+        return A.Union(_inject_correlation(p.left, leaf),
+                       _inject_correlation(p.right, leaf))
+    if isinstance(p, A.Minus):
+        return A.Minus(_inject_correlation(p.left, leaf),
+                       _inject_correlation(p.right, leaf))
+    if isinstance(p, A.GraphPat):
+        return A.GraphPat(p.graph, _inject_correlation(p.pattern, leaf))
+    return A.Join(leaf, p)     # leaves: BGP, VALUES, SubSelect, Service
 
 
 def _expr_has_exists(e) -> bool:

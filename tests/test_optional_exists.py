@@ -77,3 +77,75 @@ def test_optional_exists_duplicate_left_rows(eng):
         } ORDER BY ?x""")
     got = [(x["x"]["value"], x.get("z", {}).get("value")) for x in b]
     assert got == [("1", None), ("1", None), ("2", "10")]
+
+
+# --------------------------------------------------- correlated EXISTS
+# §8.1.4 substitute semantics: outer vars referenced from expression
+# position inside the EXISTS pattern (not bound by it) must be visible.
+# The engine decorrelates by joining the distinct outer bindings into
+# every group scope of the pattern (translator._inject_correlation).
+
+
+def test_correlated_exists_in_filter(eng):
+    b = _bindings(eng, """
+        SELECT ?x WHERE { VALUES ?x { 1 2 }
+          FILTER(EXISTS { VALUES ?w { 1 } FILTER(?w = ?x) }) }""")
+    assert [x["x"]["value"] for x in b] == ["1"]
+
+
+def test_correlated_not_exists_in_filter(eng):
+    b = _bindings(eng, """
+        SELECT ?x WHERE { VALUES ?x { 1 2 }
+          FILTER(NOT EXISTS { VALUES ?w { 1 } FILTER(?w = ?x) }) }""")
+    assert [x["x"]["value"] for x in b] == ["2"]
+
+
+def test_exists_in_having_correlates_with_group_key(eng):
+    b = _bindings(eng, """
+        SELECT ?x (COUNT(*) AS ?c) WHERE { VALUES ?x { 1 1 2 } }
+        GROUP BY ?x
+        HAVING(EXISTS { VALUES ?w { 1 } FILTER(?w = ?x) })""")
+    assert [(x["x"]["value"], x["c"]["value"]) for x in b] == [("1", "2")]
+
+
+def test_exists_in_select_expression(eng):
+    b = _bindings(eng, """
+        SELECT ?x (EXISTS { VALUES ?w { 1 } FILTER(?w = ?x) } AS ?e)
+        WHERE { VALUES ?x { 1 2 } } ORDER BY ?x""")
+    got = [(x["x"]["value"], x["e"]["value"]) for x in b]
+    assert got == [("1", "true"), ("2", "false")]
+
+
+def test_exists_in_order_by(eng):
+    b = _bindings(eng, """
+        SELECT ?x WHERE { VALUES ?x { 2 1 } }
+        ORDER BY DESC(EXISTS { VALUES ?w { 1 } FILTER(?w = ?x) }) ?x""")
+    assert [x["x"]["value"] for x in b] == ["1", "2"]
+
+
+def test_exists_in_aggregate_argument(eng):
+    b = _bindings(eng, """
+        SELECT (SUM(IF(EXISTS { VALUES ?w { 1 } FILTER(?w = ?x) },
+                       10, 1)) AS ?s)
+        WHERE { VALUES ?x { 1 2 } }""")
+    assert b[0]["s"]["value"] == "11"
+
+
+def test_nested_exists_correlates_through_levels(eng):
+    # inner FILTER references BOTH the middle (?y) and outermost (?x) var
+    b = _bindings(eng, """
+        SELECT ?x WHERE { VALUES ?x { 0 2 }
+          FILTER(EXISTS { VALUES ?y { 5 }
+                 FILTER(EXISTS { VALUES ?z { 6 }
+                        FILTER(?z > ?y + ?x) }) }) }""")
+    assert [x["x"]["value"] for x in b] == ["0"]
+
+
+def test_correlated_exists_against_store_data(eng):
+    # correlation var used in an inner FILTER over a real triple scan
+    b = _bindings(eng, """
+        SELECT ?a WHERE {
+          ?a <urn:p> ?b .
+          FILTER(EXISTS { ?s <urn:r> ?c FILTER(?s = ?b) })
+        }""")
+    assert [x["a"]["value"] for x in b] == ["urn:a1"]
