@@ -1132,12 +1132,6 @@ class Translator:
                         + " is neither grouped nor aggregated")
                 allowed.add(name)
 
-        def resolver(name: str) -> TCol:
-            return _fam_tcol(df, name)
-
-        def eval_post(e) -> TCol:
-            return self._eval_with_aggs(e, df, agg_ids)
-
         if self.encoded:
             # vars referenced by post-aggregation expressions (HAVING,
             # projection exprs) need term families; aggregate outputs are
