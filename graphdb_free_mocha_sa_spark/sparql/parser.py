@@ -468,6 +468,13 @@ class Parser:
             elif self.at_kw("GRAPH"):
                 self.next()
                 gterm = self.parse_term()
+                # grammar: GraphGraphPattern ::= 'GRAPH' VarOrIri ... — a
+                # literal or bnode graph name is a syntax error (r7 probe
+                # fix: it parsed, then crashed at translation)
+                if not isinstance(gterm, (Var, IRI)):
+                    raise SparqlSyntaxError(
+                        "GRAPH expects a variable or IRI, got "
+                        f"{gterm!r}")
                 inner = self.parse_group_graph_pattern()
                 join_in(GraphPat(gterm, inner))
             elif self.at_kw("BIND"):

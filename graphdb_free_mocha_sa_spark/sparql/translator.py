@@ -488,6 +488,11 @@ class Translator:
                     df = df.filter(cond)
                 else:
                     df = df.filter(F.col("o_dt").isNull() & (F.col("o_lex") == term.value))
+            elif isinstance(term, A.Literal):
+                # a literal in subject/graph position is VALID SPARQL but
+                # can never match an RDF graph (r7 probe fix: used to
+                # crash on .value and sentinel the query)
+                df = df.filter(F.lit(False))
             elif self.encoded:
                 i = self.lookup_id(term.value)
                 df = df.filter(F.col(pos + "_id") == i) if i is not None \

@@ -155,3 +155,28 @@ def test_seconds_exact_lexical(fresh_eng, lit, expect):
     q = ('SELECT (STR(SECONDS("%s"^^<%sdateTime>)) AS ?s) '
          'WHERE { VALUES ?v { 1 } }' % (lit, XSD))
     assert _rows(fresh_eng, q, {"s": "str"}) == [(expect,)]
+
+
+# ------------------------------------------- r7 probe fixes (session 3)
+
+
+def test_literal_subject_pattern_matches_nothing(spark):
+    """A literal in subject position is valid SPARQL that can never match
+    an RDF graph — empty result, not a crash/sentinel (r7 probe fix)."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark))
+    eng.update('INSERT DATA { <urn:s> <urn:p> "x" }')
+    assert _rows(eng, 'SELECT ?o WHERE { "lit" <urn:p> ?o }',
+                 {"o": "str"}) == []
+    # sanity: the store itself still answers
+    assert _rows(eng, 'SELECT ?o WHERE { <urn:s> <urn:p> ?o }',
+                 {"o": "str"}) == [("x",)]
+
+
+def test_graph_literal_name_is_syntax_error(fresh_eng):
+    """GraphGraphPattern ::= 'GRAPH' VarOrIri — a literal graph name is a
+    clean syntax error, not a translation crash (r7 probe fix)."""
+    from graphdb_free_mocha_sa_spark.sparql.parser import SparqlSyntaxError
+    with pytest.raises(SparqlSyntaxError):
+        fresh_eng.query('SELECT ?o WHERE { GRAPH "g" { ?s ?p ?o } }')
