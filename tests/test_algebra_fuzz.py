@@ -238,8 +238,11 @@ def _quad_rows(triples):
     return rows
 
 
-@pytest.mark.parametrize("seed", [5, 10, 15])
-def test_algebra_fuzz_differential(spark, seed):
+@pytest.mark.parametrize("seed,encoded", [(5, False), (10, False),
+                                          (15, False), (5, True)])
+def test_algebra_fuzz_differential(spark, seed, encoded):
+    """Three seeds on the string path; seed 5 repeated through the
+    production BIGINT-dictionary path (encoded=True) for parity."""
     from graphdb_free_mocha_sa_spark.engine import Engine
     from graphdb_free_mocha_sa_spark.model import local_quads_df
     from graphdb_free_mocha_sa_spark.store import QuadStore
@@ -251,7 +254,7 @@ def test_algebra_fuzz_differential(spark, seed):
                     for _ in range(rng.randint(10, 18))})
     eng = Engine(spark, QuadStore(
         spark, local_quads_df(spark, _quad_rows(triples))),
-        encoded=False)
+        encoded=encoded)
 
     for case in range(28):
         txt, f, scope = gen_pattern(rng, rng.randint(1, 3))
