@@ -138,6 +138,10 @@ class Parser:
         return self.tokens[min(self.i + ahead, len(self.tokens) - 1)]
 
     def next(self) -> Token:
+        if self.i >= len(self.tokens):
+            # consuming past the EOF token is always a malformed query —
+            # clean syntax error, not an IndexError (r7 robustness fuzz)
+            raise SparqlSyntaxError("unexpected end of input")
         t = self.tokens[self.i]
         self.i += 1
         return t
@@ -786,13 +790,23 @@ class Parser:
                 else:
                     break
         # LIMIT/OFFSET in either order
+        def _int_arg(kw: str) -> int:
+            t = self.next()
+            # clean syntax error instead of a raw ValueError on "LIMIT"
+            # followed by EOF/garbage (r7 parser-robustness fuzz)
+            if t.kind != "INTEGER" or not t.value.isdigit():
+                raise SparqlSyntaxError(
+                    f"{kw} expects a non-negative integer, got "
+                    f"{t.value!r}")
+            return int(t.value)
+
         for _ in range(2):
             if self.at_kw("LIMIT"):
                 self.next()
-                q.limit = int(self.next().value)
+                q.limit = _int_arg("LIMIT")
             elif self.at_kw("OFFSET"):
                 self.next()
-                q.offset = int(self.next().value)
+                q.offset = _int_arg("OFFSET")
         # query-level trailing VALUES (grammar: SolutionModifier
         # ValuesClause — applies to top-level queries AND sub-selects)
         if self.at_kw("VALUES"):
