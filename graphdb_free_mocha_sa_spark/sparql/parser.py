@@ -363,15 +363,29 @@ class Parser:
         if self.at_punct("!"):
             self.next()
             return EUnary("!", self._expr_unary())
-        if self.at_punct("-"):
+        if self.at_punct("-") or self.at_punct("+"):
+            sign = self.peek()
+            num = self.peek(1)
+            # NumericLiteralNegative/Positive are single TERMINALS in the
+            # grammar: a sign DIRECTLY attached to a number is a signed
+            # literal whose LEXICAL FORM keeps the sign — xsd:string(-2.5e0)
+            # is "-2.5e0", not a recomputed "-2.5" (r7 fuzz-soak fix).
+            # Same value space as unary minus, so only STR/xsd:string
+            # observe the difference.
+            if num.kind in ("INTEGER", "DECIMAL", "DOUBLE") \
+                    and num.pos == sign.pos + 1:
+                self.next()
+                self.next()
+                dt = {"INTEGER": XSD + "integer",
+                      "DECIMAL": XSD + "decimal",
+                      "DOUBLE": XSD + "double"}[num.kind]
+                lex = num.value if sign.value == "+" else "-" + num.value
+                return ELit(Literal(lex, dt=dt))
             self.next()
-            return EUnary("-", self._expr_unary())
-        if self.at_punct("+"):
             # op:numeric-unary-plus is NOT the identity: a non-numeric
             # operand must be a type error, so the node is kept (r7 fuzz
             # fix: `+<iri>` used to pass the IRI through unchanged)
-            self.next()
-            return EUnary("+", self._expr_unary())
+            return EUnary(sign.value, self._expr_unary())
         return self._expr_primary()
 
     def _expr_primary(self) -> Expr:

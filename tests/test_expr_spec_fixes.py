@@ -198,3 +198,16 @@ def test_decimal_lexical_recovery(eng):
     assert got[1][1] == XSD + "decimal"
     assert math.isclose(float(got[1][0]), 1 / 3, rel_tol=1e-12)
     assert got[2] == ("-5.0", XSD + "decimal", None)
+
+
+def test_signed_numeric_literals_keep_lexical_form(eng):
+    # NumericLiteralNegative is a single terminal: the sign is part of
+    # the LEXICAL FORM (r7 fuzz-soak fix: xsd:string(-2.5e0) used to
+    # re-serialize the computed value as "-2.5")
+    got = binds(eng, "xsd:string(-2.5e0)", "STR(-3)", "1-2", "-(1+1)",
+                "DATATYPE(-0.5)")
+    assert got[0] == ("-2.5e0", XSD + "string", None)
+    assert got[1] == ("-3", XSD + "string", None)
+    assert got[2] == ("-1", XSD + "integer", None)
+    assert got[3] == ("-2", XSD + "integer", None)
+    assert got[4] == (XSD + "decimal", None, None)
