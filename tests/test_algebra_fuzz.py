@@ -32,6 +32,7 @@ from tests.test_expr_fuzz import ERROR, ebv, gen_expr, lit, numv
 
 PREDS = ["urn:p", "urn:q", "urn:r"]
 NODES = [f"urn:n{i}" for i in range(6)]
+GRAPHS = ["urn:g1", "urn:g2"]          # plus the default graph
 OBJ_TERMS = [("iri", n) for n in NODES[:3]] + [
     lit("1", XSD_INTEGER), lit("2", XSD_INTEGER), lit("3", XSD_INTEGER),
     lit("a"), lit("b"), lit("chat", lang="en"),
@@ -134,6 +135,11 @@ def term_sparql_t(t):
 
 
 def gen_bgp(rng):
+    """Eval signature everywhere: f(quads, g) where quads maps graph name
+    -> triple list and g is the ACTIVE graph: None at top level — the
+    engine follows the GraphDB/rdf4j convention that with no dataset
+    clause the default dataset is the UNION of all graphs
+    (translator._graph_scan) — or a named graph selected by GRAPH."""
     tps, parts = [], []
     for _ in range(rng.randint(1, 2)):
         s = rng.choice(VARS + [("iri", rng.choice(NODES))])
@@ -146,9 +152,11 @@ def gen_bgp(rng):
         o_txt = f"?{o}" if isinstance(o, str) else term_sparql_t(o)
         parts.append(f"{s_txt} <{p}> {o_txt} .")
     scope = {x for tp in tps for x in tp if isinstance(x, str)}
-    return (" ".join(parts),
-            lambda T, tps=tps: match_bgp(tps, T),
-            scope)
+    def ev(Q, g, tps=tps):
+        tris = ([t for ts in Q.values() for t in ts]
+                if g is None else Q.get(g, []))
+        return match_bgp(tps, tris)
+    return (" ".join(parts), ev, scope)
 
 
 def gen_values(rng):
@@ -164,7 +172,7 @@ def gen_values(rng):
     sols = [{v: t for v, t in zip(vs, row) if t is not None}
             for row in rows]
     txt = f"VALUES ({' '.join('?' + v for v in vs)}) {{ {body} }}"
-    return (txt, lambda T, sols=sols: [dict(s) for s in sols], set(vs))
+    return (txt, lambda Q, g, sols=sols: [dict(s) for s in sols], set(vs))
 
 
 _FRESH = [0]
@@ -174,7 +182,7 @@ def gen_pattern(rng, depth):
     if depth <= 0:
         return gen_values(rng) if rng.random() < 0.25 else gen_bgp(rng)
     kind = rng.choice(["join", "optional", "union", "minus",
-                       "filter", "bind", "leaf", "leaf"])
+                       "filter", "bind", "graphc", "leaf", "leaf"])
     if kind == "leaf":
         return gen_pattern(rng, 0)
     if kind in ("join", "optional", "union", "minus"):
@@ -182,27 +190,45 @@ def gen_pattern(rng, depth):
         rt, rf, rs = gen_pattern(rng, depth - 1)
         if kind == "join":
             return (f"{{ {lt} }} {{ {rt} }}",
-                    lambda T: ref_join(lf(T), rf(T)), ls | rs)
+                    lambda Q, g: ref_join(lf(Q, g), rf(Q, g)), ls | rs)
         if kind == "optional":
             return (f"{{ {lt} }} OPTIONAL {{ {rt} }}",
-                    lambda T: ref_leftjoin(lf(T), rf(T)), ls | rs)
+                    lambda Q, g: ref_leftjoin(lf(Q, g), rf(Q, g)), ls | rs)
         if kind == "union":
             return (f"{{ {lt} }} UNION {{ {rt} }}",
-                    lambda T: lf(T) + rf(T), ls | rs)
+                    lambda Q, g: lf(Q, g) + rf(Q, g), ls | rs)
         return (f"{{ {lt} }} MINUS {{ {rt} }}",
-                lambda T: ref_minus(lf(T), rf(T)), ls)
+                lambda Q, g: ref_minus(lf(Q, g), rf(Q, g)), ls)
     if kind == "filter":
         pt, pf, ps = gen_pattern(rng, depth - 1)
         es, ef = gen_expr(rng, rng.randint(1, 2))
         return (f"{{ {pt} FILTER({es}) }}",
-                lambda T: ref_filter(pf(T), ef), ps)
+                lambda Q, g: ref_filter(pf(Q, g), ef), ps)
+    if kind == "graphc":
+        pt, pf, ps = gen_pattern(rng, depth - 1)
+        if rng.random() < 0.5:
+            gn = rng.choice(GRAPHS)
+            return (f"GRAPH <{gn}> {{ {pt} }}",
+                    lambda Q, g, gn=gn: pf(Q, gn), ps)
+
+        # GRAPH ?gv: union over the dataset's NAMED graphs, ?gv bound
+        def ev(Q, g, pf=pf):
+            out = []
+            for gn in GRAPHS:
+                for m in pf(Q, gn):
+                    if m.get("gv", ("iri", gn)) == ("iri", gn):
+                        m2 = dict(m)
+                        m2["gv"] = ("iri", gn)
+                        out.append(m2)
+            return out
+        return (f"GRAPH ?gv {{ {pt} }}", ev, ps | {"gv"})
     # bind
     pt, pf, ps = gen_pattern(rng, depth - 1)
     es, ef = gen_expr(rng, rng.randint(1, 2))
     _FRESH[0] += 1
     v = f"e{_FRESH[0]}"
     return (f"{{ {pt} BIND({es} AS ?{v}) }}",
-            lambda T: ref_extend(pf(T), v, ef), ps | {v})
+            lambda Q, g: ref_extend(pf(Q, g), v, ef), ps | {v})
 
 
 # --------------------------------------------------------------- harness
@@ -223,18 +249,16 @@ def _sol_key(sol):
     return frozenset((v, _norm(t)) for v, t in sol.items())
 
 
-def _quad_rows(triples):
-    from graphdb_free_mocha_sa_spark.store import DEFAULT_GRAPH
+def _quad_rows(quads):
     rows = []
-    for s, p, o in triples:
-        if o[0] == "iri":
-            rows.append((DEFAULT_GRAPH, s[1], p[1], o[1],
-                         None, None, None, None))
-        else:
-            _, lex, dt, lang = o
-            num = float(lex) if dt == XSD_INTEGER else None
-            rows.append((DEFAULT_GRAPH, s[1], p[1], lex, dt, lang,
-                         num, None))
+    for g, tris in quads.items():
+        for s, p, o in tris:
+            if o[0] == "iri":
+                rows.append((g, s[1], p[1], o[1], None, None, None, None))
+            else:
+                _, lex, dt, lang = o
+                num = float(lex) if dt == XSD_INTEGER else None
+                rows.append((g, s[1], p[1], lex, dt, lang, num, None))
     return rows
 
 
@@ -247,19 +271,26 @@ def test_algebra_fuzz_differential(spark, seed, encoded):
     from graphdb_free_mocha_sa_spark.model import local_quads_df
     from graphdb_free_mocha_sa_spark.store import QuadStore
 
+    from graphdb_free_mocha_sa_spark.store import DEFAULT_GRAPH
+
     rng = random.Random(seed)
-    triples = list({(("iri", rng.choice(NODES)),
-                     ("iri", rng.choice(PREDS)),
-                     rng.choice(OBJ_TERMS))
-                    for _ in range(rng.randint(10, 18))})
+
+    def rand_triples(n):
+        return list({(("iri", rng.choice(NODES)),
+                      ("iri", rng.choice(PREDS)),
+                      rng.choice(OBJ_TERMS)) for _ in range(n)})
+
+    quads = {DEFAULT_GRAPH: rand_triples(rng.randint(8, 14))}
+    for gn in GRAPHS:
+        quads[gn] = rand_triples(rng.randint(4, 8))
     eng = Engine(spark, QuadStore(
-        spark, local_quads_df(spark, _quad_rows(triples))),
+        spark, local_quads_df(spark, _quad_rows(quads))),
         encoded=encoded)
 
     for case in range(28):
         txt, f, scope = gen_pattern(rng, rng.randint(1, 3))
         q = f"SELECT * WHERE {{ {txt} }}"
-        expected = Counter(_sol_key(m) for m in f(triples))
+        expected = Counter(_sol_key(m) for m in f(quads, None))
         res = eng.query(q)
         got = Counter()
         for row in res.df.collect():
