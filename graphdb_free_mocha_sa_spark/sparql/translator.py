@@ -438,8 +438,13 @@ class Translator:
                     cond = cond & (lp[v] == rp[v + suffix])
                 lp = lp.join(rp, cond, "left_anti")
             out = lp if out is None else out.unionByName(lp)
-        return out.drop(lm_col) if out is not None and lm_col in out.columns \
-            else out
+        if out is None:
+            # dynamic mask enumeration (k > COMPAT_STATIC_MAX_VARS) over
+            # an EMPTY left side yields no pieces at all — the MINUS of
+            # an empty multiset is empty, not a None frame (r7 fuzz-soak
+            # fix: returned None and crashed the projection)
+            return lt.filter(F.lit(False)).drop(lm_col)
+        return out.drop(lm_col) if lm_col in out.columns else out
 
     # ------------------------------------------------------------ scans
 

@@ -180,3 +180,25 @@ def test_graph_literal_name_is_syntax_error(fresh_eng):
     from graphdb_free_mocha_sa_spark.sparql.parser import SparqlSyntaxError
     with pytest.raises(SparqlSyntaxError):
         fresh_eng.query('SELECT ?o WHERE { GRAPH "g" { ?s ?p ?o } }')
+
+
+def test_minus_dynamic_masks_empty_left(fresh_eng):
+    """MINUS with >2 maybe-unbound shared vars enumerates boundness masks
+    dynamically; an EMPTY left side produced no pieces and returned a
+    None frame (r7 fuzz-soak crash). The MINUS of an empty multiset is
+    the empty multiset."""
+    got = _rows(fresh_eng, """
+        SELECT ?a ?b ?c WHERE {
+          { VALUES (?a ?b ?c) { (1 2 3) } FILTER(false) }
+          MINUS
+          { VALUES (?a ?b ?c) { (1 UNDEF 3) (UNDEF 2 UNDEF) } }
+        }""", {"a": "num", "b": "num", "c": "num"})
+    assert got == []
+    # and the non-empty-left sibling still removes per §8.3
+    got2 = _rows(fresh_eng, """
+        SELECT ?a ?b ?c WHERE {
+          { VALUES (?a ?b ?c) { (1 2 3) (9 9 9) } }
+          MINUS
+          { VALUES (?a ?b ?c) { (1 UNDEF 3) (UNDEF 7 UNDEF) } }
+        }""", {"a": "num", "b": "num", "c": "num"})
+    assert got2 == [(9.0, 9.0, 9.0)]
