@@ -775,7 +775,25 @@ class Translator:
             return self._values_df(node)
         if isinstance(node, A.GraphPat):
             if isinstance(node.graph, A.Var):
-                return self.translate(node.pattern, "?" + node.graph.name)
+                gv = node.graph.name
+                inner = self.translate(node.pattern, "?" + gv)
+                # §18.5 Graph(var, P) iterates the dataset's NAMED graphs
+                # and binds var for EACH — even when (part of) P contains
+                # no triple scan to carry the graph column (pure VALUES/
+                # BIND/subselect, or a branch overridden by a nested
+                # GRAPH <iri>). Fan those rows out across the named-graph
+                # list (r7 fuzz-soak fix: ?var stayed unbound).
+                if gv not in var_names(inner):
+                    ng = self._named_graphs_df("?" + gv, gv)
+                    return inner.crossJoin(F.broadcast(ng))
+                if _maybe_unbound(inner, gv):
+                    ng = self._named_graphs_df("?" + gv, gv)
+                    boundp = inner.filter(F.col(gv).isNotNull())
+                    nullp = inner.filter(F.col(gv).isNull()).drop(
+                        *[c for c in var_cols(gv) if c in inner.columns])
+                    nullp = nullp.crossJoin(F.broadcast(ng))
+                    return _union_pad(boundp, nullp)
+                return inner
             return self.translate(node.pattern, node.graph.value)
         if isinstance(node, A.SubSelect):
             return self.translate_select(node.query)
