@@ -53,6 +53,56 @@ RDF_TYPE = RDF + "type"
 
 NUMERIC_DTS = (XSD_INTEGER, XSD_LONG, XSD_INT, XSD_DECIMAL, XSD_DOUBLE, XSD_FLOAT)
 
+import re as _re
+
+_INT_LEX_RE = _re.compile(r"[+-]?[0-9]+\Z")
+_DEC_LEX_RE = _re.compile(r"[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)\Z")
+_DBL_LEX_RE = _re.compile(r"[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?\Z")
+
+
+def num_shadow_col(dt, lex):
+    """Column-side twin of :func:`valid_num_lex` — the o_num shadow for a
+    (datatype, lexical) column pair, NULL unless the lexical is in the
+    datatype's lexical space. Used by the JVM-regex line readers; keeps the
+    num-nullness-is-the-type-error-gate invariant intact for loaded data."""
+    return (F.when(dt.isin(XSD_INTEGER, XSD_LONG, XSD_INT)
+                   & lex.rlike(r"^[+-]?[0-9]+$"),
+                   lex.cast("double"))
+            .when((dt == XSD_DECIMAL)
+                  & lex.rlike(r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)$"),
+                  lex.cast("double"))
+            .when(dt.isin(XSD_DOUBLE, XSD_FLOAT),
+                  F.when(lex == "INF", F.lit(float("inf")))
+                   .when(lex == "-INF", F.lit(float("-inf")))
+                   .when(lex == "NaN", F.lit(float("nan")))
+                   .when(lex.rlike(r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)"
+                                   r"([eE][+-]?[0-9]+)?$"),
+                         lex.cast("double"))))
+
+
+def valid_num_lex(dt, lex):
+    """float value of a numeric lexical IFF it is in the datatype's lexical
+    space, else None.
+
+    Engine-wide invariant (r7): a non-null ``num`` shadow implies a VALID
+    lexical for a numeric datatype — operators use num nullness alone as the
+    §17.2 type-error gate. A bare Python ``float()`` here would let
+    "1e5"^^xsd:integer join the numeric value space (r8 ADVICE fix); this is
+    the same per-datatype validation the STRDT builtin applies column-side."""
+    if dt in (XSD_INTEGER, XSD_LONG, XSD_INT):
+        return float(lex) if _INT_LEX_RE.match(lex) else None
+    if dt == XSD_DECIMAL:
+        return float(lex) if _DEC_LEX_RE.match(lex) else None
+    if dt in (XSD_DOUBLE, XSD_FLOAT):
+        if lex == "INF":
+            return float("inf")
+        if lex == "-INF":
+            return float("-inf")
+        if lex == "NaN":
+            return float("nan")
+        return float(lex) if _DBL_LEX_RE.match(lex) else None
+    return None
+
 #: graph-name scheme used by the reference for versioned bulk loads
 #: (GraphDBSystemAdapter.java:318: "http://graph.version." + loadingNumber)
 GRAPH_VERSION_PREFIX = "http://graph.version."

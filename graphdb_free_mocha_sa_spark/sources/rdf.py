@@ -22,7 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graphdb_free_mocha_sa_spark.model import (NUMERIC_DTS, QUAD_COLS,
-                                               XSD_DATETIME, XSD_STRING)
+                                               XSD_DATETIME, XSD_STRING,
+                                               num_shadow_col, valid_num_lex)
 
 _IRI = r"<([^>]*)>"
 _BN = r"(_:\S+)"
@@ -127,7 +128,9 @@ def _read_line_rdf(spark: SparkSession, path: str, graph: str,
            .when(F.length(o_dt) > 0, o_dt)
            .otherwise(F.lit(XSD_STRING)))
     lang = F.when(F.length(o_lang) > 0, o_lang)
-    num = F.when(dt.isin(*NUMERIC_DTS), o_lex.cast("double"))
+    # per-datatype lexical validation keeps invalid forms out of the value
+    # space (r8 ADVICE fix — a bare cast admits "1e5"^^xsd:integer)
+    num = num_shadow_col(dt, o_lex)
     ts = F.when(dt == XSD_DATETIME, F.to_timestamp(F.regexp_replace(o_lex, "T", " ")))
 
     return (lines.select(
@@ -166,10 +169,7 @@ def read_turtle(spark: SparkSession, path: str, graph: str) -> DataFrame:
             for s, p, (lex, dt, lang) in parse_turtle(row.value):
                 num = ts = None
                 if dt in NUMERIC_DTS:
-                    try:
-                        num = float(lex)
-                    except ValueError:
-                        num = None
+                    num = valid_num_lex(dt, lex)
                 elif dt == XSD_DATETIME:
                     try:
                         ts = _dt.datetime.fromisoformat(lex)
@@ -206,10 +206,7 @@ def read_trig(spark: SparkSession, path: str, default_graph: str) -> DataFrame:
             for g, s, p, (lex, dt, lang) in parse_trig(row.value):
                 num = ts = None
                 if dt in NUMERIC_DTS:
-                    try:
-                        num = float(lex)
-                    except ValueError:
-                        num = None
+                    num = valid_num_lex(dt, lex)
                 elif dt == XSD_DATETIME:
                     try:
                         ts = _dt.datetime.fromisoformat(lex)
@@ -247,10 +244,7 @@ def read_rdfxml(spark: SparkSession, path: str, graph: str) -> DataFrame:
                                                       base=row.base):
                 num = ts = None
                 if dt in NUMERIC_DTS:
-                    try:
-                        num = float(lex)
-                    except ValueError:
-                        num = None
+                    num = valid_num_lex(dt, lex)
                 elif dt == XSD_DATETIME:
                     try:
                         ts = _dt.datetime.fromisoformat(lex)
@@ -290,10 +284,7 @@ def read_jsonld(spark: SparkSession, path: str,
                                                          base=row.base):
                 num = ts = None
                 if dt in NUMERIC_DTS:
-                    try:
-                        num = float(lex)
-                    except ValueError:
-                        num = None
+                    num = valid_num_lex(dt, lex)
                 elif dt == XSD_DATETIME:
                     try:
                         ts = _dt.datetime.fromisoformat(lex)
@@ -314,10 +305,7 @@ def _typed_quad(graph, s, p, lex, dt, lang):
     import datetime as _dt
     num = ts = None
     if dt in NUMERIC_DTS:
-        try:
-            num = float(lex)
-        except ValueError:
-            num = None
+        num = valid_num_lex(dt, lex)
     elif dt == XSD_DATETIME:
         try:
             ts = _dt.datetime.fromisoformat(lex)

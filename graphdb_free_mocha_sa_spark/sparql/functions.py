@@ -33,7 +33,7 @@ from graphdb_free_mocha_sa_spark.model import (NUMERIC_DTS, RDF_LANGSTRING,
                                                XSD_INTEGER, XSD_LONG,
                                                XSD_STRING,
                                                canonical_key_from_parts,
-                                               term_kind_rank)
+                                               term_kind_rank, valid_num_lex)
 
 #: the integer-valued XSD types (promote together per §17.3)
 INT_DTS = (XSD_INTEGER, XSD_LONG, XSD_INT)
@@ -118,10 +118,11 @@ class TCol:
         if isinstance(term, A.Literal):
             num = ts = None
             if term.dt in NUMERIC_DTS:
-                try:
-                    num = F.lit(float(term.lex))
-                except ValueError:
-                    num = None
+                # same per-datatype lexical validation as STRDT — an
+                # invalid lexical ("1e5"^^xsd:integer) has NO numeric
+                # value (r8 ADVICE fix)
+                v = valid_num_lex(term.dt, term.lex)
+                num = F.lit(v) if v is not None else None
             if term.dt == XSD_DATETIME:
                 ts = F.to_timestamp(F.lit(term.lex.replace("T", " ")))
             if term.dt == XSD_BOOLEAN:

@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 from graphdb_free_mocha_sa_spark.model import (NUMERIC_DTS, VAR_SUFFIXES,
                                                XSD_BOOLEAN, XSD_DATETIME,
                                                canonical_key_from_parts,
-                                               canonical_object_key, var_cols)
+                                               canonical_object_key, var_cols,
+                                               valid_num_lex)
 from graphdb_free_mocha_sa_spark.sparql import algebra as A
 from graphdb_free_mocha_sa_spark.store import DEFAULT_GRAPH
 from graphdb_free_mocha_sa_spark.sparql.functions import (BNODE_SALT, DBL_DTS,
@@ -61,10 +62,9 @@ def term_parts_py(term) -> tuple:
         dt = term.dt or "http://www.w3.org/2001/XMLSchema#string"
         num = None
         if dt in NUMERIC_DTS:
-            try:
-                num = float(term.lex)
-            except ValueError:
-                num = None      # invalid numeric lexical: no value shadow
+            # per-datatype lexical validation (r8 ADVICE fix): float()
+            # alone admits "1e5"^^xsd:integer into the value space
+            num = valid_num_lex(dt, term.lex)
         ts = None
         if dt == XSD_DATETIME:
             try:
@@ -124,6 +124,14 @@ class Translator:
         #: prologue BASE of the query being translated (engine sets it);
         #: consumed by the IRI()/URI() builtin for relative references
         self.query_base: Optional[str] = None
+        #: vars currently injected by correlated-EXISTS decorrelation
+        #: (§8.1.4 substitute semantics). Under substitution these become
+        #: CONSTANTS inside the pattern — they restrict compatibility but
+        #: are NOT part of any sub-pattern's domain, so MINUS must exclude
+        #: them from its domain-overlap test (r8 ADVICE fix: an injected
+        #: MINUS right side otherwise gains artificial domain overlap and
+        #: removes solutions a disjoint-domain MINUS must keep).
+        self._active_corr: frozenset[str] = frozenset()
 
     # ---------------------------------------------------- encoded-mode utils
 
@@ -393,7 +401,8 @@ class Translator:
         return out
 
     def _minus_mask_anti(self, left: DataFrame, right: DataFrame,
-                         shared: list[str]) -> DataFrame:
+                         shared: list[str],
+                         corr: set[str] = frozenset()) -> DataFrame:
         """Spec-exact MINUS (§8.3) with maybe-unbound shared vars as HASH
         equi anti-joins only — no non-equi ``compat & overlap`` condition
         (which Catalyst executes as a BroadcastNestedLoopJoin at scale).
@@ -428,8 +437,11 @@ class Translator:
             for rm in r_masks:
                 keys = always + [v for i, v in enumerate(compat)
                                  if (lm >> i) & 1 and (rm >> i) & 1]
-                if not keys:
-                    continue          # no var bound on both ⇒ no overlap
+                if not [v for v in keys if v not in corr]:
+                    # no NON-injected var bound on both ⇒ no domain
+                    # overlap (corr vars are §8.1.4 constants) ⇒ this
+                    # piece removes nothing
+                    continue
                 rp = (rt.filter(F.col(rm_col) == rm)
                       .select(*[F.col(v + suffix) for v in keys])
                       .dropDuplicates())
@@ -479,8 +491,12 @@ class Translator:
                 # literal family columns are inline in BOTH representations,
                 # so object constants always filter on the value columns
                 # (pushdown-able to the parquet scan)
-                if isinstance(term, A.Literal) and (term.dt in NUMERIC_DTS):
-                    df = df.filter(F.col("o_num") == float(term.lex))
+                if isinstance(term, A.Literal) and (term.dt in NUMERIC_DTS) \
+                        and (v := valid_num_lex(term.dt, term.lex)) is not None \
+                        and v == v:
+                    # v == v excludes NaN (never equal to the stored shadow);
+                    # invalid lexicals fall through to exact lex/dt matching
+                    df = df.filter(F.col("o_num") == v)
                 elif isinstance(term, A.Literal):
                     cond = ((F.col("o_lex") == term.lex)
                             & (F.col("o_dt") == (term.dt or "http://www.w3.org/2001/XMLSchema#string")))
@@ -734,7 +750,14 @@ class Translator:
             left = self.translate(node.left, gctx)
             right = self.translate(node.right, gctx)
             shared = sorted(set(var_names(left)) & set(var_names(right)))
-            if not shared:
+            # vars injected by correlated-EXISTS decorrelation are
+            # CONSTANTS under §8.1.4 substitution — they restrict which
+            # μ′ a μ may meet (equality below) but create NO domain
+            # overlap (r8 ADVICE fix: a right side domain-disjoint from
+            # the left must leave the left untouched even though both
+            # sides carry the injected outer vars)
+            corr = set(self._active_corr) & set(shared)
+            if all(v in corr for v in shared):
                 return left
             if not any(_maybe_unbound(left, v) or _maybe_unbound(right, v)
                        for v in shared):
@@ -745,7 +768,7 @@ class Translator:
             # compatible AND dom(μ)∩dom(μ′)≠∅ — i.e. every shared var is
             # unbound-on-a-side or equal, AND at least one is bound on BOTH.
             # (A both-unbound var does NOT create domain overlap.)
-            return self._minus_mask_anti(left, right, shared)
+            return self._minus_mask_anti(left, right, shared, corr)
         if isinstance(node, A.Filter):
             df = self.translate(node.pattern, gctx)
             expr = node.expr
@@ -788,9 +811,16 @@ class Translator:
                     return inner.crossJoin(F.broadcast(ng))
                 if _maybe_unbound(inner, gv):
                     ng = self._named_graphs_df("?" + gv, gv)
-                    boundp = inner.filter(F.col(gv).isNotNull())
+                    # the fan-out binds ?g on EVERY row — drop the stale
+                    # __mu_<g>_* markers from both branches so downstream
+                    # joins on ?g keep the fast strict path; _union_pad
+                    # re-marks only what is genuinely still optional
+                    # (r8 ADVICE fix)
+                    mu = [c for c in inner.columns
+                          if c.startswith(f"__mu_{gv}_")]
+                    boundp = inner.filter(F.col(gv).isNotNull()).drop(*mu)
                     nullp = inner.filter(F.col(gv).isNull()).drop(
-                        *[c for c in var_cols(gv) if c in inner.columns])
+                        *mu, *[c for c in var_cols(gv) if c in inner.columns])
                     nullp = nullp.crossJoin(F.broadcast(ng))
                     return _union_pad(boundp, nullp)
                 return inner
@@ -920,10 +950,7 @@ class Translator:
                         if lang else "http://www.w3.org/2001/XMLSchema#string")
                     num = ts = None
                     if dt in NUMERIC_DTS:
-                        try:
-                            num = float(lex)
-                        except ValueError:
-                            num = None
+                        num = valid_num_lex(dt, lex)
                     elif dt == XSD_DATETIME:
                         import datetime as _dt
                         try:
@@ -1033,19 +1060,39 @@ class Translator:
             # inside EXISTS used to see ?x unbound and drop every row).
             # Vars the pattern binds positionally don't need injection —
             # the shared-var semi-join below already correlates them.
-            corr = sorted(_pattern_expr_vars_deep(pat)
-                          & set(var_names(df)))
+            corr = sorted(v for v in _pattern_expr_vars_deep(pat)
+                          & set(var_names(df)) if not v.startswith("__"))
             if corr:
                 cols = [c for v in corr for c in var_cols(v)
                         if c in df.columns]
-                cdf = (df.select(*cols).dropDuplicates(corr)
+                # carry the maybe-unbound markers of the corr vars into the
+                # leaf: an outer var that is null in some solutions must
+                # correlate under COMPATIBILITY semantics inside the
+                # pattern (unbound leaves the var free — r8 ADVICE fix),
+                # and the mu marker is what routes the leaf joins onto the
+                # compat machinery
+                mu = [c for c in df.columns
+                      if any(c.startswith(f"__mu_{v}_") for v in corr)]
+                cdf = (df.select(*cols, *mu).dropDuplicates(corr)
                        .localCheckpoint(eager=False))
                 pat = _inject_correlation(pat, _DFLeaf(cdf))
-            right = self.translate(pat, gctx)
+            # §8.1.4: inside the pattern the injected vars act as
+            # CONSTANTS — record them so MINUS excludes them from its
+            # domain-overlap test (they restrict compatibility only)
+            prev_corr = self._active_corr
+            self._active_corr = prev_corr | frozenset(corr)
+            try:
+                right = self.translate(pat, gctx)
+            finally:
+                self._active_corr = prev_corr
             shared = sorted(set(var_names(df)) & set(var_names(right)))
             df, right = self._normalize_shared(df, right, shared)
             flag = self._uniq("__ex")
-            if shared:
+            compat = [v for v in shared
+                      if _maybe_unbound(df, v) or _maybe_unbound(right, v)]
+            if compat:
+                df = self._exists_flag_compat(df, right, shared, compat, flag)
+            elif shared:
                 rightd = (right.select([F.col(v).alias(v + flag) for v in shared])
                           .dropDuplicates().withColumn(flag, F.lit(True)))
                 cond = F.lit(True)
@@ -1059,6 +1106,62 @@ class Translator:
             exists_map[id(node)] = ~col if node.negated else col
             flags.append(flag)
         return df, exists_map, flags
+
+    def _exists_flag_compat(self, df: DataFrame, right: DataFrame,
+                            shared: list[str], compat: list[str],
+                            flag: str) -> DataFrame:
+        """EXISTS flag when a shared var may be UNBOUND on a side: μ has a
+        compatible μ′ iff they agree on every shared var bound in BOTH
+        (§8.1.1 — unbound matches anything). Strict equality made the flag
+        always-false for rows with an unbound shared var (r8 ADVICE fix).
+
+        Same boundness-mask decomposition as :meth:`_minus_mask_anti`, but
+        as a SEMI join per (left-mask, right-mask) piece over a row id so
+        every piece stays a hash join; the matched ids re-attach the flag
+        with one equi join."""
+        strict = [v for v in shared if v not in compat]
+        rid = self._uniq("__exid")
+        suffix = self._uniq("__EX")
+        df = df.withColumn(rid, F.monotonically_increasing_id()) \
+               .localCheckpoint(eager=False)
+        keyed = df.select(rid, *shared)
+        r2 = right.select(*[F.col(v).alias(v + suffix) for v in shared]) \
+                  .dropDuplicates()
+        k = len(compat)
+        lm_col, rm_col = self._uniq("__xml"), self._uniq("__xmr")
+        lt = keyed.withColumn(lm_col, self._bound_mask(keyed, compat)) \
+                  .localCheckpoint(eager=False)
+        rt = r2.withColumn(
+            rm_col, self._bound_mask(r2, [v + suffix for v in compat])) \
+            .localCheckpoint(eager=False)
+        r_masks = self._side_masks(rt, rm_col, k)
+        matched: Optional[DataFrame] = None
+        for lm in self._side_masks(lt, lm_col, k):
+            lp = lt.filter(F.col(lm_col) == lm).drop(lm_col)
+            for rm in r_masks:
+                keys = strict + [v for i, v in enumerate(compat)
+                                 if (lm >> i) & 1 and (rm >> i) & 1]
+                rp = rt.filter(F.col(rm_col) == rm)
+                if keys:
+                    rp = (rp.select(*[F.col(v + suffix) for v in keys])
+                          .dropDuplicates())
+                    cond = F.lit(True)
+                    for v in keys:
+                        cond = cond & (lp[v] == rp[v + suffix])
+                    piece = lp.join(rp, cond, "left_semi")
+                else:
+                    # nothing bound on both sides in this piece: every μ′
+                    # is compatible — flag true iff the piece is non-empty
+                    piece = lp.join(
+                        F.broadcast(rp.limit(1)
+                                    .select(F.lit(True).alias("__any"))),
+                        F.lit(True), "left_semi")
+                piece = piece.select(rid)
+                matched = piece if matched is None else matched.unionByName(piece)
+        if matched is None:
+            return df.drop(rid).withColumn(flag, F.lit(False))
+        md = matched.dropDuplicates().withColumn(flag, F.lit(True))
+        return df.join(md, rid, "left_outer").drop(rid)
 
     # ------------------------------------------------------------ expressions
 
