@@ -500,7 +500,9 @@ class Engine:
                 out = select_json(res.df, res.variables)
             else:
                 # CONSTRUCT/DESCRIBE: emit triples as a generic bindings table
-                out = select_json(res, None)
+                from graphdb_free_mocha_sa_spark.sparql.results import \
+                    quad_solution_df
+                out = select_json(quad_solution_df(res), ["s", "p", "o"])
             self._progress["tasks_completed"] += 1
             return out
         except Exception:
@@ -533,7 +535,9 @@ class Engine:
             elif isinstance(res, SelectResult):
                 chunks = iter_select(res.df, res.variables)
             else:
-                chunks = iter_select(res, None)
+                from graphdb_free_mocha_sa_spark.sparql.results import \
+                    quad_solution_df
+                chunks = iter_select(quad_solution_df(res), ["s", "p", "o"])
             # pull header + first row inside the try: parse/translate errors
             # and first-fetch execution errors all degrade to the sentinel
             head = [c for _, c in zip(range(2), chunks)]

