@@ -85,6 +85,22 @@ def q_b2_bgp_join(spark, sf_dir):
         }""", {"o": "str", "cust": "str", "nname": "str"})
 
 
+def q_b2b_star6(spark, sf_dir):
+    """6-pattern star on one subject (r8, VERDICT item 4): the plan-quality
+    probe for star-shaped BGPs — all six scans share the s-hash layout of
+    the cached quads, so the self-join chain should be exchange-free."""
+    return _sparql(spark, sf_dir, """
+        SELECT ?c ?ckey ?name ?nk ?bal ?seg WHERE {
+          ?c rdf:type t:customer .
+          ?c x:c_custkey ?ckey .
+          ?c x:c_name ?name .
+          ?c x:c_nationkey ?nk .
+          ?c x:c_acctbal ?bal .
+          ?c x:c_mktsegment ?seg .
+        }""", {"c": "str", "ckey": "int", "name": "str", "nk": "str",
+               "bal": "num", "seg": "str"})
+
+
 def q_b3_filter(spark, sf_dir):
     return _sparql(spark, sf_dir, """
         SELECT ?s ?price WHERE {
@@ -1440,84 +1456,87 @@ def entry(spark: SparkSession) -> DataFrame:
 # entry here — deferred or not — remains oracle-checked by the local
 # mirror gate, scripts/check_correctness.py (results in BASELINE.md).
 _DEFERRED_PAST_DRIVER_CAP = [
-    # ROUND-7 ROTATION (VERDICT r6 item 4). The driver checks the FIRST 50
+    # ROUND-8 ROTATION (VERDICT r7 item 5). The driver checks the FIRST 50
     # of queries(); entries here rotate past that cap but stay in the
-    # builder's full mirror gate (scripts/check_correctness.py) regardless
-    # of slot. This round the head keeps the entries whose behavior changed
-    # (ext_approx_distinct now validated-bound, ext_minhash_bands NEW,
-    # func_dates/func_casts re-check the SECONDS lexical fix, func_terms
-    # re-checks the IRI() RFC 3986 fix, b33_load re-checks the eager-
-    # materialization fix) and otherwise re-admits the r5 regulars that
-    # rotated out in r6 — every entry below was driver-green in r6 (or is a
-    # rows-only sketch with an oracle-backed head-history proxy), so the
-    # r4..r7 union stays total.
-    # r6 driver-green entries rotating out this round:
+    # builder's full mirror gate (scripts/check_correctness.py). This
+    # round's head re-certifies (a) everything the r8 fixes touched —
+    # b6_minus / b7* (correlated-EXISTS + compat semi-join), b11_graph
+    # (fan-out marker fix), func_numerics/dates/casts/terms (numeric
+    # lexical validation, derived-int family, timezone-field accessors),
+    # b33_load (reader num shadow) — (b) the r7-semantics-touched entries
+    # the r7 verdict asked to re-admit (func_hashes/conditionals/
+    # lang_terms/nondeterministic, b24/b25/b27, b10/b11/b12, the four
+    # non-plus b13 variants, b31, b37, b40_inference_restrictions,
+    # b41_sameas_query), (c) the r5-checked entries held to r8 (b8, b9,
+    # b14, b15, b16, b18, b36, ext_csv_source, ext_stream_sliding/
+    # session, ext_bpe_tokens), and (d) the NEW b2b_star6 star-plan
+    # probe. Everything below was driver-green in r6/r7 (r5–r8 union
+    # stays total) or is a rows-only sketch with an oracle-backed kernel
+    # proxy in a recent head.
     "b1_scan",
     "b2_bgp_join",
     "b3_filter",
     "b4_optional",
-    "b7b_exists",
-    "b10_subselect",
-    "b11_graph",
-    "b12_from_graph",
-    "b13_path_seq",
-    "b13_path_alt_inv",
-    "b13_path_star",         # closure family rep in the head: b13_path_plus
-    "b13_path_negated",
+    "b13_path_plus",
     "b19_describe",
-    "b24_group_concat",
-    "b25_sample",
-    "b27_implicit_group",
-    "func_hashes",
-    "func_conditionals",
-    "func_lang_terms",
-    "func_nondeterministic",
+    "b22_count_distinct",
+    "b23_min_max_sum",
+    "b26_having",
+    "func_strings",
+    "b34_clear_graph",
     "a8_insert_with_rewrite",
-    "b37_txn_durable",
-    "b40_inference_restrictions",
-    "b41_sameas_query",
+    "b40_inference_subclass",
+    "b40_inference_rules",
+    "b40_inference_eq",
+    "b41_sameas_cc",
     "tpch_q3_shipping",
+    "tpch_q5_local_supplier",
     "ext_window_lag",
-    "ext_quantiles_exact",   # exact kernel proxies: driver-green r6, keep
-    "ext_simhash_sig",       # the head slots for the two NEW kernels
+    "ext_quantiles",
+    "ext_quantiles_exact",
+    "ext_dedup_cascade",
+    "ext_decontaminate",
+    "ext_embed_quantize",
+    "ext_dedup_minhash",
+    "ext_dedup_simhash",
+    "ext_semantic_dedup",
+    "ext_topk_cosine",
+    "ext_lsh_topk",
+    "ext_ivf_topk",
     "ext_lsh_buckets",
     "ext_ivf_assign",
     "ext_semantic_pairs",
-    "ext_embed_quantize",
-    "ext_stream_tumbling",   # streaming family rep in head: ext_stream_dedup
+    "ext_simhash_sig",
+    "ext_embed_neardup",
+    "ext_ngram_jaccard",
+    "ext_stream_tumbling",
+    "ext_text_termstats",
     "ext_lang_id",
     "ext_quality_features",
     "ext_chunk_documents",
     "ext_text_tokens",
+    "ext_quality_gopher",
+    "ext_pii_scrub",
+    "ext_sample_hash",
+    "ext_mixture_sample",
+    "ext_pack_sequences",
+    "ext_bm25_search",
+    "ext_shard_export",
+    "ext_line_dedup",
+    "ext_lm_score",
+    "ext_dedup_incremental",
+    "ext_bpe_paircounts",
+    "ext_neardup_incremental",
     "ext_curation_pipeline",
-    # rows-only entries (each with an oracle-backed kernel proxy already
-    # driver-green in r6):
-    "ext_dedup_minhash",     # proxy ext_minhash_bands (head, NEW r7)
-    "ext_semantic_dedup",    # proxy ext_semantic_pairs (green r6)
-    "ext_lsh_topk",          # proxy ext_lsh_buckets (green r6)
-    "ext_ivf_topk",          # proxy ext_ivf_assign (green r6)
-    "ext_text_quality",      # proxy ext_quality_features (green r6)
-    "ext_fingerprint",       # proxy ext_fingerprint_md5 (green r6)
-    "ext_dedup_simhash",     # proxy ext_simhash_sig (green r6)
-    "ext_quantiles",         # proxy ext_quantiles_exact (green r6)
-    "ext_multimodal",        # rows-only plumbing (codec tests)
+    "ext_stratified_topk",
+    "ext_length_batches",
+    "ext_text_quality",
+    "ext_fingerprint",
+    "ext_fingerprint_md5",
+    "ext_stream_dedup",
+    "ext_multimodal",
     "ext_multimodal_real",
     "ext_multimodal_transform",
-    "ext_fingerprint_md5",
-    # r5-checked entries held to r8 (smallest semantic surface per slot —
-    # each pinned by dedicated pytest coverage):
-    "b8_bind",
-    "b9_values",
-    "b14_distinct",
-    "b15_order",
-    "b16_limit_offset",
-    "b18_ask",
-    "b31_delete_data",
-    "b36_copy_add_graph",
-    "ext_csv_source",        # documents-source family keeps ext_jsonl_source
-    "ext_stream_sliding",
-    "ext_stream_session",
-    "ext_bpe_tokens",        # BPE family keeps ext_bpe_paircounts
 ]
 
 
@@ -1531,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _defer_tail({
         "b1_scan": q_b1_scan,
         "b2_bgp_join": q_b2_bgp_join,
+        "b2b_star6": q_b2b_star6,
         "b3_filter": q_b3_filter,
         "b4_optional": q_b4_optional,
         "b5_union": q_b5_union,
@@ -1869,6 +1889,12 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             WHERE o.o_orderstatus = 'F'""",
+        "b2b_star6": """
+            SELECT 'urn:x:customer/' || c_custkey AS c,
+                   c_custkey AS ckey, c_name AS name,
+                   'urn:x:nation/' || c_nationkey AS nk,
+                   c_acctbal AS bal, c_mktsegment AS seg
+            FROM customer""",
         "b3_filter": """
             SELECT 'urn:x:orders/' || o_orderkey AS s, o_totalprice AS price
             FROM orders WHERE o_totalprice > 100000 AND o_totalprice <= 200000""",

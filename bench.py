@@ -57,6 +57,9 @@ HEADLINERS = [
     # two-broadcast OR-join decomposition)
     "b13_path_negated",
     "b19_describe",
+    # round-8 (VERDICT r7 item 4): 6-predicate star BGP — plan-quality
+    # probe for the s-partitioned self-join chain
+    "b2b_star6",
 ]
 
 
@@ -252,6 +255,38 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"bench: server_concurrent_mix failed: {e}", file=sys.stderr)
         timings["server_concurrent_mix"] = -1.0
+
+    # DRed inference maintenance (r8, VERDICT r7 item 3): closure over a
+    # 10-deep subclass chain × 60k instances (above the small-ABox
+    # threshold, so both legs run the distributed fixpoint); delete ONE instance's type
+    # and measure the incremental retraction (owl_horst_decrement) vs the
+    # full re-materialization it replaces.
+    try:
+        from graphdb_free_mocha_sa_spark.model import (QUAD_SCHEMA, RDF_TYPE,
+                                                       RDFS, local_df)
+        from graphdb_free_mocha_sa_spark.store import QuadStore
+        sc_p = RDFS + "subClassOf"
+        rows = [("urn:g", f"urn:C{i}", sc_p, f"urn:C{i+1}",
+                 None, None, None, None) for i in range(9)]
+        rows += [("urn:g", f"urn:i{k}", RDF_TYPE, f"urn:C{k % 10}",
+                  None, None, None, None) for k in range(60_000)]
+        dred_store = QuadStore(
+            spark, spark.createDataFrame(rows, QUAD_SCHEMA)
+            .repartition(8).localCheckpoint())
+        t0 = time.time()
+        dred_store.materialize_inference()
+        dred_store._inferred.count()
+        timings["inference_materialize_60k"] = round(time.time() - t0, 3)
+        victim = spark.createDataFrame(
+            [("urn:g", "urn:i0", RDF_TYPE, "urn:C0",
+              None, None, None, None)], QUAD_SCHEMA)
+        t0 = time.time()
+        dred_store.delete_quads(victim)
+        dred_store._inferred.count()
+        timings["inference_delete_dred"] = round(time.time() - t0, 3)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: inference_delete_dred failed: {e}", file=sys.stderr)
+        timings["inference_delete_dred"] = -1.0
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     out = {

@@ -703,6 +703,153 @@ def owl_horst_increment(spark: SparkSession, base: DataFrame,
     raise RuntimeError(f"incremental inference did not converge in {MAX_ITERS} iterations")
 
 
+def owl_horst_decrement(spark: SparkSession, base_after: DataFrame,
+                        inferred: DataFrame, deleted: DataFrame,
+                        graph: str = INFERRED_GRAPH) -> DataFrame | None:
+    """DRed (delete/re-derive) maintenance of the closure after an ABox
+    deletion (r8, VERDICT item 3: full re-materialization is the dominant
+    update cost at 100× ABox).
+
+    1. **Over-delete**: the semi-naive fixpoint of "consequences with at
+       least one premise in the deleted set" against the OLD world —
+       work proportional to the deleted facts' consequence cone, never
+       the full ABox.
+    2. **Re-derive**: over-deleted facts still derivable from the
+       surviving world come back. One bounded step (every Horst premise
+       shares a term with its conclusion, so candidate premises are the
+       semi-join of the surviving world against the over-deleted terms),
+       then the existing :func:`owl_horst_increment` propagates chains.
+
+    Returns the new inferred frame, or ``None`` when the deletion touches
+    the TBox (schema shrink can invalidate rule instances globally — the
+    caller re-materializes, the same compromise as the insert path).
+    GraphDB-parity note: a deleted EXPLICIT statement that is still
+    derivable from the surviving facts re-appears as inferred (smooth
+    delete), which this reproduces because re-derivation is checked
+    against the post-delete world, not restricted to old inferences.
+    """
+    tbox_delta = deleted.filter(
+        F.col("p").isin(*TBOX_PREDS)
+        | ((F.col("p") == RDF_TYPE)
+           & F.col("o_lex").isin(TRANSITIVE, SYMMETRIC,
+                                 FUNCTIONAL, INV_FUNCTIONAL)))
+    if not tbox_delta.isEmpty():
+        return None
+    # Spark 4.1: checkpointing a union whose children carry constraints
+    # referencing dropped join-side attributes throws "key not found" in
+    # UnionBase.rewriteConstraints — turn constraint propagation off for
+    # the maintenance plans (they are join/anti-join chains over pinned
+    # frames; constraint-derived filter pruning buys nothing here)
+    cp_key = "spark.sql.constraintPropagation.enabled"
+    cp_prev = spark.conf.get(cp_key, "true")
+    spark.conf.set(cp_key, "false")
+    try:
+        return _decrement_body(spark, base_after, inferred, deleted, graph)
+    finally:
+        spark.conf.set(cp_key, cp_prev)
+
+
+def _decrement_body(spark: SparkSession, base_after: DataFrame,
+                    inferred: DataFrame, deleted: DataFrame,
+                    graph: str) -> DataFrame:
+    inferred = (inferred.select(*QUAD_COLS) if inferred is not None
+                else spark.createDataFrame([], base_after.schema)
+                .select(*QUAD_COLS))
+    base_after = base_after.select(*QUAD_COLS)
+    d = deleted.select(*QUAD_COLS).localCheckpoint()
+    # NOTE: no lazy checkpoint on the unions here — Spark's Union
+    # constraint rewrite hits "key not found" on lazily-checkpointed
+    # union members (observed on 4.1); the members are checkpointed
+    old_known = base_after.unionByName(inferred).unionByName(d)
+    schema = Schema(old_known)          # TBox unchanged by this delete
+    apply_rules = _rule_applier(spark, schema, graph)
+
+    def one_step(delta: DataFrame, known: DataFrame) -> DataFrame:
+        new = apply_rules(delta)
+        ts = _trans_step(delta, known, schema.transitive, graph)
+        if ts is not None:
+            new = new.unionByName(ts)
+        fs = _functional_step(delta, known, schema, graph)
+        if fs is not None:
+            new = new.unionByName(fs)
+        rs = _restriction_step(spark, delta, known, schema, graph)
+        if rs is not None:
+            new = new.unionByName(rs)
+        return new.dropDuplicates(["s", "p", "o_lex", "o_dt", "o_lang"])
+
+    def _pin(df: DataFrame) -> DataFrame:
+        # re-alias every column (fresh expression ids) before pinning:
+        # Spark 4.1's Union constraint rewrite throws "key not found" when
+        # a union of checkpointed frames re-uses attribute ids
+        return df.select([F.col(c).alias(c) for c in df.columns]) \
+                 .localCheckpoint()
+
+    # ---- 1. over-delete fixpoint (cone of the deleted premises)
+    over = None
+    for _ in range(MAX_ITERS):
+        cons = one_step(d, old_known)
+        # only INFERRED facts can be over-deleted
+        k = inferred.select("s", "p", "o_lex") \
+            .withColumnRenamed("s", "__is").withColumnRenamed("p", "__ip") \
+            .withColumnRenamed("o_lex", "__io")
+        cons = cons.join(
+            k, (F.col("s") == F.col("__is")) & (F.col("p") == F.col("__ip"))
+            & (F.col("o_lex") == F.col("__io")), "left_semi")
+        if over is not None:
+            cons = _anti_known(cons, over)
+        cons = cons.localCheckpoint()
+        if cons.isEmpty():
+            break
+        over = cons if over is None else _pin(over.unionByName(cons))
+        d = cons
+    else:
+        raise RuntimeError(
+            f"DRed over-delete did not converge in {MAX_ITERS} iterations")
+    if over is None:
+        remaining = inferred
+    else:
+        remaining = _pin(_anti_known(inferred, over))
+    new_known = base_after.unionByName(remaining)
+
+    # ---- 2. re-derive: candidate premises share a term with a removed
+    # fact (true for every Horst rule), so the first step is bounded by
+    # the removed facts' neighborhood, not the ABox. The seed includes the
+    # DELETED base facts themselves — a deleted explicit statement still
+    # derivable from the survivors re-appears as inferred (smooth delete)
+    removed = (deleted.select(*QUAD_COLS) if over is None
+               else over.unionByName(deleted.select(*QUAD_COLS)))
+    # Per-rule analysis of which candidate premises can restore a removed
+    # fact (one premise from `cand`, the other from `known` — the rule
+    # steps are all delta×known): the premise either SHARES A SUBJECT /
+    # OBJECT-IS one of the removed terms... but an object-side match is
+    # only ever needed against the removed fact's SUBJECT (rdfs3 range,
+    # functional-sameAs), never its object. Filtering the o side on all
+    # removed terms would pull in every instance of a removed TYPE's
+    # class — the whole ABox for high-degree classes (measured: DRed
+    # slower than re-materialization). Subject-side matches may need any
+    # removed term (symmetric/inverse conclusions flip s and o).
+    terms = (removed.select(F.col("s").alias("t"))
+             .unionByName(removed.filter(F.col("o_dt").isNull())
+                          .select(F.col("o_lex").alias("t")))
+             .dropDuplicates())
+    subj_terms = removed.select(F.col("s").alias("t")).dropDuplicates()
+    cand = new_known.join(terms, F.col("s") == F.col("t"), "left_semi") \
+        .unionByName(new_known.join(subj_terms,
+                                    F.col("o_lex") == F.col("t"),
+                                    "left_semi")) \
+        .dropDuplicates(["g", "s", "p", "o_lex", "o_dt", "o_lang"])
+    restored = _pin(_anti_known(one_step(cand, new_known), new_known))
+    if restored.isEmpty():
+        return remaining
+    out = remaining.unionByName(restored)
+    # restored facts may support further restorations — standard increment
+    more = owl_horst_increment(spark, base_after, out, restored, graph)
+    if more is not None and not more.isEmpty():
+        out = out.unionByName(
+            _anti_known(more, base_after.unionByName(out)))
+    return _pin(out.dropDuplicates(["s", "p", "o_lex", "o_dt", "o_lang"]))
+
+
 def expand_sameas(quads: DataFrame, comp: DataFrame) -> DataFrame:
     """owl:sameAs expansion on read (B41 → query answering; reference:
     ``owlim:disable-sameAs "false"``, repo-config.ttl:45 — GraphDB answers

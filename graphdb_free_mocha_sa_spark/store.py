@@ -178,7 +178,22 @@ class QuadStore:
         cond = cond & (F.col("o_dt").eqNullSafe(F.col("__d_o_dt"))) \
                     & (F.col("o_lang").eqNullSafe(F.col("__d_o_lang")))
         self._mutate(lambda df: df.join(ren, cond, "left_anti"))
-        self._retract_inference()
+        if self._inferred is None:
+            return
+        # DRed needs the TRIPLES whose last copy went away: a premise
+        # deleted from one graph but still asserted in another still holds
+        # (the closure reads the union of graphs)
+        gone = victim.join(
+            self._df.select(F.col("s").alias("__ks"),
+                            F.col("p").alias("__kp"),
+                            F.col("o_lex").alias("__ko"),
+                            F.col("o_dt").alias("__kd"),
+                            F.col("o_lang").alias("__kl")),
+            (F.col("s") == F.col("__ks")) & (F.col("p") == F.col("__kp"))
+            & (F.col("o_lex") == F.col("__ko"))
+            & F.col("o_dt").eqNullSafe(F.col("__kd"))
+            & F.col("o_lang").eqNullSafe(F.col("__kl")), "left_anti")
+        self._retract_inference(deleted=gone)
 
     def load_version(self, quads: DataFrame, graph: Optional[str] = None) -> str:
         """Atomic versioned bulk load; returns the graph IRI used."""
@@ -227,13 +242,28 @@ class QuadStore:
 
     # -- inference ------------------------------------------------------
 
-    def _retract_inference(self):
+    def _retract_inference(self, deleted: Optional[DataFrame] = None):
         """Deletes can invalidate derived triples: GraphDB retracts inferred
         statements when their premises go (repo-config.ttl inference on
-        delete). Forward closure is not invertible without provenance, so
-        re-materialize from the surviving base facts."""
-        if self._inferred is not None:
-            self.materialize_inference()
+        delete). With the deleted quads in hand, DRed maintenance
+        (over-delete the consequence cone, re-derive survivors —
+        operators/inference.owl_horst_decrement) keeps the cost
+        proportional to the deletion's consequences; bulk graph-level
+        operations (CLEAR/COPY/MOVE) and TBox deletions re-materialize
+        from the surviving base facts."""
+        if self._inferred is None:
+            return
+        if deleted is not None:
+            from graphdb_free_mocha_sa_spark.operators.inference import (
+                owl_horst_decrement)
+            if deleted.isEmpty():
+                return
+            new_inf = owl_horst_decrement(self.spark, self._df,
+                                          self._inferred, deleted)
+            if new_inf is not None:
+                self._inferred = new_inf
+                return
+        self.materialize_inference()
 
     def materialize_inference(self):
         """Forward-chaining closure maintained alongside base data (B40)."""
