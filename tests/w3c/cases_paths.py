@@ -135,6 +135,30 @@ CASES = [
         "results": [{"o": '"v"'}],
     },
     {
+        "name": "negated-set-with-inverse",
+        "source": "rdf-tests property-path NPS shape (transcribed; §9.1 !(:p|^:q))",
+        "data": """@prefix : <http://example/> .
+            :a :p :b . :c :q :a . :a :r :d .
+        """,
+        "query": """PREFIX : <http://example/>
+            SELECT ?x WHERE { :a !(:p|^:q) ?x }""",
+        # forward edges of :a not labeled :p (→ :d), plus reversed edges
+        # whose label is not :q (none: the only incoming edge is :q)
+        "results": [{"x": "<http://example/d>"}],
+    },
+    {
+        "name": "star-absent-constant-endpoint",
+        "source": "rdf-tests property-path pp30 shape (transcribed; §18.4 "
+                  "zero-length path binds absent constants)",
+        "data": """@prefix : <http://example/> .
+            :a :p :b .
+        """,
+        "query": """PREFIX : <http://example/>
+            SELECT ?x WHERE { :zzz :p* ?x }""",
+        # :zzz occurs nowhere, but the zero-length path still yields it
+        "results": [{"x": "<http://example/zzz>"}],
+    },
+    {
         "name": "inverse-path",
         "source": "spec §9.2 (^foaf:mbox)",
         "data": _FOAF,
