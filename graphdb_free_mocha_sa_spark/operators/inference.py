@@ -703,6 +703,26 @@ def owl_horst_increment(spark: SparkSession, base: DataFrame,
     raise RuntimeError(f"incremental inference did not converge in {MAX_ITERS} iterations")
 
 
+def _anti_known_bigside(new: DataFrame, known: DataFrame) -> DataFrame:
+    """`new` is SMALL, `known` is BIG: plain left_anti would sort-merge
+    the big side — probe `known` with the broadcast keys instead, then
+    broadcast-anti the (small) present set. Two scans of `known`'s plan,
+    zero shuffles of it."""
+    new = new.dropDuplicates(["s", "p", "o_lex", "o_dt", "o_lang"]) \
+             .localCheckpoint()
+    keys = new.select("s", "p", "o_lex").dropDuplicates()
+    pres = (known.select("s", "p", "o_lex")
+            .join(F.broadcast(keys), ["s", "p", "o_lex"], "left_semi")
+            .dropDuplicates()
+            .select(F.col("s").alias("__ks"), F.col("p").alias("__kp"),
+                    F.col("o_lex").alias("__ko"))
+            .localCheckpoint())
+    return new.join(
+        F.broadcast(pres),
+        (F.col("s") == F.col("__ks")) & (F.col("p") == F.col("__kp"))
+        & (F.col("o_lex") == F.col("__ko")), "left_anti")
+
+
 def owl_horst_decrement(spark: SparkSession, base_after: DataFrame,
                         inferred: DataFrame, deleted: DataFrame,
                         graph: str = INFERRED_GRAPH) -> DataFrame | None:
@@ -764,11 +784,38 @@ def _decrement_body(spark: SparkSession, base_after: DataFrame,
     schema = Schema(old_known)          # TBox unchanged by this delete
     apply_rules = _rule_applier(spark, schema, graph)
 
-    def one_step(delta: DataFrame, known: DataFrame) -> DataFrame:
+    def one_step(delta: DataFrame, known: DataFrame,
+                 both_sides: bool = False) -> DataFrame:
         new = apply_rules(delta)
         ts = _trans_step(delta, known, schema.transitive, graph)
         if ts is not None:
             new = new.unionByName(ts)
+        if both_sides and schema.transitive:
+            # over-delete accelerator: a deleted transitive edge's cone is
+            # known* ⋈ d ⋈ known* — computing the BOTH-side extension in
+            # one pass collapses the semi-naive loop from O(chain) to 2
+            # iterations (the closure contains every sub-chain, so the
+            # one-hop-each-side join over the closure reaches every
+            # crossing pair)
+            g_l = F.lit(graph)
+            for p in sorted(schema.transitive):
+                dd = delta.filter((F.col("p") == p) & F.col("o_dt").isNull()) \
+                    .select(F.col("s").alias("ds"), F.col("o_lex").alias("do"))
+                k = known.filter((F.col("p") == p) & F.col("o_dt").isNull()) \
+                    .select(F.col("s").alias("ks"), F.col("o_lex").alias("ko"))
+                k2 = k.select(F.col("ks").alias("ks2"),
+                              F.col("ko").alias("ko2"))
+                both = (k.join(dd, F.col("ko") == F.col("ds"))
+                        .join(k2, F.col("do") == F.col("ks2"))
+                        .select(g_l.alias("g"), F.col("ks").alias("s"),
+                                F.lit(p).alias("p"),
+                                F.col("ko2").alias("o_lex"),
+                                F.lit(None).cast("string").alias("o_dt"),
+                                F.lit(None).cast("string").alias("o_lang"),
+                                F.lit(None).cast("double").alias("o_num"),
+                                F.lit(None).cast("timestamp").alias("o_ts"))
+                        .select(*QUAD_COLS))
+                new = new.unionByName(both)
         fs = _functional_step(delta, known, schema, graph)
         if fs is not None:
             new = new.unionByName(fs)
@@ -787,14 +834,14 @@ def _decrement_body(spark: SparkSession, base_after: DataFrame,
     # ---- 1. over-delete fixpoint (cone of the deleted premises)
     over = None
     for _ in range(MAX_ITERS):
-        cons = one_step(d, old_known)
-        # only INFERRED facts can be over-deleted
-        k = inferred.select("s", "p", "o_lex") \
-            .withColumnRenamed("s", "__is").withColumnRenamed("p", "__ip") \
-            .withColumnRenamed("o_lex", "__io")
-        cons = cons.join(
-            k, (F.col("s") == F.col("__is")) & (F.col("p") == F.col("__ip"))
-            & (F.col("o_lex") == F.col("__io")), "left_semi")
+        cons = one_step(d, old_known, both_sides=True)
+        # only INFERRED facts can be over-deleted. The cone is small and
+        # the closure is big: probe the closure with the broadcast cone
+        # keys (a small-left left_semi against a big right would
+        # sort-merge the whole closure — measured 3x the wall)
+        ck = cons.select("s", "p", "o_lex").dropDuplicates()
+        cons = inferred.join(F.broadcast(ck), ["s", "p", "o_lex"],
+                             "left_semi")
         if over is not None:
             cons = _anti_known(cons, over)
         cons = cons.localCheckpoint()
@@ -808,7 +855,12 @@ def _decrement_body(spark: SparkSession, base_after: DataFrame,
     if over is None:
         remaining = inferred
     else:
-        remaining = _pin(_anti_known(inferred, over))
+        # LAZY on purpose: `over` is a pinned handful of rows, so the
+        # anti-join is a broadcast filter each reader pays in microseconds
+        # — re-materializing the full closure here made DRed cost as much
+        # as re-materialization (measured r8). The store bounds lineage
+        # depth by re-pinning after a few decrements (pin_inference).
+        remaining = _anti_known(inferred, over)
     new_known = base_after.unionByName(remaining)
 
     # ---- 2. re-derive: candidate premises share a term with a removed
@@ -838,7 +890,8 @@ def _decrement_body(spark: SparkSession, base_after: DataFrame,
                                     F.col("o_lex") == F.col("t"),
                                     "left_semi")) \
         .dropDuplicates(["g", "s", "p", "o_lex", "o_dt", "o_lang"])
-    restored = _pin(_anti_known(one_step(cand, new_known), new_known))
+    restored = _pin(_anti_known_bigside(one_step(cand, new_known),
+                                        new_known))
     if restored.isEmpty():
         return remaining
     out = remaining.unionByName(restored)
@@ -848,6 +901,20 @@ def _decrement_body(spark: SparkSession, base_after: DataFrame,
         out = out.unionByName(
             _anti_known(more, base_after.unionByName(out)))
     return _pin(out.dropDuplicates(["s", "p", "o_lex", "o_dt", "o_lang"]))
+
+
+def pin_inference(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """localCheckpoint an inferred frame with constraint propagation off
+    (same Spark 4.1 Union-rewrite hazard as inside the decrement — the
+    frame may be a stack of anti-joins over checkpointed members)."""
+    cp_key = "spark.sql.constraintPropagation.enabled"
+    cp_prev = spark.conf.get(cp_key, "true")
+    spark.conf.set(cp_key, "false")
+    try:
+        return df.select([F.col(c).alias(c) for c in df.columns]) \
+                 .localCheckpoint()
+    finally:
+        spark.conf.set(cp_key, cp_prev)
 
 
 def expand_sameas(quads: DataFrame, comp: DataFrame) -> DataFrame:

@@ -255,14 +255,22 @@ class QuadStore:
             return
         if deleted is not None:
             from graphdb_free_mocha_sa_spark.operators.inference import (
-                owl_horst_decrement)
+                owl_horst_decrement, pin_inference)
             if deleted.isEmpty():
                 return
             new_inf = owl_horst_decrement(self.spark, self._df,
                                           self._inferred, deleted)
             if new_inf is not None:
+                # the common no-restore path returns a LAZY broadcast
+                # anti-join over the pinned closure; bound the lineage
+                # depth across repeated deletes
+                self._dred_depth = getattr(self, "_dred_depth", 0) + 1
+                if self._dred_depth >= 4:
+                    new_inf = pin_inference(self.spark, new_inf)
+                    self._dred_depth = 0
                 self._inferred = new_inf
                 return
+        self._dred_depth = 0
         self.materialize_inference()
 
     def materialize_inference(self):
