@@ -1060,7 +1060,9 @@ class Translator:
             # inside EXISTS used to see ?x unbound and drop every row).
             # Vars the pattern binds positionally don't need injection —
             # the shared-var semi-join below already correlates them.
-            corr = sorted(v for v in _pattern_expr_vars_deep(pat)
+            corr = sorted(v for v in
+                          (_pattern_expr_vars_deep(pat)
+                           | _pattern_minus_right_vars(pat))
                           & set(var_names(df)) if not v.startswith("__"))
             if corr:
                 cols = [c for v in corr for c in var_cols(v)
@@ -1946,6 +1948,33 @@ def _pattern_expr_vars_deep(p) -> set[str]:
             expr(n.expr)
             walk(n.pattern)
         elif isinstance(n, A.GraphPat):
+            walk(n.pattern)
+
+    walk(p)
+    return out
+
+
+def _pattern_minus_right_vars(p) -> set[str]:
+    """Vars visible in some MINUS right side of the pattern. Their
+    bindings never SURFACE to the pattern's result (Minus projects the
+    left side), so an outer var among them cannot correlate through the
+    top-level semi-join — §8.1.4 substitution requires injecting it
+    (r8: EXISTS { ?y :p ?x MINUS { ?a :q ?x } } with outer ?a used to
+    evaluate the MINUS against ALL ?a, removing too much)."""
+    out: set[str] = set()
+
+    def walk(n):
+        if isinstance(n, A.Minus):
+            out.update(v for v in _pattern_scope_vars(n.right))
+            walk(n.left)
+            walk(n.right)
+        elif isinstance(n, (A.Join, A.Union)):
+            walk(n.left)
+            walk(n.right)
+        elif isinstance(n, A.LeftJoin):
+            walk(n.left)
+            walk(n.right)
+        elif isinstance(n, (A.Filter, A.Extend, A.GraphPat)):
             walk(n.pattern)
 
     walk(p)

@@ -290,14 +290,37 @@ def gen_exists_filter(rng, depth):
     with compatibility on the shared positional vars; expression-position
     outer vars are visible via the merged solution."""
     ht, hf, hs = gen_pattern(rng, depth - 1)
+    neg = rng.random() < 0.5
+    word = "NOT EXISTS" if neg else "EXISTS"
+
+    if rng.random() < 0.3:
+        # MINUS body: under §8.1.4 substitution the outer vars are
+        # CONSTANTS on both sides — compat-filter each side by μ, strip
+        # μ's vars (they leave the domains), then plain §8.3 MINUS
+        lt_, lf_, ls_ = gen_bgp(rng)
+        rt_, rf_, rs_ = gen_bgp(rng)
+
+        def ev(Q, g, hf=hf, lf_=lf_, rf_=rf_, neg=neg):
+            out = []
+            for m in hf(Q, g):
+                Ls = [{k: v for k, v in n.items() if k not in m}
+                      for n in lf_(Q, g) if _compatible(m, n)]
+                Rs = [{k: v for k, v in n.items() if k not in m}
+                      for n in rf_(Q, g) if _compatible(m, n)]
+                hit = bool(ref_minus(Ls, Rs))
+                if hit != neg:
+                    out.append(m)
+            return out
+
+        return (f"{{ {ht} FILTER {word} {{ {lt_} MINUS {{ {rt_} }} }} }}",
+                ev, hs)
+
     bt, bf, bs = gen_path_leaf(rng) if rng.random() < 0.4 else gen_bgp(rng)
     inner = None
     if rng.random() < 0.5:
         es, ef = gen_expr(rng, rng.randint(1, 2))
         inner = (es, ef)
         bt = f"{bt} FILTER({es})"
-    neg = rng.random() < 0.5
-    word = "NOT EXISTS" if neg else "EXISTS"
 
     def ev(Q, g, hf=hf, bf=bf, inner=inner, neg=neg):
         out = []

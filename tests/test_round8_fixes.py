@@ -99,6 +99,39 @@ def test_exists_minus_removes_everything_when_overlap_total(eng):
     assert b == []
 
 
+def test_exists_minus_right_only_outer_var(eng):
+    # the outer var appears POSITIONALLY only in the MINUS right side —
+    # its bindings never surface from the body, so only §8.1.4
+    # substitution (corr injection) can correlate it. Per outer row the
+    # right side is restricted to THAT row's value:
+    #   s=a1: R = {v1} removes L's (b1,v1) ⇒ EXISTS false
+    #   s=a2: R = {}  ⇒ L survives       ⇒ EXISTS true
+    # (pre-fix the MINUS removed v1 for EVERY outer row)
+    b = _bindings(eng, """
+        SELECT ?s WHERE {
+          VALUES ?s { <urn:a1> <urn:a2> }
+          FILTER EXISTS {
+            ?x <urn:r> ?w . FILTER(?w = "v1")
+            MINUS { ?s <urn:q> ?w }
+          }
+        }""")
+    assert [x["s"]["value"] for x in b] == ["urn:a2"]
+
+
+def test_exists_minus_right_only_outer_var_disjoint(eng):
+    # control: right side domain-disjoint from left even with the
+    # injected ?s — MINUS is a no-op, every outer row passes
+    b = _bindings(eng, """
+        SELECT ?s WHERE {
+          VALUES ?s { <urn:a1> <urn:a2> }
+          FILTER EXISTS {
+            ?x <urn:r> ?w
+            MINUS { ?s <urn:q> ?other }
+          }
+        } ORDER BY ?s""")
+    assert [x["s"]["value"] for x in b] == ["urn:a1", "urn:a2"]
+
+
 # ------------------------------------------------- invalid numeric lexicals
 
 
