@@ -82,7 +82,10 @@ PROBES = ["b2_bgp_join", "b4_optional", "tpch_q3_shipping",
           # round-5c curation probes (documents scale 10x too): the
           # line-dedup window, the LM count-table joins, and the
           # staged-column quality filters must all scale ~linearly
-          "ext_line_dedup", "ext_lm_score", "ext_quality_gopher"]
+          "ext_line_dedup", "ext_lm_score", "ext_quality_gopher",
+          # round-8: the 6-pattern star (does the self-join chain hold
+          # at 10x, or does it start to dominate?)
+          "b2b_star6"]
 
 
 def run_probes(spark, sf_dir: str) -> dict[str, float]:

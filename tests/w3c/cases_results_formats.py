@@ -1,0 +1,81 @@
+"""W3C conformance corpus — SPARQL 1.1 Query Results CSV/TSV Format.
+
+Source: the serialization rules of the CSV/TSV Results Recommendation
+(rdf-tests csv-tsv-res family shape, transcribed): CSV uses CRLF line
+ends, a bare-name header, plain lexical forms (IRIs/bnodes/literals
+undecorated), RFC-4180 quoting (field quoted iff it contains comma,
+quote, or newline; inner quotes doubled), empty field for unbound.
+TSV uses LF, a ?-prefixed header, and full Turtle/N-Triples term syntax
+(angle-bracket IRIs, quoted literals with @lang / ^^<dt> decorations,
+backslash escapes).
+"""
+
+_DATA = """@prefix : <http://example/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+:x :p "String" .
+:x :p "String-with-dquote\\"" .
+_:b0 :p "Blank node" .
+:x :p "String, with comma" .
+:x :p "String-with-lang"@en .
+:x :p 123 .
+"""
+
+_Q = ("PREFIX : <http://example/>\n"
+      "SELECT ?s ?o WHERE { ?s :p ?o } ORDER BY ?o")
+
+CASES = [
+    {
+        "name": "csv-terms",
+        "source": "csv-tsv-res spec §3 (transcribed shape)",
+        "data": _DATA,
+        "query": _Q,
+        "csv": ("s,o\r\n"
+                "_:b0,Blank node\r\n"
+                "http://example/x,String\r\n"
+                'http://example/x,"String, with comma"\r\n'
+                'http://example/x,"String-with-dquote"""\r\n'
+                "http://example/x,String-with-lang\r\n"
+                "http://example/x,123\r\n"),
+    },
+    {
+        "name": "tsv-terms",
+        "source": "csv-tsv-res spec §4 (transcribed shape)",
+        "data": _DATA,
+        "query": _Q,
+        "tsv": ("?s\t?o\n"
+                '_:b0\t"Blank node"\n'
+                '<http://example/x>\t"String"\n'
+                '<http://example/x>\t"String, with comma"\n'
+                '<http://example/x>\t"String-with-dquote\\""\n'
+                '<http://example/x>\t"String-with-lang"@en\n'
+                '<http://example/x>\t"123"^^'
+                "<http://www.w3.org/2001/XMLSchema#integer>\n"),
+    },
+    {
+        "name": "csv-unbound-empty",
+        "source": "csv-tsv-res spec §3 (unbound = empty field)",
+        "data": """@prefix : <http://example/> .
+            :a :p 1 . :a :q 9 . :b :p 2 .
+        """,
+        "query": """PREFIX : <http://example/>
+            SELECT ?s ?w WHERE { ?s :p ?o OPTIONAL { ?s :q ?w } }
+            ORDER BY ?s""",
+        "csv": ("s,w\r\n"
+                "http://example/a,9\r\n"
+                "http://example/b,\r\n"),
+    },
+    {
+        "name": "tsv-unbound-empty",
+        "source": "csv-tsv-res spec §4 (unbound = empty field)",
+        "data": """@prefix : <http://example/> .
+            :a :p 1 . :a :q 9 . :b :p 2 .
+        """,
+        "query": """PREFIX : <http://example/>
+            SELECT ?s ?w WHERE { ?s :p ?o OPTIONAL { ?s :q ?w } }
+            ORDER BY ?s""",
+        "tsv": ("?s\t?w\n"
+                '<http://example/a>\t"9"^^'
+                "<http://www.w3.org/2001/XMLSchema#integer>\n"
+                "<http://example/b>\t\n"),
+    },
+]

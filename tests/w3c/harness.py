@@ -230,6 +230,15 @@ def run_case(spark, case, tmp_path):
     eng = load_engine(spark, case, tmp_path)
     for upd in case.get("update", []):
         eng.update(upd)
+    if "csv" in case or "tsv" in case:
+        import io
+        fmt = "csv" if "csv" in case else "tsv"
+        buf = io.StringIO()
+        eng.query_to(case["query"], buf.write, fmt=fmt)
+        got = buf.getvalue()
+        exp = case[fmt]
+        return got == exp, (f"expected {exp!r} got {got!r}"
+                            if got != exp else "")
     out = json.loads(eng.query_json(case["query"]))
     if out.get("head", {}).get("vars") == ["xxx"]:
         return False, "error sentinel"
