@@ -398,7 +398,25 @@ class Translator:
         out = pieces[0]
         for piece in pieces[1:]:
             out = out.unionByName(piece)
-        return out
+        if len(pieces) <= 4:
+            # the common single-maybe-unbound-var shape: 4 pieces, no
+            # collapse shuffle needed (AQE coalesces at runtime)
+            return out
+        # pin the piece union once (lazy) AND collapse its partitioning:
+        # a union of N shuffled pieces carries N x shuffle.partitions
+        # output partitions, and every piece of the NEXT fan-out scans
+        # all of them — chained compat operators otherwise multiply map
+        # tasks (an r8 soak case stacked to a 73k-task stage). One cheap
+        # repartition bounds every downstream scan to the session's
+        # shuffle width.
+        return self._collapse_union(out)
+
+    def _collapse_union(self, df: DataFrame) -> DataFrame:
+        """Repartition a piece union to the session shuffle width and pin
+        it lazily — bounds both the partition count every downstream
+        operator scans and the number of times the union is re-planned."""
+        n = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        return df.repartition(n).localCheckpoint(eager=False)
 
     def _minus_mask_anti(self, left: DataFrame, right: DataFrame,
                          shared: list[str],
@@ -456,7 +474,9 @@ class Translator:
             # an empty multiset is empty, not a None frame (r7 fuzz-soak
             # fix: returned None and crashed the projection)
             return lt.filter(F.lit(False)).drop(lm_col)
-        return out.drop(lm_col) if lm_col in out.columns else out
+        out = out.drop(lm_col) if lm_col in out.columns else out
+        # same piece-union collapse rationale as _compat_union_join (r8)
+        return out if k <= 1 else self._collapse_union(out)
 
     # ------------------------------------------------------------ scans
 
@@ -1162,7 +1182,13 @@ class Translator:
                 matched = piece if matched is None else matched.unionByName(piece)
         if matched is None:
             return df.drop(rid).withColumn(flag, F.lit(False))
-        md = matched.dropDuplicates().withColumn(flag, F.lit(True))
+        # pin the matched-id union ONCE: downstream operators (LeftJoin-
+        # with-EXISTS expands into a union that references this frame
+        # twice; further mask fan-outs multiply) would otherwise re-plan
+        # the whole piece union per reference — r8 soak found a case
+        # whose task count exploded 48x through exactly this stacking
+        md = self._collapse_union(
+            matched.dropDuplicates().withColumn(flag, F.lit(True)))
         return df.join(md, rid, "left_outer").drop(rid)
 
     # ------------------------------------------------------------ expressions
@@ -1634,7 +1660,18 @@ class Translator:
         out = pieces[0]
         for piece in pieces[1:]:
             out = out.unionByName(piece)
-        return out.dropDuplicates()
+        if len(pieces) <= 4:
+            # the common single-maybe-unbound-var shape: 4 pieces, no
+            # collapse shuffle needed (AQE coalesces at runtime)
+            return out
+        # pin the piece union once (lazy) AND collapse its partitioning:
+        # a union of N shuffled pieces carries N x shuffle.partitions
+        # output partitions, and every piece of the NEXT fan-out scans
+        # all of them — chained compat operators otherwise multiply map
+        # tasks (an r8 soak case stacked to a 73k-task stage). One cheap
+        # repartition bounds every downstream scan to the session's
+        # shuffle width.
+        return self._collapse_union(out).dropDuplicates()
 
 
 # ---------------------------------------------------------------- helpers
