@@ -35,6 +35,14 @@ CASES = [
          **_exprs((f'TZ({_DT})', '"-05:00"'),
                   ('TZ("2011-01-10T14:45:13.815Z"^^xsd:dateTime)', '"Z"'),
                   ('TZ("2011-01-10T14:45:13.815"^^xsd:dateTime)', '""'))),
+    dict(name="timezone-duration", source="spec §17.4.5.8",
+         **_exprs((f'TIMEZONE({_DT})',
+                   '"-PT5H"^^<http://www.w3.org/2001/XMLSchema#dayTimeDuration>'),
+                  ('TIMEZONE("2011-01-10T14:45:13.815Z"^^xsd:dateTime)',
+                   '"PT0S"^^<http://www.w3.org/2001/XMLSchema#dayTimeDuration>'),
+                  # no timezone ⇒ error ⇒ unbound
+                  ('TIMEZONE("2011-01-10T14:45:13.815"^^xsd:dateTime)',
+                   None))),
     dict(name="now-is-datetime", source="spec §17.4.5.1",
          query=Q + "SELECT ?ok WHERE { VALUES ?u { 1 } "
                    "BIND(DATATYPE(NOW()) = xsd:dateTime AS ?ok) }",
