@@ -98,6 +98,21 @@ CASES = [
         "results": [{"n": '"William"'}],
     },
     {
+        "name": "insert-graph-variable-template",
+        "source": "update spec §3.1.3 (GRAPH ?g in the INSERT template)",
+        "named": {"http://example/g1":
+                  "@prefix : <http://example/> .\n:a :p 1 .\n",
+                  "http://example/g2":
+                  "@prefix : <http://example/> .\n:b :p 2 .\n"},
+        "update": ["""PREFIX : <http://example/>
+            INSERT { GRAPH ?g { ?s :copied ?o } }
+            WHERE  { GRAPH ?g { ?s :p ?o } }"""],
+        "query": """PREFIX : <http://example/>
+            SELECT ?g ?s WHERE { GRAPH ?g { ?s :copied ?o } }""",
+        "results": [{"g": "<http://example/g1>", "s": "<http://example/a>"},
+                    {"g": "<http://example/g2>", "s": "<http://example/b>"}],
+    },
+    {
         "name": "clear-graph",
         "source": "update spec §3.2.2",
         "named": {"http://example/g1":
