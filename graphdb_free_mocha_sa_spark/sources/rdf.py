@@ -22,7 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graphdb_free_mocha_sa_spark.model import (NUMERIC_DTS, QUAD_COLS,
-                                               XSD_DATETIME, XSD_STRING,
+                                               XSD_DATE, XSD_DATETIME,
+                                               XSD_STRING,
                                                num_shadow_col, valid_num_lex)
 
 _IRI = r"<([^>]*)>"
@@ -131,7 +132,10 @@ def _read_line_rdf(spark: SparkSession, path: str, graph: str,
     # per-datatype lexical validation keeps invalid forms out of the value
     # space (r8 ADVICE fix — a bare cast admits "1e5"^^xsd:integer)
     num = num_shadow_col(dt, o_lex)
-    ts = F.when(dt == XSD_DATETIME, F.to_timestamp(F.regexp_replace(o_lex, "T", " ")))
+    ts = (F.when(dt == XSD_DATETIME,
+                 F.to_timestamp(F.regexp_replace(o_lex, "T", " ")))
+          .when(dt == XSD_DATE,
+                F.to_date(F.substring(o_lex, 1, 10)).cast("timestamp")))
 
     return (lines.select(
         g_col.alias("g"), s.alias("s"), F.when(F.length(p) > 0, p).alias("p"),
@@ -170,7 +174,7 @@ def read_turtle(spark: SparkSession, path: str, graph: str) -> DataFrame:
                 num = ts = None
                 if dt in NUMERIC_DTS:
                     num = valid_num_lex(dt, lex)
-                elif dt == XSD_DATETIME:
+                elif dt in (XSD_DATETIME, XSD_DATE):
                     try:
                         ts = _dt.datetime.fromisoformat(lex)
                     except ValueError:
@@ -207,7 +211,7 @@ def read_trig(spark: SparkSession, path: str, default_graph: str) -> DataFrame:
                 num = ts = None
                 if dt in NUMERIC_DTS:
                     num = valid_num_lex(dt, lex)
-                elif dt == XSD_DATETIME:
+                elif dt in (XSD_DATETIME, XSD_DATE):
                     try:
                         ts = _dt.datetime.fromisoformat(lex)
                     except ValueError:
@@ -245,7 +249,7 @@ def read_rdfxml(spark: SparkSession, path: str, graph: str) -> DataFrame:
                 num = ts = None
                 if dt in NUMERIC_DTS:
                     num = valid_num_lex(dt, lex)
-                elif dt == XSD_DATETIME:
+                elif dt in (XSD_DATETIME, XSD_DATE):
                     try:
                         ts = _dt.datetime.fromisoformat(lex)
                     except ValueError:
@@ -285,7 +289,7 @@ def read_jsonld(spark: SparkSession, path: str,
                 num = ts = None
                 if dt in NUMERIC_DTS:
                     num = valid_num_lex(dt, lex)
-                elif dt == XSD_DATETIME:
+                elif dt in (XSD_DATETIME, XSD_DATE):
                     try:
                         ts = _dt.datetime.fromisoformat(lex)
                     except ValueError:
@@ -306,7 +310,7 @@ def _typed_quad(graph, s, p, lex, dt, lang):
     num = ts = None
     if dt in NUMERIC_DTS:
         num = valid_num_lex(dt, lex)
-    elif dt == XSD_DATETIME:
+    elif dt in (XSD_DATETIME, XSD_DATE):
         try:
             ts = _dt.datetime.fromisoformat(lex)
         except ValueError:

@@ -27,7 +27,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from graphdb_free_mocha_sa_spark.model import (NUMERIC_DTS, RDF_LANGSTRING,
-                                               XSD, XSD_BOOLEAN, XSD_DATETIME,
+                                               XSD, XSD_BOOLEAN, XSD_DATE,
+                                               XSD_DATETIME,
                                                XSD_DECIMAL, XSD_DOUBLE,
                                                XSD_FLOAT, XSD_INT,
                                                XSD_INTEGER, XSD_LONG,
@@ -126,6 +127,12 @@ class TCol:
                 num = F.lit(v) if v is not None else None
             if term.dt == XSD_DATETIME:
                 ts = F.to_timestamp(F.lit(term.lex.replace("T", " ")))
+            if term.dt == XSD_DATE:
+                # value shadow at midnight: xsd:date joins the temporal
+                # value space (GraphDB's literal index does the same;
+                # date ordering/comparison is the common extension —
+                # the strict §17.3 table only mandates dateTime) (r8)
+                ts = F.to_date(F.lit(term.lex[:10])).cast("timestamp")
             if term.dt == XSD_BOOLEAN:
                 # "1"/"0" are valid xsd:boolean lexicals; an invalid one
                 # has NO boolean value (falls through every operator)
@@ -686,15 +693,22 @@ def builtin(name: str, args: list[TCol], base: str | None = None) -> TCol:
         # timestamps (NOW()) that carry no dateTime lexical
         pat = {"YEAR": r"^(-?\d{4,})-",
                "MONTH": r"^-?\d{4,}-(\d{2})-",
-               "DAY": r"^-?\d{4,}-\d{2}-(\d{2})T",
+               # digit-boundary, not 'T': DAY works for xsd:date too (r8)
+               "DAY": r"^-?\d{4,}-\d{2}-(\d{2})(?![0-9])",
                "HOURS": r"T(\d{2}):",
                "MINUTES": r"T\d{2}:(\d{2}):"}[n]
         fb = {"YEAR": F.year, "MONTH": F.month, "DAY": F.dayofmonth,
               "HOURS": F.hour, "MINUTES": F.minute}[n]
         lexv = F.regexp_extract(a[0].lex, pat, 1)
+        # the shadow fallback serves computed timestamps (NOW()) — gate
+        # it on a dateTime datatype so HOURS/MINUTES of an xsd:date stay
+        # a type error instead of reading midnight (r8)
+        fallback = F.when(a[0].dt == XSD_DATETIME,
+                          fb(a[0].ts).cast("double")) \
+            if n in ("HOURS", "MINUTES") else fb(a[0].ts).cast("double")
         val = F.when(a[0].ts.isNotNull(),
                      F.when(F.length(lexv) > 0, lexv.cast("double"))
-                      .otherwise(fb(a[0].ts).cast("double")))
+                      .otherwise(fallback))
         return TCol.from_num(val, XSD_INTEGER)
     if n == "SECONDS":
         # fn:seconds-from-dateTime returns xsd:decimal INCLUDING the
@@ -712,7 +726,11 @@ def builtin(name: str, args: list[TCol], base: str | None = None) -> TCol:
         lex = (F.when(F.length(sec_lex) > 0,
                       F.regexp_replace(sec_lex, r"^0(\d)", r"$1"))
                .otherwise(F.second(a[0].ts).cast("long").cast("string")))
-        ok = a[0].ts.isNotNull()
+        # an xsd:date has a ts shadow (midnight) but NO seconds field —
+        # type error unless the lexical carries a time or the term is a
+        # computed dateTime (r8)
+        ok = a[0].ts.isNotNull() & ((F.length(sec_lex) > 0)
+                                    | (a[0].dt == XSD_DATETIME))
         return TCol(lex=F.when(ok, lex), dt=F.when(ok, F.lit(XSD_DECIMAL)),
                     num=F.when(ok, val))
     if n == "TZ":

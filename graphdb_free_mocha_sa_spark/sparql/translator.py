@@ -30,7 +30,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graphdb_free_mocha_sa_spark.model import (NUMERIC_DTS, VAR_SUFFIXES,
-                                               XSD_BOOLEAN, XSD_DATETIME,
+                                               XSD_BOOLEAN, XSD_DATE,
+                                               XSD_DATETIME,
                                                canonical_key_from_parts,
                                                canonical_object_key, var_cols,
                                                valid_num_lex)
@@ -69,6 +70,11 @@ def term_parts_py(term) -> tuple:
         if dt == XSD_DATETIME:
             try:
                 ts = datetime.datetime.fromisoformat(term.lex)
+            except ValueError:
+                ts = None
+        elif dt == XSD_DATE:
+            try:
+                ts = datetime.datetime.fromisoformat(term.lex[:10])
             except ValueError:
                 ts = None
         if term.lang:
@@ -975,6 +981,12 @@ class Translator:
                         import datetime as _dt
                         try:
                             ts = _dt.datetime.fromisoformat(lex.replace("Z", "+00:00"))
+                        except ValueError:
+                            ts = None
+                    elif dt == XSD_DATE:
+                        import datetime as _dt
+                        try:
+                            ts = _dt.datetime.fromisoformat(lex[:10])
                         except ValueError:
                             ts = None
                     key = f'"{lex}"@{lang}' if lang else f'"{lex}"^^{dt}'

@@ -47,6 +47,18 @@ CASES = [
          query=Q + "SELECT ?ok WHERE { VALUES ?u { 1 } "
                    "BIND(DATATYPE(NOW()) = xsd:dateTime AS ?ok) }",
          results=[{"ok": '"true"^^xsd:boolean'}]),
+    dict(name="date-extension", source="engine extension (GraphDB parity): "
+         "xsd:date joins the temporal value space",
+         **_exprs(('"2011-01-10"^^xsd:date < "2012-01-01"^^xsd:date',
+                   '"true"^^xsd:boolean'),
+                  ('"2011-01-10"^^xsd:date = "2011-01-10"^^xsd:date',
+                   '"true"^^xsd:boolean'),
+                  ('YEAR("2011-01-10"^^xsd:date)', '"2011"^^xsd:integer'),
+                  ('MONTH("2011-01-10"^^xsd:date)', '"1"^^xsd:integer'),
+                  ('DAY("2011-01-10"^^xsd:date)', '"10"^^xsd:integer'),
+                  # no time fields on a date: type errors
+                  ('HOURS("2011-01-10"^^xsd:date)', None),
+                  ('SECONDS("2011-01-10"^^xsd:date)', None))),
     dict(name="datetime-compare", source="spec §17.3 (op:dateTime ordering)",
          **_exprs(('"2010-06-21T11:28:01Z"^^xsd:dateTime < '
                    '"2011-06-21T11:28:01Z"^^xsd:dateTime',
