@@ -113,6 +113,45 @@ def valid_num_lex(dt, lex):
         return float(lex) if _DBL_LEX_RE.match(lex) else None
     return None
 
+
+# One canonical convention for the xsd:date temporal shadow, shared by every
+# ingest path, the VALUES/constant paths, and the line readers (r8 ADVICE:
+# datetime.fromisoformat("2002-10-10+13:00") parses the timezone suffix as a
+# TIME on Python 3.11+, while lex[:10] truncation both ignored it AND broke
+# >4-digit/negative years):
+#   value = the date component at local midnight, any timezone suffix
+#   dropped (same local-value convention as the r8 YEAR()/MONTH() accessors).
+# Dates outside Python datetime's representable window (years 0001-9999 —
+# negative, year-zero, and >4-digit years, e.g. "-0005-01-01") have NO shadow
+# on ANY path — consistently absent from the temporal value space rather than
+# truncated to garbage on some paths and parsed on others. Both regexes
+# enforce the window explicitly because Spark's to_date would otherwise
+# accept years Python cannot represent (proleptic year <= 0, 5-digit years).
+_DATE_PREFIX_RE = _re.compile(r"(?!0000)\d{4}-\d{2}-\d{2}(?!\d)")
+DATE_PREFIX_SQL = r"^((?!0000)\d{4}-\d{2}-\d{2})(?:[^0-9]|$)"
+
+
+def date_shadow_py(lex):
+    """datetime at local midnight for an xsd:date lexical, else None."""
+    m = _DATE_PREFIX_RE.match(lex)
+    if not m:
+        return None
+    import datetime as _dt
+    try:
+        return _dt.datetime.fromisoformat(m.group(0))
+    except ValueError:
+        return None
+
+
+def date_shadow_col(lex):
+    """Column-side twin of :func:`date_shadow_py`. try_cast, not to_date:
+    the sessions run Spark 4's default ANSI mode, where to_date THROWS on
+    a malformed input ('' from a failed regexp_extract, or a lexically
+    shaped non-date like 2002-13-40) instead of yielding NULL."""
+    return (F.regexp_extract(lex, DATE_PREFIX_SQL, 1)
+            .try_cast("date").cast("timestamp"))
+
+
 #: graph-name scheme used by the reference for versioned bulk loads
 #: (GraphDBSystemAdapter.java:318: "http://graph.version." + loadingNumber)
 GRAPH_VERSION_PREFIX = "http://graph.version."

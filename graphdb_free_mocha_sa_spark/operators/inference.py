@@ -105,24 +105,31 @@ class Schema:
         self.collected_rows = len(tbox)
         sc, sp, dom, rng, inv, trans, sym = set(), set(), set(), set(), set(), set(), set()
         func, invfunc = set(), set()
-        on_prop: dict = {}            # restriction node -> property
-        hv_raw: dict = {}             # restriction node -> full value tuple
-        sv_raw: dict = {}             # restriction node -> class (IRI)
+        # MULTI-valued restriction components (r9 fuzzer find): the rules
+        # are instantiated per TRIPLE match, so a node with two hasValue
+        # (or onProperty / someValuesFrom / allValuesFrom) triples yields
+        # one rule instance per (onProperty x value) combination — a
+        # last-row-wins dict silently dropped all but one, and WHICH one
+        # depended on collect order (nondeterministic closure).
+        on_prop: dict = {}            # restriction node -> {property}
+        hv_raw: dict = {}             # restriction node -> {value tuple}
+        sv_raw: dict = {}             # restriction node -> {class (IRI)}
         av_raw: dict = {}
         for row in tbox:
             p, s, o = row["p"], row["s"], row["o_lex"]
             if p == ON_PROPERTY:
-                on_prop[s] = o
+                on_prop.setdefault(s, set()).add(o)
                 continue
             if p == HAS_VALUE:
-                hv_raw[s] = (row["o_lex"], row["o_dt"], row["o_lang"],
-                             row["o_num"], row["o_ts"])
+                hv_raw.setdefault(s, set()).add(
+                    (row["o_lex"], row["o_dt"], row["o_lang"],
+                     row["o_num"], row["o_ts"]))
                 continue
             if p == SOME_VALUES:
-                sv_raw[s] = o
+                sv_raw.setdefault(s, set()).add(o)
                 continue
             if p == ALL_VALUES:
-                av_raw[s] = o
+                av_raw.setdefault(s, set()).add(o)
                 continue
             if p == SUBCLASS and s != o:
                 sc.add((s, o))
@@ -166,12 +173,21 @@ class Schema:
         # node only acts once it has BOTH owl:onProperty and its value/class
         # side. The restriction class itself is a first-class class (it can
         # appear in subClassOf chains — composition happens through rdfs9).
-        self.has_value = [(v, on_prop[v], val) for v, val in sorted(hv_raw.items())
-                          if v in on_prop]
-        self.some_values = [(v, on_prop[v], w) for v, w in sorted(sv_raw.items())
-                            if v in on_prop]
-        self.all_values = [(v, on_prop[v], w) for v, w in sorted(av_raw.items())
-                           if v in on_prop]
+        def _vkey(t):
+            return tuple("" if x is None else str(x) for x in t)
+
+        self.has_value = [(v, p, val)
+                          for v, vals in sorted(hv_raw.items())
+                          for p in sorted(on_prop.get(v, ()))
+                          for val in sorted(vals, key=_vkey)]
+        self.some_values = [(v, p, w)
+                            for v, ws in sorted(sv_raw.items())
+                            for p in sorted(on_prop.get(v, ()))
+                            for w in sorted(ws)]
+        self.all_values = [(v, p, w)
+                           for v, ws in sorted(av_raw.items())
+                           for p in sorted(on_prop.get(v, ()))
+                           for w in sorted(ws)]
 
 
 def _rule_applier(spark: SparkSession, schema: Schema, graph: str):

@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 
 from graphdb_free_mocha_sa_spark.model import (NUMERIC_DTS, QUAD_COLS,
                                                XSD_DATE, XSD_DATETIME,
-                                               XSD_STRING,
+                                               XSD_STRING, date_shadow_col,
+                                               date_shadow_py,
                                                num_shadow_col, valid_num_lex)
 
 _IRI = r"<([^>]*)>"
@@ -134,8 +135,7 @@ def _read_line_rdf(spark: SparkSession, path: str, graph: str,
     num = num_shadow_col(dt, o_lex)
     ts = (F.when(dt == XSD_DATETIME,
                  F.to_timestamp(F.regexp_replace(o_lex, "T", " ")))
-          .when(dt == XSD_DATE,
-                F.to_date(F.substring(o_lex, 1, 10)).cast("timestamp")))
+          .when(dt == XSD_DATE, date_shadow_col(o_lex)))
 
     return (lines.select(
         g_col.alias("g"), s.alias("s"), F.when(F.length(p) > 0, p).alias("p"),
@@ -174,11 +174,15 @@ def read_turtle(spark: SparkSession, path: str, graph: str) -> DataFrame:
                 num = ts = None
                 if dt in NUMERIC_DTS:
                     num = valid_num_lex(dt, lex)
-                elif dt in (XSD_DATETIME, XSD_DATE):
+                elif dt == XSD_DATETIME:
                     try:
                         ts = _dt.datetime.fromisoformat(lex)
                     except ValueError:
                         ts = None
+                elif dt == XSD_DATE:
+                    # shared local-midnight convention; fromisoformat(lex)
+                    # would read "2002-10-10+13:00" as 13:00 (r8 ADVICE)
+                    ts = date_shadow_py(lex)
                 yield (graph, s, p, lex, dt, lang, num, ts)
 
     files = spark.read.text(path, wholetext=True)
@@ -211,11 +215,15 @@ def read_trig(spark: SparkSession, path: str, default_graph: str) -> DataFrame:
                 num = ts = None
                 if dt in NUMERIC_DTS:
                     num = valid_num_lex(dt, lex)
-                elif dt in (XSD_DATETIME, XSD_DATE):
+                elif dt == XSD_DATETIME:
                     try:
                         ts = _dt.datetime.fromisoformat(lex)
                     except ValueError:
                         ts = None
+                elif dt == XSD_DATE:
+                    # shared local-midnight convention; fromisoformat(lex)
+                    # would read "2002-10-10+13:00" as 13:00 (r8 ADVICE)
+                    ts = date_shadow_py(lex)
                 yield (g if g is not None else default_graph,
                        s, p, lex, dt, lang, num, ts)
 
@@ -249,11 +257,15 @@ def read_rdfxml(spark: SparkSession, path: str, graph: str) -> DataFrame:
                 num = ts = None
                 if dt in NUMERIC_DTS:
                     num = valid_num_lex(dt, lex)
-                elif dt in (XSD_DATETIME, XSD_DATE):
+                elif dt == XSD_DATETIME:
                     try:
                         ts = _dt.datetime.fromisoformat(lex)
                     except ValueError:
                         ts = None
+                elif dt == XSD_DATE:
+                    # shared local-midnight convention; fromisoformat(lex)
+                    # would read "2002-10-10+13:00" as 13:00 (r8 ADVICE)
+                    ts = date_shadow_py(lex)
                 yield (graph, s, p, lex, dt, lang, num, ts)
 
     files = spark.read.text(path, wholetext=True) \
@@ -289,11 +301,15 @@ def read_jsonld(spark: SparkSession, path: str,
                 num = ts = None
                 if dt in NUMERIC_DTS:
                     num = valid_num_lex(dt, lex)
-                elif dt in (XSD_DATETIME, XSD_DATE):
+                elif dt == XSD_DATETIME:
                     try:
                         ts = _dt.datetime.fromisoformat(lex)
                     except ValueError:
                         ts = None
+                elif dt == XSD_DATE:
+                    # shared local-midnight convention; fromisoformat(lex)
+                    # would read "2002-10-10+13:00" as 13:00 (r8 ADVICE)
+                    ts = date_shadow_py(lex)
                 yield (g if g is not None else default_graph,
                        s, p, lex, dt, lang, num, ts)
 
@@ -310,11 +326,13 @@ def _typed_quad(graph, s, p, lex, dt, lang):
     num = ts = None
     if dt in NUMERIC_DTS:
         num = valid_num_lex(dt, lex)
-    elif dt in (XSD_DATETIME, XSD_DATE):
+    elif dt == XSD_DATETIME:
         try:
             ts = _dt.datetime.fromisoformat(lex)
         except ValueError:
             ts = None
+    elif dt == XSD_DATE:
+        ts = date_shadow_py(lex)
     return (graph, s, p, lex, dt, lang, num, ts)
 
 

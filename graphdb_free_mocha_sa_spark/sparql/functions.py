@@ -34,6 +34,7 @@ from graphdb_free_mocha_sa_spark.model import (NUMERIC_DTS, RDF_LANGSTRING,
                                                XSD_INTEGER, XSD_LONG,
                                                XSD_STRING,
                                                canonical_key_from_parts,
+                                               date_shadow_col,
                                                term_kind_rank, valid_num_lex)
 
 #: the integer-valued XSD types (promote together per §17.3) — the full
@@ -131,8 +132,10 @@ class TCol:
                 # value shadow at midnight: xsd:date joins the temporal
                 # value space (GraphDB's literal index does the same;
                 # date ordering/comparison is the common extension —
-                # the strict §17.3 table only mandates dateTime) (r8)
-                ts = F.to_date(F.lit(term.lex[:10])).cast("timestamp")
+                # the strict §17.3 table only mandates dateTime) (r8);
+                # shared tz-strip convention (r8 ADVICE: [:10] broke
+                # >4-digit years; fromisoformat read tz as a time)
+                ts = date_shadow_col(F.lit(term.lex))
             if term.dt == XSD_BOOLEAN:
                 # "1"/"0" are valid xsd:boolean lexicals; an invalid one
                 # has NO boolean value (falls through every operator)
@@ -903,7 +906,14 @@ def builtin(name: str, args: list[TCol], base: str | None = None) -> TCol:
             return TCol.from_ts(F.coalesce(
                 x.ts, F.to_timestamp(F.regexp_replace(x.lex, "T", " "))))
         if local == "date":
-            d = F.coalesce(x.ts.cast("date"), F.to_date(x.lex))
+            # to_date alone rejects the tz-suffixed forms of the xsd:date
+            # lexical space ("2002-10-10+13:00"); admit exactly those via
+            # the shared local-midnight convention (model.date_shadow_col)
+            d = F.coalesce(
+                x.ts.cast("date"), x.lex.try_cast("date"),
+                F.when(x.lex.rlike(r"^-?\d{4,}-\d{2}-\d{2}"
+                                   r"(Z|[+-]\d{2}:\d{2})$"),
+                       date_shadow_col(x.lex).cast("date")))
             return TCol(lex=F.date_format(d, "yyyy-MM-dd"),
                         dt=F.when(d.isNotNull(), F.lit(XSD + "date")),
                         ts=d.cast("timestamp"))

@@ -33,7 +33,8 @@ from graphdb_free_mocha_sa_spark.model import (NUMERIC_DTS, VAR_SUFFIXES,
                                                XSD_BOOLEAN, XSD_DATE,
                                                XSD_DATETIME,
                                                canonical_key_from_parts,
-                                               canonical_object_key, var_cols,
+                                               canonical_object_key,
+                                               date_shadow_py, var_cols,
                                                valid_num_lex)
 from graphdb_free_mocha_sa_spark.sparql import algebra as A
 from graphdb_free_mocha_sa_spark.store import DEFAULT_GRAPH
@@ -73,10 +74,7 @@ def term_parts_py(term) -> tuple:
             except ValueError:
                 ts = None
         elif dt == XSD_DATE:
-            try:
-                ts = datetime.datetime.fromisoformat(term.lex[:10])
-            except ValueError:
-                ts = None
+            ts = date_shadow_py(term.lex)
         if term.lang:
             key = f'"{term.lex}"@{term.lang}'
         else:
@@ -879,7 +877,9 @@ class Translator:
                 f"SERVICE ?{node.endpoint.name}: endpoint variable is not "
                 "bound by the upstream pattern")
         try:
-            return self._service_fetch(node.endpoint.value, node.query)
+            return self._service_fetch(
+                node.endpoint.value, node.query,
+                sorted(_pattern_scope_vars(node.pattern)))
         except Exception:
             if node.silent:
                 return self._unit()
@@ -917,7 +917,9 @@ class Translator:
                 piece = lp                      # SILENT: unit solution
             else:
                 try:
-                    piece = self._join(lp, self._service_fetch(e, node.query))
+                    piece = self._join(lp, self._service_fetch(
+                        e, node.query,
+                        sorted(_pattern_scope_vars(node.pattern))))
                 except Exception:
                     if not node.silent:
                         raise
@@ -925,9 +927,17 @@ class Translator:
             out = piece if out is None else _union_pad(out, piece)
         return out if out is not None else left.limit(0)
 
-    def _service_fetch(self, endpoint: str, query: str) -> DataFrame:
+    def _service_fetch(self, endpoint: str, query: str,
+                       expect_vars=()) -> DataFrame:
         """One HTTP round trip: POST ``query``, decode the
-        SPARQL-Results-JSON bindings into a solution DataFrame."""
+        SPARQL-Results-JSON bindings into a solution DataFrame.
+
+        ``expect_vars`` = the captured group's in-scope variables; any the
+        endpoint's head omits (legal for an all-empty result column, and
+        some endpoints send ``"vars": []`` with zero bindings) are padded
+        as unbound columns so downstream projection still resolves (r9
+        protocol-matrix find: an empty remote result crashed the plan with
+        UNRESOLVED_COLUMN instead of joining to zero solutions)."""
         import json as _json
         import urllib.error
         import urllib.parse
@@ -940,8 +950,9 @@ class Translator:
                      "Accept": "application/sparql-results+json"})
         with urllib.request.urlopen(req, timeout=60) as resp:
             payload = _json.loads(resp.read().decode("utf-8"))
-        variables = payload["head"]["vars"]
+        variables = list(payload["head"]["vars"])
         bindings = payload["results"]["bindings"]
+        variables += [v for v in expect_vars if v not in variables]
 
         from pyspark.sql.types import (DoubleType, StringType, StructField,
                                        StructType, TimestampType)
@@ -984,11 +995,7 @@ class Translator:
                         except ValueError:
                             ts = None
                     elif dt == XSD_DATE:
-                        import datetime as _dt
-                        try:
-                            ts = _dt.datetime.fromisoformat(lex[:10])
-                        except ValueError:
-                            ts = None
+                        ts = date_shadow_py(lex)
                     key = f'"{lex}"@{lang}' if lang else f'"{lex}"^^{dt}'
                     vals.extend((key, lex, dt, lang, num, ts))
             rows.append(tuple(vals))
@@ -1673,9 +1680,11 @@ class Translator:
         for piece in pieces[1:]:
             out = out.unionByName(piece)
         if len(pieces) <= 4:
-            # the common single-maybe-unbound-var shape: 4 pieces, no
-            # collapse shuffle needed (AQE coalesces at runtime)
-            return out
+            # small template fan-out: skip the collapse SHUFFLE, but an RDF
+            # graph is a SET of triples so the dedup is unconditional (r8
+            # ADVICE high: the early return skipped it and a <=4-triple
+            # template emitted one triple per solution)
+            return out.dropDuplicates()
         # pin the piece union once (lazy) AND collapse its partitioning:
         # a union of N shuffled pieces carries N x shuffle.partitions
         # output partitions, and every piece of the NEXT fan-out scans

@@ -110,6 +110,84 @@ def run_probes(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def run_recursive_probes(spark, scale: int) -> dict[str, float]:
+    """Recursive-operator probes (r8 VERDICT item 2): the property-path
+    frontier closure and the inference materialize / DRed-delete pair are
+    the operators Catalyst doesn't give for free — their 10x behavior was
+    asserted, not measured. Synthetic graphs sized by ``scale``:
+
+    * path closure: a forest of depth-20 chains (1000*scale blocks →
+      19k*scale edges, 190k*scale closure pairs). Constant depth means
+      the frontier-loop iteration count is scale-invariant; the closure
+      OUTPUT grows 10x, so the ideal warm ratio is ~10x linear work on
+      32 fixed cores. Edge count is far past paths.SMALL_GRAPH_EDGES, so
+      both legs run the distributed frontier loop.
+    * inference: the bench fixture shape (10-deep subclass chain x
+      60k*scale instances; both legs far past SMALL_ABOX_QUADS). The DRed
+      leg deletes ONE instance type — its cost is bounded by the deleted
+      fact's consequence cone, so it should be ~flat across scales (THE
+      DRed scaling claim; re-materialization is the linear-growth leg).
+
+    Runs each probe twice: *_cold pays dictionary/JIT/first-shuffle
+    build, the plain key is the steady-state number the ratios use.
+    """
+    import pyspark.sql.functions as F
+
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.model import (QUAD_SCHEMA, RDF_TYPE,
+                                                   RDFS)
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+
+    out: dict[str, float] = {}
+    depth, blocks = 20, 1000 * scale
+    chain = (spark.range(depth * blocks)
+             .filter((F.col("id") + 1) % depth != 0)
+             .select(F.lit("urn:g").alias("g"),
+                     F.concat(F.lit("urn:n"), F.col("id")).alias("s"),
+                     F.lit("urn:next").alias("p"),
+                     F.concat(F.lit("urn:n"), F.col("id") + 1).alias("o_lex"),
+                     F.lit(None).cast("string").alias("o_dt"),
+                     F.lit(None).cast("string").alias("o_lang"),
+                     F.lit(None).cast("double").alias("o_num"),
+                     F.lit(None).cast("timestamp").alias("o_ts"))
+             .localCheckpoint())
+    eng = Engine(spark, QuadStore(spark, chain))
+    q = "SELECT ?a ?b WHERE { ?a <urn:next>+ ?b }"
+    for key in ("path_plus_closure_cold", "path_plus_closure"):
+        t0 = time.time()
+        eng.query(q).finalize({"a": "str", "b": "str"}) \
+            .write.format("noop").mode("overwrite").save()
+        out[key] = round(time.time() - t0, 3)
+
+    sc_p = RDFS + "subClassOf"
+    rows = [("urn:g", f"urn:C{i}", sc_p, f"urn:C{i+1}",
+             None, None, None, None) for i in range(9)]
+    inst = (spark.range(60_000 * scale)
+            .select(F.lit("urn:g").alias("g"),
+                    F.concat(F.lit("urn:i"), F.col("id")).alias("s"),
+                    F.lit(RDF_TYPE).alias("p"),
+                    F.concat(F.lit("urn:C"), F.col("id") % 10).alias("o_lex"),
+                    F.lit(None).cast("string").alias("o_dt"),
+                    F.lit(None).cast("string").alias("o_lang"),
+                    F.lit(None).cast("double").alias("o_num"),
+                    F.lit(None).cast("timestamp").alias("o_ts")))
+    store = QuadStore(
+        spark, spark.createDataFrame(rows, QUAD_SCHEMA).unionByName(inst)
+        .repartition(8).localCheckpoint())
+    t0 = time.time()
+    store.materialize_inference()
+    store._inferred.count()
+    out["inference_materialize"] = round(time.time() - t0, 3)
+    victim = spark.createDataFrame(
+        [("urn:g", "urn:i0", RDF_TYPE, "urn:C0",
+          None, None, None, None)], QUAD_SCHEMA)
+    t0 = time.time()
+    store.delete_quads(victim)
+    store._inferred.count()
+    out["inference_delete_dred"] = round(time.time() - t0, 3)
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     from graphdb_free_mocha_sa_spark import cache as C
@@ -136,6 +214,10 @@ def main() -> None:
     small = run_probes(spark, sf_dir)
     large_cold = run_probes(spark, big)
     large = run_probes(spark, big)
+    rec_small = run_recursive_probes(spark, 1)
+    rec_large = run_recursive_probes(spark, 10)
+    rec_ratios = {k: (round(rec_large[k] / rec_small[k], 2)
+                      if rec_small.get(k) else None) for k in rec_small}
     ratios = {k: (round(large[k] / small[k], 2)
                   if isinstance(small.get(k), float) and small[k] > 0
                   and isinstance(large.get(k), float) else None)
@@ -157,6 +239,9 @@ def main() -> None:
         "large": large,
         "ratio_10x": ratios,
         "ratio_10x_cold": ratios_cold,
+        "recursive_small": rec_small,
+        "recursive_large": rec_large,
+        "recursive_ratio_10x": rec_ratios,
         "measured_unix": int(time.time()),
     }
     path = os.path.join(C.cache_root(), "scale_probe_results.json")

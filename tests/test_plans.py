@@ -285,3 +285,41 @@ def test_aggregate_is_partial_then_final(spark, tables):
     # map-side partial aggregation must precede the exchange
     first_agg = plan.index("HashAggregate")
     assert "partial_count" in plan[first_agg:] or "partial" in plan, plan
+
+
+def test_chained_compat_fanout_partitions_bounded(spark):
+    """r9 (VERDICT r8 item 6): plan-size regression gate for the geometric
+    compat/mask fan-out the r8 soak caught (chained piece unions stacked a
+    73k-task stage before `_collapse_union`). The shape below chains two
+    16-piece compat levels (two maybe-unbound shared vars each) on top of
+    two 4-piece levels; with the collapse in place the result's partition
+    count stays at the session shuffle width instead of multiplying per
+    level. The ceiling is deliberately generous (4x width) — it exists to
+    catch geometric regressions, not coalescing noise."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark))
+    eng.update("""INSERT DATA {
+        <urn:s1> <urn:p> <urn:a1> . <urn:s2> <urn:p> <urn:a2> .
+        <urn:a1> <urn:q1> <urn:x1> .
+        <urn:x1> <urn:q2> <urn:y1> .
+        <urn:x1> <urn:r1> <urn:m1> . <urn:y1> <urn:r2> <urn:m2> .
+        <urn:x1> <urn:r3> <urn:n1> . <urn:y1> <urn:r4> <urn:n2> }""")
+    res = eng.query("""SELECT ?s ?m ?n WHERE {
+        ?s <urn:p> ?a .
+        OPTIONAL { ?a <urn:q1> ?x }
+        OPTIONAL { ?x <urn:q2> ?y }
+        OPTIONAL { ?x <urn:r1> ?m . ?y <urn:r2> ?m2 }
+        OPTIONAL { ?x <urn:r3> ?n . ?y <urn:r4> ?n2 } }""")
+    df = res.finalize({"s": "str", "m": "str", "n": "str"})
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
+    parts = df.rdd.getNumPartitions()
+    assert parts <= 4 * width, (
+        f"compat fan-out regressed: {parts} output partitions "
+        f"(width {width}) — did _collapse_union stop applying?")
+    rows = sorted(tuple(r) for r in df.collect())
+    # s2's ?x/?y are unbound, so the OPTIONAL bodies are compatible with
+    # it and extend it too (§18.5 compat semantics — the very case the
+    # mask fan-out exists to evaluate)
+    assert rows == [("urn:s1", "urn:m1", "urn:n1"),
+                    ("urn:s2", "urn:m1", "urn:n1")]

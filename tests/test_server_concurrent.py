@@ -118,3 +118,72 @@ def test_reader_streams_while_update_executes(served_engine):
     # present: it committed before the read began)
     assert "urn:s0" in subs
     assert subs in ({"urn:s0"}, {"urn:s0", "urn:s1"})
+
+
+def test_dred_maintenance_under_snapshot_readers(served_engine):
+    """r9 (VERDICT r8 item 5): DELETE DATA batches trigger DRed closure
+    maintenance while readers hold snapshots. Invariant: with TBox
+    C0 subClassOf C1 and members asserted as type C0 (deriving type C1),
+    every reader response shows each member with BOTH its types or NEITHER
+    — never the explicit type without the derived one (stale-closure mix)
+    or the derived type after its premise is gone (dangling inference)."""
+    eng, port = served_engine
+    _post_update(port, "INSERT DATA { <urn:C0> "
+                       "<http://www.w3.org/2000/01/rdf-schema#subClassOf> "
+                       "<urn:C1> }")
+    eng.store.materialize_inference()
+    eng.use_inference = True
+
+    n = 6
+    errors: list[str] = []
+    done = threading.Event()
+
+    def writer():
+        try:
+            for i in range(n):   # increments: each member derives type C1
+                r = _post_update(
+                    port, f"INSERT DATA {{ <urn:m:{i}> "
+                          "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+                          " <urn:C0> }")
+                if not r.get("ok"):
+                    errors.append(f"insert {i} failed: {r}")
+            for i in range(n):   # DRed decrements: C1 must retract with C0
+                r = _post_update(
+                    port, f"DELETE DATA {{ <urn:m:{i}> "
+                          "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+                          " <urn:C0> }")
+                if not r.get("ok"):
+                    errors.append(f"delete {i} failed: {r}")
+        finally:
+            done.set()
+
+    reads = []
+
+    def reader():
+        while not done.is_set() or not reads:
+            res = _get_json(
+                port,
+                "SELECT ?s (COUNT(*) AS ?c) WHERE { ?s "
+                "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> ?t } "
+                "GROUP BY ?s")
+            for b in res["results"]["bindings"]:
+                if b["s"]["value"].startswith("urn:m:") \
+                        and int(b["c"]["value"]) != 2:
+                    errors.append(
+                        f"closure mix: {b['s']['value']} has "
+                        f"{b['c']['value']} of its 2 types")
+            reads.append(len(res["results"]["bindings"]))
+
+    wt = threading.Thread(target=writer)
+    rts = [threading.Thread(target=reader) for _ in range(2)]
+    wt.start()
+    [t.start() for t in rts]
+    wt.join(timeout=900)
+    [t.join(timeout=900) for t in rts]
+    assert not errors, errors[:5]
+    # final state: every member and its derived type fully retracted
+    final = _get_json(
+        port, "SELECT (COUNT(*) AS ?c) WHERE { ?s "
+              "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> ?t }")
+    assert int(final["results"]["bindings"][0]["c"]["value"]) == 0
+    assert len(reads) >= 2
