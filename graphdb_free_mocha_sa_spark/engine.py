@@ -68,9 +68,11 @@ class Engine:
 
     def _basis(self) -> tuple:
         """Identity of the current store snapshot (objects held, not id()s —
-        id values can be recycled after GC)."""
-        return (self.store.df,
-                self.store._inferred if self.use_inference else None)
+        id values can be recycled after GC). Pair read is atomic
+        (store.snapshot) so a basis never mixes a new base with a stale
+        closure (r9)."""
+        df, inf = self.store.snapshot()
+        return (df, inf if self.use_inference else None)
 
     def _basis_stats(self) -> tuple:
         """(base row count, any owl:sameAs in the read view) — ONE Spark

@@ -54,10 +54,20 @@ class QuadStore:
         """Current snapshot (immutable — readers keep it while writers swap)."""
         return self._df
 
+    def snapshot(self) -> tuple:
+        """Atomic (base, inferred) pair. Writers swap BOTH references under
+        the lock (r9 concurrency-soak fix: base and closure used to swap in
+        two steps, so a reader could pair a post-delete base with the
+        pre-delete closure for the entire DRed computation — the served
+        soak saw a member carrying its derived type without its premise)."""
+        with self._lock:
+            return self._df, self._inferred
+
     def df_with_inference(self) -> DataFrame:
-        if self._inferred is None:
-            return self._df
-        return self._df.unionByName(self._inferred)
+        df, inf = self.snapshot()
+        if inf is None:
+            return df
+        return df.unionByName(inf)
 
     @property
     def version(self) -> int:
@@ -156,16 +166,23 @@ class QuadStore:
                      .dropDuplicates(["g", "s", "p", "o_lex", "o_dt", "o_lang"]))
         if self._inferred is not None:
             # closure is live: maintain it incrementally (EP2 parity — the
-            # reference applies incremental inference on streaming INSERTs)
+            # reference applies incremental inference on streaming INSERTs).
+            # The whole read-increment-commit runs under the writer lock so
+            # (a) concurrent writers can't interleave between the increment
+            # basis and the append, and (b) base + closure swap in one
+            # critical section — readers never see the delta without its
+            # consequences (r9 soak fix; writers serialize, readers don't
+            # block: they only take the lock for the snapshot() pair read)
             from graphdb_free_mocha_sa_spark.operators.inference import (
-                owl_horst_increment)
-            new_inf = owl_horst_increment(self.spark, self._df,
-                                          self._inferred, delta)
-            self._append(delta)
-            if new_inf is None:              # TBox changed: re-materialize
-                self.materialize_inference()
-            elif not new_inf.isEmpty():
-                self._inferred = self._inferred.unionByName(new_inf)
+                owl_horst_closure, owl_horst_increment)
+            with self._lock:
+                new_inf = owl_horst_increment(self.spark, self._df,
+                                              self._inferred, delta)
+                self._commit_append(delta)
+                if new_inf is None:          # TBox changed: re-materialize
+                    self._inferred = owl_horst_closure(self.spark, self._df)
+                elif not new_inf.isEmpty():
+                    self._inferred = self._inferred.unionByName(new_inf)
             return
         self._append(delta)
 
@@ -177,23 +194,32 @@ class QuadStore:
             cond = cond & (F.col(c) == F.col("__d_" + c))
         cond = cond & (F.col("o_dt").eqNullSafe(F.col("__d_o_dt"))) \
                     & (F.col("o_lang").eqNullSafe(F.col("__d_o_lang")))
-        self._mutate(lambda df: df.join(ren, cond, "left_anti"))
-        if self._inferred is None:
-            return
-        # DRed needs the TRIPLES whose last copy went away: a premise
-        # deleted from one graph but still asserted in another still holds
-        # (the closure reads the union of graphs)
-        gone = victim.join(
-            self._df.select(F.col("s").alias("__ks"),
-                            F.col("p").alias("__kp"),
-                            F.col("o_lex").alias("__ko"),
-                            F.col("o_dt").alias("__kd"),
-                            F.col("o_lang").alias("__kl")),
-            (F.col("s") == F.col("__ks")) & (F.col("p") == F.col("__kp"))
-            & (F.col("o_lex") == F.col("__ko"))
-            & F.col("o_dt").eqNullSafe(F.col("__kd"))
-            & F.col("o_lang").eqNullSafe(F.col("__kl")), "left_anti")
-        self._retract_inference(deleted=gone)
+        # base delete + closure maintenance commit in ONE critical section
+        # (r9 soak fix): the old two-step (_mutate, then retraction) left a
+        # DRed-sized window where readers paired the post-delete base with
+        # the stale closure — a dangling derived type without its premise
+        with self._lock:
+            self.destructive_epoch += 1
+            new_df = self._df.join(ren, cond, "left_anti")
+            if self._inferred is None:
+                self._commit_rewrite(new_df)
+                return
+            # DRed needs the TRIPLES whose last copy went away: a premise
+            # deleted from one graph but still asserted in another still
+            # holds (the closure reads the union of graphs)
+            gone = victim.join(
+                new_df.select(F.col("s").alias("__ks"),
+                              F.col("p").alias("__kp"),
+                              F.col("o_lex").alias("__ko"),
+                              F.col("o_dt").alias("__kd"),
+                              F.col("o_lang").alias("__kl")),
+                (F.col("s") == F.col("__ks")) & (F.col("p") == F.col("__kp"))
+                & (F.col("o_lex") == F.col("__ko"))
+                & F.col("o_dt").eqNullSafe(F.col("__kd"))
+                & F.col("o_lang").eqNullSafe(F.col("__kl")), "left_anti")
+            new_inf = self._inferred_after_delete(new_df, gone)
+            self._commit_rewrite(new_df)
+            self._inferred = new_inf
 
     def load_version(self, quads: DataFrame, graph: Optional[str] = None) -> str:
         """Atomic versioned bulk load; returns the graph IRI used."""
@@ -213,15 +239,14 @@ class QuadStore:
     def clear_graph(self, target: str):
         """CLEAR/DROP GRAPH <g> | DEFAULT | NAMED | ALL (B34)."""
         if target == "ALL":
-            self._mutate(
-                lambda df: self.spark.createDataFrame([], QUAD_SCHEMA))
+            xform = lambda df: self.spark.createDataFrame([], QUAD_SCHEMA)  # noqa: E731
         elif target == "DEFAULT":
-            self._mutate(lambda df: df.filter(F.col("g") != DEFAULT_GRAPH))
+            xform = lambda df: df.filter(F.col("g") != DEFAULT_GRAPH)  # noqa: E731
         elif target == "NAMED":
-            self._mutate(lambda df: df.filter(F.col("g") == DEFAULT_GRAPH))
+            xform = lambda df: df.filter(F.col("g") == DEFAULT_GRAPH)  # noqa: E731
         else:
-            self._mutate(lambda df: df.filter(F.col("g") != target))
-        self._retract_inference()
+            xform = lambda df: df.filter(F.col("g") != target)  # noqa: E731
+        self._rewrite_maintaining_inference(xform)
 
     def copy_graph(self, op: str, src: Optional[str], dst: Optional[str]):
         s = src or DEFAULT_GRAPH
@@ -237,41 +262,56 @@ class QuadStore:
                 base = base.filter(F.col("g") != s)
             return base.unionByName(moved.select(*QUAD_COLS))
 
-        self._mutate(xform)
-        self._retract_inference()
+        self._rewrite_maintaining_inference(xform)
 
     # -- inference ------------------------------------------------------
 
-    def _retract_inference(self, deleted: Optional[DataFrame] = None):
-        """Deletes can invalidate derived triples: GraphDB retracts inferred
-        statements when their premises go (repo-config.ttl inference on
-        delete). With the deleted quads in hand, DRed maintenance
-        (over-delete the consequence cone, re-derive survivors —
-        operators/inference.owl_horst_decrement) keeps the cost
-        proportional to the deletion's consequences; bulk graph-level
-        operations (CLEAR/COPY/MOVE) and TBox deletions re-materialize
-        from the surviving base facts."""
-        if self._inferred is None:
-            return
-        if deleted is not None:
+    def _rewrite_maintaining_inference(self, fn):
+        """Destructive rewrite + closure re-materialization in ONE critical
+        section (bulk graph ops re-materialize per the recorded policy:
+        TBox delete / CLEAR / COPY / MOVE → re-materialize; readers never
+        see the new base with the old closure — r9 soak fix)."""
+        with self._lock:
+            self.destructive_epoch += 1
+            new_df = fn(self._df)
+            if self._inferred is None:
+                self._commit_rewrite(new_df)
+                return
             from graphdb_free_mocha_sa_spark.operators.inference import (
-                owl_horst_decrement, pin_inference)
-            if deleted.isEmpty():
-                return
-            new_inf = owl_horst_decrement(self.spark, self._df,
-                                          self._inferred, deleted)
-            if new_inf is not None:
-                # the common no-restore path returns a LAZY broadcast
-                # anti-join over the pinned closure; bound the lineage
-                # depth across repeated deletes
-                self._dred_depth = getattr(self, "_dred_depth", 0) + 1
-                if self._dred_depth >= 4:
-                    new_inf = pin_inference(self.spark, new_inf)
-                    self._dred_depth = 0
-                self._inferred = new_inf
-                return
-        self._dred_depth = 0
-        self.materialize_inference()
+                owl_horst_closure)
+            new_inf = owl_horst_closure(self.spark, new_df)
+            self._dred_depth = 0
+            self._commit_rewrite(new_df)
+            self._inferred = new_inf
+
+    def _inferred_after_delete(self, new_df: DataFrame,
+                               deleted: DataFrame) -> DataFrame:
+        """The maintained closure after an ABox delete: GraphDB retracts
+        inferred statements when their premises go (repo-config.ttl
+        inference on delete). With the deleted quads in hand, DRed
+        maintenance (over-delete the consequence cone, re-derive
+        survivors — operators/inference.owl_horst_decrement) keeps the
+        cost proportional to the deletion's consequences; TBox deletions
+        re-materialize from the surviving base facts. Called with the
+        writer lock HELD; returns the frame the caller commits together
+        with the new base."""
+        from graphdb_free_mocha_sa_spark.operators.inference import (
+            owl_horst_closure, owl_horst_decrement, pin_inference)
+        if deleted.isEmpty():           # nothing semantically removed
+            return self._inferred
+        new_inf = owl_horst_decrement(self.spark, new_df,
+                                      self._inferred, deleted)
+        if new_inf is not None:
+            # the common no-restore path returns a LAZY broadcast
+            # anti-join over the pinned closure; bound the lineage
+            # depth across repeated deletes
+            self._dred_depth = getattr(self, "_dred_depth", 0) + 1
+            if self._dred_depth >= 4:
+                new_inf = pin_inference(self.spark, new_inf)
+                self._dred_depth = 0
+            return new_inf
+        self._dred_depth = 0            # TBox delete: re-materialize
+        return owl_horst_closure(self.spark, new_df)
 
     def materialize_inference(self):
         """Forward-chaining closure maintained alongside base data (B40)."""

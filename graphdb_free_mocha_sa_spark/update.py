@@ -33,12 +33,26 @@ def rewrite_insert_with(insert_query: str) -> str:
     return q[:-13] + " }"
 
 
-def _ground_rows(data: A.QuadData, default_graph: str) -> list[tuple]:
+def _ground_rows(data: A.QuadData, default_graph: str,
+                 bnode_suffix: str | None = None) -> list[tuple]:
+    """Quad-data rows; with ``bnode_suffix``, blank-node labels are
+    renamed per OPERATION (SPARQL 1.1 Update §3.1.1: blank nodes in
+    INSERT DATA are instantiated fresh — re-running the same request
+    inserts NEW nodes, it never re-touches the previous ones; r9 w3c
+    corpus find: the raw label collided across updates)."""
+    def key(term):
+        if bnode_suffix is not None and isinstance(term, A.BNode):
+            return f"_:{term.label}__{bnode_suffix}"
+        return term_parts_py(term)[0]
+
     rows = []
     for g, s, p, o in data.quads:
-        skey = term_parts_py(s)[0]
+        skey = key(s)
         pkey = term_parts_py(p)[0]
-        _, o_lex, o_dt, o_lang, o_num, o_ts = term_parts_py(o)
+        if bnode_suffix is not None and isinstance(o, A.BNode):
+            o_lex, o_dt, o_lang, o_num, o_ts = key(o), None, None, None, None
+        else:
+            _, o_lex, o_dt, o_lang, o_num, o_ts = term_parts_py(o)
         rows.append((g or default_graph, skey, pkey, o_lex, o_dt, o_lang, o_num, o_ts))
     return rows
 
@@ -54,7 +68,9 @@ class UpdateExecutor:
     def _apply(self, op) -> None:
         spark = self.store.spark
         if isinstance(op, A.InsertData):
-            rows = _ground_rows(op.data, DEFAULT_GRAPH)
+            import uuid
+            rows = _ground_rows(op.data, DEFAULT_GRAPH,
+                                bnode_suffix=uuid.uuid4().hex[:12])
             # LocalRelation leaf (model.local_quads_df): a pickled-RDD leaf
             # would launch Python workers on every later read job over the
             # store's union lineage (r7 served-path profiling)

@@ -79,3 +79,73 @@ CASES = [
                 "<http://example/b>\t\n"),
     },
 ]
+
+
+# -- r9 corpus growth (VERDICT r8 item 3): results_formats 4 -> 10 cases --
+
+CASES += [
+    {
+        "name": "csv-newline-quoted",
+        "source": "csv-tsv-res spec §3 (RFC 4180: fields containing "
+                  "newlines are quoted; tab needs no quoting)",
+        "data": """@prefix : <http://example/> .
+            :a :p "line1\\nline2" . :c :p "tab\\there" .
+        """,
+        "query": "PREFIX : <http://example/>\n"
+                 "SELECT ?s ?o WHERE { ?s :p ?o } ORDER BY ?s",
+        "csv": ("s,o\r\n"
+                'http://example/a,"line1\nline2"\r\n'
+                "http://example/c,tab\there\r\n"),
+    },
+    {
+        "name": "tsv-escapes-newline-tab",
+        "source": "csv-tsv-res spec §4 (TSV literals escape \\n and \\t)",
+        "data": """@prefix : <http://example/> .
+            :a :p "line1\\nline2" . :c :p "tab\\there" .
+        """,
+        "query": "PREFIX : <http://example/>\n"
+                 "SELECT ?s ?o WHERE { ?s :p ?o } ORDER BY ?s",
+        "tsv": ("?s\t?o\n"
+                '<http://example/a>\t"line1\\nline2"\n'
+                '<http://example/c>\t"tab\\there"\n'),
+    },
+    {
+        "name": "csv-decimal-plain-lexical",
+        "source": "csv-tsv-res spec §3 (typed literals serialize as the "
+                  "bare lexical form)",
+        "data": """@prefix : <http://example/> .
+            @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+            :a :p "2.2"^^xsd:decimal .
+        """,
+        "query": "PREFIX : <http://example/>\n"
+                 "SELECT ?o WHERE { ?s :p ?o }",
+        "csv": "o\r\n2.2\r\n",
+    },
+    {
+        "name": "tsv-decimal-typed-term",
+        "source": "csv-tsv-res spec §4 (TSV keeps full term syntax)",
+        "data": """@prefix : <http://example/> .
+            @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+            :a :p "2.2"^^xsd:decimal .
+        """,
+        "query": "PREFIX : <http://example/>\n"
+                 "SELECT ?o WHERE { ?s :p ?o }",
+        "tsv": ('?o\n"2.2"^^<http://www.w3.org/2001/XMLSchema#decimal>\n'),
+    },
+    {
+        "name": "csv-empty-result-header-only",
+        "source": "csv-tsv-res spec §3 (zero solutions: header line only)",
+        "data": "@prefix : <http://example/> . :a :p 1 .",
+        "query": "PREFIX : <http://example/>\n"
+                 "SELECT ?s ?o WHERE { ?s :none ?o }",
+        "csv": "s,o\r\n",
+    },
+    {
+        "name": "tsv-empty-result-header-only",
+        "source": "csv-tsv-res spec §4 (zero solutions: header line only)",
+        "data": "@prefix : <http://example/> . :a :p 1 .",
+        "query": "PREFIX : <http://example/>\n"
+                 "SELECT ?s ?o WHERE { ?s :none ?o }",
+        "tsv": "?s\t?o\n",
+    },
+]
