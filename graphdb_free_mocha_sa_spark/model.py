@@ -152,6 +152,16 @@ def date_shadow_col(lex):
             .try_cast("date").cast("timestamp"))
 
 
+def datetime_shadow_col(lex):
+    """xsd:dateTime ts shadow for a lexical column. try_cast, not
+    to_timestamp: under ANSI (Spark 4 default) to_timestamp THROWS on the
+    first malformed value — a single bad literal in a loaded file or a
+    cast argument would kill the whole job instead of that ROW's value
+    being absent (SPARQL §17.5: an invalid lexical is a dynamic error for
+    that solution only). Found by the r9 ANSI audit."""
+    return F.regexp_replace(lex, "T", " ").try_cast("timestamp")
+
+
 #: graph-name scheme used by the reference for versioned bulk loads
 #: (GraphDBSystemAdapter.java:318: "http://graph.version." + loadingNumber)
 GRAPH_VERSION_PREFIX = "http://graph.version."

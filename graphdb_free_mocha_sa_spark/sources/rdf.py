@@ -25,6 +25,7 @@ from graphdb_free_mocha_sa_spark.model import (NUMERIC_DTS, QUAD_COLS,
                                                XSD_DATE, XSD_DATETIME,
                                                XSD_STRING, date_shadow_col,
                                                date_shadow_py,
+                                               datetime_shadow_col,
                                                num_shadow_col, valid_num_lex)
 
 _IRI = r"<([^>]*)>"
@@ -133,8 +134,7 @@ def _read_line_rdf(spark: SparkSession, path: str, graph: str,
     # per-datatype lexical validation keeps invalid forms out of the value
     # space (r8 ADVICE fix — a bare cast admits "1e5"^^xsd:integer)
     num = num_shadow_col(dt, o_lex)
-    ts = (F.when(dt == XSD_DATETIME,
-                 F.to_timestamp(F.regexp_replace(o_lex, "T", " ")))
+    ts = (F.when(dt == XSD_DATETIME, datetime_shadow_col(o_lex))
           .when(dt == XSD_DATE, date_shadow_col(o_lex)))
 
     return (lines.select(

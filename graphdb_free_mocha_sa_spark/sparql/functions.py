@@ -35,6 +35,7 @@ from graphdb_free_mocha_sa_spark.model import (NUMERIC_DTS, RDF_LANGSTRING,
                                                XSD_STRING,
                                                canonical_key_from_parts,
                                                date_shadow_col,
+                                               datetime_shadow_col,
                                                term_kind_rank, valid_num_lex)
 
 #: the integer-valued XSD types (promote together per §17.3) — the full
@@ -127,7 +128,15 @@ class TCol:
                 v = valid_num_lex(term.dt, term.lex)
                 num = F.lit(v) if v is not None else None
             if term.dt == XSD_DATETIME:
-                ts = F.to_timestamp(F.lit(term.lex.replace("T", " ")))
+                # parse driver-side: an invalid constant must mean NO
+                # temporal value, not an ANSI constant-folding crash (r9)
+                import datetime as _dt
+                try:
+                    pyts = _dt.datetime.fromisoformat(term.lex)
+                except ValueError:
+                    pyts = None
+                ts = (F.lit(pyts).cast("timestamp")
+                      if pyts is not None else None)
             if term.dt == XSD_DATE:
                 # value shadow at midnight: xsd:date joins the temporal
                 # value space (GraphDB's literal index does the same;
@@ -830,7 +839,7 @@ def builtin(name: str, args: list[TCol], base: str | None = None) -> TCol:
                           a[0].lex.try_cast("double"))))
         return TCol(lex=F.when(ok, a[0].lex), dt=dt, num=num,
                     ts=F.when(dt == XSD_DATETIME,
-                              F.to_timestamp(F.regexp_replace(a[0].lex, "T", " "))))
+                              datetime_shadow_col(a[0].lex)))
     if n == "SAMETERM":
         return TCol.from_bool(a[0].key == a[1].key)
     # the term testers propagate an errored/unbound argument as a type
@@ -903,8 +912,10 @@ def builtin(name: str, args: list[TCol], base: str | None = None) -> TCol:
                  .when((x.dt == XSD_STRING) & x.lex.isin("false", "0"),
                        F.lit(False)))
         if local == "datetime":
+            # try-semantics: an invalid lexical is a per-row type error
+            # (unbound), never a job-killing ANSI cast exception (r9)
             return TCol.from_ts(F.coalesce(
-                x.ts, F.to_timestamp(F.regexp_replace(x.lex, "T", " "))))
+                x.ts, datetime_shadow_col(x.lex)))
         if local == "date":
             # to_date alone rejects the tz-suffixed forms of the xsd:date
             # lexical space ("2002-10-10+13:00"); admit exactly those via

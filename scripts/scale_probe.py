@@ -154,6 +154,9 @@ def run_recursive_probes(spark, scale: int) -> dict[str, float]:
     eng = Engine(spark, QuadStore(spark, chain))
     q = "SELECT ?a ?b WHERE { ?a <urn:next>+ ?b }"
     for key in ("path_plus_closure_cold", "path_plus_closure"):
+        # the warm pass must re-run the frontier loop, not hit the
+        # engine's prepared-query LRU (warm = JIT + checkpointed input)
+        eng._plan_cache.clear()
         t0 = time.time()
         eng.query(q).finalize({"a": "str", "b": "str"}) \
             .write.format("noop").mode("overwrite").save()

@@ -206,3 +206,52 @@ def test_cast_to_date_accepts_tz_suffixed_string(spark):
         f'BIND(<{XSD}date>("2002-10-10+13:00") AS ?d) }}'))
     b = out["results"]["bindings"]
     assert b and b[0]["d"]["value"] == "2002-10-10"
+
+
+# ------------------------------------------- ANSI-safe temporal value space
+
+
+def test_malformed_datetime_cast_is_row_error_not_crash(spark):
+    # Spark 4 runs ANSI mode by default: to_timestamp THROWS on malformed
+    # input, so xsd:dateTime("garbage") used to kill the whole job instead
+    # of being a per-row dynamic error (SPARQL 17.5) -> unbound (r9 audit)
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import DEFAULT_GRAPH, QuadStore
+    g = DEFAULT_GRAPH
+    rows = [(g, "urn:a", "urn:p", "1", XSD + "integer", None, 1.0, None)]
+    eng = Engine(spark, QuadStore(spark, spark.createDataFrame(rows, QUAD_SCHEMA)))
+    out = json.loads(eng.query_json(
+        f'SELECT ?d WHERE {{ ?s <urn:p> ?o . '
+        f'BIND(<{XSD}dateTime>(STR(?o)) AS ?d) }}'))
+    assert out["head"]["vars"] != ["xxx"], "error sentinel: job crashed"
+    assert out["results"]["bindings"] == [{}]
+
+
+def test_invalid_datetime_constant_has_no_value(spark):
+    # an invalid constant must mean NO temporal value (comparison is a
+    # type error -> row dropped), not an ANSI constant-folding crash
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import DEFAULT_GRAPH, QuadStore
+    g = DEFAULT_GRAPH
+    rows = [(g, "urn:a", "urn:d", "2002-10-10T00:00:00", XSD + "dateTime",
+             None, None, datetime.datetime(2002, 10, 10))]
+    eng = Engine(spark, QuadStore(spark, spark.createDataFrame(rows, QUAD_SCHEMA)))
+    out = json.loads(eng.query_json(
+        f'SELECT ?s WHERE {{ ?s <urn:d> ?v . '
+        f'FILTER(?v > "not-a-datetime"^^<{XSD}dateTime>) }}'))
+    assert out["head"]["vars"] != ["xxx"], "error sentinel: plan crashed"
+    assert out["results"]["bindings"] == []
+
+
+def test_malformed_datetime_literal_loads_without_crash(spark, tmp_path):
+    # a single bad literal in a loaded file must not kill the read job;
+    # it simply has no ts shadow (drops out of temporal comparisons)
+    from graphdb_free_mocha_sa_spark.sources.rdf import read_ntriples
+    p = tmp_path / "bad.nt"
+    p.write_text(
+        f'<urn:x> <urn:d> "junk-value"^^<{XSD}dateTime> .\n'
+        f'<urn:y> <urn:d> "2002-10-10T05:00:00"^^<{XSD}dateTime> .\n',
+        encoding="utf-8")
+    rows = {r["s"]: r["o_ts"] for r in read_ntriples(spark, str(p), "urn:g").collect()}
+    assert rows["urn:x"] is None
+    assert rows["urn:y"] == datetime.datetime(2002, 10, 10, 5, 0)

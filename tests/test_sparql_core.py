@@ -531,10 +531,16 @@ def test_describe_expands_bnode_closure(spark):
       <urn:e> <urn:ref> <urn:d> . _:other <urn:x> "unrelated" }""")
     rows = sorted((r.s, r.p, r.o_lex)
                   for r in eng.query("DESCRIBE <urn:d>").collect())
-    assert ("_:ad", "urn:city", "Paris") in rows
-    assert ("_:ad2", "urn:deep", "d") in rows          # nested bnode
+    # bnode labels are arbitrary (r9: INSERT DATA instantiates fresh
+    # labels per operation) — resolve them through the arcs
+    ad = next(o for s, p, o in rows if (s, p) == ("urn:d", "urn:addr"))
+    assert ad.startswith("_:")
+    assert (ad, "urn:city", "Paris") in rows
+    ad2 = next(o for s, p, o in rows if (s, p) == (ad, "urn:sub"))
+    assert (ad2, "urn:deep", "d") in rows              # nested bnode
     assert ("urn:e", "urn:ref", "urn:d") in rows       # inbound arc
-    assert not any(s == "_:other" for s, _, _ in rows)
+    assert all("Paris" != o or s == ad for s, _, o in rows)
+    assert not any("unrelated" == o for _, _, o in rows)
     assert len(rows) == 5
 
 
