@@ -67,3 +67,59 @@ CASES = [
                    '"2011-01-01T00:00:00Z"^^xsd:dateTime',
                    '"true"^^xsd:boolean'))),
 ]
+
+
+# -- r9 corpus growth: invalid lexicals / casting edges (ANSI-audit pins) --
+
+CASES += [
+    dict(name="invalid-datetime-cast-unbound",
+         source="spec §17.5 (XPath casting: invalid lexical is a dynamic "
+                "error → unbound, never a query failure)",
+         **_exprs(('xsd:dateTime("junk")', None),
+                  ('DATATYPE(xsd:dateTime("junk"))', None),
+                  ('xsd:dateTime("2002-10-10T12:00:00")',
+                   '"2002-10-10T12:00:00"^^xsd:dateTime'))),
+    dict(name="invalid-datetime-constant-comparison-empty",
+         source="spec §17.5 + §17.2 (invalid constant has no value: "
+                "comparison is a type error, the row drops, the query "
+                "still answers)",
+         data="""@prefix : <http://example/> .
+             @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+             :x :d "2002-10-10T00:00:00"^^xsd:dateTime .
+         """,
+         query=Q + """PREFIX : <http://example/>
+             SELECT ?s WHERE { ?s :d ?v
+               FILTER(?v > "not-a-datetime"^^xsd:dateTime) }""",
+         results=[]),
+    dict(name="invalid-typed-literal-sameterm-equal",
+         source="rdf-tests open-eq shape (transcribed; §17.4.1.7: = on "
+                "identical ill-typed literals falls back to term "
+                "equality → true)",
+         **_exprs(('"junk"^^xsd:dateTime = "junk"^^xsd:dateTime',
+                   '"true"^^xsd:boolean'),
+                  ('SAMETERM("junk"^^xsd:dateTime, "junk"^^xsd:dateTime)',
+                   '"true"^^xsd:boolean'))),
+    dict(name="datetime-cross-day-compare",
+         source="spec §17.3 (dateTime operator mapping: op:dateTime-less-"
+                "than)",
+         **_exprs(('xsd:dateTime("2002-10-10T12:00:00") < '
+                   'xsd:dateTime("2002-10-11T00:00:00")',
+                   '"true"^^xsd:boolean'),
+                  ('xsd:dateTime("2002-10-10T12:00:00") > '
+                   'xsd:dateTime("2002-10-11T00:00:00")',
+                   '"false"^^xsd:boolean'))),
+    dict(name="date-accessors",
+         source="engine extension (GraphDB parity): YEAR/MONTH/DAY apply "
+                "to the xsd:date value space",
+         **_exprs(('YEAR("2002-10-10"^^xsd:date)', '"2002"^^xsd:integer'),
+                  ('MONTH("2002-10-10"^^xsd:date)', '"10"^^xsd:integer'),
+                  ('DAY("2002-10-10"^^xsd:date)', '"10"^^xsd:integer'))),
+    dict(name="tz-suffixed-date-local-value",
+         source="engine extension (GraphDB parity; r9 ADVICE convention: "
+                "xsd:date value = local date at midnight, tz dropped — "
+                "identical on every ingest path)",
+         **_exprs(('"2002-10-10+13:00"^^xsd:date = "2002-10-10"^^xsd:date',
+                   '"true"^^xsd:boolean'),
+                  ('"2002-10-10+13:00"^^xsd:date < "2002-10-11"^^xsd:date',
+                   '"true"^^xsd:boolean'))),
+]

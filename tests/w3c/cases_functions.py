@@ -163,3 +163,51 @@ CASES = [
          **_exprs(('IRI("http://example/")', '<http://example/>'),
                   ('URI("http://example/")', '<http://example/>'))),
 ]
+
+
+# -- r9 corpus growth: §17.5 casting table edges --
+
+_C = "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n"
+
+
+def _cast_exprs(*pairs):
+    binds = " ".join(f"BIND({e} AS ?r{i})" for i, (e, _) in enumerate(pairs))
+    names = " ".join(f"?r{i}" for i in range(len(pairs)))
+    row = {f"r{i}": t for i, (_, t) in enumerate(pairs) if t is not None}
+    return {
+        "query": _C + f"SELECT {names} WHERE {{ VALUES ?u {{ 1 }} {binds} }}",
+        "results": [row],
+    }
+
+
+CASES += [
+    dict(name="cast-string-to-integer-invalid",
+         source="spec §17.5 casting table (string → integer requires an "
+                "integer lexical; \"2.8\" is a dynamic error → unbound)",
+         **_cast_exprs(('xsd:integer("2.8")', None),
+                       ('xsd:integer("3")', '"3"^^xsd:integer'))),
+    dict(name="cast-string-to-boolean-table",
+         source="spec §17.5 (boolean lexical space: true/false/1/0 only)",
+         **_cast_exprs(('xsd:boolean("yes")', None),
+                       ('xsd:boolean("1")', '"true"^^xsd:boolean'),
+                       ('xsd:boolean("false")', '"false"^^xsd:boolean'))),
+    dict(name="cast-iri-to-string",
+         source="spec §17.5 (IRI → xsd:string is the one IRI cast allowed)",
+         **_cast_exprs(('xsd:string(<http://example/x>)',
+                        '"http://example/x"'))),
+    dict(name="cast-special-float-lexicals",
+         source="spec §17.5 (XSD double lexical space: INF/-INF/NaN valid "
+                "for double, INVALID for decimal)",
+         **_cast_exprs(('xsd:double("INF")', '"INF"^^xsd:double'),
+                       ('xsd:decimal("INF")', None),
+                       ('ISNUMERIC(xsd:double("NaN"))',
+                        '"true"^^xsd:boolean'))),
+    dict(name="cast-boolean-to-numeric",
+         source="spec §17.5 (boolean → numeric: true → 1, false → 0)",
+         **_cast_exprs(('xsd:integer(true)', '"1"^^xsd:integer'),
+                       ('xsd:integer(false)', '"0"^^xsd:integer'))),
+    dict(name="cast-double-to-integer-truncates",
+         source="spec §17.5 / XPath (numeric → integer casts toward zero)",
+         **_cast_exprs(('xsd:integer(2.8)', '"2"^^xsd:integer'),
+                       ('xsd:integer(-2.8)', '"-2"^^xsd:integer'))),
+]
