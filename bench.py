@@ -60,6 +60,9 @@ HEADLINERS = [
     # round-8 (VERDICT r7 item 4): 6-predicate star BGP — plan-quality
     # probe for the s-partitioned self-join chain
     "b2b_star6",
+    # round-9: B43 full-text search kernel over the real corpus (build
+    # index + required/prefix/prohibited match, BM25 partials)
+    "ext_fts_match",
 ]
 
 

@@ -18,6 +18,9 @@ owlim parameter              Spark-engine effect
 ``enable-literal-index``     informational — literal shadow columns
                              (``o_num``/``o_ts``) are always stored
 ``query-timeout``            0 = none (matches the reference default)
+``check-for-inconsistencies`` ``"true"`` → B42 commit-time consistency
+                             gate (violating updates roll back); the
+                             template ships "false"
 ``repositoryID``             surfaced in the parsed dict
 ===========================  =============================================
 """
@@ -89,8 +92,11 @@ def engine_from_config(spark: SparkSession, config_path: str, store=None):
     ruleset = params.get("ruleset", "empty").lower()
     use_inference = ruleset not in ("", "empty", "none")
     use_sameas = params.get("disable-sameAs", "false").strip() == "false"
+    check = params.get("check-for-inconsistencies",
+                       "false").strip().lower() == "true"
     store = store or QuadStore(spark)
     eng = Engine(spark, store, use_inference=use_inference,
-                 encoded=True, use_sameas=use_sameas)
+                 encoded=True, use_sameas=use_sameas,
+                 check_inconsistencies=check)
     eng.config = params
     return eng

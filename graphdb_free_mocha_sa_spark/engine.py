@@ -23,6 +23,12 @@ from graphdb_free_mocha_sa_spark.store import QuadStore
 from graphdb_free_mocha_sa_spark.update import UpdateExecutor
 
 
+class InconsistencyError(RuntimeError):
+    """B42: an update violated a consistency rule; the transaction was
+    rolled back (GraphDB aborts the commit when
+    ``owlim:check-for-inconsistencies`` is on, repo-config.ttl:44)."""
+
+
 @dataclass
 class SelectResult:
     df: DataFrame               # var-family layout
@@ -46,10 +52,17 @@ class Engine:
 
     def __init__(self, spark: SparkSession, store: QuadStore,
                  use_inference: bool = False, encoded: bool = True,
-                 use_sameas: bool = True, warm_dir: str | None = None):
+                 use_sameas: bool = True, warm_dir: str | None = None,
+                 check_inconsistencies: bool = False):
         self.spark = spark
         self.store = store
         self.use_inference = use_inference
+        #: B42 — ``owlim:check-for-inconsistencies`` (repo-config.ttl:44
+        #: ships "false", the default here too). When on, every update
+        #: transaction runs the ruleset's consistency conditions against
+        #: the post-commit closure and ABORTS (rolls the store back,
+        #: raises InconsistencyError) if any fires — GraphDB's behaviour.
+        self.check_inconsistencies = check_inconsistencies
         self.encoded = encoded
         self.use_sameas = use_sameas
         #: artifact directory for the dictionary/encoded-quads warm cache
@@ -72,7 +85,8 @@ class Engine:
         (store.snapshot) so a basis never mixes a new base with a stale
         closure (r9)."""
         df, inf = self.store.snapshot()
-        return (df, inf if self.use_inference else None)
+        return (df, inf if self.use_inference else None,
+                getattr(self.store, "fts_epoch", 0))
 
     def _basis_stats(self) -> tuple:
         """(base row count, any owl:sameAs in the read view) — ONE Spark
@@ -421,11 +435,15 @@ class Engine:
             tr = Translator(self.spark, enc_quads,
                             getattr(q, "dataset_default", None),
                             getattr(q, "dataset_named", None),
-                            term_dict=term_dict, lookup_id=self._lookup_id)
+                            term_dict=term_dict, lookup_id=self._lookup_id,
+                            fts_registry=getattr(self.store, "fts_indexes",
+                                                 None))
         else:
             tr = Translator(self.spark, self._quads(),
                             getattr(q, "dataset_default", None),
-                            getattr(q, "dataset_named", None))
+                            getattr(q, "dataset_named", None),
+                            fts_registry=getattr(self.store, "fts_indexes",
+                                                 None))
         tr.query_base = getattr(q, "base", None)
         if isinstance(q, A.SelectQuery):
             df = tr.translate_select(q)
@@ -618,8 +636,43 @@ class Engine:
 
     def update(self, sparql: str) -> None:
         self._progress["updates_received"] += 1
-        self._updates.execute(sparql)
+        if self.check_inconsistencies:
+            self._update_checked(sparql)
+        else:
+            self._updates.execute(sparql)
         self._progress["updates_completed"] += 1
+
+    def check_consistency(self):
+        """B42: consistency violations over the current read view (explicit
+        + materialized closure). ``(rule, x, y)`` — empty ⇔ consistent."""
+        from graphdb_free_mocha_sa_spark.operators.inference import \
+            consistency_violations
+        return consistency_violations(self.spark,
+                                      self.store.df_with_inference())
+
+    def _update_checked(self, sparql: str) -> None:
+        """Transactional consistency gate (B42, GraphDB semantics when
+        ``check-for-inconsistencies`` is on): apply the update, evaluate the
+        consistency conditions against the NEW closure, and on a violation
+        swap the pre-update (base, inferred) snapshot pair back atomically
+        and raise — the transaction never becomes visible as committed
+        (readers that raced it saw a consistent-but-soon-reverted snapshot,
+        same isolation story as any rolled-back writer)."""
+        store = self.store
+        with store._lock:
+            before = (store._df, store._inferred, store.destructive_epoch)
+        self._updates.execute(sparql)
+        bad = self.check_consistency().limit(3).collect()
+        if bad:
+            with store._lock:
+                # _commit_rewrite rewinds the durable subclass's persisted
+                # snapshot too (it writes through to the segment log)
+                store._commit_rewrite(before[0])
+                store._inferred = before[1]
+                store.destructive_epoch = before[2]
+            raise InconsistencyError(
+                "update aborted, consistency check failed: "
+                + "; ".join(f"{r['rule']}({r['x']}, {r['y']})" for r in bad))
 
     def progress(self) -> dict:
         """Progress metering (A15): received/completed/failed counters, the

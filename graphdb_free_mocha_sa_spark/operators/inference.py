@@ -1025,3 +1025,126 @@ def sameas_components(spark: SparkSession, quads: DataFrame,
             return merged
         labels = merged
     raise RuntimeError("sameAs components did not converge")
+
+
+# --------------------------------------------------------------------------
+# B42 — consistency checking
+# --------------------------------------------------------------------------
+
+DIFFERENT = OWL + "differentFrom"
+DISJOINT = OWL + "disjointWith"
+COMPLEMENT = OWL + "complementOf"
+NOTHING = OWL + "Nothing"
+DISTINCT_MEMBERS = OWL + "distinctMembers"
+_RDF = RDF_TYPE.rsplit("#", 1)[0] + "#"
+RDF_FIRST = _RDF + "first"
+RDF_REST = _RDF + "rest"
+RDF_NIL = _RDF + "nil"
+
+
+def consistency_violations(spark: SparkSession, quads: DataFrame) -> DataFrame:
+    """pD*/OWL-Horst consistency conditions over the materialized closure
+    (B42 — the reference ships this off by default,
+    ``owlim:check-for-inconsistencies "false"``, repo-config.ttl:44; GraphDB
+    runs the ruleset's consistency rules at commit and aborts the
+    transaction when one fires).
+
+    Returns ``(rule STRING, x STRING, y STRING)``, one row per violating
+    instance pair, covering the pD* inconsistency conditions expressible in
+    the engine's rule subset:
+
+    * ``owl-dif``    — x owl:sameAs* y ∧ x owl:differentFrom y (sameAs taken
+      through the B41 connected components, so this also catches
+      FunctionalProperty-derived sameAs clashing with an explicit
+      differentFrom — rdfp1/2 derive the sameAs, this rule detects it);
+      owl:AllDifferent/owl:distinctMembers lists are expanded to pairwise
+      differentFrom first (bounded rdf:rest frontier walk).
+    * ``cax-dw``     — x type c1 ∧ x type c2 ∧ c1 owl:disjointWith c2
+      (type membership canonicalized through sameAs).
+    * ``owl-comp``   — as cax-dw for c1 owl:complementOf c2.
+    * ``owl-nothing``— x type owl:Nothing.
+
+    Scale shape: the only big-side operations are hash equi-joins of the
+    type slice against itself keyed on the individual, with the (tiny)
+    schema pair tables broadcast; differentFrom pairs flow through two
+    broadcast-able canon joins. No cartesian, no row-wise Python.
+    """
+    iris = quads.filter(F.col("o_dt").isNull())
+    canon = sameas_components(spark, quads).localCheckpoint()
+
+    def canonize(df: DataFrame, col: str) -> DataFrame:
+        tag = "__c_" + col
+        return (df.join(canon.select(F.col("term").alias(col),
+                                     F.col("canon").alias(tag)),
+                        col, "left")
+                .withColumn(col, F.coalesce(F.col(tag), F.col(col)))
+                .drop(tag))
+
+    # -- differentFrom pairs (explicit + AllDifferent lists) -------------
+    diff = iris.filter(F.col("p") == DIFFERENT).select(
+        F.col("s").alias("x"), F.col("o_lex").alias("y"))
+    heads = iris.filter(F.col("p") == DISTINCT_MEMBERS).select(
+        F.col("o_lex").alias("cell"), F.col("s").alias("grp"))
+    if not heads.isEmpty():
+        first = iris.filter(F.col("p") == RDF_FIRST).select(
+            F.col("s").alias("cell"), F.col("o_lex").alias("member"))
+        rest = iris.filter(F.col("p") == RDF_REST).select(
+            F.col("s").alias("cell"), F.col("o_lex").alias("nxt"))
+        members = None
+        frontier = heads.localCheckpoint()
+        for _ in range(MAX_ITERS * 20):   # bound = longest list length
+            got = frontier.join(first, "cell").select("grp", "member")
+            members = got if members is None else members.unionByName(got)
+            frontier = (frontier.join(rest, "cell")
+                        .filter(F.col("nxt") != RDF_NIL)
+                        .select(F.col("nxt").alias("cell"), "grp")
+                        .localCheckpoint())
+            if frontier.isEmpty():
+                break
+        else:
+            raise RuntimeError("owl:distinctMembers list walk did not "
+                               "terminate (cyclic rdf:rest?)")
+        if members is not None:
+            m2 = members.select(F.col("grp").alias("g2"),
+                                F.col("member").alias("member2"))
+            pairs = (members.join(m2, (F.col("grp") == F.col("g2"))
+                                  & (F.col("member") < F.col("member2")))
+                     .select(F.col("member").alias("x"),
+                             F.col("member2").alias("y")))
+            diff = diff.unionByName(pairs)
+    dif_v = (canonize(canonize(diff.withColumn("x0", F.col("x"))
+                               .withColumn("y0", F.col("y")), "x"), "y")
+             .filter(F.col("x") == F.col("y"))
+             .select(F.lit("owl-dif").alias("rule"),
+                     F.col("x0").alias("x"), F.col("y0").alias("y")))
+
+    # -- disjointWith / complementOf type clashes -------------------------
+    types = canonize(
+        iris.filter(F.col("p") == RDF_TYPE)
+        .select(F.col("s").alias("i"), F.col("o_lex").alias("c")), "i")
+
+    def class_clash(pred: str, rule: str) -> DataFrame:
+        pairs = iris.filter(F.col("p") == pred).select(
+            F.col("s").alias("c1"), F.col("o_lex").alias("c2"))
+        # symmetric predicates: normalize so each clash reports once
+        pairs = (pairs.unionByName(pairs.select(F.col("c2").alias("c1"),
+                                                F.col("c1").alias("c2")))
+                 .filter(F.col("c1") < F.col("c2")).dropDuplicates())
+        t2 = types.select(F.col("i").alias("i2"), F.col("c").alias("cc2"))
+        return (types.join(F.broadcast(pairs), types["c"] == pairs["c1"])
+                .join(t2, (F.col("i") == F.col("i2"))
+                      & (F.col("cc2") == F.col("c2")))
+                .select(F.lit(rule).alias("rule"),
+                        F.col("i").alias("x"),
+                        F.concat(F.col("c1"), F.lit(" | "), F.col("c2"))
+                        .alias("y"))
+                .dropDuplicates())
+
+    dw_v = class_clash(DISJOINT, "cax-dw")
+    comp_v = class_clash(COMPLEMENT, "owl-comp")
+    nothing_v = (types.filter(F.col("c") == NOTHING)
+                 .select(F.lit("owl-nothing").alias("rule"),
+                         F.col("i").alias("x"), F.lit(NOTHING).alias("y"))
+                 .dropDuplicates())
+    return (dif_v.unionByName(dw_v).unionByName(comp_v)
+            .unionByName(nothing_v))

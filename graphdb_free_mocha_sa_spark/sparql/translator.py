@@ -116,9 +116,13 @@ class Translator:
                  dataset_default: Optional[list[str]] = None,
                  dataset_named: Optional[list[str]] = None,
                  term_dict: Optional[DataFrame] = None,
-                 lookup_id: Optional[Callable[[str], Optional[int]]] = None):
+                 lookup_id: Optional[Callable[[str], Optional[int]]] = None,
+                 fts_registry: Optional[dict] = None):
         self.spark = spark
         self.quads = quads
+        #: B43 full-text search: index-name IRI → operators.fts.FtsIndex,
+        #: consulted by the luc: magic-predicate branch of BGP translation
+        self.fts_registry = fts_registry
         self.dataset_default = dataset_default or []
         self.dataset_named = dataset_named or []
         self.term_dict = term_dict
@@ -723,10 +727,36 @@ class Translator:
         if isinstance(node, A.BGP):
             if not node.triples:
                 return self._unit()
-            ordered = _order_bgp(node.triples)
-            df = self._scan_triple(ordered[0], gctx)
-            for tp in ordered[1:]:
-                df = self._join(df, self._scan_triple(tp, gctx))
+            from graphdb_free_mocha_sa_spark.operators.fts import (LUC_NS,
+                                                                   LUC_SCORE)
+            fts_m, fts_s, plain = [], [], []
+            for tp in node.triples:
+                if isinstance(tp.p, A.PLink) and tp.p.iri.startswith(LUC_NS):
+                    (fts_s if tp.p.iri == LUC_SCORE else fts_m).append(tp)
+                else:
+                    plain.append(tp)
+            df = None
+            if plain:
+                ordered = _order_bgp(plain)
+                df = self._scan_triple(ordered[0], gctx)
+                for tp in ordered[1:]:
+                    df = self._join(df, self._scan_triple(tp, gctx))
+            if not (fts_m or fts_s):
+                return df
+            # B43 luc: magic predicates — match frames are (usually tiny)
+            # pre-scored entity sets, hash-joined into the group on the
+            # entity var; luc:score binds the hidden score of the LAST
+            # match on the same entity var within this group
+            score_cols: dict[str, str] = {}
+            for tp in fts_m:
+                mf, v, hidden = self._fts_match_frame(tp)
+                if v is not None:
+                    score_cols[v] = hidden
+                df = mf if df is None else self._join(df, mf)
+            if df is None:
+                df = self._unit()
+            for tp in fts_s:
+                df = self._fts_attach_score(df, tp, score_cols)
             return df
         if isinstance(node, A.Join):
             # SERVICE with a variable endpoint binds against the OTHER side
@@ -1064,6 +1094,71 @@ class Translator:
             rows.append(tuple(vals))
         df = self.spark.createDataFrame(rows, StructType(fields))
         return _mark_maybe_unbound(df, sorted(undef_vars))
+
+    # ------------------------------------------------------- FTS (B43 luc:)
+
+    def _fts_match_frame(self, tp: A.TriplePattern):
+        """Translate ``?node luc:<index> "query"`` into a scored entity
+        frame: string-keyed var family for the subject plus a hidden
+        ``__lucscore_*`` column (picked up by a later luc:score pattern).
+        Returns ``(frame, subject_var_or_None, hidden_score_col)``."""
+        from graphdb_free_mocha_sa_spark.operators.fts import (FtsError,
+                                                               fts_match)
+        iri = tp.p.iri
+        reg = self.fts_registry or {}
+        if iri not in reg:
+            raise FtsError(
+                f"no such FTS index <{iri}> — build it first with "
+                f'INSERT DATA {{ <{iri}> luc:createIndex "true" }}')
+        o = tp.o
+        if not (isinstance(o, A.Literal) and not o.lang
+                and o.dt in (None, "http://www.w3.org/2001/XMLSchema#string")):
+            raise FtsError("the object of an FTS match pattern must be a "
+                           "constant plain-string query")
+        m = fts_match(self.spark, reg[iri], o.lex)
+        if isinstance(tp.s, A.Var):
+            v = tp.s.name
+            hidden = self._uniq(f"__lucscore_{v}_")
+            out = m.select(
+                F.col("node").alias(v), F.col("node").alias(v + "__lex"),
+                F.lit(None).cast("string").alias(v + "__dt"),
+                F.lit(None).cast("string").alias(v + "__lang"),
+                F.lit(None).cast("double").alias(v + "__num"),
+                F.lit(None).cast("timestamp").alias(v + "__ts"),
+                F.col("score").alias(hidden))
+            return out, v, hidden
+        # constant subject: the pattern is a boolean gate (unit-or-empty)
+        const = term_parts_py(tp.s)[0]
+        hidden = self._uniq("__lucscore_const_")
+        out = (m.filter(F.col("node") == const)
+               .select(F.col("score").alias(hidden)).limit(1))
+        return out, None, hidden
+
+    def _fts_attach_score(self, df: DataFrame, tp: A.TriplePattern,
+                          score_cols: dict[str, str]) -> DataFrame:
+        """Translate ``?node luc:score ?sc`` — binds the hidden score of the
+        match on the same entity var earlier in this group as an xsd:double
+        literal family."""
+        from graphdb_free_mocha_sa_spark.operators.fts import FtsError
+        if not (isinstance(tp.s, A.Var) and isinstance(tp.o, A.Var)):
+            raise FtsError("luc:score needs a matched entity VARIABLE as "
+                           "subject and a fresh variable as object")
+        hidden = score_cols.get(tp.s.name)
+        if hidden is None:
+            raise FtsError(f"luc:score: ?{tp.s.name} was not matched by an "
+                           "FTS index pattern in the same group")
+        v = tp.o.name
+        dbl = "http://www.w3.org/2001/XMLSchema#double"
+        score = F.col(hidden)
+        lex = score.cast("string")
+        return df.select(
+            "*",
+            F.concat(F.lit('"'), lex, F.lit('"^^' + dbl)).alias(v),
+            lex.alias(v + "__lex"),
+            F.lit(dbl).alias(v + "__dt"),
+            F.lit(None).cast("string").alias(v + "__lang"),
+            score.alias(v + "__num"),
+            F.lit(None).cast("timestamp").alias(v + "__ts"))
 
     # ------------------------------------------------------------ EXISTS
 

@@ -46,6 +46,14 @@ class QuadStore:
         #: component cache) compare epochs: same epoch ⇒ only appends
         #: happened since, incremental update is sound.
         self.destructive_epoch = 0
+        #: FTS index registry (B43): name IRI → operators.fts.FtsIndex.
+        #: GraphDB semantics — an index is a SNAPSHOT built at
+        #: luc:createIndex time, stale until explicitly re-created.
+        #: fts_epoch joins the engine's plan-cache basis so a rebuild
+        #: invalidates prepared plans that matched against the old index.
+        self.fts_indexes: dict = {}
+        self._fts_params: dict[str, str] = {}
+        self.fts_epoch = 0
 
     # -- snapshot reads ------------------------------------------------
 
@@ -145,6 +153,33 @@ class QuadStore:
         self._stream_marks[pend[0]] = max(self._stream_marks.get(pend[0], -1),
                                           pend[1])
         self._pending_mark = None
+
+    # -- full-text search control (B43) -----------------------------------
+
+    def fts_control(self, s: str, p: str, value) -> None:
+        """Apply one ``luc:`` control triple (routed here by the update
+        executor — control triples are consumed, never stored as data,
+        matching the GraphDB Lucene-plugin magic-predicate protocol)."""
+        from graphdb_free_mocha_sa_spark.operators.fts import (
+            LUC_CREATE, LUC_NS, LUC_SET_PARAM, LUC_UPDATE, FtsError,
+            build_fts_index)
+        if p == LUC_SET_PARAM:
+            if not s.startswith(LUC_NS):
+                raise FtsError(f"luc:setParam subject must be a luc: "
+                               f"parameter IRI, got {s!r}")
+            self._fts_params[s[len(LUC_NS):]] = str(value)
+            return
+        if p in (LUC_CREATE, LUC_UPDATE):
+            if str(value).lower() != "true":
+                return
+            # index the READ view (explicit + materialized inference),
+            # snapshotted now — updates do not refresh it implicitly
+            self.fts_indexes[s] = build_fts_index(
+                self.spark, self.df_with_inference(),
+                dict(self._fts_params))
+            self.fts_epoch += 1
+            return
+        raise FtsError(f"unknown luc: control predicate {p!r}")
 
     # -- writes ---------------------------------------------------------
 

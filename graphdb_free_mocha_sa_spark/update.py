@@ -71,6 +71,17 @@ class UpdateExecutor:
             import uuid
             rows = _ground_rows(op.data, DEFAULT_GRAPH,
                                 bnode_suffix=uuid.uuid4().hex[:12])
+            # luc: control triples (B43 FTS protocol — setParam/createIndex/
+            # updateIndex) are CONSUMED, not stored: they configure/build the
+            # index registry, mirroring the GraphDB Lucene magic predicates
+            from graphdb_free_mocha_sa_spark.operators.fts import LUC_NS
+            control = [r for r in rows if r[2].startswith(LUC_NS)]
+            if control:
+                rows = [r for r in rows if not r[2].startswith(LUC_NS)]
+                for r in control:
+                    self.store.fts_control(r[1], r[2], r[3])
+                if not rows:
+                    return
             # LocalRelation leaf (model.local_quads_df): a pickled-RDD leaf
             # would launch Python workers on every later read job over the
             # store's union lineage (r7 served-path profiling)
@@ -109,7 +120,8 @@ class UpdateExecutor:
         using = getattr(op, "using", ()) or ()
         using_named = getattr(op, "using_named", ()) or ()
         tr = Translator(self.store.spark, self.store.df,
-                        list(using) or None, list(using_named) or None)
+                        list(using) or None, list(using_named) or None,
+                        fts_registry=getattr(self.store, "fts_indexes", None))
         tr.query_base = getattr(op, "base", None)
         where = op.where
         # USING overrides WITH for the WHERE pattern (SPARQL Update §3.1.3)

@@ -1,0 +1,159 @@
+"""B42 consistency checking: pD*/OWL-Horst inconsistency conditions +
+the commit-time transaction gate (``owlim:check-for-inconsistencies`` —
+the reference template ships "false", repo-config.ttl:44; GraphDB aborts
+the commit when a consistency rule fires with it on)."""
+
+from __future__ import annotations
+
+import pytest
+
+OWL = "http://www.w3.org/2002/07/owl#"
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDFT = RDF + "type"
+
+
+def _engine(spark, **kw):
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    return Engine(spark, QuadStore(spark), **kw)
+
+
+def _viol(eng):
+    return sorted((r["rule"], r["x"], r["y"])
+                  for r in eng.check_consistency().collect())
+
+
+def test_disjoint_with_clash(spark):
+    eng = _engine(spark)
+    eng.update(f"""INSERT DATA {{
+      <urn:Cat> <{OWL}disjointWith> <urn:Dog> .
+      <urn:rex> <{RDFT}> <urn:Dog> .
+      <urn:rex> <{RDFT}> <urn:Cat> . }}""")
+    assert _viol(eng) == [("cax-dw", "urn:rex", "urn:Cat | urn:Dog")]
+
+
+def test_complement_of_clash(spark):
+    eng = _engine(spark)
+    eng.update(f"""INSERT DATA {{
+      <urn:Alive> <{OWL}complementOf> <urn:Dead> .
+      <urn:z> <{RDFT}> <urn:Alive> .
+      <urn:z> <{RDFT}> <urn:Dead> . }}""")
+    assert _viol(eng) == [("owl-comp", "urn:z", "urn:Alive | urn:Dead")]
+
+
+def test_nothing_membership(spark):
+    eng = _engine(spark)
+    eng.update(f"INSERT DATA {{ <urn:x> <{RDFT}> <{OWL}Nothing> . }}")
+    assert _viol(eng) == [("owl-nothing", "urn:x", OWL + "Nothing")]
+
+
+def test_different_from_vs_sameas_chain(spark):
+    eng = _engine(spark)
+    eng.update(f"""INSERT DATA {{
+      <urn:a> <{OWL}sameAs> <urn:b> .
+      <urn:b> <{OWL}sameAs> <urn:c> .
+      <urn:a> <{OWL}differentFrom> <urn:c> . }}""")
+    assert _viol(eng) == [("owl-dif", "urn:a", "urn:c")]
+
+
+def test_different_from_self_is_inconsistent(spark):
+    eng = _engine(spark)
+    eng.update(f"INSERT DATA {{ <urn:a> <{OWL}differentFrom> <urn:a> . }}")
+    assert _viol(eng) == [("owl-dif", "urn:a", "urn:a")]
+
+
+def test_disjoint_through_sameas_identity(spark):
+    # rex type Dog, felix type Cat, rex sameAs felix -> same individual in
+    # two disjoint classes
+    eng = _engine(spark)
+    eng.update(f"""INSERT DATA {{
+      <urn:Cat> <{OWL}disjointWith> <urn:Dog> .
+      <urn:rex> <{RDFT}> <urn:Dog> .
+      <urn:felix> <{RDFT}> <urn:Cat> .
+      <urn:rex> <{OWL}sameAs> <urn:felix> . }}""")
+    v = _viol(eng)
+    assert len(v) == 1 and v[0][0] == "cax-dw"
+
+
+def test_all_different_list_expansion(spark):
+    eng = _engine(spark)
+    eng.update(f"""INSERT DATA {{
+      _:ad <{RDFT}> <{OWL}AllDifferent> .
+      _:ad <{OWL}distinctMembers> _:l1 .
+      _:l1 <{RDF}first> <urn:p> .
+      _:l1 <{RDF}rest> _:l2 .
+      _:l2 <{RDF}first> <urn:q> .
+      _:l2 <{RDF}rest> _:l3 .
+      _:l3 <{RDF}first> <urn:r> .
+      _:l3 <{RDF}rest> <{RDF}nil> .
+      <urn:q> <{OWL}sameAs> <urn:r> . }}""")
+    assert _viol(eng) == [("owl-dif", "urn:q", "urn:r")]
+
+
+def test_functional_property_derived_clash(spark):
+    """rdfp1 derives m1 sameAs m2; explicit differentFrom then fires
+    owl-dif — the cardinality-style inconsistency of pD* surfaces through
+    the materialized closure, no dedicated rule needed."""
+    eng = _engine(spark, use_inference=True)
+    eng.update(f"""INSERT DATA {{
+      <urn:hasMother> <{RDFT}> <{OWL}FunctionalProperty> .
+      <urn:kid> <urn:hasMother> <urn:m1> .
+      <urn:kid> <urn:hasMother> <urn:m2> .
+      <urn:m1> <{OWL}differentFrom> <urn:m2> . }}""")
+    eng.store.materialize_inference()
+    assert ("owl-dif", "urn:m1", "urn:m2") in _viol(eng)
+
+
+def test_consistent_store_is_empty(spark):
+    eng = _engine(spark)
+    eng.update(f"""INSERT DATA {{
+      <urn:Cat> <{OWL}disjointWith> <urn:Dog> .
+      <urn:rex> <{RDFT}> <urn:Dog> .
+      <urn:felix> <{RDFT}> <urn:Cat> .
+      <urn:a> <{OWL}differentFrom> <urn:b> . }}""")
+    assert eng.check_consistency().isEmpty()
+
+
+def test_update_gate_aborts_and_rolls_back(spark):
+    from graphdb_free_mocha_sa_spark.engine import InconsistencyError
+    eng = _engine(spark, check_inconsistencies=True)
+    eng.update(f"""INSERT DATA {{
+      <urn:Cat> <{OWL}disjointWith> <urn:Dog> .
+      <urn:rex> <{RDFT}> <urn:Dog> . }}""")
+    n = eng.store.df.count()
+    with pytest.raises(InconsistencyError):
+        eng.update(f"INSERT DATA {{ <urn:rex> <{RDFT}> <urn:Cat> . }}")
+    assert eng.store.df.count() == n       # transaction rolled back
+    eng.update(f"INSERT DATA {{ <urn:felix> <{RDFT}> <urn:Cat> . }}")
+    assert eng.store.df.count() == n + 1   # consistent writes still land
+
+
+def test_update_gate_covers_delete_driven_violations(spark):
+    """DELETE can violate too (removing a sameAs premise cannot, but
+    removing a type does not — this pins that the gate re-checks after ANY
+    update op, here a DELETE/INSERT pair whose INSERT half violates)."""
+    from graphdb_free_mocha_sa_spark.engine import InconsistencyError
+    eng = _engine(spark, check_inconsistencies=True)
+    eng.update(f"""INSERT DATA {{
+      <urn:Cat> <{OWL}disjointWith> <urn:Dog> .
+      <urn:rex> <{RDFT}> <urn:Dog> . }}""")
+    with pytest.raises(InconsistencyError):
+        eng.update(f"""DELETE {{ ?s <urn:none> ?o }}
+                       INSERT {{ <urn:rex> <{RDFT}> <urn:Cat> }}
+                       WHERE {{ OPTIONAL {{ ?s <urn:none> ?o }} }}""")
+    assert _viol(eng) == []
+
+
+def test_config_template_maps_flag(spark, tmp_path):
+    from graphdb_free_mocha_sa_spark.config import engine_from_config
+    cfg = tmp_path / "repo.ttl"
+    cfg.write_text("""
+@prefix owlim: <http://www.ontotext.com/trree/owlim#>.
+[] owlim:ruleset "empty" ;
+   owlim:check-for-inconsistencies "true" .
+""")
+    eng = engine_from_config(spark, str(cfg))
+    assert eng.check_inconsistencies is True
+    # the shipped reference template keeps it off
+    eng2 = engine_from_config(spark, "/root/reference/repo-config.ttl")
+    assert eng2.check_inconsistencies is False

@@ -1,0 +1,164 @@
+"""B43 full-text search: the GraphDB ``luc:`` magic-predicate surface.
+
+Reference scope note: the benchmark template DISABLES GraphDB's FTS index
+(owlim:ftsIndexPolicy "never", repo-config.ttl:36-38), but FTS is a
+first-class capability of the wrapped engine; this suite pins the public
+Lucene-plugin protocol (setParam/createIndex/updateIndex, per-index match
+predicate, luc:score) and the documented query-syntax subset.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from graphdb_free_mocha_sa_spark.operators.fts import (FtsError,
+                                                       parse_fts_query)
+
+LUC = "PREFIX luc: <http://www.ontotext.com/owlim/lucene#>\n"
+
+
+def _engine(spark):
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark))
+    eng.update("""INSERT DATA {
+      <urn:d1> <urn:title> "Spark analytics engine" .
+      <urn:d1> <urn:body> "distributed query processing with spark" .
+      <urn:d2> <urn:title> "Cooking with fire" .
+      <urn:d2> <urn:body> "recipes for slow cooking" .
+      <urn:d3> <urn:title> "Spark plugs and engines" .
+      <urn:d4> <urn:ref> <urn:d1> .
+    }""")
+    eng.update(LUC + 'INSERT DATA { luc:idx luc:createIndex "true" }')
+    return eng
+
+
+# ------------------------------------------------------------ query parsing
+
+def test_parse_default_or_and_required():
+    s = parse_fts_query("alpha beta")
+    assert s["optional"] == ["alpha", "beta"] and not s["required"]
+    s = parse_fts_query("alpha AND beta")
+    assert sorted(s["required"]) == ["alpha", "beta"] and not s["optional"]
+    s = parse_fts_query("+alpha beta -gamma")
+    assert s["required"] == ["alpha"] and s["optional"] == ["beta"] \
+        and s["prohibited"] == ["gamma"]
+
+
+def test_parse_phrase_and_prefix():
+    s = parse_fts_query('"slow cooking" spar*')
+    assert s["phrases"] == [["slow", "cooking"]]
+    assert s["opt_prefixes"] == ["spar"]
+
+
+@pytest.mark.parametrize("bad", ["fuzzy~2", "boost^4", "field:value",
+                                 "(group)", "mid*dle", "wild?card", ""])
+def test_parse_unsupported_syntax_raises(bad):
+    with pytest.raises(FtsError):
+        parse_fts_query(bad)
+
+
+# ------------------------------------------------------------- end to end
+
+def test_match_and_score_ordering(spark):
+    eng = _engine(spark)
+    res = eng.query(LUC + """
+        SELECT ?s ?sc WHERE { ?s luc:idx "spark AND engine*" .
+                              ?s luc:score ?sc }
+        ORDER BY DESC(?sc) ?s""")
+    rows = res.finalize({"s": "str", "sc": "num"}).collect()
+    assert [r["s"] for r in rows] == ["urn:d3", "urn:d1"]
+    assert rows[0]["sc"] > 0 and rows[1]["sc"] > 0
+
+
+def test_phrase_and_prohibited(spark):
+    eng = _engine(spark)
+    rows = eng.query(LUC + """
+        SELECT ?s WHERE { ?s luc:idx '"slow cooking" -spark' }""") \
+        .finalize({"s": "str"}).collect()
+    assert [r["s"] for r in rows] == ["urn:d2"]
+
+
+def test_match_joins_plain_bgp(spark):
+    eng = _engine(spark)
+    rows = eng.query(LUC + """
+        SELECT ?s ?t WHERE { ?s luc:idx "cooking" . ?s <urn:title> ?t }""") \
+        .finalize({"s": "str", "t": "str"}).collect()
+    assert [(r["s"], r["t"]) for r in rows] == [("urn:d2",
+                                                 "Cooking with fire")]
+
+
+def test_or_semantics_default(spark):
+    eng = _engine(spark)
+    rows = eng.query(LUC + """
+        SELECT ?s WHERE { ?s luc:idx "fire distributed" } ORDER BY ?s""") \
+        .finalize({"s": "str"}).collect()
+    assert [r["s"] for r in rows] == ["urn:d1", "urn:d2"]
+
+
+def test_index_is_snapshot_until_update_index(spark):
+    eng = _engine(spark)
+    eng.update('INSERT DATA { <urn:d9> <urn:title> "spark ignition" . }')
+    q = LUC + 'SELECT ?s WHERE { ?s luc:idx "ignition" }'
+    assert eng.query(q).df.count() == 0          # stale by design
+    eng.update(LUC + 'INSERT DATA { luc:idx luc:updateIndex "true" }')
+    assert eng.query(q).df.count() == 1          # plan cache invalidated too
+
+
+def test_include_predicates_param(spark):
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark))
+    eng.update("""INSERT DATA {
+      <urn:a> <urn:title> "visible words" .
+      <urn:a> <urn:secret> "hidden words" . }""")
+    eng.update(LUC + """INSERT DATA {
+      luc:includePredicates luc:setParam "urn:title" .
+      luc:scoped luc:createIndex "true" }""")
+    hit = eng.query(LUC + 'SELECT ?s WHERE { ?s luc:scoped "visible" }')
+    miss = eng.query(LUC + 'SELECT ?s WHERE { ?s luc:scoped "hidden" }')
+    assert hit.df.count() == 1 and miss.df.count() == 0
+
+
+def test_control_triples_are_consumed_not_stored(spark):
+    eng = _engine(spark)
+    rows = eng.query("""SELECT ?s ?p ?o WHERE { ?s ?p ?o .
+        FILTER(STRSTARTS(STR(?p), "http://www.ontotext.com/owlim/lucene#"))
+    }""").df.collect()
+    assert rows == []
+
+
+def test_unknown_index_sentinels_not_crashes(spark):
+    eng = _engine(spark)
+    out = eng.query_json(LUC + 'SELECT ?s WHERE { ?s luc:missing "x" }')
+    assert '"xxx"' in out            # A13 error sentinel shape
+
+
+def test_constant_subject_gate(spark):
+    eng = _engine(spark)
+    y = eng.query(LUC + 'ASK { <urn:d2> luc:idx "cooking" }')
+    n = eng.query(LUC + 'ASK { <urn:d3> luc:idx "cooking" }')
+    assert y is True and n is False
+
+
+def test_literals_only_uris_never_match(spark):
+    # d4 has only an IRI object; ftsLiteralsOnly semantics exclude it
+    eng = _engine(spark)
+    rows = eng.query(LUC + 'SELECT ?s WHERE { ?s luc:idx "d1" }') \
+        .df.collect()
+    assert rows == []
+
+
+def test_bm25_scores_match_closed_form(spark):
+    """Hand-computed single-term BM25 over the 3-doc literal corpus."""
+    import math
+    eng = _engine(spark)
+    rows = eng.query(LUC + """
+        SELECT ?s ?sc WHERE { ?s luc:idx "cooking" . ?s luc:score ?sc }""") \
+        .finalize({"s": "str", "sc": "num"}).collect()
+    assert len(rows) == 1 and rows[0]["s"] == "urn:d2"
+    # corpus: d1 dl=8, d2 dl=7, d3 dl=4 -> N=3, avgdl=19/3; cooking tf=2
+    n, df_t, tf, dl, avgdl = 3, 1, 2, 7, 19 / 3
+    idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+    expect = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert abs(rows[0]["sc"] - expect) < 1e-4
