@@ -220,30 +220,39 @@ def _rule_applier(spark: SparkSession, schema: Schema, graph: str):
         iri_delta = delta.filter(F.col("o_dt").isNull())
         types = delta.filter(F.col("p") == RDF_TYPE)
 
+        # empty rule tables are SKIPPED, not joined-with-empty: every
+        # emitted piece adds a stage to EVERY downstream materialization
+        # of the union, and decrement/increment re-materialize it per
+        # fixpoint iteration (r9 DRed profile)
         # rdfs9: type(x,c1) & sc(c1,c2) => type(x,c2)
-        pieces.append(types.join(F.broadcast(sc_df), types["o_lex"] == sc_df["c1"])
-                      .select(g.alias("g"), F.col("s"), F.lit(RDF_TYPE).alias("p"),
-                              F.col("c2").alias("o_lex"), *null_cols()))
+        if schema.subclass:
+            pieces.append(types.join(F.broadcast(sc_df), types["o_lex"] == sc_df["c1"])
+                          .select(g.alias("g"), F.col("s"), F.lit(RDF_TYPE).alias("p"),
+                                  F.col("c2").alias("o_lex"), *null_cols()))
         # rdfs7: rel(s,p1,o) & sp(p1,p2) => rel(s,p2,o)  (keeps literal shadows)
-        stepped = delta.join(F.broadcast(sp_df), delta["p"] == sp_df["p1"])
-        pieces.append(stepped.select(g.alias("g"), F.col("s"),
-                                     F.col("p2").alias("p"), F.col("o_lex"),
-                                     F.col("o_dt"), F.col("o_lang"),
-                                     F.col("o_num"), F.col("o_ts")))
+        if schema.subprop:
+            stepped = delta.join(F.broadcast(sp_df), delta["p"] == sp_df["p1"])
+            pieces.append(stepped.select(g.alias("g"), F.col("s"),
+                                         F.col("p2").alias("p"), F.col("o_lex"),
+                                         F.col("o_dt"), F.col("o_lang"),
+                                         F.col("o_num"), F.col("o_ts")))
         # rdfs2: rel(s,p,o) & dom(p,c) => type(s,c)
-        pieces.append(delta.join(F.broadcast(dom_df), delta["p"] == dom_df["dp"])
-                      .select(g.alias("g"), F.col("s"), F.lit(RDF_TYPE).alias("p"),
-                              F.col("dc").alias("o_lex"), *null_cols()))
+        if schema.domain:
+            pieces.append(delta.join(F.broadcast(dom_df), delta["p"] == dom_df["dp"])
+                          .select(g.alias("g"), F.col("s"), F.lit(RDF_TYPE).alias("p"),
+                                  F.col("dc").alias("o_lex"), *null_cols()))
         # rdfs3: rel(s,p,o) & rng(p,c) & o is IRI => type(o,c)
-        pieces.append(iri_delta.join(F.broadcast(rng_df), iri_delta["p"] == rng_df["rp"])
-                      .select(g.alias("g"), F.col("o_lex").alias("s"),
-                              F.lit(RDF_TYPE).alias("p"),
-                              F.col("rc").alias("o_lex"), *null_cols()))
+        if schema.range:
+            pieces.append(iri_delta.join(F.broadcast(rng_df), iri_delta["p"] == rng_df["rp"])
+                          .select(g.alias("g"), F.col("o_lex").alias("s"),
+                                  F.lit(RDF_TYPE).alias("p"),
+                                  F.col("rc").alias("o_lex"), *null_cols()))
         # rdfp8: rel(s,p1,o) & inv(p1,p2) => rel(o,p2,s) (IRI objects only)
-        pieces.append(iri_delta.join(F.broadcast(inv_df), iri_delta["p"] == inv_df["ip1"])
-                      .select(g.alias("g"), F.col("o_lex").alias("s"),
-                              F.col("ip2").alias("p"), F.col("s").alias("o_lex"),
-                              *null_cols()))
+        if schema.inverse:
+            pieces.append(iri_delta.join(F.broadcast(inv_df), iri_delta["p"] == inv_df["ip1"])
+                          .select(g.alias("g"), F.col("o_lex").alias("s"),
+                                  F.col("ip2").alias("p"), F.col("s").alias("o_lex"),
+                                  *null_cols()))
         # rdfp3: symmetric
         if schema.symmetric:
             sym = iri_delta.filter(F.col("p").isin(*schema.symmetric))
@@ -272,6 +281,14 @@ def _rule_applier(spark: SparkSession, schema: Schema, graph: str):
                                        F.col("w_lang").alias("o_lang"),
                                        F.col("w_num").alias("o_num"),
                                        F.col("w_ts").alias("o_ts")))
+        if not pieces:
+            # empty TBox: no rule can fire. FRESH LocalRelation, not
+            # delta.filter(False) — reusing delta's attribute ids trips
+            # Spark 4.1's Union constraint rewrite ("key not found: p#N")
+            # when the caller unions this with other delta-derived pieces
+            # and checkpoints (same hazard the decrement _pin documents)
+            from graphdb_free_mocha_sa_spark.model import QUAD_SCHEMA
+            return spark.createDataFrame([], QUAD_SCHEMA).select(*QUAD_COLS)
         out = pieces[0]
         for piece in pieces[1:]:
             out = out.unionByName(piece)
@@ -608,6 +625,21 @@ def owl_horst_closure(spark: SparkSession, quads: DataFrame,
         small = _closure_small_abox(spark, head, graph)
         if small is not None:
             return small
+    # same Spark 4.1 Union-constraint-rewrite hazard as the decrement
+    # (checkpointing rule-piece unions can throw "key not found: p#N";
+    # which shapes trip it depends on which rule branches are present —
+    # the r9 branch pruning exposed it here on fuzz seed 7)
+    cp_key = "spark.sql.constraintPropagation.enabled"
+    cp_prev = spark.conf.get(cp_key, "true")
+    spark.conf.set(cp_key, "false")
+    try:
+        return _closure_body(spark, quads, graph)
+    finally:
+        spark.conf.set(cp_key, cp_prev)
+
+
+def _closure_body(spark: SparkSession, quads: DataFrame,
+                  graph: str) -> DataFrame:
     schema = Schema(quads)
     g = F.lit(graph)
     apply_rules = _rule_applier(spark, schema, graph)
@@ -687,6 +719,19 @@ def owl_horst_increment(spark: SparkSession, base: DataFrame,
                                  FUNCTIONAL, INV_FUNCTIONAL)))
     if not tbox_delta.isEmpty():
         return None
+    # Spark 4.1 Union-constraint-rewrite guard (see owl_horst_closure)
+    cp_key = "spark.sql.constraintPropagation.enabled"
+    cp_prev = spark.conf.get(cp_key, "true")
+    spark.conf.set(cp_key, "false")
+    try:
+        return _increment_body(spark, base, inferred, delta, graph)
+    finally:
+        spark.conf.set(cp_key, cp_prev)
+
+
+def _increment_body(spark: SparkSession, base: DataFrame,
+                    inferred: DataFrame, delta: DataFrame,
+                    graph: str) -> DataFrame | None:
     known = base.select(*QUAD_COLS)
     if inferred is not None:
         known = known.unionByName(inferred.select(*QUAD_COLS))
@@ -856,11 +901,21 @@ def _decrement_body(spark: SparkSession, base_after: DataFrame,
         # keys (a small-left left_semi against a big right would
         # sort-merge the whole closure — measured 3x the wall)
         ck = cons.select("s", "p", "o_lex").dropDuplicates()
-        cons = inferred.join(F.broadcast(ck), ["s", "p", "o_lex"],
-                             "left_semi")
         if over is not None:
-            cons = _anti_known(cons, over)
-        cons = cons.localCheckpoint()
+            # subtract already-over-deleted keys BEFORE the closure probe:
+            # the convergence iteration then terminates on the (tiny,
+            # checkpointed) key set without rescanning the full closure
+            # (r9 profile: the confirm iteration cost a 540k-row semi scan
+            # + checkpoint, ~2 s, to learn "nothing new")
+            ck = _anti_known(
+                ck.withColumns({"o_dt": F.lit(None).cast("string"),
+                                "o_lang": F.lit(None).cast("string")}),
+                over).select("s", "p", "o_lex")
+        ck = ck.localCheckpoint()
+        if ck.isEmpty():
+            break
+        cons = inferred.join(F.broadcast(ck), ["s", "p", "o_lex"],
+                             "left_semi").localCheckpoint()
         if cons.isEmpty():
             break
         over = cons if over is None else _pin(over.unionByName(cons))
@@ -901,11 +956,21 @@ def _decrement_body(spark: SparkSession, base_after: DataFrame,
                           .select(F.col("o_lex").alias("t")))
              .dropDuplicates())
     subj_terms = removed.select(F.col("s").alias("t")).dropDuplicates()
-    cand = new_known.join(terms, F.col("s") == F.col("t"), "left_semi") \
-        .unionByName(new_known.join(subj_terms,
+    # broadcast the removed-term keys: the probe side is the full world —
+    # without the hint these semi-joins sort-merge 600k+ rows each
+    # (r9 profile: 7.0 s -> sub-second)
+    cand = new_known.join(F.broadcast(terms), F.col("s") == F.col("t"),
+                          "left_semi") \
+        .unionByName(new_known.join(F.broadcast(subj_terms),
                                     F.col("o_lex") == F.col("t"),
                                     "left_semi")) \
         .dropDuplicates(["g", "s", "p", "o_lex", "o_dt", "o_lang"])
+    # PIN the candidate set before fanning it into the rule union: every
+    # rule branch of one_step references `cand`, and an unpinned cand
+    # re-computes its two semi-joins over the FULL new_known per branch —
+    # ~20 world rescans for a handful of candidate rows (r9 profile:
+    # 15.2 s of the 19.5 s decrement; 2.6 s after the pin)
+    cand = _pin(cand)
     restored = _pin(_anti_known_bigside(one_step(cand, new_known),
                                         new_known))
     if restored.isEmpty():

@@ -1762,8 +1762,19 @@ class Translator:
                     fam = _fam_tcol(df, term.name)
                 else:
                     fam = TCol.from_term(term)
-                if name in ("s", "p"):
-                    cols.append(fam.lex.alias(name))
+                if name == "s":
+                    # §16.2: an instantiation that puts a LITERAL in
+                    # subject position produces no triple (NULL here feeds
+                    # the isNotNull filter below). IRIs and bnodes carry a
+                    # null dt; literals always carry one (r9 fuzzer find:
+                    # a literal-bound var in the template emitted its lex
+                    # as if it were an IRI)
+                    cols.append(F.when(fam.dt.isNull(), fam.lex).alias(name))
+                elif name == "p":
+                    # predicate must be an IRI: no literals, no bnodes
+                    cols.append(F.when(fam.dt.isNull()
+                                       & ~fam.lex.startswith("_:"),
+                                       fam.lex).alias(name))
                 else:
                     cols.extend([fam.lex.alias("o_lex"), fam.dt.alias("o_dt"),
                                  fam.lang.alias("o_lang"), fam.num.alias("o_num"),

@@ -151,7 +151,10 @@ class UpdateExecutor:
             for gspec, tp in template:
                 cols = []
                 if isinstance(gspec, A.Var):
-                    gcol = F.col(gspec.name + "__lex")
+                    # graph names are IRIs: an unbound or literal-bound
+                    # graph var skips the quad (NULL → filter below)
+                    gcol = F.when(F.col(gspec.name + "__dt").isNull(),
+                                  F.col(gspec.name + "__lex"))
                 else:
                     gcol = F.lit(gspec or op.with_graph or DEFAULT_GRAPH)
                 cols.append(gcol.alias("g"))
@@ -163,7 +166,16 @@ class UpdateExecutor:
                     if isinstance(term, A.PLink):
                         term = A.IRI(term.iri)
                     if isinstance(term, A.Var):
-                        cols.append(F.col(term.name + "__lex").alias(pos))
+                        # §3.1.3 (same rule as CONSTRUCT §16.2, r9 fuzzer
+                        # find): a solution that would put a literal in
+                        # subject/predicate position or a bnode in
+                        # predicate position produces NO triple — NULL
+                        # here feeds the isNotNull filter below
+                        lex = F.col(term.name + "__lex")
+                        dt = F.col(term.name + "__dt")
+                        valid = dt.isNull() if pos == "s" \
+                            else dt.isNull() & ~lex.startswith("_:")
+                        cols.append(F.when(valid, lex).alias(pos))
                     elif isinstance(term, A.BNode) \
                             and "__bn_salt" in bindings.columns:
                         cols.append(fresh_bn(term).alias(pos))
@@ -182,7 +194,10 @@ class UpdateExecutor:
                              fam.lang.alias("o_lang"), fam.num.alias("o_num"),
                              fam.ts.alias("o_ts")])
                 pieces.append(bindings.select(*cols)
-                              .where(F.col("s").isNotNull() & F.col("o_lex").isNotNull()))
+                              .where(F.col("g").isNotNull()
+                                     & F.col("s").isNotNull()
+                                     & F.col("p").isNotNull()
+                                     & F.col("o_lex").isNotNull()))
             out = pieces[0]
             for piece in pieces[1:]:
                 out = out.unionByName(piece)
