@@ -85,7 +85,10 @@ PROBES = ["b2_bgp_join", "b4_optional", "tpch_q3_shipping",
           "ext_line_dedup", "ext_lm_score", "ext_quality_gopher",
           # round-8: the 6-pattern star (does the self-join chain hold
           # at 10x, or does it start to dominate?)
-          "b2b_star6"]
+          "b2b_star6",
+          # round-9: B43 FTS kernel — index build is one groupBy + one
+          # explode/groupBy (linear), the match joins broadcast terms
+          "ext_fts_match"]
 
 
 def run_probes(spark, sf_dir: str) -> dict[str, float]:

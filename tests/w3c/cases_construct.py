@@ -81,6 +81,37 @@ CASES = [
         "graph": [("<http://example/b>", "<http://example/label>", '"B"')],
     },
     {
+        "name": "construct-literal-subject-skipped",
+        "source": "spec §16.2 (invalid RDF triples are not included)",
+        "data": """@prefix : <http://example/> .
+            :a :p "litval" .
+            :a :p :iriobj .
+        """,
+        "query": """PREFIX : <http://example/>
+            CONSTRUCT { ?o :q :c }
+            WHERE { :a :p ?o }""",
+        # ?o = "litval" would put a literal in subject position — that
+        # instantiation produces NO triple (r9 fuzzer-found defect: the
+        # literal's lexical form leaked through as if it were an IRI)
+        "graph": [("<http://example/iriobj>", "<http://example/q>",
+                   "<http://example/c>")],
+    },
+    {
+        "name": "construct-literal-predicate-skipped",
+        "source": "spec §16.2 (predicate must be an IRI)",
+        "data": """@prefix : <http://example/> .
+            :a :p "litval" .
+            :a :p :iriobj .
+            :a :p _:bn .
+        """,
+        "query": """PREFIX : <http://example/>
+            CONSTRUCT { :x ?o :c }
+            WHERE { :a :p ?o }""",
+        # literal AND bnode bindings are invalid in predicate position
+        "graph": [("<http://example/x>", "<http://example/iriobj>",
+                   "<http://example/c>")],
+    },
+    {
         "name": "describe-iri",
         "source": "spec §16.4 (DESCRIBE resource)",
         "data": """@prefix : <http://example/> .

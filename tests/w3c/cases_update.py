@@ -10,6 +10,26 @@ _QD = "PREFIX dc: <http://purl.org/dc/elements/1.1/>\n" \
 
 CASES = [
     {
+        "name": "insert-template-invalid-positions-skipped",
+        "source": "update spec §3.1.3 (illegal RDF in instantiated "
+                  "templates produces no triple)",
+        "data": """@prefix : <http://example/> .
+            :a :p "litval" .
+            :a :p :iriobj .
+        """,
+        "update": ["""PREFIX : <http://example/>
+            INSERT { ?o :q :c . :x ?o :c }
+            WHERE { :a :p ?o }"""],
+        # literal-bound ?o is invalid in subject AND predicate position —
+        # only the :iriobj instantiations land (r9 fuzzer-found defect)
+        "query": """PREFIX : <http://example/>
+            SELECT ?s ?p WHERE { ?s ?p :c } ORDER BY ?s""",
+        "results": [{"s": "<http://example/iriobj>",
+                     "p": "<http://example/q>"},
+                    {"s": "<http://example/x>",
+                     "p": "<http://example/iriobj>"}],
+    },
+    {
         "name": "insert-data",
         "source": "update spec §3.1.1",
         "data": """@prefix dc: <http://purl.org/dc/elements/1.1/> .
