@@ -741,7 +741,10 @@ def q_b43_fts_search(spark, sf_dir):
     luc:createIndex builds a literal-molecule snapshot index; a per-index
     predicate matches entities with Lucene-subset syntax (AND, prefix
     wildcard); luc:score binds BM25 relevance. Ranks returned instead of
-    raw floats so the oracle pins ORDERING, not float formatting."""
+    raw floats so the oracle pins ORDERING, not float formatting (the
+    unpartitioned row_number window runs over the MATCH SET — a handful
+    of rows — never the corpus; same tiny-window pattern as the
+    stratified/offset tables)."""
     from graphdb_free_mocha_sa_spark.engine import Engine
     from graphdb_free_mocha_sa_spark.store import QuadStore
     from pyspark.sql import Window

@@ -81,6 +81,33 @@ class FtsIndex:
         self.n_docs = n_docs
         self.avgdl = avgdl
 
+    def write(self, path: str) -> None:
+        """Persist to parquet (doc + token tables) + a stats sidecar,
+        atomically (write to tmp, rename) — the durable store's index
+        layout; at 100 TB the token table IS the scale-bearing artifact
+        and lands as a real columnar table, not executor-memory blocks."""
+        import json
+        import os
+        import shutil
+        tmp = path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        self.docs.write.parquet(os.path.join(tmp, "docs"))
+        self.tokens.write.parquet(os.path.join(tmp, "tokens"))
+        with open(os.path.join(tmp, "stats.json"), "w") as fh:
+            json.dump({"n_docs": self.n_docs, "avgdl": self.avgdl}, fh)
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(tmp, path)
+
+    @classmethod
+    def read(cls, spark: SparkSession, path: str) -> "FtsIndex":
+        import json
+        import os
+        with open(os.path.join(path, "stats.json")) as fh:
+            stats = json.load(fh)
+        return cls(spark.read.parquet(os.path.join(path, "docs")),
+                   spark.read.parquet(os.path.join(path, "tokens")),
+                   int(stats["n_docs"]), float(stats["avgdl"]))
+
 
 _TOKEN_SPLIT = r"[^a-z0-9]+"
 

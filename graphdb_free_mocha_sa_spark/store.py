@@ -458,6 +458,83 @@ class DurableQuadStore(QuadStore):
         # latest log entry and older than the race horizon (a concurrent
         # committer's data lands before its log rename)
         self.vacuum(min_age_seconds=3600.0)
+        self._load_fts_registry()
+
+    # -- durable FTS indexes (B43: GraphDB's index survives restarts) -----
+
+    def _fts_registry_path(self) -> str:
+        import os
+        return os.path.join(self.path, "fts", "registry.json")
+
+    def _load_fts_registry(self) -> None:
+        import json
+        import os
+        reg = self._fts_registry_path()
+        if not os.path.exists(reg):
+            return
+        from graphdb_free_mocha_sa_spark.operators.fts import FtsIndex
+        try:
+            with open(reg) as fh:
+                entries = json.load(fh)
+            for name, rel in entries.items():
+                self.fts_indexes[name] = FtsIndex.read(
+                    self.spark, os.path.join(self.path, "fts", rel))
+            if entries:
+                self.fts_epoch += 1
+        except Exception:
+            # a torn registry (crash mid-create) must not poison open();
+            # the index is rebuildable with one luc:createIndex
+            self.fts_indexes.clear()
+            return
+        # vacuum superseded index generations (same 1h race horizon as
+        # the segment vacuum: a concurrent rebuild's files land before
+        # its registry rename)
+        import shutil
+        import time as _time
+        live = set(entries.values())
+        base = os.path.join(self.path, "fts")
+        for d in os.listdir(base):
+            full = os.path.join(base, d)
+            if (os.path.isdir(full) and d not in live
+                    and not d.endswith(".tmp")
+                    and _time.time() - os.path.getmtime(full) > 3600.0):
+                shutil.rmtree(full, ignore_errors=True)
+
+    def fts_control(self, s: str, p: str, value) -> None:
+        super().fts_control(s, p, value)
+        from graphdb_free_mocha_sa_spark.operators.fts import (LUC_CREATE,
+                                                               LUC_UPDATE)
+        if p not in (LUC_CREATE, LUC_UPDATE) or s not in self.fts_indexes \
+                or str(value).lower() != "true":
+            return
+        import hashlib
+        import json
+        import os
+        import uuid
+        # fresh generation dir per (re)build: a reader pinned on the OLD
+        # index keeps readable files (same snapshot-isolation story as the
+        # segment log); unreferenced generations are vacuumed at open
+        rel = (hashlib.md5(s.encode()).hexdigest()[:12]
+               + "-" + uuid.uuid4().hex[:8])
+        base = os.path.join(self.path, "fts")
+        os.makedirs(base, exist_ok=True)
+        self.fts_indexes[s].write(os.path.join(base, rel))
+        # re-open from the persisted files: the in-memory build's
+        # localCheckpoint blocks die with this session, the parquet lives
+        from graphdb_free_mocha_sa_spark.operators.fts import FtsIndex
+        self.fts_indexes[s] = FtsIndex.read(self.spark,
+                                            os.path.join(base, rel))
+        reg = self._fts_registry_path()
+        try:
+            with open(reg) as fh:
+                entries = json.load(fh)
+        except Exception:
+            entries = {}
+        entries[s] = rel
+        tmp = reg + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(entries, fh)
+        os.rename(tmp, reg)
 
     # -- bucketed base table ----------------------------------------------
 

@@ -149,6 +149,24 @@ def test_literals_only_uris_never_match(spark):
     assert rows == []
 
 
+def test_fts_index_survives_store_reopen(spark, tmp_path):
+    """GraphDB's FTS index is durable; the DurableQuadStore persists the
+    doc + token tables as parquet with an atomically-renamed registry and
+    re-registers them on open."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import DurableQuadStore
+    path = str(tmp_path / "store")
+    eng = Engine(spark, DurableQuadStore(spark, path))
+    eng.update('INSERT DATA { <urn:d1> <urn:title> "durable spark facts" . }')
+    eng.update(LUC + 'INSERT DATA { luc:idx luc:createIndex "true" }')
+    q = LUC + 'SELECT ?s WHERE { ?s luc:idx "durable" }'
+    assert eng.query(q).df.count() == 1
+
+    eng2 = Engine(spark, DurableQuadStore(spark, path))   # fresh open
+    rows = eng2.query(q).finalize({"s": "str"}).collect()
+    assert [r["s"] for r in rows] == ["urn:d1"]
+
+
 def test_bm25_scores_match_closed_form(spark):
     """Hand-computed single-term BM25 over the 3-doc literal corpus."""
     import math
