@@ -96,8 +96,13 @@ _XMLNS = "http://www.w3.org/2005/sparql-results#"
 
 
 def _xml_escape(s: str) -> str:
+    # &#13;: XML 1.0 end-of-line handling NORMALIZES a literal CR (alone
+    # or in CRLF) to LF during parse — a lexical containing "\r" would
+    # silently round-trip as "\n" unless emitted as a character reference
+    # (r9 results-fuzzer find)
     return (s.replace("&", "&amp;").replace("<", "&lt;")
-            .replace(">", "&gt;").replace('"', "&quot;"))
+            .replace(">", "&gt;").replace('"', "&quot;")
+            .replace("\r", "&#13;"))
 
 
 def iter_select_xml(df: DataFrame, variables: list[str] | None = None):
