@@ -451,7 +451,13 @@ def iter_trix(df: DataFrame, default_graph: str | None = None):
     same-graph rows share one <graph> block; default-graph rows emit in
     an unnamed <graph>. Unnamed-graph rows sort first (g ascending with
     the default name), so at most one unnamed block opens."""
-    from xml.sax.saxutils import escape, quoteattr
+    from xml.sax.saxutils import escape as _sax_escape, quoteattr
+
+    def escape(s):
+        # &#13;: XML end-of-line handling normalizes a literal CR to LF
+        # at parse time (same defect the results-XML writer had — the r9
+        # round-trip fuzzer caught both)
+        return _sax_escape(s, {"\r": "&#13;"})
 
     def term_xml(lex, dt, lang):
         if dt is None:
