@@ -657,22 +657,34 @@ class Engine:
         swap the pre-update (base, inferred) snapshot pair back atomically
         and raise — the transaction never becomes visible as committed
         (readers that raced it saw a consistent-but-soon-reverted snapshot,
-        same isolation story as any rolled-back writer)."""
+        same isolation story as any rolled-back writer).
+
+        The whole execute + check + rollback span holds the store's
+        reentrant writer gate (r10 advisor fix): without it, another writer
+        could commit between ``execute()`` and the rollback and the
+        unconditional restore would silently erase that writer's committed
+        update. With the gate held, concurrent writers block until this
+        transaction either commits (gate released, check passed) or is
+        fully rolled back — readers are unaffected (they only take the
+        short inner snapshot lock)."""
         store = self.store
-        with store._lock:
-            before = (store._df, store._inferred, store.destructive_epoch)
-        self._updates.execute(sparql)
-        bad = self.check_consistency().limit(3).collect()
-        if bad:
+        with store._writer_gate:
             with store._lock:
-                # _commit_rewrite rewinds the durable subclass's persisted
-                # snapshot too (it writes through to the segment log)
-                store._commit_rewrite(before[0])
-                store._inferred = before[1]
-                store.destructive_epoch = before[2]
-            raise InconsistencyError(
-                "update aborted, consistency check failed: "
-                + "; ".join(f"{r['rule']}({r['x']}, {r['y']})" for r in bad))
+                before = (store._df, store._inferred, store.destructive_epoch)
+            self._updates.execute(sparql)
+            bad = self.check_consistency().limit(3).collect()
+            if bad:
+                with store._lock:
+                    # _commit_rewrite rewinds the durable subclass's
+                    # persisted snapshot too (it writes through to the
+                    # segment log)
+                    store._commit_rewrite(before[0])
+                    store._inferred = before[1]
+                    store.destructive_epoch = before[2]
+                raise InconsistencyError(
+                    "update aborted, consistency check failed: "
+                    + "; ".join(f"{r['rule']}({r['x']}, {r['y']})"
+                                for r in bad))
 
     def progress(self) -> dict:
         """Progress metering (A15): received/completed/failed counters, the

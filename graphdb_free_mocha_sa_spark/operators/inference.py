@@ -1191,10 +1191,13 @@ def consistency_violations(spark: SparkSession, quads: DataFrame) -> DataFrame:
     def class_clash(pred: str, rule: str) -> DataFrame:
         pairs = iris.filter(F.col("p") == pred).select(
             F.col("s").alias("c1"), F.col("o_lex").alias("c2"))
-        # symmetric predicates: normalize so each clash reports once
+        # symmetric predicates: normalize so each clash reports once.
+        # <= keeps the diagonal: a SELF-disjoint class (C disjointWith C)
+        # makes every member inconsistent in pD*, so (C, C) must survive
+        # (r10 advisor fix: < silently dropped it)
         pairs = (pairs.unionByName(pairs.select(F.col("c2").alias("c1"),
                                                 F.col("c1").alias("c2")))
-                 .filter(F.col("c1") < F.col("c2")).dropDuplicates())
+                 .filter(F.col("c1") <= F.col("c2")).dropDuplicates())
         t2 = types.select(F.col("i").alias("i2"), F.col("c").alias("cc2"))
         return (types.join(F.broadcast(pairs), types["c"] == pairs["c1"])
                 .join(t2, (F.col("i") == F.col("i2"))

@@ -40,6 +40,15 @@ class QuadStore:
             else local_quads_df(spark, [])
         self._version = 0
         self._lock = threading.Lock()
+        #: OUTER writer serialization (reentrant). Every public write path
+        #: acquires it for its whole read-transform-commit span, and the
+        #: engine's checked-update gate (B42) holds it across
+        #: execute + consistency-check + rollback — so a rollback can never
+        #: clobber a concurrent writer's committed update (r10 advisor fix:
+        #: the old snapshot-then-unconditional-restore lost any commit that
+        #: raced the consistency check). Readers never touch it: snapshot()
+        #: only takes the short inner ``_lock``.
+        self._writer_gate = threading.RLock()
         self._inferred: Optional[DataFrame] = None
         #: bumped by destructive ops (DELETE/CLEAR/COPY/MOVE). Readers that
         #: maintain append-only-incremental state (the engine's sameAs
@@ -87,14 +96,14 @@ class QuadStore:
         (the reference serializes writers with its write-pref lock,
         GraphDBSystemAdapter.java:82,227 — same guarantee, shorter critical
         section: only driver-side plan building happens under the lock)."""
-        with self._lock:
+        with self._writer_gate, self._lock:
             self.destructive_epoch += 1
             self._commit_rewrite(fn(self._df))
 
     def _append(self, delta: DataFrame):
         """Append-only commit (INSERT DATA / bulk load): the durable
         subclass persists just the delta segment instead of the snapshot."""
-        with self._lock:
+        with self._writer_gate, self._lock:
             self._commit_append(delta.select(*QUAD_COLS))
 
     # Commit hooks (called with the lock held). The in-memory store swaps
@@ -161,29 +170,42 @@ class QuadStore:
         executor — control triples are consumed, never stored as data,
         matching the GraphDB Lucene-plugin magic-predicate protocol)."""
         from graphdb_free_mocha_sa_spark.operators.fts import (
-            LUC_CREATE, LUC_NS, LUC_SET_PARAM, LUC_UPDATE, FtsError,
-            build_fts_index)
-        if p == LUC_SET_PARAM:
-            if not s.startswith(LUC_NS):
-                raise FtsError(f"luc:setParam subject must be a luc: "
-                               f"parameter IRI, got {s!r}")
-            self._fts_params[s[len(LUC_NS):]] = str(value)
-            return
-        if p in (LUC_CREATE, LUC_UPDATE):
-            if str(value).lower() != "true":
+            _KNOWN_PARAMS, LUC_CREATE, LUC_NS, LUC_SET_PARAM, LUC_UPDATE,
+            FtsError, build_fts_index)
+        with self._writer_gate:
+            if p == LUC_SET_PARAM:
+                if not s.startswith(LUC_NS):
+                    raise FtsError(f"luc:setParam subject must be a luc: "
+                                   f"parameter IRI, got {s!r}")
+                name = s[len(LUC_NS):]
+                # unknown parameters raise HERE, not silently no-op (r10
+                # advisor fix: _KNOWN_PARAMS used to be dead code, so a
+                # typoed or unimplemented parameter was accepted-and-ignored)
+                if name not in _KNOWN_PARAMS:
+                    raise FtsError(
+                        f"unknown luc:setParam parameter {name!r} "
+                        f"(supported: {', '.join(sorted(_KNOWN_PARAMS))})")
+                self._fts_params[name] = str(value)
                 return
-            # index the READ view (explicit + materialized inference),
-            # snapshotted now — updates do not refresh it implicitly
-            self.fts_indexes[s] = build_fts_index(
-                self.spark, self.df_with_inference(),
-                dict(self._fts_params))
-            self.fts_epoch += 1
-            return
-        raise FtsError(f"unknown luc: control predicate {p!r}")
+            if p in (LUC_CREATE, LUC_UPDATE):
+                if str(value).lower() != "true":
+                    return
+                # index the READ view (explicit + materialized inference),
+                # snapshotted now — updates do not refresh it implicitly
+                self.fts_indexes[s] = build_fts_index(
+                    self.spark, self.df_with_inference(),
+                    dict(self._fts_params))
+                self.fts_epoch += 1
+                return
+            raise FtsError(f"unknown luc: control predicate {p!r}")
 
     # -- writes ---------------------------------------------------------
 
     def add_quads(self, quads: DataFrame, dedup: bool = False):
+        with self._writer_gate:
+            self._add_quads_locked(quads, dedup)
+
+    def _add_quads_locked(self, quads: DataFrame, dedup: bool = False):
         delta = quads.select(*QUAD_COLS)
         if dedup:
             # RDF set semantics on the write path: drop rows already in the
@@ -222,6 +244,10 @@ class QuadStore:
         self._append(delta)
 
     def delete_quads(self, quads: DataFrame):
+        with self._writer_gate:
+            self._delete_quads_locked(quads)
+
+    def _delete_quads_locked(self, quads: DataFrame):
         victim = quads.select(*QUAD_COLS)
         ren = victim.select(*[F.col(c).alias("__d_" + c) for c in QUAD_COLS])
         cond = F.lit(True)
@@ -258,7 +284,7 @@ class QuadStore:
 
     def load_version(self, quads: DataFrame, graph: Optional[str] = None) -> str:
         """Atomic versioned bulk load; returns the graph IRI used."""
-        with self._lock:
+        with self._writer_gate, self._lock:
             graph = graph or f"{GRAPH_VERSION_PREFIX}{self._version}"
             staged = quads.select(
                 F.lit(graph).alias("g"),
@@ -306,7 +332,7 @@ class QuadStore:
         section (bulk graph ops re-materialize per the recorded policy:
         TBox delete / CLEAR / COPY / MOVE → re-materialize; readers never
         see the new base with the old closure — r9 soak fix)."""
-        with self._lock:
+        with self._writer_gate, self._lock:
             self.destructive_epoch += 1
             new_df = fn(self._df)
             if self._inferred is None:
@@ -351,7 +377,8 @@ class QuadStore:
     def materialize_inference(self):
         """Forward-chaining closure maintained alongside base data (B40)."""
         from graphdb_free_mocha_sa_spark.operators.inference import owl_horst_closure
-        self._inferred = owl_horst_closure(self.spark, self._df)
+        with self._writer_gate:
+            self._inferred = owl_horst_closure(self.spark, self._df)
 
     # -- persistence (the 100 TB layout) ---------------------------------
 

@@ -107,6 +107,18 @@ class UpdateExecutor:
                 # pins the parsed quads so downstream queries never re-parse
                 # the source file.
                 quads = quads.localCheckpoint(eager=True)
+                # reject reserved luc: predicates in loaded data (r10
+                # advisor fix — same divergence story as templated inserts:
+                # stored luc: triples would be unreachable behind the
+                # magic-predicate surface). One bounded probe of the
+                # already-checkpointed parse.
+                from graphdb_free_mocha_sa_spark.operators.fts import (
+                    LUC_NS, FtsError)
+                if quads.filter(F.col("p").startswith(LUC_NS)).take(1):
+                    raise FtsError(
+                        f"LOAD source {op.source!r} contains reserved "
+                        "luc:-namespace predicates; the FTS control "
+                        "protocol is only valid via INSERT DATA")
                 self.store.add_quads(quads)
             except Exception:
                 if not op.silent:      # LOAD SILENT swallows failures (r6)
@@ -205,6 +217,28 @@ class UpdateExecutor:
 
         delete_df = instantiate(op.delete_template)
         insert_df = instantiate(op.insert_template)
+        # luc: control predicates are an INSERT DATA protocol, never data
+        # (r10 advisor fix: a templated insert used to be able to STORE
+        # luc:-namespace triples, which the BGP translator then hijacks as
+        # magic predicates — stored data and the FTS surface diverged).
+        # Constant predicates reject statically (free); a variable
+        # predicate needs one bounded limit(1) probe of the instantiation.
+        from graphdb_free_mocha_sa_spark.operators.fts import LUC_NS, FtsError
+        for _, tp in (op.insert_template or ()):
+            p = tp.p
+            iri = getattr(p, "iri", None)
+            if iri is not None and iri.startswith(LUC_NS):
+                raise FtsError(
+                    "luc: control predicates are only valid in INSERT DATA "
+                    f"(the FTS magic-predicate protocol); got {iri!r} in an "
+                    "INSERT ... WHERE template")
+        if insert_df is not None and any(
+                isinstance(tp.p, A.Var) for _, tp in op.insert_template):
+            if insert_df.filter(F.col("p").startswith(LUC_NS)).take(1):
+                raise FtsError(
+                    "INSERT ... WHERE instantiated a luc:-namespace "
+                    "predicate; luc: control triples are only valid in "
+                    "INSERT DATA (the FTS magic-predicate protocol)")
         # atomic: compute both sets from the same snapshot, then swap once
         if delete_df is not None:
             self.store.delete_quads(delete_df)

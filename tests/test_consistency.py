@@ -157,3 +157,63 @@ def test_config_template_maps_flag(spark, tmp_path):
     # the shipped reference template keeps it off
     eng2 = engine_from_config(spark, "/root/reference/repo-config.ttl")
     assert eng2.check_inconsistencies is False
+
+
+def test_self_disjoint_class_flagged(spark):
+    """r10 advisor fix: the symmetric-pair normalization used strict <,
+    which dropped the diagonal — members of a SELF-disjoint class
+    (C disjointWith C) were reported consistent."""
+    eng = _engine(spark)
+    eng.update(f"""INSERT DATA {{
+      <urn:Weird> <{OWL}disjointWith> <urn:Weird> .
+      <urn:w> <{RDFT}> <urn:Weird> . }}""")
+    assert _viol(eng) == [("cax-dw", "urn:w", "urn:Weird | urn:Weird")]
+
+
+def test_checked_rollback_does_not_clobber_concurrent_writer(spark):
+    """r10 advisor fix (medium): a writer committing between a checked
+    update's execute() and its rollback used to be ERASED by the
+    unconditional snapshot restore. The store's reentrant writer gate now
+    serializes the whole execute+check+rollback span against other
+    writers (readers unaffected)."""
+    import threading
+    import time
+
+    from graphdb_free_mocha_sa_spark.engine import InconsistencyError
+    eng = _engine(spark, check_inconsistencies=True)
+    eng.update(f"INSERT DATA {{ <urn:Cat> <{OWL}disjointWith> <urn:Dog> . }}")
+
+    real_check = eng.check_consistency
+    in_check = threading.Event()
+
+    def slow_check():
+        in_check.set()
+        time.sleep(3.0)          # window for the racing writer below
+        return real_check()
+
+    eng.check_consistency = slow_check
+    errs = []
+
+    def bad_update():
+        try:
+            eng.update(f"""INSERT DATA {{
+              <urn:rex> <{RDFT}> <urn:Dog> .
+              <urn:rex> <{RDFT}> <urn:Cat> . }}""")
+            errs.append("checked update did not raise")
+        except InconsistencyError:
+            pass
+        except Exception as e:          # noqa: BLE001
+            errs.append(repr(e))
+
+    t = threading.Thread(target=bad_update)
+    t.start()
+    assert in_check.wait(60)
+    # racing plain writer: must block on the gate until the rollback
+    # completes, never be clobbered by it
+    eng._updates.execute('INSERT DATA { <urn:other> <urn:p> "kept" . }')
+    t.join(120)
+    assert not t.is_alive() and errs == []
+    assert eng.query('SELECT ?s WHERE { ?s <urn:p> "kept" }').df.count() == 1
+    assert eng.query(
+        f'SELECT ?s WHERE {{ ?s <{RDFT}> <urn:Dog> }}').df.count() == 0
+    assert _viol(eng) == []

@@ -180,3 +180,71 @@ def test_bm25_scores_match_closed_form(spark):
     idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
     expect = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
     assert abs(rows[0]["sc"] - expect) < 1e-4
+
+
+# --------------------------------------------------- r10 advisor-fix pins
+
+def test_prohibited_prefix_excludes_expansions(spark):
+    """r10 advisor fix: ``-spark*`` used to degrade to the exact
+    prohibited term 'spark', so a doc containing only 'sparkling'
+    escaped the exclusion."""
+    s = parse_fts_query("cooking -spark*")
+    assert s["pro_prefixes"] == ["spark"] and not s["prohibited"]
+    eng = _engine(spark)
+    eng.update('INSERT DATA { <urn:d5> <urn:body> '
+               '"sparkling water cooking" . }')
+    eng.update(LUC + 'INSERT DATA { luc:idx luc:updateIndex "true" }')
+    rows = eng.query(LUC + """
+        SELECT ?s WHERE { ?s luc:idx "cooking -spark*" }""") \
+        .finalize({"s": "str"}).collect()
+    assert [r["s"] for r in rows] == ["urn:d2"]
+
+
+def test_unknown_setparam_name_raises(spark):
+    """r10 advisor fix: _KNOWN_PARAMS was dead code — a typoed parameter
+    (luc:analyser) was silently accepted-and-ignored."""
+    eng = _engine(spark)
+    with pytest.raises(FtsError, match="unknown luc:setParam"):
+        eng.update(LUC + 'INSERT DATA { luc:analyser luc:setParam "x" }')
+
+
+def test_unsupported_analyzer_raises_at_create(spark):
+    """A semantics-bearing analyzer (stemming) must raise, not be
+    silently ignored."""
+    eng = _engine(spark)
+    eng.update(LUC + '''INSERT DATA { luc:analyzer luc:setParam
+        "org.apache.lucene.analysis.en.EnglishAnalyzer" }''')
+    with pytest.raises(FtsError, match="analyzer"):
+        eng.update(LUC + 'INSERT DATA { luc:idx2 luc:createIndex "true" }')
+
+
+def test_default_analyzer_value_accepted(spark):
+    eng = _engine(spark)
+    eng.update(LUC + '''INSERT DATA { luc:analyzer luc:setParam
+        "org.apache.lucene.analysis.standard.StandardAnalyzer" }''')
+    eng.update(LUC + 'INSERT DATA { luc:std luc:createIndex "true" }')
+    assert eng.query(LUC + 'SELECT ?s WHERE { ?s luc:std "cooking" }') \
+        .df.count() == 1
+
+
+def test_luc_predicate_rejected_in_templated_insert(spark):
+    """r10 advisor fix: INSERT ... WHERE could STORE luc:-namespace
+    triples, which the BGP translator then hijacks as magic predicates —
+    stored data and the FTS surface diverged. Constant predicates reject
+    statically; variable predicates via a bounded probe."""
+    eng = _engine(spark)
+    with pytest.raises(FtsError, match="INSERT DATA"):
+        eng.update(LUC +
+                   'INSERT { luc:other luc:createIndex "true" } WHERE { }')
+    with pytest.raises(FtsError, match="INSERT DATA"):
+        eng.update('''INSERT { <urn:s> ?p "x" } WHERE {
+            BIND(<http://www.ontotext.com/owlim/lucene#idx> AS ?p) }''')
+
+
+def test_luc_predicate_rejected_in_load(spark, tmp_path):
+    eng = _engine(spark)
+    nt = tmp_path / "luc.nt"
+    nt.write_text('<urn:a> <http://www.ontotext.com/owlim/lucene#idx> '
+                  '"sneaky" .\n')
+    with pytest.raises(FtsError, match="INSERT DATA"):
+        eng.update(f'LOAD <file://{nt}>')
