@@ -70,6 +70,53 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _calibrate(spark) -> float:
+    """Contention sentinel (r10, VERDICT r9 item 2): a fixed constant-work
+    CPU-bound job — 200M-row hashed sum over 32 partitions, independent of
+    engine code and data — timed best-of-2. Measured FIRST and LAST each
+    bench run; when either drifts >1.5x the recorded quiet-window floor
+    (BENCH_calibration.json), the run is flagged "contended" so uniform
+    machine-load uplift is distinguishable from real per-line regressions."""
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "sum((id * 2654435761) % 1000003) AS s") \
+            .write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
+def _sentinel(spark, first: float) -> dict:
+    last = _calibrate(spark)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_calibration.json")
+    floor = None
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                floor = float(json.load(fh)["floor_sec"])
+        except Exception:  # noqa: BLE001
+            floor = None
+    if floor is None:
+        # first run on this checkout records the quiet-window floor
+        floor = min(first, last)
+        with open(path, "w") as fh:
+            json.dump({"floor_sec": floor,
+                       "job": "range(200M,32p) hashed sum, best-of-2"}, fh)
+    # the FIRST measurement pays one-time codegen JIT for the sentinel
+    # expression itself (observed 0.29 vs 0.19 warm on a quiet machine),
+    # so sustained contention is judged on the better of the two; a
+    # grossly slow single sample still flags via the max ratio.
+    r_min = round(min(first, last) / floor, 3) if floor else None
+    r_max = round(max(first, last) / floor, 3) if floor else None
+    return {"first": first, "last": last, "floor_sec": floor,
+            "ratio_min": r_min, "ratio_max": r_max,
+            "contended": bool(r_min is not None
+                              and (r_min > 1.5 or r_max > 3.0))}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -88,6 +135,9 @@ def main() -> None:
     # absorb cold-start cost (we measure the engine, not JIT warmup).
     spark.range(1000).selectExpr("sum(id)").write.format("noop") \
         .mode("overwrite").save()
+
+    cal_first = _calibrate(spark)
+    print(f"bench: calibration(first) {cal_first}s", file=sys.stderr)
 
     # Encode + cache the RDF quad view of the star schema once, timed —
     # including the term-dictionary build + id-encoding (the engine's
@@ -291,6 +341,11 @@ def main() -> None:
         print(f"bench: inference_delete_dred failed: {e}", file=sys.stderr)
         timings["inference_delete_dred"] = -1.0
 
+    sentinel = _sentinel(spark, cal_first)
+    print(f"bench: calibration(last) {sentinel['last']}s "
+          f"(floor {sentinel['floor_sec']}s, "
+          f"contended={sentinel['contended']})", file=sys.stderr)
+
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     out = {
         "metric": "headline_suite_wall_sec",
@@ -299,6 +354,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "runs_per_query": 2,        # per-query min of 2 (rdf_load/ingest: 1)
+        "sentinel": sentinel,
     }
     # 10x scale-probe numbers (scripts/scale_probe.py) go to their OWN file,
     # never into the stdout JSON: embedding the probe object made the

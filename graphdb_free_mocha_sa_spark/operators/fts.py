@@ -208,7 +208,11 @@ def parse_fts_query(q: str) -> dict:
         if m.group(1) is not None:
             toks = [t for t in re.split(_TOKEN_SPLIT, m.group(1).lower())
                     if t]
-            if toks:
+            # dedupe repeated phrases: they fold to ONE qterm in the
+            # match aggregation, so counting each repetition toward
+            # n_required would make '"a b" "a b"' unsatisfiable
+            # (r10 fuzzer find)
+            if toks and toks not in phrases:
                 phrases.append(toks)
             continue
         raw = m.group(2)
@@ -301,14 +305,24 @@ def fts_match(spark: SparkSession, index: FtsIndex, query: str,
     phrase_hits = None
     for toks_seq in spec["phrases"]:
         needle = " " + " ".join(toks_seq) + " "
+        m_len = len(toks_seq)
+        arr = _tokens(F.col("text"))
+        # exact OVERLAPPING occurrence count via token-position slices
+        # (r10 fuzzer fix: the old replace-length formula over-counted by
+        # one — a single occurrence scored tf=2 — because consecutive
+        # occurrences share a sentinel space that non-overlapping replace
+        # misses, and the +1 meant to compensate broke the base case).
+        # Runs only over contains()-filtered candidate docs.
+        cnt = F.when(
+            F.size(arr) >= m_len,
+            F.size(F.filter(
+                F.sequence(F.lit(1), F.size(arr) - F.lit(m_len - 1)),
+                lambda i: F.slice(arr, i, m_len)
+                == F.array(*[F.lit(t) for t in toks_seq])))).otherwise(0)
         ph = (docs.filter(F.col("ntext").contains(needle))
               .select("node",
                       F.lit('"' + " ".join(toks_seq) + '"').alias("qterm"),
-                      ((F.length("ntext")
-                        - F.length(F.replace(F.col("ntext"), F.lit(needle),
-                                             F.lit(" "))))
-                       / F.lit(max(len(needle) - 1, 1)) + 1)
-                      .cast("long").alias("tf"))
+                      cnt.cast("long").alias("tf"))
               .withColumn("grp", F.lit("req")))
         phrase_hits = ph if phrase_hits is None else phrase_hits.unionByName(ph)
     if phrase_hits is not None:

@@ -248,3 +248,52 @@ def test_luc_predicate_rejected_in_load(spark, tmp_path):
                   '"sneaky" .\n')
     with pytest.raises(FtsError, match="INSERT DATA"):
         eng.update(f'LOAD <file://{nt}>')
+
+
+def test_phrase_tf_exact_occurrence_count(spark):
+    """r10 fuzzer fix: a single phrase occurrence must score tf=1 — the
+    old replace-length formula gave 2 (and undercounted occurrences that
+    share a sentinel space). Verified against closed-form BM25."""
+    import math
+
+    from graphdb_free_mocha_sa_spark.operators.fts import (fts_match,
+                                                           index_from_docs)
+    docs = spark.createDataFrame(
+        [("urn:p1",
+          "slow cooking now and slow cooking slow cooking later"),
+         ("urn:p2", "slow cooking")], "node string, text string")
+    idx = index_from_docs(spark, docs)
+    rows = {r["node"]: r["score"]
+            for r in fts_match(spark, idx, '"slow cooking"').collect()}
+    n, k1, b = 2, 1.2, 0.75
+    idf = math.log(1 + n)
+    avgdl = (9 + 2) / 2
+
+    def bm25(tf, dl):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert abs(rows["urn:p1"] - bm25(3, 9)) < 1e-4   # occurrences 0,4,6
+    assert abs(rows["urn:p2"] - bm25(1, 2)) < 1e-4   # exactly one
+
+    # overlapping-adjacent occurrences both count ("a b a" at 0 AND 2)
+    idx2 = index_from_docs(spark, spark.createDataFrame(
+        [("urn:q", "a b a b a")], "node string, text string"))
+    r2 = {r["node"]: r["score"]
+          for r in fts_match(spark, idx2, '"a b a"').collect()}
+    assert abs(r2["urn:q"]
+               - math.log(2) * 2 * 2.2 / (2 + 1.2 * 1.0)) < 1e-4
+
+
+def test_duplicate_phrase_satisfiable(spark):
+    """r10 fuzzer fix: '"a b" "a b"' folds to one qterm in the match
+    aggregation, so counting each repetition toward n_required made the
+    query unsatisfiable; parse now dedupes phrases."""
+    from graphdb_free_mocha_sa_spark.operators.fts import (fts_match,
+                                                           index_from_docs)
+    s = parse_fts_query('"slow cooking" "slow cooking"')
+    assert s["phrases"] == [["slow", "cooking"]]
+    idx = index_from_docs(spark, spark.createDataFrame(
+        [("urn:p2", "slow cooking")], "node string, text string"))
+    got = {r["node"] for r in
+           fts_match(spark, idx, '"slow cooking" "slow cooking"').collect()}
+    assert got == {"urn:p2"}

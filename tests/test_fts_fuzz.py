@@ -1,0 +1,235 @@
+"""B43 FTS differential fuzzer (r10, VERDICT r9 item 4).
+
+Random corpora + random Lucene-subset queries (term/AND/+/-/phrase/prefix
+mixes) are evaluated twice:
+
+* by the engine kernel (``operators.fts`` — broadcast-terms x token-table
+  joins, token-slice phrase counting, DECIMAL-partial BM25), and
+* by a transcribed pure-Python matcher + BM25 scorer in this file.
+
+Queries are GENERATED from a structured spec (groups chosen first, the
+query string assembled from them), so the comparison exercises the parser
+AND the matcher end-to-end without duplicating the parser in the oracle.
+Matched node sets must agree exactly; scores to 1e-5.
+
+The fuzzer's design review already found two phrase-handling defects
+before its first run (pinned in test_fts.py): the replace-length phrase
+tf over-counted by one, and duplicate phrases were unsatisfiable because
+each repetition counted toward n_required while folding to one qterm.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import re
+from collections import Counter
+
+import pytest
+
+TOKEN_SPLIT = re.compile(r"[^a-z0-9]+")
+
+#: prefix families on purpose: prefixes must hit multiple distinct terms
+VOCAB = ["spark", "sparkle", "sparkling", "cook", "cooking", "cooker",
+         "data", "dataset", "graph", "graphs", "graphite", "index",
+         "indexing", "fire", "firefly", "query", "quest", "engine",
+         "slow", "fast", "water", "wave"]
+ABSENT = ["zzz", "qqq", "xxyy"]          # guaranteed out-of-corpus terms
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in TOKEN_SPLIT.split(text.lower()) if t]
+
+
+def ref_match(corpus: dict[str, str], spec: dict,
+              k1: float = 1.2, b: float = 0.75) -> dict[str, float]:
+    """Pure-Python reference for fts_match over a (node -> text) corpus.
+
+    Implements the documented semantics independently: plain terms are
+    deduped per group; a prefix folds all matching vocabulary terms into
+    ONE logical qterm with summed tf; a phrase counts OVERLAPPING token-
+    sequence occurrences; idf = ln(1 + (N - df + .5)/(df + .5)) for terms
+    and prefixes, ln(1 + N) for phrases; per-(node, qterm) BM25 parts are
+    rounded to 6 decimal places (the engine's DECIMAL(18,6) partials)
+    before summing. A node matches iff every distinct required
+    term/prefix/phrase hit, no prohibited term/prefix hit, and — when only
+    optional components exist — at least one optional hit.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+    toks = {n: _tokens(t) for n, t in corpus.items()}
+    tf = {n: Counter(ts) for n, ts in toks.items()}
+    dl = {n: len(ts) for n, ts in toks.items()}
+    n_docs = len(corpus)
+    avgdl = (sum(dl.values()) / n_docs if n_docs else 1.0) or 1.0
+    n = max(n_docs, 1)
+
+    # hit rows: (node, qterm, tf, grp)
+    rows: list[tuple[str, str, int, str]] = []
+    for grp, terms, prefixes in (("req", spec["required"],
+                                  spec["req_prefixes"]),
+                                 ("opt", spec["optional"],
+                                  spec["opt_prefixes"])):
+        for t in sorted(set(terms)):
+            for node in corpus:
+                if tf[node][t]:
+                    rows.append((node, t, tf[node][t], grp))
+        for p in sorted(set(prefixes)):
+            for node in corpus:
+                s = sum(c for term, c in tf[node].items()
+                        if term.startswith(p))
+                if s:
+                    rows.append((node, p + "*", s, grp))
+    phrases = []
+    for ph in spec["phrases"]:
+        if ph not in phrases:                  # parse dedupes repetitions
+            phrases.append(ph)
+    for ph in phrases:
+        m = len(ph)
+        qt = '"' + " ".join(ph) + '"'
+        for node in corpus:
+            ts = toks[node]
+            c = sum(1 for i in range(len(ts) - m + 1) if ts[i:i + m] == ph)
+            if c:
+                rows.append((node, qt, c, "req"))
+
+    dfreq: Counter = Counter()
+    for qt in {(node, qt) for node, qt, _, _ in rows}:
+        dfreq[qt[1]] += 1
+
+    n_required = (len(set(spec["required"])) + len(set(spec["req_prefixes"]))
+                  + len(phrases))
+    has_optional = bool(spec["optional"] or spec["opt_prefixes"])
+
+    agg: dict[str, dict] = {}
+    for node, qt, t, grp in rows:
+        a = agg.setdefault(node, {"score": Decimal(0), "req": set(),
+                                  "opt": set()})
+        if qt.startswith('"'):
+            idf = math.log(1.0 + n)
+        else:
+            idf = math.log(1.0 + (n - dfreq[qt] + 0.5) / (dfreq[qt] + 0.5))
+        part = (idf * t * (k1 + 1.0)
+                / (t + k1 * (1.0 - b + b * dl[node] / avgdl)))
+        a["score"] += Decimal(repr(part)).quantize(Decimal("0.000001"),
+                                                   ROUND_HALF_UP)
+        a[grp].add(qt)
+
+    out = {}
+    for node, a in agg.items():
+        if len(a["req"]) != n_required:
+            continue
+        if n_required == 0 and has_optional and not a["opt"]:
+            continue
+        if any(tf[node][t] for t in spec["prohibited"]):
+            continue
+        if any(term.startswith(p) for p in spec["pro_prefixes"]
+               for term in tf[node]):
+            continue
+        out[node] = float(a["score"])
+    return out
+
+
+def gen_corpus(rng: random.Random) -> dict[str, str]:
+    corpus = {}
+    for i in range(rng.randint(6, 22)):
+        n_tok = rng.randint(2, 18)
+        corpus[f"urn:doc{i}"] = " ".join(rng.choices(VOCAB, k=n_tok))
+    return corpus
+
+
+def gen_query(rng: random.Random,
+              corpus: dict[str, str]) -> tuple[dict, str]:
+    """Structured query spec + the query string built from it (so the
+    parser is under test too). Terms are sampled without replacement
+    across groups — repeating the same term across sign groups is Lucene
+    multi-clause territory the subset doesn't pin. Phrases are drawn from
+    the corpus under test so they actually hit."""
+    pool = rng.sample(VOCAB + ABSENT, len(VOCAB) + len(ABSENT))
+
+    def draw(k):
+        return [pool.pop() for _ in range(min(k, len(pool)))]
+
+    spec = {"required": draw(rng.randint(0, 2)),
+            "optional": draw(rng.randint(0, 2)),
+            "prohibited": draw(rng.randint(0, 1)),
+            "req_prefixes": [], "opt_prefixes": [], "pro_prefixes": [],
+            "phrases": []}
+    for key in ("req_prefixes", "opt_prefixes", "pro_prefixes"):
+        if rng.random() < 0.4:
+            spec[key].append(rng.choice(VOCAB)[:rng.randint(3, 4)])
+    if rng.random() < 0.5:
+        src = _tokens(rng.choice(list(corpus.values())))
+        if len(src) >= 2:
+            m = rng.randint(2, min(3, len(src)))
+            at = rng.randint(0, len(src) - m)
+            spec["phrases"].append(src[at:at + m])
+            if rng.random() < 0.15:            # duplicate-phrase corner
+                spec["phrases"].append(src[at:at + m])
+    if not (spec["required"] or spec["optional"] or spec["phrases"]
+            or spec["req_prefixes"] or spec["opt_prefixes"]):
+        spec["optional"] = [rng.choice(VOCAB)]
+
+    saw_and = bool(spec["optional"] or spec["opt_prefixes"]) \
+        and rng.random() < 0.3
+    pieces = (['"%s"' % " ".join(p) for p in spec["phrases"]]
+              + ["+" + t for t in spec["required"]]
+              + ["-" + t for t in spec["prohibited"]]
+              + list(spec["optional"])
+              + ["+" + p + "*" for p in spec["req_prefixes"]]
+              + ["-" + p + "*" for p in spec["pro_prefixes"]]
+              + [p + "*" for p in spec["opt_prefixes"]])
+    rng.shuffle(pieces)
+    if saw_and:
+        # AND retargets plain terms/prefixes to required
+        pieces.insert(rng.randint(0, len(pieces)), "AND")
+        spec["required"] += spec["optional"]
+        spec["req_prefixes"] += spec["opt_prefixes"]
+        spec["optional"], spec["opt_prefixes"] = [], []
+    elif rng.random() < 0.2:
+        pieces.insert(rng.randint(0, len(pieces)), "OR")   # parser no-op
+    return spec, " ".join(pieces)
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_fts_differential(spark, seed):
+    from graphdb_free_mocha_sa_spark.operators.fts import (fts_match,
+                                                           index_from_docs)
+    rng = random.Random(seed)
+    n_queries, n_corpora = 30, 3
+    for c in range(n_corpora):
+        corpus = gen_corpus(rng)
+        idx = index_from_docs(spark, spark.createDataFrame(
+            list(corpus.items()), "node string, text string"))
+        for q in range(n_queries // n_corpora):
+            spec, qstr = gen_query(rng, corpus)
+            expect = ref_match(corpus, spec)
+            got = {r["node"]: r["score"]
+                   for r in fts_match(spark, idx, qstr).collect()}
+            assert set(got) == set(expect), \
+                f"seed={seed} c={c} q={q} query={qstr!r}: " \
+                f"spark-only={set(got) - set(expect)} " \
+                f"ref-only={set(expect) - set(got)}"
+            for node in expect:
+                assert abs(got[node] - expect[node]) < 1e-5, \
+                    f"seed={seed} query={qstr!r} node={node}: " \
+                    f"{got[node]} != {expect[node]}"
+
+
+def test_fts_rebuild_reflects_new_docs(spark):
+    """Index-rebuild staleness: a NEW index over an extended corpus must
+    match the reference over the extended corpus (and nothing from the
+    old snapshot leaks in)."""
+    from graphdb_free_mocha_sa_spark.operators.fts import (fts_match,
+                                                           index_from_docs)
+    rng = random.Random(7)
+    corpus = gen_corpus(rng)
+    spec, qstr = gen_query(rng, corpus)
+    corpus2 = dict(corpus)
+    for i in range(5):
+        corpus2[f"urn:new{i}"] = " ".join(rng.choices(VOCAB, k=6))
+    idx2 = index_from_docs(spark, spark.createDataFrame(
+        list(corpus2.items()), "node string, text string"))
+    expect = ref_match(corpus2, spec)
+    got = {r["node"]: r["score"]
+           for r in fts_match(spark, idx2, qstr).collect()}
+    assert set(got) == set(expect)
