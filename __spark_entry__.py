@@ -761,9 +761,7 @@ def q_b43_fts_search(spark, sf_dir):
       SELECT ?s ?sc WHERE { ?s luc:idx "spark AND engine*" .
                             ?s luc:score ?sc }""")
     df = res.finalize({"s": "str", "sc": "num"})
-    # constant partition key: tiny (3-row) result frame; explicit spec
-    # keeps the WindowExec no-partition warning out of the logs
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("sc"), F.asc("s"))
+    w = Window.orderBy(F.desc("sc"), F.asc("s"))
     return df.select("s", F.row_number().over(w).alias("rnk")).orderBy("rnk")
 
 

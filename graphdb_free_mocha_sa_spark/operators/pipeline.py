@@ -304,11 +304,12 @@ def pack_token_budget(df: DataFrame, budget: int,
     d = d.withColumn("__local_cum", F.sum(size_col).over(w_local))
 
     totals = d.groupBy("__blk").agg(F.sum(size_col).alias("__tot"))
-    # constant partition key: same single tiny partition (#blocks rows, by
-    # design), but an explicit partitionSpec keeps WindowExec's
-    # "no partition defined" warning out of the logs where it would mask
-    # REAL doc-level global windows (r10; judge "What's wrong" #4)
-    w_blk = (Window.partitionBy(F.lit(0)).orderBy("__blk")
+    # unpartitioned by design: this window runs over the #blocks-row
+    # TOTALS table, never over data rows. Constant partition keys don't
+    # silence the WindowExec WARN (Catalyst folds them), so the logger is
+    # muted in session.get_spark and tests/test_plans.py gates the COUNT
+    # of unpartitioned Window nodes in this plan instead (r10)
+    w_blk = (Window.orderBy("__blk")
              .rowsBetween(Window.unboundedPreceding, -1))
     offsets = totals.select(
         "__blk", F.coalesce(F.sum("__tot").over(w_blk), F.lit(0))
@@ -577,9 +578,9 @@ def length_bucket_batches(df: DataFrame, batch_size: int,
     counts = (d.groupBy("__bkt")
               .agg(F.ceil(F.count(F.lit(1)) / F.lit(batch_size))
                    .cast("bigint").alias("__nb")))
-    # constant partition key on the ~20-row bucket frame (see the packing
-    # prefix sum above): silences the spurious WindowExec warning
-    w_off = (Window.partitionBy(F.lit(0)).orderBy("__bkt")
+    # unpartitioned by design over the ~20-row bucket frame (see the
+    # packing prefix sum above for the logging/plan-gate story)
+    w_off = (Window.orderBy("__bkt")
              .rowsBetween(Window.unboundedPreceding, -1))
     offsets = counts.select(
         "__bkt", F.coalesce(F.sum("__nb").over(w_off), F.lit(0))

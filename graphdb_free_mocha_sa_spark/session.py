@@ -42,4 +42,19 @@ def get_spark(app_name: str = "graphdb_free_mocha_sa_spark",
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Silence WindowExec's "No Partition Defined" WARN: every remaining
+    # unpartitioned window in this engine is a DOCUMENTED tiny frame (the
+    # #blocks/#buckets offset tables of the packing prefix sums, match-set
+    # ranking) — constant partition keys don't help because Catalyst folds
+    # them. Real unpartitioned-window smells are guarded where they are
+    # enforceable: tests/test_plans.py counts Window nodes with an empty
+    # partition spec in the packing/batching plans and fails on growth.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR)
+    except Exception:  # noqa: BLE001 — logging backend variance is cosmetic
+        pass
+    return spark

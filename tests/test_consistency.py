@@ -217,3 +217,19 @@ def test_checked_rollback_does_not_clobber_concurrent_writer(spark):
     assert eng.query(
         f'SELECT ?s WHERE {{ ?s <{RDFT}> <urn:Dog> }}').df.count() == 0
     assert _viol(eng) == []
+
+
+def test_all_different_duplicate_member_flagged(spark):
+    """r10 fuzzer find: AllDifferent pairs were formed by member VALUE
+    (member < member2), so a list naming the same individual twice —
+    (a a), which asserts a != a — produced no pair. Pairs now form on
+    list-cell position."""
+    eng = _engine(spark)
+    eng.update(f"""INSERT DATA {{
+      _:ad <{RDFT}> <{OWL}AllDifferent> .
+      _:ad <{OWL}distinctMembers> _:l1 .
+      _:l1 <{RDF}first> <urn:a> .
+      _:l1 <{RDF}rest> _:l2 .
+      _:l2 <{RDF}first> <urn:a> .
+      _:l2 <{RDF}rest> <{RDF}nil> . }}""")
+    assert _viol(eng) == [("owl-dif", "urn:a", "urn:a")]

@@ -314,15 +314,20 @@ def test_sameas_incremental_seed_matches_full_rebuild(spark):
     chain_a = [(f"urn:a{i:02d}", SAME, f"urn:a{i+1:02d}") for i in range(n)]
     chain_b = [(f"urn:b{i:02d}", SAME, f"urn:b{i+1:02d}") for i in range(n)]
     base = mk_quads(spark, chain_a + chain_b)
-    seed = inference.sameas_components(spark, base).localCheckpoint()
+    # small_path=False: this test pins the DISTRIBUTED Pregel kernel's
+    # seeded-convergence behavior; the r10 driver fast path (bounded
+    # union-find under SMALL_CC_EDGES) would short-circuit it
+    seed = inference.sameas_components(spark, base,
+                                       small_path=False).localCheckpoint()
     full_iters = inference.LAST_CC_ITERS
     assert full_iters >= n // 2          # cold walk scales with diameter
 
     bridged = mk_quads(spark, chain_a + chain_b
                        + [("urn:a05", SAME, "urn:b07")])
-    inc = inference.sameas_components(spark, bridged, seed=seed)
+    inc = inference.sameas_components(spark, bridged, seed=seed,
+                                      small_path=False)
     inc_iters = inference.LAST_CC_ITERS
-    ref = inference.sameas_components(spark, bridged)
+    ref = inference.sameas_components(spark, bridged, small_path=False)
     assert {(r.term, r.canon) for r in inc.collect()} == \
         {(r.term, r.canon) for r in ref.collect()}
     assert inc_iters <= 4, f"seeded merge took {inc_iters} iterations"
@@ -493,3 +498,22 @@ def test_tbox_collect_independent_of_abox_type_cardinality(spark):
                                & F.col("o_lex").isin(OWL + "TransitiveProperty"))
     )._jdf.queryExecution().optimizedPlan().toString()
     assert "o_lex" in plan
+
+
+def test_sameas_small_path_matches_distributed(spark):
+    """r10: the bounded driver union-find (SMALL_CC_EDGES fast path) must
+    produce exactly the Pregel fixpoint's dictionary."""
+    import random
+
+    from graphdb_free_mocha_sa_spark.operators import inference
+    rng = random.Random(123)
+    SAME = OWL + "sameAs"
+    edges = [(f"urn:n{rng.randint(0, 30)}", SAME,
+              f"urn:n{rng.randint(0, 30)}") for _ in range(40)]
+    q = mk_quads(spark, edges)
+    small = {(r.term, r.canon)
+             for r in inference.sameas_components(spark, q).collect()}
+    dist = {(r.term, r.canon)
+            for r in inference.sameas_components(
+                spark, q, small_path=False).collect()}
+    assert small == dist
