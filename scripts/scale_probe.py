@@ -33,9 +33,14 @@ ID_COLS = {
     "part": ["p_partkey"],
     "supplier": ["s_suppkey"],
     "documents": ["doc_id"],
+    # r10 (VERDICT item 7): events + embeddings scale too, so the
+    # streaming-window and ANN probe lines measure real 10x growth
+    # instead of a fixed-size dimension
+    "events": ["event_id", "user_id"],
+    "embeddings": ["vec_id"],
 }
 #: dimension tables copied once, unscaled (they are fixed-size in TPC-H too)
-DIMS = ["region", "nation", "events", "embeddings"]
+DIMS = ["region", "nation"]
 
 
 def synth_dir(sf_dir: str) -> str:
@@ -77,18 +82,22 @@ def generate(sf_dir: str, out_dir: str) -> None:
     os.rename(out_dir + ".tmp", out_dir)
 
 
-PROBES = ["b2_bgp_join", "b4_optional", "tpch_q3_shipping",
-          "ext_dedup_minhash",
-          # round-5c curation probes (documents scale 10x too): the
-          # line-dedup window, the LM count-table joins, and the
-          # staged-column quality filters must all scale ~linearly
-          "ext_line_dedup", "ext_lm_score", "ext_quality_gopher",
-          # round-8: the 6-pattern star (does the self-join chain hold
-          # at 10x, or does it start to dominate?)
-          "b2b_star6",
-          # round-9: B43 FTS kernel — index build is one groupBy + one
-          # explode/groupBy (linear), the match joins broadcast terms
-          "ext_fts_match"]
+#: r10 (VERDICT r9 item 7): EVERY bench headliner probes at 10x (the
+#: r9 probe covered 13 lines; the judge asked for the complete table).
+#: Non-query bench lines (stream_ingest, server_*, inference_*) are
+#: covered by run_recursive_probes and the bench's own fixtures.
+PROBES = [
+    "b1_scan", "b2_bgp_join", "b3_filter", "b4_optional",
+    "b13_path_seq", "b13_path_plus", "b13_path_negated", "b19_describe",
+    "b21_group_by", "b23_min_max_sum", "b40_inference_subclass",
+    "tpch_q1_pricing", "tpch_q3_shipping", "tpch_q5_local_supplier",
+    "ext_window_rank", "ext_dedup_exact", "ext_dedup_minhash",
+    "ext_topk_cosine", "ext_ivf_topk", "ext_embed_neardup",
+    "ext_text_termstats", "ext_stream_tumbling",
+    "ext_quality_gopher", "ext_pack_sequences", "ext_bm25_search",
+    "ext_line_dedup", "ext_lm_score", "ext_bpe_paircounts",
+    "b2b_star6", "ext_fts_match",
+]
 
 
 def run_probes(spark, sf_dir: str) -> dict[str, float]:

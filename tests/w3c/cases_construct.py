@@ -129,4 +129,97 @@ CASES = [
                   ("<http://example/z>", "<http://example/r>",
                    "<http://example/a>")],
     },
+    {
+        "name": "construct-dedup-across-solutions",
+        "source": "spec §16.2 (result is a GRAPH — set semantics)",
+        "data": """@prefix : <http://example/> .
+            :a :p 1 . :b :p 1 .
+        """,
+        "query": """PREFIX : <http://example/>
+            CONSTRUCT { :k :hasVal ?o } WHERE { ?s :p ?o }""",
+        # two solutions instantiate the SAME triple -> one graph triple
+        "graph": [("<http://example/k>", "<http://example/hasVal>",
+                   '"1"^^xsd:integer')],
+    },
+    {
+        "name": "construct-ground-template-matched",
+        "source": "spec §16.2 (variable-free template)",
+        "data": """@prefix : <http://example/> .
+            :a :p 1 . :b :p 2 .
+        """,
+        "query": """PREFIX : <http://example/>
+            CONSTRUCT { :flag :is :set } WHERE { ?s :p ?o }""",
+        # emitted once regardless of how many solutions match
+        "graph": [("<http://example/flag>", "<http://example/is>",
+                   "<http://example/set>")],
+    },
+    {
+        "name": "construct-ground-template-unmatched",
+        "source": "spec §16.2 (no solutions -> empty graph)",
+        "data": """@prefix : <http://example/> .
+            :a :p 1 .
+        """,
+        "query": """PREFIX : <http://example/>
+            CONSTRUCT { :flag :is :set } WHERE { ?s :nosuch ?o }""",
+        "graph": [],
+    },
+    {
+        "name": "construct-order-limit-slices-solutions",
+        "source": "spec §16.2 / §15 (solution modifiers apply pre-template)",
+        "data": """@prefix : <http://example/> .
+            :a :p 1 . :b :p 2 . :c :p 3 .
+        """,
+        "query": """PREFIX : <http://example/>
+            CONSTRUCT { ?s :top ?o }
+            WHERE { ?s :p ?o } ORDER BY DESC(?o) LIMIT 1""",
+        "graph": [("<http://example/c>", "<http://example/top>",
+                   '"3"^^xsd:integer')],
+    },
+    {
+        "name": "construct-multi-triple-partial-unbound",
+        "source": "spec §16.2.2 (only the unbound triple is omitted)",
+        "data": """@prefix : <http://example/> .
+            :a :p :b . :b :name "B" .
+            :a :p :c .
+        """,
+        "query": """PREFIX : <http://example/>
+            CONSTRUCT { ?x :seen :yes . ?x :label ?n }
+            WHERE { ?s :p ?x OPTIONAL { ?x :name ?n } }""",
+        # :c solution leaves ?n unbound: its :label triple is omitted but
+        # its :seen triple IS emitted
+        "graph": [("<http://example/b>", "<http://example/seen>",
+                   "<http://example/yes>"),
+                  ("<http://example/b>", "<http://example/label>", '"B"'),
+                  ("<http://example/c>", "<http://example/seen>",
+                   "<http://example/yes>")],
+    },
+    {
+        "name": "construct-lang-and-datatype-preserved",
+        "source": "spec §16.2 (terms carry through unchanged)",
+        "data": """@prefix : <http://example/> .
+            @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+            :a :p "chat"@fr .
+            :a :p "2.50"^^xsd:decimal .
+        """,
+        "query": """PREFIX : <http://example/>
+            CONSTRUCT { :out :v ?o } WHERE { :a :p ?o }""",
+        "graph": [("<http://example/out>", "<http://example/v>",
+                   '"chat"@fr'),
+                  ("<http://example/out>", "<http://example/v>",
+                   '"2.50"^^xsd:decimal')],
+    },
+    {
+        "name": "describe-var-bound-by-where",
+        "source": "spec §16.4.1 (DESCRIBE ?x WHERE)",
+        "data": """@prefix : <http://example/> .
+            :a :p 1 ; :kind :wanted .
+            :b :p 2 .
+        """,
+        "query": """PREFIX : <http://example/>
+            DESCRIBE ?x WHERE { ?x :kind :wanted }""",
+        "graph": [("<http://example/a>", "<http://example/p>",
+                   '"1"^^xsd:integer'),
+                  ("<http://example/a>", "<http://example/kind>",
+                   "<http://example/wanted>")],
+    },
 ]

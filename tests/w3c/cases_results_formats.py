@@ -148,4 +148,60 @@ CASES += [
                  "SELECT ?s ?o WHERE { ?s :none ?o }",
         "tsv": "?s\t?o\n",
     },
+    {
+        "name": "csv-newline-field-quoted",
+        "source": "csv-tsv-res spec §3 (RFC 4180: newline forces quoting)",
+        "data": """@prefix : <http://example/> .
+            :x :p "line1\\nline2" .
+        """,
+        "query": "PREFIX : <http://example/>\nSELECT ?o WHERE { ?s :p ?o }",
+        "csv": "o\r\n\"line1\nline2\"\r\n",
+    },
+    {
+        "name": "tsv-tab-newline-escaped",
+        "source": "csv-tsv-res spec §4 (N-Triples escapes in TSV)",
+        "data": """@prefix : <http://example/> .
+            :x :p "tab\\there\\nnl" .
+        """,
+        "query": "PREFIX : <http://example/>\nSELECT ?o WHERE { ?s :p ?o }",
+        "tsv": "?o\n\"tab\\there\\nnl\"\n",
+    },
+    {
+        "name": "tsv-unbound-empty-field",
+        "source": "csv-tsv-res spec §4 (unbound = empty field)",
+        "data": """@prefix : <http://example/> .
+            :a :p 1 . :a :q 9 . :b :p 2 .
+        """,
+        "query": """PREFIX : <http://example/>
+            SELECT ?s ?extra WHERE {
+              ?s :p ?o OPTIONAL { ?s :q ?extra } } ORDER BY ?s""",
+        "tsv": ("?s\t?extra\n"
+                "<http://example/a>\t\"9\"^^"
+                "<http://www.w3.org/2001/XMLSchema#integer>\n"
+                "<http://example/b>\t\n"),
+    },
+    {
+        "name": "csv-decimal-double-plain",
+        "source": "csv-tsv-res spec §3 (plain lexical forms, no quoting)",
+        "data": """@prefix : <http://example/> .
+            @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+            :x :p "2.50"^^xsd:decimal .
+            :x :p "1.0E6"^^xsd:double .
+        """,
+        "query": ("PREFIX : <http://example/>\n"
+                  "SELECT ?o WHERE { ?s :p ?o } ORDER BY ?o"),
+        "csv": "o\r\n2.50\r\n1.0E6\r\n",
+    },
+    {
+        "name": "csv-bnode-label-consistent",
+        "source": "csv-tsv-res spec §3 (bnode labels consistent per result)",
+        "data": """@prefix : <http://example/> .
+            _:b :p 1 . _:b :q 2 .
+        """,
+        "query": ("PREFIX : <http://example/>\n"
+                  "SELECT ?s ?t WHERE { ?s :p 1 . ?t :q 2 }"),
+        # label choice is implementation-defined; CONSISTENCY
+        # across cells is the normative part
+        "csv": "s,t\r\n_:b,_:b\r\n",
+    },
 ]

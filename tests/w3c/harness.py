@@ -26,6 +26,13 @@ Each case is a dict:
     ordered    compare rows as an ordered list (ORDER BY queries)
     lax_num    compare numeric literals by VALUE (datatype still exact) —
                for canonicalization-dependent lexical forms (AVG etc.)
+    service    {path: spec} — start a loopback endpoint scripted by URL
+               path for SERVICE cases; "{SVC}" in the query substitutes
+               to its base URL and "{SVC_DOWN}" to an unreachable one.
+               spec: list = SPARQL-JSON bindings, int = HTTP error code,
+               {"code","body"} = verbatim response (r10, folds the
+               federated-query protocol matrix into the corpus)
+    error      True = evaluation must FAIL (raise or the A13 sentinel)
 
 Term mini-syntax: ``<iri>``, ``_:label``, ``"lex"``, ``"lex"@lang``,
 ``"lex"^^xsd:type`` / ``"lex"^^<iri>``. A var absent from a row dict is
@@ -198,8 +205,69 @@ def load_engine(spark, case, tmp_path):
     return Engine(spark, QuadStore(spark, df))
 
 
+def _start_scripted(responses: dict):
+    """Loopback endpoint scripted by URL path (same device as the SERVICE
+    protocol matrix, test_service_protocol.py): a value that is a LIST is
+    served as SPARQL-Results-JSON bindings; an int is an HTTP error code;
+    a dict {"code", "body"} is served verbatim."""
+    import socket
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    def _payload(rows):
+        vs = sorted({v for row in rows for v in row})
+        return json.dumps({"head": {"vars": vs},
+                           "results": {"bindings": rows}})
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            spec = responses.get(self.path)
+            if isinstance(spec, list):
+                code, body, ctype = (200, _payload(spec),
+                                     "application/sparql-results+json")
+            elif isinstance(spec, int):
+                code, body, ctype = spec, "scripted error", "text/plain"
+            elif isinstance(spec, dict):
+                code, body = spec["code"], spec["body"]
+                ctype = spec.get("ctype", "text/plain")
+            else:
+                code, body, ctype = 404, "no such script", "text/plain"
+            data = body.encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *args):
+            pass
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    srv = HTTPServer(("127.0.0.1", port), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{port}"
+
+
 def run_case(spark, case, tmp_path):
     """Execute one case → (ok: bool, detail: str)."""
+    query = case["query"]
+    server = None
+    if "service" in case or "{SVC" in query:
+        server, base = _start_scripted(case.get("service", {}))
+        query = (query.replace("{SVC}", base)
+                 .replace("{SVC_DOWN}", "http://127.0.0.1:9/nope"))
+    try:
+        return _run_case_inner(spark, dict(case, query=query), tmp_path)
+    finally:
+        if server is not None:
+            server.shutdown()
+            server.server_close()
+
+
+def _run_case_inner(spark, case, tmp_path):
     if "syntax" in case:
         from graphdb_free_mocha_sa_spark.sparql.parser import (
             SparqlSyntaxError, parse_query)
@@ -239,6 +307,16 @@ def run_case(spark, case, tmp_path):
         exp = case[fmt]
         return got == exp, (f"expected {exp!r} got {got!r}"
                             if got != exp else "")
+    if case.get("error"):
+        # expected query-evaluation error (e.g. non-SILENT SERVICE
+        # failure): accept a raised exception OR the A13 error sentinel
+        try:
+            out = json.loads(eng.query_json(case["query"]))
+        except Exception:  # noqa: BLE001
+            return True, ""
+        is_err = out.get("head", {}).get("vars") == ["xxx"]
+        return is_err, ("" if is_err
+                        else f"expected error, got {out!r}")
     out = json.loads(eng.query_json(case["query"]))
     if out.get("head", {}).get("vars") == ["xxx"]:
         return False, "error sentinel"
