@@ -233,3 +233,39 @@ def test_fts_rebuild_reflects_new_docs(spark):
     got = {r["node"]: r["score"]
            for r in fts_match(spark, idx2, qstr).collect()}
     assert set(got) == set(expect)
+
+
+def test_fts_differential_through_engine_surface(spark):
+    """One seed driven through the ENGINE's luc: magic-predicate surface
+    (INSERT DATA corpus -> luc:createIndex -> BGP match + luc:score), so
+    the translator integration — not just the kernel — is differentially
+    checked against the same pure-Python oracle. Doc texts are stored as
+    <urn:text> literals; build_fts_index concatenates each node's
+    literal molecule, which for one literal per node equals the kernel
+    corpus."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    rng = random.Random(101)
+    corpus = gen_corpus(rng)
+    eng = Engine(spark, QuadStore(spark))
+    triples = " ".join(
+        f'<{n}> <urn:text> "{t}" .' for n, t in corpus.items())
+    eng.update("INSERT DATA { " + triples + " }")
+    LUC = "PREFIX luc: <http://www.ontotext.com/owlim/lucene#>\n"
+    eng.update(LUC + 'INSERT DATA { luc:fz luc:createIndex "true" }')
+    for q in range(8):
+        spec, qstr = gen_query(rng, corpus)
+        expect = ref_match(corpus, spec)
+        # generated queries contain no single quotes, so a single-quoted
+        # SPARQL literal carries embedded phrase double-quotes verbatim
+        rows = eng.query(LUC + f"""SELECT ?s ?sc WHERE {{
+            ?s luc:fz '{qstr}' . ?s luc:score ?sc }}""") \
+            .finalize({"s": "str", "sc": "num"}).collect()
+        got = {r["s"]: r["sc"] for r in rows}
+        assert set(got) == set(expect), \
+            f"engine-surface q={q} query={qstr!r}: " \
+            f"spark-only={set(got) - set(expect)} " \
+            f"ref-only={set(expect) - set(got)}"
+        for node in expect:
+            assert abs(got[node] - expect[node]) < 1e-5, \
+                f"q={q} {node}: {got[node]} != {expect[node]}"
