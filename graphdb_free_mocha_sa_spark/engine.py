@@ -671,8 +671,8 @@ class Engine:
         with store._writer_gate:
             with store._lock:
                 before = (store._df, store._inferred, store.destructive_epoch)
-            self._updates.execute(sparql)
-            bad = self.check_consistency().limit(3).collect()
+            summary = self._updates.execute(sparql)
+            bad = self._gate_check(summary)
             if bad:
                 with store._lock:
                     # _commit_rewrite rewinds the durable subclass's
@@ -685,6 +685,34 @@ class Engine:
                     "update aborted, consistency check failed: "
                     + "; ".join(f"{r['rule']}({r['x']}, {r['y']})"
                                 for r in bad))
+
+    def _gate_check(self, summary) -> list:
+        """Pick the cheapest SOUND consistency check for this commit
+        (r10). Violations are monotone in the triple set, so:
+
+        * an update that inserted NOTHING (pure delete / CLEAR / graph
+          copy) cannot create one — no check at all;
+        * an insert-only delta with no schema-bearing predicates
+          (inference off) is checked by the O(delta) semi-naive rules
+          (operators.inference.consistency_violations_delta) — premise
+          legs restricted to the inserted rows;
+        * anything else (templated inserts, LOAD, sameAs / pair-table /
+          rdf:list deltas, or a live closure that could derive premises
+          from arbitrary facts) runs the full check.
+
+        The consistency fuzzer's gate phase replays mixed update
+        sequences through all three branches against the same oracle."""
+        from graphdb_free_mocha_sa_spark.operators.inference import (
+            GATE_SCHEMA_PREDS, consistency_violations_delta)
+        if isinstance(summary, dict) and summary.get("delta_ok"):
+            rows = summary.get("inserted_rows", [])
+            if not rows:
+                return []
+            if self.store._inferred is None and \
+                    not any(r[2] in GATE_SCHEMA_PREDS for r in rows):
+                return consistency_violations_delta(
+                    self.spark, self.store.df, rows).limit(3).collect()
+        return self.check_consistency().limit(3).collect()
 
     def progress(self) -> dict:
         """Progress metering (A15): received/completed/failed counters, the

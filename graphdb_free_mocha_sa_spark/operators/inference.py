@@ -1148,6 +1148,141 @@ RDF_REST = _RDF + "rest"
 RDF_NIL = _RDF + "nil"
 
 
+def _canon_fn(spark: SparkSession, quads: DataFrame):
+    """sameAs canon dictionary + a column canonizer over it (shared by the
+    full and delta consistency checks). The dictionary is pinned and, when
+    bounded, BROADCAST into every canonize join — the frames being
+    canonized (the full type slice) are the scale-bearing side; shuffling
+    them to meet a dictionary of a few thousand sameAs members would
+    invert the join. An over-bound dictionary falls back to a shuffle
+    join, which is then the right plan."""
+    canon = sameas_components(spark, quads).localCheckpoint()
+    small_dict = len(canon.take(100_001)) <= 100_000
+
+    def canonize(df: DataFrame, col: str) -> DataFrame:
+        tag = "__c_" + col
+        d = canon.select(F.col("term").alias(col),
+                         F.col("canon").alias(tag))
+        if small_dict:
+            d = F.broadcast(d)
+        return (df.join(d, col, "left")
+                .withColumn(col, F.coalesce(F.col(tag), F.col(col)))
+                .drop(tag))
+
+    return canonize
+
+
+#: inserted predicates that force the commit gate onto the FULL check:
+#: sameAs rewrites the canon dictionary (OLD triples can newly clash),
+#: a new disjointWith/complementOf pair can clash two OLD type
+#: assertions (no delta leg at all), and the rdf:list predicates change
+#: the AllDifferent expansion. Schema changes are rare commit traffic;
+#: keeping them on the full path keeps the delta path trivially sound.
+GATE_SCHEMA_PREDS = frozenset({SAMEAS, DISJOINT, COMPLEMENT,
+                               DISTINCT_MEMBERS, RDF_FIRST, RDF_REST})
+
+
+def consistency_violations_delta(spark: SparkSession, quads: DataFrame,
+                                 inserted_rows: list) -> DataFrame:
+    """Delta-restricted consistency conditions for the commit gate (r10).
+
+    SOUNDNESS. Violations are MONOTONE in the triple set (no negated
+    premises), so a violation NEW to this commit must use at least one
+    inserted triple in a premise slot — classic semi-naive restriction.
+    With no materialized closure, the conditions consume only
+    {rdf:type, sameAs, differentFrom, disjointWith, complementOf,
+    distinctMembers/first/rest}. The caller guarantees (a) inference is
+    OFF for this store (a closure could derive type/sameAs premises from
+    arbitrary facts) and (b) the delta contains none of
+    GATE_SCHEMA_PREDS (those rewrite the canon dictionary / pair tables
+    / list expansion and fall back to the full check). That leaves two
+    delta-able premise slots — rdf:type legs and differentFrom pairs —
+    and every other inserted triple cannot feed any premise at all.
+
+    Each rule evaluates with one leg restricted to the (broadcast-small)
+    delta and the other over the full post-update store, BOTH
+    orientations, so the per-commit cost is O(delta x join partners) —
+    never the full type-slice self-join. At 100 TB that is the
+    difference between a commit gate and a nightly batch job. ``quads``
+    must be the POST-update store (the delta's own rows included), so
+    Δ x Δ clashes fall out of the Δ x full joins.
+    """
+    new_types = [(r[1], r[3]) for r in inserted_rows
+                 if r[2] == RDF_TYPE and r[4] is None]
+    new_difs = [(r[1], r[3]) for r in inserted_rows
+                if r[2] == DIFFERENT and r[4] is None]
+    empty = spark.createDataFrame([], "rule string, x string, y string")
+    if not new_types and not new_difs:
+        # plain facts: no premise slot can consume them (no closure)
+        return empty
+    iris = quads.filter(F.col("o_dt").isNull())
+    canonize = _canon_fn(spark, quads)
+    parts = [empty]
+
+    if new_difs:
+        ddif = spark.createDataFrame(new_difs, "x string, y string")
+        parts.append(
+            canonize(canonize(ddif.withColumn("x0", F.col("x"))
+                              .withColumn("y0", F.col("y")), "x"), "y")
+            .filter(F.col("x") == F.col("y"))
+            .select(F.lit("owl-dif").alias("rule"),
+                    F.col("x0").alias("x"), F.col("y0").alias("y")))
+
+    if new_types:
+        dtypes = canonize(
+            spark.createDataFrame(new_types, "i string, c string"), "i")
+        types_all = canonize(
+            iris.filter(F.col("p") == RDF_TYPE)
+            .select(F.col("s").alias("i"), F.col("o_lex").alias("c")), "i")
+
+        def clash(pred: str, rule: str) -> DataFrame:
+            pairs = iris.filter(F.col("p") == pred).select(
+                F.col("s").alias("c1"), F.col("o_lex").alias("c2"))
+            pairs = (pairs.unionByName(
+                pairs.select(F.col("c2").alias("c1"),
+                             F.col("c1").alias("c2")))
+                .filter(F.col("c1") <= F.col("c2")).dropDuplicates())
+
+            def leg(t1: DataFrame, t2: DataFrame,
+                    delta_side: str) -> DataFrame:
+                # the delta side of the i-join is broadcast EXPLICITLY so
+                # the full type slice is only ever scanned map-side —
+                # never shuffled — independent of the broadcast threshold
+                t2r = t2.select(F.col("i").alias("i2"),
+                                F.col("c").alias("cc2"))
+                if delta_side == "right":
+                    t2r = F.broadcast(t2r)
+                left = t1.join(F.broadcast(pairs), t1["c"] == pairs["c1"])
+                if delta_side == "left":
+                    left = F.broadcast(left)
+                return (left.join(t2r, (F.col("i") == F.col("i2"))
+                                  & (F.col("cc2") == F.col("c2")))
+                        .select(F.lit(rule).alias("rule"),
+                                F.col("i").alias("x"),
+                                F.concat(F.col("c1"), F.lit(" | "),
+                                         F.col("c2")).alias("y")))
+
+            # Δ as the c1-leg against the full store, and the full store
+            # as the c1-leg against broadcast Δ — covers both pair
+            # orientations without a types x types self-join
+            return (leg(dtypes, types_all, "left")
+                    .unionByName(leg(types_all, dtypes, "right"))
+                    .dropDuplicates())
+
+        parts.append(clash(DISJOINT, "cax-dw"))
+        parts.append(clash(COMPLEMENT, "owl-comp"))
+        parts.append(dtypes.filter(F.col("c") == NOTHING)
+                     .select(F.lit("owl-nothing").alias("rule"),
+                             F.col("i").alias("x"),
+                             F.lit(NOTHING).alias("y"))
+                     .dropDuplicates())
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def consistency_violations(spark: SparkSession, quads: DataFrame) -> DataFrame:
     """pD*/OWL-Horst consistency conditions over the materialized closure
     (B42 — the reference ships this off by default,
@@ -1176,15 +1311,7 @@ def consistency_violations(spark: SparkSession, quads: DataFrame) -> DataFrame:
     broadcast-able canon joins. No cartesian, no row-wise Python.
     """
     iris = quads.filter(F.col("o_dt").isNull())
-    canon = sameas_components(spark, quads).localCheckpoint()
-
-    def canonize(df: DataFrame, col: str) -> DataFrame:
-        tag = "__c_" + col
-        return (df.join(canon.select(F.col("term").alias(col),
-                                     F.col("canon").alias(tag)),
-                        col, "left")
-                .withColumn(col, F.coalesce(F.col(tag), F.col(col)))
-                .drop(tag))
+    canonize = _canon_fn(spark, quads)
 
     # -- differentFrom pairs (explicit + AllDifferent lists) -------------
     diff = iris.filter(F.col("p") == DIFFERENT).select(

@@ -61,11 +61,22 @@ class UpdateExecutor:
     def __init__(self, store: QuadStore):
         self.store = store
 
-    def execute(self, update_string: str) -> None:
+    def execute(self, update_string: str) -> dict:
+        """Execute the update; returns a gate summary (r10): which ground
+        rows were inserted and whether every op was delta-analyzable —
+        the engine's B42 commit gate uses it to pick the O(delta)
+        consistency check over the full-store one (engine._gate_check).
+        Callers that ignore the return value are unaffected."""
+        summary = {"delta_ok": True, "inserted_rows": []}
         for op in parse_update(update_string):
-            self._apply(op)
+            info = self._apply(op)
+            if info is None:
+                summary["delta_ok"] = False
+            elif info[0] == "insert":
+                summary["inserted_rows"].extend(info[1])
+        return summary
 
-    def _apply(self, op) -> None:
+    def _apply(self, op):
         spark = self.store.spark
         if isinstance(op, A.InsertData):
             import uuid
@@ -81,20 +92,30 @@ class UpdateExecutor:
                 for r in control:
                     self.store.fts_control(r[1], r[2], r[3])
                 if not rows:
-                    return
+                    return ("insert", [])
             # LocalRelation leaf (model.local_quads_df): a pickled-RDD leaf
             # would launch Python workers on every later read job over the
             # store's union lineage (r7 served-path profiling)
             self.store.add_quads(local_quads_df(spark, rows))
+            return ("insert", rows)
         elif isinstance(op, A.DeleteData):
             rows = _ground_rows(op.data, DEFAULT_GRAPH)
             self.store.delete_quads(local_quads_df(spark, rows))
+            # deletes are gate-safe: violations are monotone in the triple
+            # set, so removing triples can never create one
+            return ("safe",)
         elif isinstance(op, A.Modify):
             self._modify(op)
+            # a delete-only Modify is monotone-down like DeleteData; any
+            # insert template needs the full check (instantiations are
+            # data-dependent, not enumerable driver-side)
+            return ("safe",) if not op.insert_template else None
         elif isinstance(op, A.ClearDrop):
             self.store.clear_graph(op.target)
+            return ("safe",)
         elif isinstance(op, A.CreateGraph):
-            pass  # graphs auto-create (reference rewrite rationale, :192)
+            # graphs auto-create (reference rewrite rationale, :192)
+            return ("safe",)
         elif isinstance(op, A.LoadOp):
             from graphdb_free_mocha_sa_spark.sources.rdf import read_rdf_file
             try:
@@ -123,8 +144,13 @@ class UpdateExecutor:
             except Exception:
                 if not op.silent:      # LOAD SILENT swallows failures (r6)
                     raise
+            return None                # arbitrary loaded data: full check
         elif isinstance(op, A.CopyMoveAdd):
             self.store.copy_graph(op.op, op.src, op.dst)
+            # gate-safe: COPY/MOVE/ADD only re-graph EXISTING (s, p, o)
+            # content; the consistency conditions read the union of
+            # graphs, which gains no new triple content
+            return ("safe",)
         else:
             raise TypeError(f"unknown update op {op!r}")
 

@@ -196,7 +196,12 @@ def test_checked_rollback_does_not_clobber_concurrent_writer(spark):
 
     def bad_update():
         try:
+            # the redundant disjointWith re-assert is deliberate: a
+            # schema-bearing delta forces the gate onto the FULL check
+            # path, whose check_consistency we patched with the slow
+            # version above (the delta path bypasses that hook)
             eng.update(f"""INSERT DATA {{
+              <urn:Cat> <{OWL}disjointWith> <urn:Dog> .
               <urn:rex> <{RDFT}> <urn:Dog> .
               <urn:rex> <{RDFT}> <urn:Cat> . }}""")
             errs.append("checked update did not raise")
@@ -233,3 +238,80 @@ def test_all_different_duplicate_member_flagged(spark):
       _:l2 <{RDF}first> <urn:a> .
       _:l2 <{RDF}rest> <{RDF}nil> . }}""")
     assert _viol(eng) == [("owl-dif", "urn:a", "urn:a")]
+
+
+def _bomb(*a, **kw):
+    raise AssertionError("full check_consistency called on a delta/skip "
+                         "gate path")
+
+
+def test_gate_delta_path_catches_type_clash(spark):
+    """r10 delta gate: an ABox-only insert (rdf:type rows) goes through
+    the O(delta) check — the full check is NOT called (bombed), yet the
+    clash with the OLD type assertion is caught and rolled back."""
+    from graphdb_free_mocha_sa_spark.engine import InconsistencyError
+    eng = _engine(spark, check_inconsistencies=True)
+    eng.update(f"""INSERT DATA {{
+      <urn:Cat> <{OWL}disjointWith> <urn:Dog> .
+      <urn:rex> <{RDFT}> <urn:Dog> . }}""")
+    eng.check_consistency = _bomb
+    with pytest.raises(InconsistencyError):
+        eng.update(f"INSERT DATA {{ <urn:rex> <{RDFT}> <urn:Cat> . }}")
+    del eng.check_consistency
+    assert _viol(eng) == []
+
+
+def test_gate_delta_path_sees_old_sameas_component(spark):
+    """The delta leg canonizes through the store's EXISTING sameAs
+    components: a new type on one member clashes with an old type on
+    another member of the same component."""
+    from graphdb_free_mocha_sa_spark.engine import InconsistencyError
+    eng = _engine(spark, check_inconsistencies=True)
+    eng.update(f"""INSERT DATA {{
+      <urn:Cat> <{OWL}disjointWith> <urn:Dog> .
+      <urn:rex> <{OWL}sameAs> <urn:felix> .
+      <urn:rex> <{RDFT}> <urn:Dog> . }}""")
+    eng.check_consistency = _bomb
+    with pytest.raises(InconsistencyError):
+        eng.update(f"INSERT DATA {{ <urn:felix> <{RDFT}> <urn:Cat> . }}")
+    with pytest.raises(InconsistencyError):
+        # differentFrom delta leg under the same old components
+        eng.update(f"INSERT DATA {{ <urn:rex> "
+                   f"<{OWL}differentFrom> <urn:felix> . }}")
+    del eng.check_consistency
+    assert _viol(eng) == []
+
+
+def test_gate_skips_check_for_pure_deletes(spark):
+    """Violations are monotone in the triple set: a pure-delete update
+    cannot create one, so the gate runs NO check at all (both hooks
+    bombed)."""
+    from graphdb_free_mocha_sa_spark.operators import inference
+    eng = _engine(spark, check_inconsistencies=True)
+    eng.update(f"""INSERT DATA {{
+      <urn:Cat> <{OWL}disjointWith> <urn:Dog> .
+      <urn:rex> <{RDFT}> <urn:Dog> . }}""")
+    eng.check_consistency = _bomb
+    orig = inference.consistency_violations_delta
+    inference.consistency_violations_delta = _bomb
+    try:
+        eng.update(f"DELETE DATA {{ <urn:rex> <{RDFT}> <urn:Dog> . }}")
+        eng.update("CLEAR ALL")
+    finally:
+        inference.consistency_violations_delta = orig
+        del eng.check_consistency
+    assert eng.store.df.isEmpty()
+
+
+def test_gate_schema_delta_forces_full_check(spark):
+    """A new disjointWith pair can clash two OLD type assertions — no
+    delta leg exists, so the gate must take the full path."""
+    from graphdb_free_mocha_sa_spark.engine import InconsistencyError
+    eng = _engine(spark, check_inconsistencies=True)
+    eng.update(f"""INSERT DATA {{
+      <urn:rex> <{RDFT}> <urn:Dog> .
+      <urn:rex> <{RDFT}> <urn:Cat> . }}""")
+    with pytest.raises(InconsistencyError):
+        eng.update(f"INSERT DATA {{ <urn:Cat> "
+                   f"<{OWL}disjointWith> <urn:Dog> . }}")
+    assert _viol(eng) == []

@@ -262,3 +262,42 @@ def test_checked_update_gate_matches_oracle_and_rolls_back(spark, seed):
             else:
                 eng.update("INSERT DATA { " + " ".join(f) + " }")
                 committed = trial
+
+
+@pytest.mark.parametrize("seed", [7])
+def test_gate_delta_path_matches_oracle(spark, seed):
+    """Gate-phase variant WITHOUT materialized inference and WITHOUT
+    subclass TBox: type/differentFrom-only deltas ride the r10 O(delta)
+    gate path, sameAs/AllDifferent deltas fall back to the full check —
+    mixed sequences, same oracle, same rollback byte-identity
+    assertion."""
+    from graphdb_free_mocha_sa_spark.engine import InconsistencyError
+    rng = random.Random(seed)
+    for case in range(4):
+        ns = f"d{case}"
+        tbox = {"sub": [],
+                "dw": [tuple(rng.sample(classes(ns), 2))],
+                "comp": [tuple(rng.sample(classes(ns), 2))]
+                if rng.random() < 0.5 else []}
+        t, _ = to_sparql(tbox, {"type": [], "same": [], "dif": [],
+                                "alldiff": []}, ns)
+        eng = _engine(spark, check_inconsistencies=True)
+        eng.update("INSERT DATA { " + " ".join(t) + " }")
+
+        committed = {"type": [], "same": [], "dif": [], "alldiff": []}
+        for step in range(3):
+            delta = gen_facts(rng, ns)
+            _, f = to_sparql({"sub": [], "dw": [], "comp": []}, delta, ns)
+            trial = {k: committed[k] + delta[k] for k in committed}
+            expect_bad = bool(oracle_rules(tbox, trial))
+            before = sorted(map(tuple, eng.store.df.collect()))
+            if expect_bad:
+                with pytest.raises(InconsistencyError):
+                    eng.update("INSERT DATA { " + " ".join(f) + " }")
+                after = sorted(map(tuple, eng.store.df.collect()))
+                assert after == before, \
+                    f"seed={seed} case={case} step={step}: rollback " \
+                    f"did not restore the pre-update snapshot"
+            else:
+                eng.update("INSERT DATA { " + " ".join(f) + " }")
+                committed = trial

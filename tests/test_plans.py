@@ -367,3 +367,33 @@ def test_unpartitioned_windows_only_on_tiny_offset_frames(spark):
     assert n_pack == 1 and n_batch == 1, \
         "expected the documented tiny offset-frame window to be present " \
         f"(pack={n_pack}, batch={n_batch}) — did the plan shape change?"
+
+
+def test_gate_delta_check_never_shuffles_the_type_slice(spark):
+    """r10 delta commit gate: with size-based broadcast DISABLED, the
+    delta consistency check must still plan every join broadcast-side
+    (the delta legs are explicitly hinted) — the full type slice is only
+    scanned map-side, never shuffled. The FULL check's type self-join
+    does shuffle (that's why it is the fallback, not the default)."""
+    from graphdb_free_mocha_sa_spark.model import QUAD_SCHEMA
+    from graphdb_free_mocha_sa_spark.operators.inference import (
+        consistency_violations_delta)
+    OWL = "http://www.w3.org/2002/07/owl#"
+    RDFT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rows = [("urn:g", f"urn:i{k}", RDFT, f"urn:K{k % 20}",
+             None, None, None, None) for k in range(5000)]
+    rows.append(("urn:g", "urn:K1", OWL + "disjointWith", "urn:K2",
+                 None, None, None, None))
+    quads = spark.createDataFrame(rows, QUAD_SCHEMA).localCheckpoint()
+    delta = [("urn:g", "urn:i1", RDFT, "urn:K2", None, None, None, None)]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = consistency_violations_delta(spark, quads, delta)
+        plan = _plan(df)
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, \
+            "delta gate check shuffles a join side:\n" + plan[:2000]
+        got = sorted((r["rule"], r["x"]) for r in df.collect())
+        assert got == [("cax-dw", "urn:i1")]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
