@@ -99,8 +99,10 @@ def _sentinel(spark, first: float) -> dict:
                 floor = float(json.load(fh)["floor_sec"])
         except Exception:  # noqa: BLE001
             floor = None
-    if floor is None:
-        # first run on this checkout records the quiet-window floor
+    if floor is None or min(first, last) < floor:
+        # first run records the quiet-window floor; any later QUIETER
+        # sample lowers it (the floor is the machine's true idle cost,
+        # so the contention detector only ever gets stricter)
         floor = min(first, last)
         with open(path, "w") as fh:
             json.dump({"floor_sec": floor,
