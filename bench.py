@@ -119,18 +119,10 @@ def _sentinel(spark, first: float) -> dict:
                               and (r_min > 1.5 or r_max > 3.0))}
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else None
-
-    from graphdb_free_mocha_sa_spark.session import get_spark
-    spark = get_spark(app_name="bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    import __spark_entry__ as entry_mod
-    qs = entry_mod.queries()
-
+def _run_suite(spark, sf_dir: str, entry_mod, qs) -> "tuple[dict, dict]":
+    """One full measurement window: calibration(first) -> every suite
+    line -> calibration(last)/sentinel. Extracted so main() can re-run a
+    window the sentinel flagged contended (r11, VERDICT r10 item 2)."""
     timings: dict[str, float] = {}
 
     # JVM/codegen warmup on a trivial job so the first headliner doesn't
@@ -343,10 +335,72 @@ def main() -> None:
         print(f"bench: inference_delete_dred failed: {e}", file=sys.stderr)
         timings["inference_delete_dred"] = -1.0
 
+    # B42 commit-gate latency (r11, VERDICT r10 item 7): ONE checked
+    # INSERT against the full sf fixture store, inference off. The engine
+    # wraps a FRESH in-memory QuadStore over the same snapshot (the warm
+    # fixture store itself is never mutated). The first checked update
+    # runs the one-time FULL consistency check (the r11 pre-verified-state
+    # invariant) as warmup; the timed line is the steady-state O(delta)
+    # path — the "commit gate, not nightly batch" claim, now time-pinned.
+    try:
+        from graphdb_free_mocha_sa_spark.engine import Engine as _Engine
+        from graphdb_free_mocha_sa_spark.model import RDF_TYPE as _RT
+        from graphdb_free_mocha_sa_spark.store import QuadStore as _QS
+        gate_eng = _Engine(spark, _QS(spark, eng.store.df),
+                           check_inconsistencies=True)
+        gate_eng.update(f"INSERT DATA {{ <urn:bench:gw> <{_RT}> "
+                        "<urn:bench:C> }")        # warmup: full check
+        t0 = time.time()
+        gate_eng.update(f"INSERT DATA {{ <urn:bench:g1> <{_RT}> "
+                        "<urn:bench:C> . <urn:bench:g1> <urn:p> <urn:o> }")
+        timings["gate_checked_insert"] = round(time.time() - t0, 3)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: gate_checked_insert failed: {e}", file=sys.stderr)
+        timings["gate_checked_insert"] = -1.0
+
     sentinel = _sentinel(spark, cal_first)
     print(f"bench: calibration(last) {sentinel['last']}s "
           f"(floor {sentinel['floor_sec']}s, "
           f"contended={sentinel['contended']})", file=sys.stderr)
+
+    return timings, sentinel
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from graphdb_free_mocha_sa_spark.session import get_spark
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+    qs = entry_mod.queries()
+
+    timings, sentinel = _run_suite(spark, sf_dir, entry_mod, qs)
+    windows = [{"total": round(sum(v for v in timings.values() if v >= 0),
+                               3), "sentinel": sentinel}]
+    if sentinel["contended"]:
+        # bounded self-healing (r11, VERDICT r10 item 2): the r10 official
+        # number shipped contended=true because the sentinel could detect
+        # but not fix a noisy window. ONE retry; the quieter-calibrated
+        # window is parsed as THE number, both are recorded in the JSON.
+        print(f"bench: window contended (ratio_max "
+              f"{sentinel['ratio_max']}) — one bounded retry",
+              file=sys.stderr)
+        t2, s2 = _run_suite(spark, sf_dir, entry_mod, qs)
+        windows.append({"total": round(sum(v for v in t2.values()
+                                           if v >= 0), 3), "sentinel": s2})
+        better = (not s2["contended"] and sentinel["contended"]) or \
+            (s2["contended"] == sentinel["contended"]
+             and s2["ratio_max"] < sentinel["ratio_max"])
+        if better:
+            timings, sentinel = t2, s2
+            print("bench: retry window adopted", file=sys.stderr)
+        else:
+            print("bench: first window retained (retry no quieter)",
+                  file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     out = {
@@ -357,6 +411,9 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": 2,        # per-query min of 2 (rdf_load/ingest: 1)
         "sentinel": sentinel,
+        # every measured window this run (r11 self-healing retry): the
+        # parsed number above comes from the quieter-calibrated one
+        "windows": windows,
     }
     # 10x scale-probe numbers (scripts/scale_probe.py) go to their OWN file,
     # never into the stdout JSON: embedding the probe object made the

@@ -78,6 +78,14 @@ class Engine:
         self._progress = {"tasks_received": 0, "tasks_completed": 0,
                           "tasks_failed": 0, "updates_received": 0,
                           "updates_completed": 0}
+        #: store.write_epoch as of the last state this gate VERIFIED
+        #: consistent (None = never verified). The O(delta) check and the
+        #: pure-delete skip are sound only over a consistent pre-state
+        #: (r11 advisor fix): if anything mutated the store outside the
+        #: gate since — direct store writes, streaming ingest, another
+        #: engine — the next checked update runs the FULL check once,
+        #: then delta checking resumes.
+        self._consistent_epoch: int | None = None
 
     def _basis(self) -> tuple:
         """Identity of the current store snapshot (objects held, not id()s —
@@ -671,8 +679,16 @@ class Engine:
         with store._writer_gate:
             with store._lock:
                 before = (store._df, store._inferred, store.destructive_epoch)
+            fts_before = store.fts_state_snapshot()
+            # sound-branch precondition (r11 advisor fix): the delta check
+            # and the pure-delete skip assume the PRE-update state is
+            # consistent — true iff nothing mutated the store since this
+            # gate last verified it. Otherwise fall back to the full check
+            # for this one commit.
+            pre_verified = (self._consistent_epoch is not None
+                            and self._consistent_epoch == store.write_epoch)
             summary = self._updates.execute(sparql)
-            bad = self._gate_check(summary)
+            bad = self._gate_check(summary, pre_verified)
             if bad:
                 with store._lock:
                     # _commit_rewrite rewinds the durable subclass's
@@ -681,14 +697,32 @@ class Engine:
                     store._commit_rewrite(before[0])
                     store._inferred = before[1]
                     store.destructive_epoch = before[2]
+                # FTS control state rolls back with the data (r11 advisor
+                # fix): an index built inside this aborted transaction
+                # covers never-committed triples and must not stay
+                # queryable — the isolation claim is "the transaction
+                # never becomes visible as committed", indexes included.
+                if store.fts_state_changed(fts_before):
+                    store.fts_state_restore(fts_before)
+                if pre_verified:
+                    # the rollback restored the verified pre-state
+                    # byte-identically; keep later commits on the delta path
+                    self._consistent_epoch = store.write_epoch
                 raise InconsistencyError(
                     "update aborted, consistency check failed: "
                     + "; ".join(f"{r['rule']}({r['x']}, {r['y']})"
                                 for r in bad))
+            self._consistent_epoch = store.write_epoch
 
-    def _gate_check(self, summary) -> list:
+    def _gate_check(self, summary, pre_verified: bool = True) -> list:
         """Pick the cheapest SOUND consistency check for this commit
-        (r10). Violations are monotone in the triple set, so:
+        (r10). Every branch below other than the full check additionally
+        requires ``pre_verified`` — the pre-update state was checked
+        consistent and nothing mutated the store outside this gate since
+        (r11 advisor fix; GraphDB's gate asserts the STORE is consistent
+        after the update, not merely that the delta introduced nothing).
+        Violations are monotone in the triple set, so given a consistent
+        pre-state:
 
         * an update that inserted NOTHING (pure delete / CLEAR / graph
           copy) cannot create one — no check at all;
@@ -704,7 +738,8 @@ class Engine:
         sequences through all three branches against the same oracle."""
         from graphdb_free_mocha_sa_spark.operators.inference import (
             GATE_SCHEMA_PREDS, consistency_violations_delta)
-        if isinstance(summary, dict) and summary.get("delta_ok"):
+        if pre_verified and isinstance(summary, dict) \
+                and summary.get("delta_ok"):
             rows = summary.get("inserted_rows", [])
             if not rows:
                 return []

@@ -38,10 +38,15 @@ Supported parameters: ``include`` ("literals" only — matches
 ``owlim:ftsLiteralsOnly "true"``), ``includePredicates`` /
 ``excludePredicates`` (space-separated predicate IRIs restricting which
 literals join a node's molecule), ``moleculeSize`` ("1" only: the node +
-its own literals), ``analyzer`` (default StandardAnalyzer tokenization
-only — lowercase + non-alphanumeric split, no stemming). Other values
-raise at createIndex time; UNKNOWN parameter names raise at setParam
-time (store.fts_control validates against ``_KNOWN_PARAMS``).
+its own literals), ``analyzer`` — StandardAnalyzer (default: lowercase +
+non-alphanumeric split, no stemming) or, since r11, EnglishAnalyzer
+(the same tokenization + Lucene's English stop set + the Porter
+stemmer, operators/porter.py; index text, document lengths, phrase
+positions and query terms all read the analyzed form, while prefix
+wildcards skip analysis exactly as Lucene wildcard terms do). Other
+analyzer values and unknown parameter names raise AT setParam time
+(store.fts_control; r11 — validation moved earlier as half of the
+control-op atomicity fix).
 
 At 100 TB: index build is one groupBy(s) over the literal slice of the
 quad table (predicate-pruned when includePredicates is set) plus one
@@ -74,15 +79,35 @@ class FtsError(ValueError):
     """Bad FTS query syntax / unknown index / unsupported parameter."""
 
 
+def validate_analyzer(value: str) -> str:
+    """Normalize a ``luc:analyzer`` value at setParam time (r11: raising
+    HERE, not only at createIndex, is half of the control-op atomicity
+    fix — a poisoned param can no longer be staged at all). Accepted:
+    the default StandardAnalyzer (tokenize only) and EnglishAnalyzer
+    (stop words + Porter stemming, operators/porter.py); anything else
+    raises honestly."""
+    name = (value or "").rsplit(".", 1)[-1]
+    if name in ("", "StandardAnalyzer"):
+        return "standard"
+    if name == "EnglishAnalyzer":
+        return "english"
+    raise FtsError(
+        f"unsupported luc:analyzer {value!r} (implemented: the default "
+        "StandardAnalyzer tokenization — lowercase + non-alphanumeric "
+        "split — and EnglishAnalyzer — the same tokenization + Lucene's "
+        "English stop set + Porter stemming)")
+
+
 class FtsIndex:
     """One built index: pinned document + token tables and corpus stats."""
 
     def __init__(self, docs: DataFrame, tokens: DataFrame,
-                 n_docs: int, avgdl: float):
+                 n_docs: int, avgdl: float, analyzer: str = "standard"):
         self.docs = docs          # (node, text, ntext, dl)
         self.tokens = tokens      # (node, term, tf)
         self.n_docs = n_docs
         self.avgdl = avgdl
+        self.analyzer = analyzer  # query terms analyzed to match at search
 
     def write(self, path: str) -> None:
         """Persist to parquet (doc + token tables) + a stats sidecar,
@@ -97,7 +122,8 @@ class FtsIndex:
         self.docs.write.parquet(os.path.join(tmp, "docs"))
         self.tokens.write.parquet(os.path.join(tmp, "tokens"))
         with open(os.path.join(tmp, "stats.json"), "w") as fh:
-            json.dump({"n_docs": self.n_docs, "avgdl": self.avgdl}, fh)
+            json.dump({"n_docs": self.n_docs, "avgdl": self.avgdl,
+                       "analyzer": self.analyzer}, fh)
         shutil.rmtree(path, ignore_errors=True)
         os.rename(tmp, path)
 
@@ -109,7 +135,8 @@ class FtsIndex:
             stats = json.load(fh)
         return cls(spark.read.parquet(os.path.join(path, "docs")),
                    spark.read.parquet(os.path.join(path, "tokens")),
-                   int(stats["n_docs"]), float(stats["avgdl"]))
+                   int(stats["n_docs"]), float(stats["avgdl"]),
+                   str(stats.get("analyzer", "standard")))
 
 
 _TOKEN_SPLIT = r"[^a-z0-9]+"
@@ -142,17 +169,9 @@ def build_fts_index(spark: SparkSession, quads: DataFrame,
         raise FtsError("unsupported luc:moleculeSize "
                        f"{params['moleculeSize']!r} (only 0/1: the node "
                        "and its own literals)")
-    analyzer = params.get("analyzer", "")
-    # the only analyzer this engine implements is the default tokenizer
-    # (Lucene StandardAnalyzer shape: lowercase + non-alnum split, no
-    # stemming). A semantics-bearing analyzer (EnglishAnalyzer etc.) must
-    # raise, not be silently ignored (r10 advisor/judge fix — the honest-
-    # raise contract in the module header now actually holds for analyzer)
-    if analyzer and analyzer.rsplit(".", 1)[-1] != "StandardAnalyzer":
-        raise FtsError(f"unsupported luc:analyzer {analyzer!r} (only the "
-                       "default StandardAnalyzer tokenization — lowercase "
-                       "+ non-alphanumeric split, no stemming — is "
-                       "implemented)")
+    # analyzer values validated at setParam time too (store.fts_control);
+    # re-validated here because build_fts_index is also a public kernel
+    analyzer = validate_analyzer(params.get("analyzer", ""))
     lits = quads.filter(F.col("o_dt").isNotNull())
     inc = [p for p in params.get("includePredicates", "").split() if p]
     exc = [p for p in params.get("excludePredicates", "").split() if p]
@@ -164,24 +183,56 @@ def build_fts_index(spark: SparkSession, quads: DataFrame,
     docs = (lits.groupBy(F.col("s").alias("node"))
             .agg(F.array_join(F.array_sort(F.collect_list("o_lex")), " ")
                  .alias("text")))
-    return index_from_docs(spark, docs)
+    return index_from_docs(spark, docs, analyzer=analyzer)
 
 
-def index_from_docs(spark: SparkSession, docs: DataFrame) -> FtsIndex:
+def _english_ntext():
+    """Arrow-batched EnglishAnalyzer text normalization: tokenize (same
+    base splitter as the standard path), drop Lucene's English stop set,
+    Porter-stem, rejoin with space sentinels. A pandas UDF because
+    rule-based stemming is genuinely inexpressible in built-in SQL
+    functions — and it runs ONCE per index build, never per query."""
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from graphdb_free_mocha_sa_spark.operators.porter import english_analyze
+    split = _re.compile(_TOKEN_SPLIT)
+
+    def f(text):
+        def one(t):
+            toks = [x for x in split.split((t or "").lower()) if x]
+            return " " + " ".join(english_analyze(toks)) + " "
+        return text.map(one)
+
+    # explicit annotation objects: this module uses `from __future__ import
+    # annotations`, which stringifies inline hints and pandas_udf cannot
+    # resolve the local 'pd' name from them
+    f.__annotations__ = {"text": pd.Series, "return": pd.Series}
+    return pandas_udf(f, "string")
+
+
+def index_from_docs(spark: SparkSession, docs: DataFrame,
+                    analyzer: str = "standard") -> FtsIndex:
     """Index a ``(node, text)`` frame directly — the kernel under
     :func:`build_fts_index`, also usable over a plain document corpus
-    (the [EXT] ``documents`` table)."""
+    (the [EXT] ``documents`` table). ``ntext`` is the ANALYZED text
+    (space-sentinel token join), so the token table, document lengths
+    and phrase containment all read the one analyzed form."""
+    ntext = (_english_ntext()(F.col("text")) if analyzer == "english"
+             else _norm_text(F.col("text")))
     docs = (docs.select("node", "text")
-            .withColumn("ntext", _norm_text(F.col("text")))
-            .withColumn("dl", F.size(_tokens(F.col("text"))))
+            .withColumn("ntext", ntext)
+            .withColumn("dl", F.size(_tokens(F.col("ntext"))))
             .localCheckpoint(eager=True))
-    tokens = (docs.select("node", F.explode(_tokens(F.col("text")))
+    tokens = (docs.select("node", F.explode(_tokens(F.col("ntext")))
                           .alias("term"))
               .groupBy("node", "term").agg(F.count(F.lit(1)).alias("tf"))
               .localCheckpoint(eager=True))
     n_docs = docs.count()
     avgdl = (docs.agg(F.avg("dl")).first()[0] or 1.0) if n_docs else 1.0
-    return FtsIndex(docs, tokens, n_docs, float(avgdl))
+    return FtsIndex(docs, tokens, n_docs, float(avgdl), analyzer)
 
 
 # ----------------------------------------------------------- query parsing
@@ -256,6 +307,35 @@ def parse_fts_query(q: str) -> dict:
             "pro_prefixes": pro_pre}
 
 
+def _analyze_spec(spec: dict, query: str) -> dict:
+    """Apply the EnglishAnalyzer pipeline to a parsed query: stop words
+    drop out of term groups and phrases (Lucene's query-time StopFilter),
+    remaining terms/phrase tokens stem; prefix groups pass through
+    unanalyzed (Lucene wildcard semantics). A query left with no positive
+    component raises the same matches-nothing error as the parser."""
+    from graphdb_free_mocha_sa_spark.operators.porter import (EN_STOPWORDS,
+                                                              porter_stem)
+
+    def terms(ts):
+        return [porter_stem(t) for t in ts if t not in EN_STOPWORDS]
+
+    out = dict(spec)
+    for g in ("required", "optional", "prohibited"):
+        out[g] = terms(spec[g])
+    # re-dedupe: distinct phrases can stem to the same one, and a
+    # duplicate would make the AND-count unsatisfiable (same reason the
+    # parser dedupes raw phrases — r10 fuzzer find)
+    out["phrases"] = []
+    for p in (terms(ph) for ph in spec["phrases"]):
+        if p and p not in out["phrases"]:
+            out["phrases"].append(p)
+    if not (out["required"] or out["optional"] or out["phrases"]
+            or out["req_prefixes"] or out["opt_prefixes"]):
+        raise FtsError(
+            f"FTS query matches nothing after stop-word analysis: {query!r}")
+    return out
+
+
 # ----------------------------------------------------------------- matching
 
 def fts_match(spark: SparkSession, index: FtsIndex, query: str,
@@ -267,8 +347,16 @@ def fts_match(spark: SparkSession, index: FtsIndex, query: str,
     one optional term matches. Score = BM25 over the matched terms (DECIMAL
     partial sums; phrase hits contribute their occurrence count at idf-like
     weight ln(1+N)).
+
+    On an ``english``-analyzed index, query terms and phrase tokens are
+    analyzed the same way the index text was (stop-word removal + Porter
+    stem, driver-side — a handful of terms); prefix wildcards are NOT
+    stemmed, matching Lucene, where wildcard terms skip analysis and match
+    the (stemmed) index terms literally.
     """
     spec = parse_fts_query(query)
+    if index.analyzer == "english":
+        spec = _analyze_spec(spec, query)
     toks, docs = index.tokens, index.docs
     n = max(index.n_docs, 1)
 
@@ -306,7 +394,9 @@ def fts_match(spark: SparkSession, index: FtsIndex, query: str,
     for toks_seq in spec["phrases"]:
         needle = " " + " ".join(toks_seq) + " "
         m_len = len(toks_seq)
-        arr = _tokens(F.col("text"))
+        # token positions read the ANALYZED text (identical to raw-text
+        # tokens on a standard index; stemmed/stop-filtered on english)
+        arr = _tokens(F.col("ntext"))
         # exact OVERLAPPING occurrence count via token-position slices
         # (r10 fuzzer fix: the old replace-length formula over-counted by
         # one — a single occurrence scored tf=2 — because consecutive

@@ -54,6 +54,12 @@ SOME_VALUES = OWL + "someValuesFrom"
 ALL_VALUES = OWL + "allValuesFrom"
 
 MAX_ITERS = 50
+
+#: owl:AllDifferent list-walk driver probe bound: at most this many
+#: distinctMembers heads (and 8x as many list-cell triples) are walked
+#: driver-side; beyond it the distributed per-hop join walk runs instead.
+#: Module-level so tests can force the distributed path on tiny data.
+AD_LIST_BOUND = 500
 INFERRED_GRAPH = "http://graph.inferred"
 
 
@@ -1322,25 +1328,49 @@ def consistency_violations(spark: SparkSession, quads: DataFrame) -> DataFrame:
     # per-hop join/checkpoint walk — the common case is FEW AllDifferent
     # lists; the distributed walk remains the only path when the probe
     # overflows (r10: the B42 commit gate runs this per checked update)
-    _LIST_BOUND = 500
-    heads_rows = heads.limit(_LIST_BOUND + 1).collect()
+    heads_rows = heads.limit(AD_LIST_BOUND + 1).collect()
     pairs_local = None
-    if heads_rows and len(heads_rows) <= _LIST_BOUND:
+    if heads_rows and len(heads_rows) <= AD_LIST_BOUND:
         fr = iris.filter(F.col("p").isin(RDF_FIRST, RDF_REST)) \
-            .select("s", "p", "o_lex").limit(_LIST_BOUND * 8 + 1).collect()
-        if len(fr) <= _LIST_BOUND * 8:
+            .select("s", "p", "o_lex").limit(AD_LIST_BOUND * 8 + 1).collect()
+        if len(fr) <= AD_LIST_BOUND * 8:
             firsts: dict = {}
             nexts: dict = {}
             for r in fr:
-                (firsts if r["p"] == RDF_FIRST else nexts) \
-                    .setdefault(r["s"], []).append(r["o_lex"])
+                # dedupe per cell: the same logical triple asserted in two
+                # graphs is one list edge, not a convergent DAG
+                lst = (firsts if r["p"] == RDF_FIRST else nexts) \
+                    .setdefault(r["s"], [])
+                if r["o_lex"] not in lst:
+                    lst.append(r["o_lex"])
             pairs_local = []
             for h in heads_rows:
                 walk = [(h["cell"], m) for m in firsts.get(h["cell"], [])]
                 frontier_cells = [h["cell"]]
+                # each cell visits ONCE per list (r11 advisor fix: a
+                # convergent rdf:rest DAG multiplied duplicate paths every
+                # hop — walk grew exponentially inside the probe bound,
+                # exhausting driver memory before the iteration guard).
+                # Same-HOP convergence (equal-length branches sharing a
+                # tail) merges to one list position; a cross-hop revisit
+                # is a cycle or skewed convergence — malformed, raise
+                # rather than pick a semantics. The distributed walk
+                # below implements the identical rule (dropDuplicates per
+                # hop + visited-set guard).
+                seen_cells = {h["cell"]}
                 for _ in range(MAX_ITERS * 20):
-                    nxt_cells = [n for c in frontier_cells
-                                 for n in nexts.get(c, []) if n != RDF_NIL]
+                    nxt_cells: list = []
+                    for c in frontier_cells:
+                        for n in nexts.get(c, []):
+                            if n == RDF_NIL or n in nxt_cells:
+                                continue
+                            if n in seen_cells:
+                                raise RuntimeError(
+                                    "owl:distinctMembers rdf:rest revisits "
+                                    f"cell {n!r} (cyclic or convergent "
+                                    "list structure)")
+                            nxt_cells.append(n)
+                    seen_cells.update(nxt_cells)
                     if not nxt_cells:
                         break
                     walk += [(c, m) for c in nxt_cells
@@ -1363,11 +1393,14 @@ def consistency_violations(spark: SparkSession, quads: DataFrame) -> DataFrame:
             heads_rows = []            # handled; skip the distributed walk
     if heads_rows:
         first = iris.filter(F.col("p") == RDF_FIRST).select(
-            F.col("s").alias("cell"), F.col("o_lex").alias("member"))
+            F.col("s").alias("cell"), F.col("o_lex").alias("member")) \
+            .dropDuplicates()
         rest = iris.filter(F.col("p") == RDF_REST).select(
-            F.col("s").alias("cell"), F.col("o_lex").alias("nxt"))
+            F.col("s").alias("cell"), F.col("o_lex").alias("nxt")) \
+            .dropDuplicates()
         members = None
-        frontier = heads.localCheckpoint()
+        frontier = heads.dropDuplicates().localCheckpoint()
+        visited = frontier.select("grp", "cell")
         for _ in range(MAX_ITERS * 20):   # bound = longest list length
             # keep the CELL (unique per list position): pairs are formed
             # on position, not member value, so a list naming the same
@@ -1378,12 +1411,23 @@ def consistency_violations(spark: SparkSession, quads: DataFrame) -> DataFrame:
             got = frontier.join(first, "cell").select("grp", "cell",
                                                       "member")
             members = got if members is None else members.unionByName(got)
+            # per-hop dedup + revisit guard (r11 advisor fix, mirroring
+            # the local walk): a convergent rdf:rest DAG would otherwise
+            # multiply duplicate frontier paths every hop — exponential
+            # frontier growth; a revisited (grp, cell) is a cyclic or
+            # convergent (malformed) list, raise rather than guess
             frontier = (frontier.join(rest, "cell")
                         .filter(F.col("nxt") != RDF_NIL)
                         .select(F.col("nxt").alias("cell"), "grp")
+                        .dropDuplicates()
                         .localCheckpoint())
             if frontier.isEmpty():
                 break
+            if not frontier.join(visited, ["grp", "cell"]).isEmpty():
+                raise RuntimeError(
+                    "owl:distinctMembers rdf:rest revisits a cell "
+                    "(cyclic or convergent list structure)")
+            visited = visited.unionByName(frontier)
         else:
             raise RuntimeError("owl:distinctMembers list walk did not "
                                "terminate (cyclic rdf:rest?)")

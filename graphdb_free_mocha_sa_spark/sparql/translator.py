@@ -14,10 +14,14 @@ the key uniquely determines the family, so family columns ride along and are
 pruned by Catalyst when unused.
 
 Semantics parity target: W3C SPARQL 1.1 as accepted by the reference
-(GraphDBSystemAdapter.java:246). Documented deviations: join compatibility of
-*unbound* shared variables uses strict SQL NULL equality (nulls don't match);
-numeric object constants in patterns match by value (our encoder stores
-xsd:long for fixture integers).
+(GraphDBSystemAdapter.java:246). Join compatibility of unbound shared
+variables follows the spec (§18.3 compatible-mappings: an UNBOUND shared
+variable is compatible with anything) via ``_compat_union_join`` — an r11
+note removal: earlier rounds documented a strict-NULL deviation here that
+the engine has not had since the compat-join landed (pinned by
+tests/test_round11_fixes.py::test_values_undef_shared_variable_join).
+Remaining documented deviation: numeric object constants in patterns match
+by value (our encoder stores xsd:long for fixture integers).
 """
 
 from __future__ import annotations
@@ -833,21 +837,38 @@ class Translator:
             cond = self._eval(expr, _df_resolver(df), exists_map).ebv()
             return df.filter(cond).drop(*flags)
         if isinstance(node, A.Extend):
-            df = self.translate(node.pattern, gctx)
-            if node.var in var_names(df):
-                # §10.1: the BIND target must not be in-scope in the
-                # preceding pattern (r6c probe fix: it silently overwrote)
-                from graphdb_free_mocha_sa_spark.sparql.parser import \
-                    SparqlSyntaxError
-                raise SparqlSyntaxError(
-                    f"BIND: variable ?{node.var} is already bound in "
-                    "the group")
-            df, exists_map, flags = self._materialize_exists(node.expr, df, gctx)
-            if self.encoded:
-                df = self._string_rep(df, _expr_vars(node.expr))
-            df, flags = self._salt_bnode(df, node.expr, flags)
-            t = self._eval(node.expr, _df_resolver(df), exists_map)
-            return _with_family(df, node.var, t).drop(*flags)
+            # Consecutive BINDs evaluate as ONE chain over the shared
+            # base pattern so a single __bnode_salt spans them — §17.4.2.9
+            # requires BNODE("k") to return the SAME blank node for the
+            # same argument across expressions of one solution mapping
+            # (r11 conformance find: per-BIND salting made two
+            # BIND(BNODE("k")) calls mint different nodes).
+            chain = [node]
+            base = node.pattern
+            while isinstance(base, A.Extend):
+                chain.append(base)
+                base = base.pattern
+            chain.reverse()                       # innermost BIND first
+            df = self.translate(base, gctx)
+            all_flags: list[str] = []
+            for ext in chain:
+                if ext.var in var_names(df):
+                    # §10.1: the BIND target must not be in-scope in the
+                    # preceding pattern (r6c probe fix: silent overwrite)
+                    from graphdb_free_mocha_sa_spark.sparql.parser import \
+                        SparqlSyntaxError
+                    raise SparqlSyntaxError(
+                        f"BIND: variable ?{ext.var} is already bound in "
+                        "the group")
+                df, exists_map, flags = self._materialize_exists(
+                    ext.expr, df, gctx)
+                if self.encoded:
+                    df = self._string_rep(df, _expr_vars(ext.expr))
+                df, flags = self._salt_bnode(df, ext.expr, flags)
+                all_flags.extend(flags)
+                t = self._eval(ext.expr, _df_resolver(df), exists_map)
+                df = _with_family(df, ext.var, t)
+            return df.drop(*dict.fromkeys(all_flags))
         if isinstance(node, A.ValuesTable):
             return self._values_df(node)
         if isinstance(node, A.GraphPat):

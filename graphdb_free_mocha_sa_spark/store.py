@@ -63,6 +63,18 @@ class QuadStore:
         self.fts_indexes: dict = {}
         self._fts_params: dict[str, str] = {}
         self.fts_epoch = 0
+        #: bumped on EVERY committed mutation (appends, rewrites, closure
+        #: re-materialization). The engine's B42 commit gate compares it
+        #: against the epoch of the last update it verified consistent:
+        #: equal ⇒ the pre-update state is known consistent and the
+        #: O(delta) check / pure-delete skip are sound; different ⇒ some
+        #: unchecked path (direct store writes, streaming ingest, an
+        #: engine without the gate) mutated the store since, so the gate
+        #: must fall back to the FULL check once (r10 advisor fix: the
+        #: delta branch is only sound over a consistent pre-state —
+        #: violations it can't see are exactly the ones not involving the
+        #: delta).
+        self.write_epoch = 0
 
     # -- snapshot reads ------------------------------------------------
 
@@ -98,6 +110,7 @@ class QuadStore:
         section: only driver-side plan building happens under the lock)."""
         with self._writer_gate, self._lock:
             self.destructive_epoch += 1
+            self.write_epoch += 1
             self._commit_rewrite(fn(self._df))
 
     def _append(self, delta: DataFrame):
@@ -185,6 +198,15 @@ class QuadStore:
                     raise FtsError(
                         f"unknown luc:setParam parameter {name!r} "
                         f"(supported: {', '.join(sorted(_KNOWN_PARAMS))})")
+                if name == "analyzer":
+                    # value validated at SET time (r11): an unsupported
+                    # analyzer raises here, before it can be staged at
+                    # all — the other half of the control-op atomicity
+                    # fix (the executor additionally rolls staged params
+                    # back when a later op of the same request fails)
+                    from graphdb_free_mocha_sa_spark.operators.fts import (
+                        validate_analyzer)
+                    validate_analyzer(str(value))
                 self._fts_params[name] = str(value)
                 return
             if p in (LUC_CREATE, LUC_UPDATE):
@@ -199,10 +221,39 @@ class QuadStore:
                 return
             raise FtsError(f"unknown luc: control predicate {p!r}")
 
+    # FTS control state is transactional alongside the quad data (r11
+    # advisor fix, both halves): (a) a failed op inside one update request
+    # must not leave earlier luc: mutations behind — the live-found case
+    # was a setParam that persisted after the same update's createIndex
+    # raised, poisoning every later index build in the session; (b) the
+    # B42 consistency-gate rollback must also rewind indexes built inside
+    # the aborted transaction, else an index over never-committed triples
+    # stays queryable. Update executor and engine snapshot/restore through
+    # these hooks.
+
+    def fts_state_snapshot(self) -> dict:
+        """Cheap copy of the FTS control state (registry + params + epoch).
+        Index objects are immutable snapshots, so shallow dict copies
+        suffice."""
+        return {"indexes": dict(self.fts_indexes),
+                "params": dict(self._fts_params),
+                "epoch": self.fts_epoch}
+
+    def fts_state_changed(self, snap: dict) -> bool:
+        return (self.fts_epoch != snap["epoch"]
+                or self._fts_params != snap["params"]
+                or self.fts_indexes != snap["indexes"])
+
+    def fts_state_restore(self, snap: dict) -> None:
+        self.fts_indexes = dict(snap["indexes"])
+        self._fts_params = dict(snap["params"])
+        self.fts_epoch = snap["epoch"]
+
     # -- writes ---------------------------------------------------------
 
     def add_quads(self, quads: DataFrame, dedup: bool = False):
         with self._writer_gate:
+            self.write_epoch += 1
             self._add_quads_locked(quads, dedup)
 
     def _add_quads_locked(self, quads: DataFrame, dedup: bool = False):
@@ -245,6 +296,7 @@ class QuadStore:
 
     def delete_quads(self, quads: DataFrame):
         with self._writer_gate:
+            self.write_epoch += 1
             self._delete_quads_locked(quads)
 
     def _delete_quads_locked(self, quads: DataFrame):
@@ -285,6 +337,7 @@ class QuadStore:
     def load_version(self, quads: DataFrame, graph: Optional[str] = None) -> str:
         """Atomic versioned bulk load; returns the graph IRI used."""
         with self._writer_gate, self._lock:
+            self.write_epoch += 1
             graph = graph or f"{GRAPH_VERSION_PREFIX}{self._version}"
             staged = quads.select(
                 F.lit(graph).alias("g"),
@@ -334,6 +387,7 @@ class QuadStore:
         see the new base with the old closure — r9 soak fix)."""
         with self._writer_gate, self._lock:
             self.destructive_epoch += 1
+            self.write_epoch += 1
             new_df = fn(self._df)
             if self._inferred is None:
                 self._commit_rewrite(new_df)
@@ -378,6 +432,7 @@ class QuadStore:
         """Forward-chaining closure maintained alongside base data (B40)."""
         from graphdb_free_mocha_sa_spark.operators.inference import owl_horst_closure
         with self._writer_gate:
+            self.write_epoch += 1
             self._inferred = owl_horst_closure(self.spark, self._df)
 
     # -- persistence (the 100 TB layout) ---------------------------------
@@ -561,6 +616,35 @@ class DurableQuadStore(QuadStore):
         tmp = reg + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(entries, fh)
+        os.rename(tmp, reg)
+
+    def fts_state_snapshot(self) -> dict:
+        """Durable stores also capture the on-disk registry bytes, so a
+        restore rewinds what a re-open would see — the generation dirs a
+        rolled-back build wrote become unreferenced and are reclaimed by
+        the existing open-time vacuum (same 1h horizon as segments)."""
+        import os
+        snap = super().fts_state_snapshot()
+        try:
+            with open(self._fts_registry_path(), "rb") as fh:
+                snap["registry"] = fh.read()
+        except OSError:
+            snap["registry"] = None
+        return snap
+
+    def fts_state_restore(self, snap: dict) -> None:
+        import os
+        super().fts_state_restore(snap)
+        reg = self._fts_registry_path()
+        if snap.get("registry") is None:
+            try:
+                os.remove(reg)
+            except OSError:
+                pass
+            return
+        tmp = reg + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(snap["registry"])
         os.rename(tmp, reg)
 
     # -- bucketed base table ----------------------------------------------

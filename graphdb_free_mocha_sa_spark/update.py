@@ -68,12 +68,30 @@ class UpdateExecutor:
         consistency check over the full-store one (engine._gate_check).
         Callers that ignore the return value are unaffected."""
         summary = {"delta_ok": True, "inserted_rows": []}
-        for op in parse_update(update_string):
-            info = self._apply(op)
-            if info is None:
-                summary["delta_ok"] = False
-            elif info[0] == "insert":
-                summary["inserted_rows"].extend(info[1])
+        ops = list(parse_update(update_string))  # syntax errors mutate nothing
+        store = self.store
+        # One request = one writer-gate span (reentrant — the engine's
+        # checked-update path already holds it): ops from concurrent
+        # requests never interleave, matching the reference's one-
+        # transaction-per-request execution (GraphDBSystemAdapter
+        # .java:227-229). FTS control state is staged per REQUEST (r11
+        # advisor fix): a failing op rolls back earlier luc: mutations
+        # from the same request — previously `luc:analyzer luc:setParam
+        # ... . luc:idx luc:createIndex ...` in one INSERT DATA left the
+        # param behind when createIndex raised, poisoning later builds.
+        with store._writer_gate:
+            snap = store.fts_state_snapshot()
+            try:
+                for op in ops:
+                    info = self._apply(op)
+                    if info is None:
+                        summary["delta_ok"] = False
+                    elif info[0] == "insert":
+                        summary["inserted_rows"].extend(info[1])
+            except Exception:
+                if store.fts_state_changed(snap):
+                    store.fts_state_restore(snap)
+                raise
         return summary
 
     def _apply(self, op):

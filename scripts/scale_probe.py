@@ -200,6 +200,28 @@ def run_recursive_probes(spark, scale: int) -> dict[str, float]:
     store.delete_quads(victim)
     store._inferred.count()
     out["inference_delete_dred"] = round(time.time() - t0, 3)
+
+    # B42 commit-gate probe (r11, VERDICT r10 item 7): a checked INSERT
+    # against a store of 60k*scale typed instances + a disjointness
+    # TBox, inference off. gate_full_check is the one-time pre-state
+    # verification (linear leg, by design); gate_checked_insert is the
+    # steady-state O(delta) commit path — THE scale claim: its cost is
+    # delta x join partners, so it should be near-flat at 10x store size.
+    OWL = "http://www.w3.org/2002/07/owl#"
+    drows = [("urn:g", f"urn:D{2 * i}", OWL + "disjointWith",
+              f"urn:D{2 * i + 1}", None, None, None, None)
+             for i in range(5)]
+    gstore = QuadStore(
+        spark, spark.createDataFrame(drows, QUAD_SCHEMA).unionByName(inst)
+        .repartition(8).localCheckpoint())
+    geng = Engine(spark, gstore, check_inconsistencies=True)
+    t0 = time.time()
+    geng.update(f"INSERT DATA {{ <urn:gw> <{RDF_TYPE}> <urn:D0> }}")
+    out["gate_full_check"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    geng.update(f"INSERT DATA {{ <urn:g1> <{RDF_TYPE}> <urn:D2> . "
+                "<urn:g1> <urn:p> <urn:o> }")
+    out["gate_checked_insert"] = round(time.time() - t0, 3)
     return out
 
 

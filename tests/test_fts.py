@@ -208,14 +208,18 @@ def test_unknown_setparam_name_raises(spark):
         eng.update(LUC + 'INSERT DATA { luc:analyser luc:setParam "x" }')
 
 
-def test_unsupported_analyzer_raises_at_create(spark):
-    """A semantics-bearing analyzer (stemming) must raise, not be
-    silently ignored."""
+def test_unsupported_analyzer_raises_at_setparam(spark):
+    """An unimplemented analyzer must raise, not be silently ignored —
+    and since r11 it raises at SETPARAM time (before the value can be
+    staged at all; EnglishAnalyzer graduated to supported, so the
+    unsupported probe uses GermanAnalyzer)."""
     eng = _engine(spark)
-    eng.update(LUC + '''INSERT DATA { luc:analyzer luc:setParam
-        "org.apache.lucene.analysis.en.EnglishAnalyzer" }''')
     with pytest.raises(FtsError, match="analyzer"):
-        eng.update(LUC + 'INSERT DATA { luc:idx2 luc:createIndex "true" }')
+        eng.update(LUC + '''INSERT DATA { luc:analyzer luc:setParam
+            "org.apache.lucene.analysis.de.GermanAnalyzer" }''')
+    # nothing staged: a later default-analyzer build works
+    eng.update(LUC + 'INSERT DATA { luc:idx2 luc:createIndex "true" }')
+    assert eng.store._fts_params == {}
 
 
 def test_default_analyzer_value_accepted(spark):
@@ -297,3 +301,91 @@ def test_duplicate_phrase_satisfiable(spark):
     got = {r["node"] for r in
            fts_match(spark, idx, '"slow cooking" "slow cooking"').collect()}
     assert got == {"urn:p2"}
+
+
+# --------------------------------------- EnglishAnalyzer (r11, B43)
+
+def _english_engine(spark):
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark))
+    eng.update("""INSERT DATA {
+      <urn:d1> <urn:body> "the cook was cooking spiced dishes" .
+      <urn:d2> <urn:body> "a cooked dish cools quickly" .
+      <urn:d3> <urn:body> "sparkling engines and plugs" .
+    }""")
+    eng.update(LUC + '''INSERT DATA {
+      luc:analyzer luc:setParam "org.apache.lucene.analysis.en.EnglishAnalyzer" .
+      luc:en luc:createIndex "true" }''')
+    return eng
+
+
+def test_porter_known_vectors():
+    from graphdb_free_mocha_sa_spark.operators.porter import porter_stem
+    vectors = {"caresses": "caress", "ponies": "poni", "ties": "ti",
+               "cats": "cat", "agreed": "agre", "plastered": "plaster",
+               "motoring": "motor", "conflated": "conflat",
+               "hopping": "hop", "filing": "file", "happy": "happi",
+               "sky": "sky", "relational": "relat", "digitizer": "digit",
+               "vietnamization": "vietnam", "operator": "oper",
+               "decisiveness": "decis", "triplicate": "triplic",
+               "electriciti": "electr", "adjustable": "adjust",
+               "replacement": "replac", "adoption": "adopt",
+               "activate": "activ", "effective": "effect", "rate": "rate",
+               "cease": "ceas", "controll": "control", "roll": "roll",
+               "generalizations": "gener", "oscillators": "oscil"}
+    assert {w: porter_stem(w) for w in vectors} == vectors
+
+
+def test_english_analyzer_stemmed_match(spark):
+    """'cooking', 'cooked' and 'cook' all stem to 'cook': a query in one
+    form matches documents in the others."""
+    eng = _english_engine(spark)
+    res = eng.query(LUC + 'SELECT ?s WHERE { ?s luc:en "cooking" } ORDER BY ?s')
+    rows = res.finalize({"s": "str"}).collect()
+    assert [r["s"] for r in rows] == ["urn:d1", "urn:d2"]
+
+
+def test_english_analyzer_stopwords_dropped(spark):
+    """Stop words vanish at index AND query time: they are never required
+    and a stop-word-only query raises matches-nothing."""
+    from graphdb_free_mocha_sa_spark.operators.fts import FtsError
+    eng = _english_engine(spark)
+    # "the" is a stop word: "dish AND the" must behave like "dish"
+    res = eng.query(LUC + 'SELECT ?s WHERE { ?s luc:en "dish AND the" } ORDER BY ?s')
+    assert [r["s"] for r in res.finalize({"s": "str"}).collect()] \
+        == ["urn:d1", "urn:d2"]
+    with pytest.raises(FtsError, match="matches nothing"):
+        eng.query(LUC + 'SELECT ?s WHERE { ?s luc:en "the was and" }').df.count()
+
+
+def test_english_analyzer_phrase_stemmed(spark):
+    """Phrase tokens are analyzed too: '"cooking spiced dish"' matches the
+    stemmed index positions of 'cooking spiced dishes'."""
+    eng = _english_engine(spark)
+    res = eng.query(LUC + 'SELECT ?s WHERE { ?s luc:en "\\"cooking spiced dish\\"" }')
+    assert [r["s"] for r in res.finalize({"s": "str"}).collect()] == ["urn:d1"]
+
+
+def test_english_analyzer_prefix_not_stemmed(spark):
+    """Lucene wildcard terms skip analysis: 'spark*' matches the stemmed
+    index term 'sparkl' (from 'sparkling') literally by prefix."""
+    eng = _english_engine(spark)
+    res = eng.query(LUC + 'SELECT ?s WHERE { ?s luc:en "spark*" }')
+    assert [r["s"] for r in res.finalize({"s": "str"}).collect()] == ["urn:d3"]
+
+
+def test_english_analyzer_survives_reopen(spark, tmp_path):
+    """The analyzer choice persists with the index: a reopened store still
+    stems queries against the persisted english index."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import DurableQuadStore
+    store = DurableQuadStore(spark, str(tmp_path / "db"))
+    eng = Engine(spark, store)
+    eng.update('INSERT DATA { <urn:d1> <urn:body> "cooking dishes" . }')
+    eng.update(LUC + '''INSERT DATA {
+      luc:analyzer luc:setParam "org.apache.lucene.analysis.en.EnglishAnalyzer" .
+      luc:en luc:createIndex "true" }''')
+    eng2 = Engine(spark, DurableQuadStore(spark, str(tmp_path / "db")))
+    res = eng2.query(LUC + 'SELECT ?s WHERE { ?s luc:en "cooked" }')
+    assert [r["s"] for r in res.finalize({"s": "str"}).collect()] == ["urn:d1"]

@@ -129,22 +129,23 @@ def ref_match(corpus: dict[str, str], spec: dict,
     return out
 
 
-def gen_corpus(rng: random.Random) -> dict[str, str]:
+def gen_corpus(rng: random.Random,
+               vocab: list[str] = VOCAB) -> dict[str, str]:
     corpus = {}
     for i in range(rng.randint(6, 22)):
         n_tok = rng.randint(2, 18)
-        corpus[f"urn:doc{i}"] = " ".join(rng.choices(VOCAB, k=n_tok))
+        corpus[f"urn:doc{i}"] = " ".join(rng.choices(vocab, k=n_tok))
     return corpus
 
 
-def gen_query(rng: random.Random,
-              corpus: dict[str, str]) -> tuple[dict, str]:
+def gen_query(rng: random.Random, corpus: dict[str, str],
+              vocab: list[str] = VOCAB) -> tuple[dict, str]:
     """Structured query spec + the query string built from it (so the
     parser is under test too). Terms are sampled without replacement
     across groups — repeating the same term across sign groups is Lucene
     multi-clause territory the subset doesn't pin. Phrases are drawn from
     the corpus under test so they actually hit."""
-    pool = rng.sample(VOCAB + ABSENT, len(VOCAB) + len(ABSENT))
+    pool = rng.sample(vocab + ABSENT, len(vocab) + len(ABSENT))
 
     def draw(k):
         return [pool.pop() for _ in range(min(k, len(pool)))]
@@ -156,7 +157,7 @@ def gen_query(rng: random.Random,
             "phrases": []}
     for key in ("req_prefixes", "opt_prefixes", "pro_prefixes"):
         if rng.random() < 0.4:
-            spec[key].append(rng.choice(VOCAB)[:rng.randint(3, 4)])
+            spec[key].append(rng.choice(vocab)[:rng.randint(3, 4)])
     if rng.random() < 0.5:
         src = _tokens(rng.choice(list(corpus.values())))
         if len(src) >= 2:
@@ -167,7 +168,7 @@ def gen_query(rng: random.Random,
                 spec["phrases"].append(src[at:at + m])
     if not (spec["required"] or spec["optional"] or spec["phrases"]
             or spec["req_prefixes"] or spec["opt_prefixes"]):
-        spec["optional"] = [rng.choice(VOCAB)]
+        spec["optional"] = [rng.choice(vocab)]
 
     saw_and = bool(spec["optional"] or spec["opt_prefixes"]) \
         and rng.random() < 0.3
@@ -269,3 +270,78 @@ def test_fts_differential_through_engine_surface(spark):
         for node in expect:
             assert abs(got[node] - expect[node]) < 1e-5, \
                 f"q={q} {node}: {got[node]} != {expect[node]}"
+
+
+# ------------------------------------------------- EnglishAnalyzer phase
+
+#: inflection families (several raw forms per stem) + Lucene stop words,
+#: so stemming and stop-removal are both load-bearing in every query
+STEM_VOCAB = ["cooking", "cooked", "cooks", "cook", "sparkling",
+              "sparkled", "relational", "relations", "engines", "engine",
+              "indexing", "indexed", "queries", "query", "quickly",
+              "quick", "motoring", "motor", "agreed", "hopeful",
+              "the", "and", "of", "was", "this", "their"]
+
+
+def _analyze_spec_for_ref(spec: dict) -> dict:
+    """The documented EnglishAnalyzer query transformation, applied to the
+    STRUCTURED spec (the engine applies it to the parsed query): term
+    groups stop-filter + stem; phrases stop-filter + stem + re-dedupe;
+    prefixes pass through unanalyzed (Lucene wildcard semantics)."""
+    from graphdb_free_mocha_sa_spark.operators.porter import (EN_STOPWORDS,
+                                                              porter_stem)
+
+    def terms(ts):
+        return [porter_stem(t) for t in ts if t not in EN_STOPWORDS]
+
+    out = dict(spec)
+    for g in ("required", "optional", "prohibited"):
+        out[g] = terms(spec[g])
+    out["phrases"] = []
+    for p in (terms(ph) for ph in spec["phrases"]):
+        if p and p not in out["phrases"]:
+            out["phrases"].append(p)
+    return out
+
+
+@pytest.mark.parametrize("seed", [5, 19])
+def test_fts_differential_english_analyzer(spark, seed):
+    """r11 stemmed phase: the corpus is indexed with analyzer=english and
+    the pure-Python oracle runs over the ANALYZED corpus with the
+    ANALYZED spec — set-exact matches, scores to 1e-5, including queries
+    whose positive components all dissolve into stop words (both sides
+    must then report matches-nothing)."""
+    from graphdb_free_mocha_sa_spark.operators.fts import (FtsError,
+                                                           fts_match,
+                                                           index_from_docs)
+    from graphdb_free_mocha_sa_spark.operators.porter import english_analyze
+    rng = random.Random(seed)
+    for c in range(2):
+        corpus = gen_corpus(rng, STEM_VOCAB)
+        idx = index_from_docs(
+            spark,
+            spark.createDataFrame(list(corpus.items()),
+                                  "node string, text string"),
+            analyzer="english")
+        analyzed = {n: " ".join(english_analyze(_tokens(t)))
+                    for n, t in corpus.items()}
+        for q in range(10):
+            spec, qstr = gen_query(rng, corpus, STEM_VOCAB)
+            tspec = _analyze_spec_for_ref(spec)
+            if not (tspec["required"] or tspec["optional"]
+                    or tspec["phrases"] or tspec["req_prefixes"]
+                    or tspec["opt_prefixes"]):
+                with pytest.raises(FtsError, match="matches nothing"):
+                    fts_match(spark, idx, qstr).collect()
+                continue
+            expect = ref_match(analyzed, tspec)
+            got = {r["node"]: r["score"]
+                   for r in fts_match(spark, idx, qstr).collect()}
+            assert set(got) == set(expect), \
+                f"seed={seed} c={c} q={q} query={qstr!r}: " \
+                f"spark-only={set(got) - set(expect)} " \
+                f"ref-only={set(expect) - set(got)}"
+            for node in expect:
+                assert abs(got[node] - expect[node]) < 1e-5, \
+                    f"seed={seed} query={qstr!r} node={node}: " \
+                    f"{got[node]} != {expect[node]}"

@@ -1,0 +1,335 @@
+"""Round-11 fix pins: FTS control-state atomicity (per-request staging +
+consistency-gate rollback), the delta-gate pre-state-consistent invariant,
+the AllDifferent frontier dedup, and the VALUES-UNDEF compat-join
+semantics the stale translator header used to disclaim."""
+
+from __future__ import annotations
+
+import pytest
+
+OWL = "http://www.w3.org/2002/07/owl#"
+RDFT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+LUC = "PREFIX luc: <http://www.ontotext.com/owlim/lucene#>\n"
+
+
+def _engine(spark, **kw):
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark), **kw)
+    eng.update("""INSERT DATA {
+      <urn:d1> <urn:title> "spark analytics engine" .
+      <urn:d2> <urn:title> "slow cooking recipes" .
+    }""")
+    return eng
+
+
+# ---------------------------------------------- FTS control-state staging
+
+def test_failed_update_rolls_back_setparam(spark):
+    """The r10 live-drive poisoning case: one INSERT DATA sets an
+    unsupported analyzer param, then createIndex raises — the update
+    fails and the param must NOT persist: a later plain createIndex in
+    the same session succeeds."""
+    from graphdb_free_mocha_sa_spark.operators.fts import FtsError
+    eng = _engine(spark)
+    with pytest.raises(FtsError):
+        eng.update(LUC + """INSERT DATA {
+          luc:analyzer luc:setParam "org.apache.lucene.analysis.de.GermanAnalyzer" .
+          luc:idx luc:createIndex "true" }""")
+    assert eng.store._fts_params == {}
+    assert eng.store.fts_indexes == {}
+    eng.update(LUC + 'INSERT DATA { luc:idx luc:createIndex "true" }')
+    assert "http://www.ontotext.com/owlim/lucene#idx" in eng.store.fts_indexes
+
+
+def test_failed_update_rolls_back_created_index(spark):
+    """An index built by an EARLIER op of a failing request is staged
+    out again: the second op's unknown setParam aborts the request and
+    idx1 must not stay queryable."""
+    from graphdb_free_mocha_sa_spark.operators.fts import FtsError
+    eng = _engine(spark)
+    epoch = eng.store.fts_epoch
+    with pytest.raises(FtsError):
+        eng.update(LUC + """INSERT DATA {
+          luc:idx1 luc:createIndex "true" .
+          luc:noSuchParam luc:setParam "x" }""")
+    assert eng.store.fts_indexes == {}
+    assert eng.store.fts_epoch == epoch
+
+
+def test_failed_update_keeps_preexisting_fts_state(spark):
+    """Rollback restores the PRE-request state, it doesn't clear it."""
+    from graphdb_free_mocha_sa_spark.operators.fts import FtsError
+    eng = _engine(spark)
+    eng.update(LUC + 'INSERT DATA { luc:idx luc:createIndex "true" }')
+    before = dict(eng.store.fts_indexes)
+    with pytest.raises(FtsError):
+        eng.update(LUC + """INSERT DATA {
+          luc:idx2 luc:createIndex "true" .
+          luc:noSuchParam luc:setParam "x" }""")
+    assert eng.store.fts_indexes == before
+
+
+def test_durable_failed_update_restores_registry_file(spark, tmp_path):
+    """Durable stores stage the on-disk registry too: after the failed
+    request, a RE-OPEN of the store sees only the pre-request indexes."""
+    import json
+    import os
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.operators.fts import FtsError
+    from graphdb_free_mocha_sa_spark.store import DurableQuadStore
+    store = DurableQuadStore(spark, str(tmp_path / "db"))
+    eng = Engine(spark, store)
+    eng.update('INSERT DATA { <urn:d1> <urn:title> "spark engine" . }')
+    eng.update(LUC + 'INSERT DATA { luc:keep luc:createIndex "true" }')
+    with pytest.raises(FtsError):
+        eng.update(LUC + """INSERT DATA {
+          luc:gone luc:createIndex "true" .
+          luc:noSuchParam luc:setParam "x" }""")
+    reg = store._fts_registry_path()
+    assert os.path.exists(reg)
+    with open(reg) as fh:
+        names = set(json.load(fh))
+    assert names == {"http://www.ontotext.com/owlim/lucene#keep"}
+    reopened = DurableQuadStore(spark, str(tmp_path / "db"))
+    assert set(reopened.fts_indexes) == names
+
+
+# ------------------------------------- consistency-gate FTS rollback
+
+def test_gate_rollback_restores_fts_state(spark):
+    """ADVICE r11 (medium): a luc:createIndex inside a checked update
+    that later FAILS the consistency gate must roll back with the data —
+    an index over never-committed triples must not stay queryable."""
+    from graphdb_free_mocha_sa_spark.engine import InconsistencyError
+    eng = _engine(spark, check_inconsistencies=True)
+    eng.update(f"""INSERT DATA {{
+      <urn:Cat> <{OWL}disjointWith> <urn:Dog> .
+      <urn:rex> <{RDFT}> <urn:Dog> . }}""")
+    epoch = eng.store.fts_epoch
+    with pytest.raises(InconsistencyError):
+        eng.update(LUC + f"""INSERT DATA {{
+          luc:idx luc:createIndex "true" .
+          <urn:rex> <{RDFT}> <urn:Cat> . }}""")
+    assert eng.store.fts_indexes == {}
+    assert eng.store.fts_epoch == epoch
+    # and the data rollback still holds alongside the FTS rollback
+    assert not eng.query("ASK { <urn:rex> <" + RDFT + "> <urn:Cat> }")
+
+
+# --------------------------------- delta-gate pre-state-consistent invariant
+
+def test_gate_full_check_after_unchecked_mutation(spark):
+    """ADVICE r11 (low): the O(delta) branch is sound only over a
+    consistent pre-state. After an UNCHECKED direct store write makes the
+    store inconsistent, the next checked update must run the FULL check
+    and abort — even though its own delta is benign."""
+    from graphdb_free_mocha_sa_spark.engine import InconsistencyError
+    from graphdb_free_mocha_sa_spark.model import local_quads_df
+    from graphdb_free_mocha_sa_spark.store import DEFAULT_GRAPH
+    eng = _engine(spark, check_inconsistencies=True)
+    eng.update(f"""INSERT DATA {{
+      <urn:Cat> <{OWL}disjointWith> <urn:Dog> .
+      <urn:rex> <{RDFT}> <urn:Dog> . }}""")
+    # unchecked path: the store is now inconsistent, the gate never saw it
+    eng.store.add_quads(local_quads_df(spark, [
+        (DEFAULT_GRAPH, "urn:rex", RDFT, "urn:Cat",
+         None, None, None, None)]))
+    with pytest.raises(InconsistencyError):
+        eng.update("INSERT DATA { <urn:other> <urn:p> <urn:o> . }")
+    # the benign delta was rolled back; the unchecked damage remains
+    assert not eng.query("ASK { <urn:other> <urn:p> <urn:o> }")
+    assert eng.query("ASK { <urn:rex> <" + RDFT + "> <urn:Cat> }")
+
+
+def test_gate_pure_delete_not_skipped_over_unverified_state(spark):
+    """GraphDB's gate asserts the STORE is consistent post-commit: a pure
+    delete over an unverified (and here inconsistent) pre-state must run
+    the full check, not the monotonicity skip."""
+    from graphdb_free_mocha_sa_spark.engine import InconsistencyError
+    from graphdb_free_mocha_sa_spark.model import local_quads_df
+    from graphdb_free_mocha_sa_spark.store import DEFAULT_GRAPH
+    eng = _engine(spark, check_inconsistencies=True)
+    eng.update(f"""INSERT DATA {{
+      <urn:Cat> <{OWL}disjointWith> <urn:Dog> .
+      <urn:rex> <{RDFT}> <urn:Dog> . }}""")
+    eng.store.add_quads(local_quads_df(spark, [
+        (DEFAULT_GRAPH, "urn:rex", RDFT, "urn:Cat",
+         None, None, None, None)]))
+    with pytest.raises(InconsistencyError):
+        eng.update('DELETE DATA { <urn:d1> <urn:title> '
+                   '"spark analytics engine" . }')
+    # but a delete that REMOVES the violation passes the full check
+    eng.update(f"DELETE DATA {{ <urn:rex> <{RDFT}> <urn:Cat> . }}")
+
+
+def test_gate_delta_path_resumes_after_full_verify(spark):
+    """After the one-time full check re-verifies the store, later
+    delta-eligible commits go back to the O(delta) branch (full check
+    bombed to prove it is not consulted)."""
+    def _bomb(*a, **k):
+        raise AssertionError("full check must not run on the delta path")
+
+    eng = _engine(spark, check_inconsistencies=True)
+    eng.update(f"""INSERT DATA {{
+      <urn:Cat> <{OWL}disjointWith> <urn:Dog> .
+      <urn:rex> <{RDFT}> <urn:Dog> . }}""")
+    from graphdb_free_mocha_sa_spark.model import local_quads_df
+    from graphdb_free_mocha_sa_spark.store import DEFAULT_GRAPH
+    # benign unchecked write → next checked update full-checks once
+    eng.store.add_quads(local_quads_df(spark, [
+        (DEFAULT_GRAPH, "urn:ok", "urn:p", "urn:o",
+         None, None, None, None)]))
+    eng.update("INSERT DATA { <urn:a> <urn:p> <urn:b> . }")   # full, passes
+    eng.check_consistency = _bomb
+    try:
+        eng.update("INSERT DATA { <urn:c> <urn:p> <urn:d> . }")  # delta
+        eng.update("DELETE DATA { <urn:c> <urn:p> <urn:d> . }")  # skip
+    finally:
+        del eng.check_consistency
+
+
+# --------------------------------- AllDifferent walk: DAG/cycle guards
+
+def _viol(eng):
+    return sorted((r["rule"], r["x"], r["y"])
+                  for r in eng.check_consistency().collect())
+
+
+def _ad_prelude(extra: str) -> str:
+    return f"""INSERT DATA {{
+      _:ad <{RDFT}> <{OWL}AllDifferent> .
+      _:ad <{OWL}distinctMembers> _:l1 .
+      {extra}
+    }}"""
+
+
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def test_alldifferent_same_hop_convergence_merges(spark):
+    """ADVICE r11 (low): a convergent rdf:rest DAG used to multiply
+    duplicate frontier paths each hop (exponential walk growth). Equal-
+    length branches sharing a tail now merge — each cell is ONE list
+    position — so four distinct members stay consistent."""
+    eng = _engine(spark)
+    eng.update(_ad_prelude(f"""
+      _:l1 <{RDF}first> <urn:a> .
+      _:l1 <{RDF}rest> _:l2 .
+      _:l1 <{RDF}rest> _:l3 .
+      _:l2 <{RDF}first> <urn:b> .
+      _:l2 <{RDF}rest> _:l4 .
+      _:l3 <{RDF}first> <urn:c> .
+      _:l3 <{RDF}rest> _:l4 .
+      _:l4 <{RDF}first> <urn:d> .
+      _:l4 <{RDF}rest> <{RDF}nil> ."""))
+    assert _viol(eng) == []
+
+
+def test_alldifferent_cross_hop_revisit_raises(spark):
+    """Skewed convergence (branches of different length reaching the same
+    cell) is a cross-hop revisit — malformed, raises."""
+    eng = _engine(spark)
+    eng.update(_ad_prelude(f"""
+      _:l1 <{RDF}first> <urn:a> .
+      _:l1 <{RDF}rest> _:l2 .
+      _:l1 <{RDF}rest> _:l3 .
+      _:l2 <{RDF}first> <urn:b> .
+      _:l2 <{RDF}rest> _:l3 .
+      _:l3 <{RDF}first> <urn:c> .
+      _:l3 <{RDF}rest> <{RDF}nil> ."""))
+    with pytest.raises(RuntimeError, match="cyclic or convergent"):
+        _viol(eng)
+
+
+def test_alldifferent_cycle_raises(spark):
+    eng = _engine(spark)
+    eng.update(_ad_prelude(f"""
+      _:l1 <{RDF}first> <urn:a> .
+      _:l1 <{RDF}rest> _:l2 .
+      _:l2 <{RDF}first> <urn:b> .
+      _:l2 <{RDF}rest> _:l1 ."""))
+    with pytest.raises(RuntimeError, match="cyclic or convergent|did not"):
+        _viol(eng)
+
+
+def test_alldifferent_multigraph_duplicate_edge_is_not_a_dag(spark):
+    """The same logical list triple asserted in TWO graphs is one list
+    edge — it must not trip the convergence guard, and the pairs are
+    unchanged."""
+    eng = _engine(spark)
+    body = f"""
+      _:ad <{RDFT}> <{OWL}AllDifferent> .
+      _:ad <{OWL}distinctMembers> <urn:l1> .
+      <urn:l1> <{RDF}first> <urn:a> .
+      <urn:l1> <{RDF}rest> <urn:l2> .
+      <urn:l2> <{RDF}first> <urn:a> .
+      <urn:l2> <{RDF}rest> <{RDF}nil> ."""
+    eng.update(f"INSERT DATA {{ {body} GRAPH <urn:g2> {{ {body} }} }}")
+    # (a, a) at two positions => a != a, inconsistent — and no raise
+    assert ("owl-dif", "urn:a", "urn:a") in _viol(eng)
+
+
+def test_alldifferent_distributed_walk_guards(spark, monkeypatch):
+    """Force the distributed walk (probe bound 0) and re-check both the
+    convergent-DAG raise and a green straight list."""
+    from graphdb_free_mocha_sa_spark.operators import inference
+    monkeypatch.setattr(inference, "AD_LIST_BOUND", 0)
+    eng = _engine(spark)
+    eng.update(_ad_prelude(f"""
+      _:l1 <{RDF}first> <urn:a> .
+      _:l1 <{RDF}rest> _:l2 .
+      _:l2 <{RDF}first> <urn:b> .
+      _:l2 <{RDF}rest> <{RDF}nil> .
+      <urn:a> <{OWL}sameAs> <urn:b> ."""))
+    assert [v[0] for v in _viol(eng)] == ["owl-dif"]
+    # skewed convergence raises in the distributed walk too
+    eng2 = _engine(spark)
+    eng2.update(_ad_prelude(f"""
+      _:l1 <{RDF}first> <urn:a> .
+      _:l1 <{RDF}rest> _:l2 .
+      _:l1 <{RDF}rest> _:l3 .
+      _:l2 <{RDF}first> <urn:b> .
+      _:l2 <{RDF}rest> _:l3 .
+      _:l3 <{RDF}first> <urn:c> .
+      _:l3 <{RDF}rest> <{RDF}nil> ."""))
+    with pytest.raises(RuntimeError, match="cyclic or convergent"):
+        _viol(eng2)
+    # and equal-length convergence merges in the distributed walk too
+    eng3 = _engine(spark)
+    eng3.update(_ad_prelude(f"""
+      _:l1 <{RDF}first> <urn:a> .
+      _:l1 <{RDF}rest> _:l2 .
+      _:l1 <{RDF}rest> _:l3 .
+      _:l2 <{RDF}first> <urn:b> .
+      _:l2 <{RDF}rest> _:l4 .
+      _:l3 <{RDF}first> <urn:c> .
+      _:l3 <{RDF}rest> _:l4 .
+      _:l4 <{RDF}first> <urn:d> .
+      _:l4 <{RDF}rest> <{RDF}nil> ."""))
+    assert _viol(eng3) == []
+
+
+# ------------------------- VALUES UNDEF shared-variable compat join
+
+def test_values_undef_shared_variable_join(spark):
+    """§18.3 compatible mappings: an UNDEF (unbound) shared variable in a
+    VALUES row is compatible with ANY binding of that variable — the row
+    must not be dropped by strict NULL equality. Pins the semantics the
+    stale translator header used to disclaim (r11 verdict item)."""
+    eng = _engine(spark)
+    eng.update("""INSERT DATA {
+      <urn:s1> <urn:p> <urn:o1> .
+      <urn:s2> <urn:p> <urn:o2> .
+    }""")
+    res = eng.query("""
+      SELECT ?s ?o ?tag WHERE {
+        ?s <urn:p> ?o .
+        VALUES (?o ?tag) { (<urn:o1> "one") (UNDEF "any") }
+      } ORDER BY ?s ?tag""")
+    rows = res.finalize({"s": "str", "o": "str", "tag": "str"}).collect()
+    got = [(r["s"], r["o"], r["tag"]) for r in rows]
+    # UNDEF row joins BOTH solutions; the bound row joins only o1
+    assert got == [("urn:s1", "urn:o1", "any"),
+                   ("urn:s1", "urn:o1", "one"),
+                   ("urn:s2", "urn:o2", "any")]

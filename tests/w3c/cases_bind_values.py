@@ -138,3 +138,62 @@ CASES = [
         "syntax": "neg",
     },
 ]
+
+CASES += [
+    {
+        "name": "values-all-undef-row",
+        "source": "spec §10.2.2 (a row of all UNDEF is compatible with "
+                  "every solution)",
+        "data": _VBOOKS,
+        "query": _QPFX + """
+            SELECT ?book ?title WHERE {
+              ?book dc:title ?title .
+              VALUES (?title) { (UNDEF) ("SPARQL Tutorial") }
+            } ORDER BY ?book ?title""",
+        "ordered": True,
+        "results": [
+            {"book": "<http://example.org/book/book1>",
+             "title": '"SPARQL Tutorial"'},
+            {"book": "<http://example.org/book/book1>",
+             "title": '"SPARQL Tutorial"'},
+            {"book": "<http://example.org/book/book2>",
+             "title": '"The Semantic Web"'},
+        ],
+    },
+    {
+        "name": "values-no-match-empty",
+        "source": "spec §10.2 (a VALUES constraint absent from the data "
+                  "joins to nothing)",
+        "data": _VBOOKS,
+        "query": _QPFX + """
+            SELECT ?book WHERE {
+              ?book dc:title ?title .
+              VALUES ?title { "No Such Book" }
+            }""",
+        "results": [],
+    },
+    {
+        "name": "values-then-filter",
+        "source": "rdf-tests bind/values composition shape (transcribed)",
+        "data": _VBOOKS,
+        "query": _QPFX + """
+            SELECT ?book WHERE {
+              VALUES ?book { :book1 :book2 }
+              ?book ns:price ?p .
+              FILTER(?p > 30)
+            }""",
+        "results": [{"book": "<http://example.org/book/book1>"}],
+    },
+    {
+        "name": "bind-then-join-on-bound-var",
+        "source": "spec §10.1 (the BIND-ed variable joins subsequent "
+                  "patterns in the group)",
+        "data": _VBOOKS,
+        "query": _QPFX + """
+            SELECT ?title WHERE {
+              BIND(:book2 AS ?b)
+              ?b dc:title ?title .
+            }""",
+        "results": [{"title": '"The Semantic Web"'}],
+    },
+]

@@ -65,3 +65,67 @@ CASES = [
         "ask": True,
     },
 ]
+
+CASES += [
+    {
+        "name": "now-constant-within-query",
+        "source": "spec §17.4.5.1 (NOW returns the SAME value for the "
+                  "whole query execution)",
+        "query": Q + """ASK {
+            VALUES ?u { 1 2 3 }
+            BIND(NOW() AS ?a)
+            BIND(NOW() AS ?b)
+            FILTER(?a = ?b)
+        }""",
+        "ask": True,
+    },
+    {
+        "name": "now-datatype",
+        "source": "spec §17.4.5.1 (xsd:dateTime)",
+        "query": Q + """ASK {
+            VALUES ?u { 1 }
+            BIND(NOW() AS ?t)
+            FILTER(DATATYPE(?t) = xsd:dateTime)
+        }""",
+        "ask": True,
+    },
+    {
+        "name": "bnode-arg-stable-within-solution",
+        "source": "spec §17.4.2.9 (BNODE(str): same bnode for the same "
+                  "argument WITHIN a solution, distinct across solutions)",
+        "query": Q + """ASK {
+            VALUES ?u { 1 }
+            BIND(BNODE("k") AS ?a)
+            BIND(BNODE("k") AS ?b)
+            FILTER(?a = ?b && isBlank(?a))
+        }""",
+        "ask": True,
+    },
+    {
+        "name": "bnode-distinct-across-solutions",
+        "source": "spec §17.4.2.9 (fresh bnodes per solution)",
+        "query": Q + """ASK {
+            {
+              SELECT (COUNT(DISTINCT ?a) AS ?n) WHERE {
+                VALUES ?u { 1 2 3 }
+                BIND(BNODE("k") AS ?a)
+              }
+            }
+            FILTER(?n = 3)
+        }""",
+        "ask": True,
+    },
+    {
+        "name": "rand-independent-per-bind",
+        "source": "spec §17.4.4.2 (each RAND() call is an independent "
+                  "draw: 3 rows x 2 binds stay in range and the query "
+                  "still evaluates deterministically in SHAPE)",
+        "query": Q + """ASK {
+            VALUES ?u { 1 2 3 }
+            BIND(RAND() AS ?r1)
+            BIND(RAND() AS ?r2)
+            FILTER(?r1 >= 0 && ?r1 < 1 && ?r2 >= 0 && ?r2 < 1)
+        }""",
+        "ask": True,
+    },
+]

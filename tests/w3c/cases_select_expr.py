@@ -68,3 +68,54 @@ CASES = [
         "ordered": True,
     },
 ]
+
+CASES += [
+    {
+        "name": "select-expr-over-group-key",
+        "source": "spec §11.1/§16.1.2 (projected expression over the "
+                  "GROUP BY key)",
+        "data": """@prefix : <http://example.org/> .
+            :s1 :size 5 . :s2 :size 5 . :s3 :size 7 .""",
+        "query": """PREFIX : <http://example.org/>
+            SELECT (?size * 2 AS ?double) (COUNT(*) AS ?n)
+            WHERE { ?s :size ?size } GROUP BY ?size
+            ORDER BY ?double""",
+        "ordered": True,
+        "results": [{"double": '"10"^^xsd:integer',
+                     "n": '"2"^^xsd:integer'},
+                    {"double": '"14"^^xsd:integer',
+                     "n": '"1"^^xsd:integer'}],
+    },
+    {
+        "name": "select-distinct-expression",
+        "source": "rdf-tests project-expression shape (transcribed): "
+                  "DISTINCT applies AFTER projection",
+        "data": """@prefix : <http://example.org/> .
+            :a :p 1 . :b :p 2 . :c :p 1 .""",
+        "query": """PREFIX : <http://example.org/>
+            SELECT DISTINCT (?o + 1 AS ?v) WHERE { ?s :p ?o }
+            ORDER BY ?v""",
+        "ordered": True,
+        "results": [{"v": '"2"^^xsd:integer'}, {"v": '"3"^^xsd:integer'}],
+    },
+    {
+        "name": "select-expr-constant",
+        "source": "spec §16.1.2 (constant expression projects per row)",
+        "data": '@prefix : <http://example.org/> .\n:a :p 1 . :b :p 2 .\n',
+        "query": """PREFIX : <http://example.org/>
+            SELECT ?s ("tag" AS ?k) WHERE { ?s :p ?o } ORDER BY ?s""",
+        "ordered": True,
+        "results": [{"s": "<http://example.org/a>", "k": '"tag"'},
+                    {"s": "<http://example.org/b>", "k": '"tag"'}],
+    },
+    {
+        "name": "order-by-desc-expression",
+        "source": "spec §15.1 (ORDER BY DESC over an expression)",
+        "data": '@prefix : <http://example.org/> .\n:a :p 1 . :b :p 3 .\n',
+        "query": """PREFIX : <http://example.org/>
+            SELECT ?s WHERE { ?s :p ?o } ORDER BY DESC(?o * 10)""",
+        "ordered": True,
+        "results": [{"s": "<http://example.org/b>"},
+                    {"s": "<http://example.org/a>"}],
+    },
+]

@@ -202,7 +202,11 @@ def load_engine(spark, case, tmp_path):
             df = df.unionByName(x)
     else:
         df = spark.createDataFrame([], QUAD_SCHEMA)
-    return Engine(spark, QuadStore(spark, df))
+    # "inference": True runs the case under the OWL-Horst closure (the
+    # entailment family, r11 — the regime the reference repo configures:
+    # owl-horst-optimized, repo-config.ttl:33)
+    return Engine(spark, QuadStore(spark, df),
+                  use_inference=bool(case.get("inference")))
 
 
 def _start_scripted(responses: dict):
