@@ -397,3 +397,27 @@ def test_gate_delta_check_never_shuffles_the_type_slice(spark):
         assert got == [("cax-dw", "urn:i1")]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_fts_english_query_path_has_no_python_udf(spark):
+    """r11 EnglishAnalyzer: stemming runs ONCE at index build (one
+    Arrow-batched pandas UDF); the QUERY path — parse, broadcast-terms
+    join, phrase token-slice count, BM25 — must stay entirely JVM-side.
+    Query-term stemming happens driver-side on the handful of parsed
+    terms, never as a plan node."""
+    from graphdb_free_mocha_sa_spark.operators.fts import (fts_match,
+                                                           index_from_docs)
+    docs = spark.createDataFrame(
+        [("urn:d1", "the cook was cooking spiced dishes"),
+         ("urn:d2", "a cooked dish cools quickly")],
+        "node string, text string")
+    idx = index_from_docs(spark, docs, analyzer="english")
+    out = fts_match(spark, idx, '+cooking "cooked dish" -zzz spark*')
+    plan = _plan(out)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, \
+            f"FTS query plan contains {marker}:\n" + plan[:2000]
+    # and the match itself is right: +cooking (stem cook) hits both docs,
+    # but the phrase ["cook","dish"] is consecutive only in d2's analyzed
+    # text ("cook dish cool quickli")
+    assert sorted(r["node"] for r in out.collect()) == ["urn:d2"]
