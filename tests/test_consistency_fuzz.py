@@ -301,3 +301,53 @@ def test_gate_delta_path_matches_oracle(spark, seed):
             else:
                 eng.update("INSERT DATA { " + " ".join(f) + " }")
                 committed = trial
+
+
+@pytest.mark.parametrize("seed", [13])
+def test_gate_with_unchecked_mutations_matches_oracle(spark, seed):
+    """r11 epoch-invariant phase: random UNCHECKED writes (a gate-less
+    UpdateExecutor on the same store) interleave with checked updates.
+    The oracle sees EVERYTHING in the store; the gate must abort a
+    checked update iff the post-state violates — which after an
+    unchecked mutation requires the one-time full-check fallback (the
+    pre-fix delta branch would miss violations not involving the
+    delta). Rollbacks must restore the pre-update snapshot exactly;
+    unchecked damage itself persists (it never went through the gate)."""
+    from graphdb_free_mocha_sa_spark.engine import InconsistencyError
+    from graphdb_free_mocha_sa_spark.update import UpdateExecutor
+    rng = random.Random(seed)
+    for case in range(4):
+        ns = f"u{case}"
+        tbox = {"sub": [],
+                "dw": [tuple(rng.sample(classes(ns), 2))],
+                "comp": [tuple(rng.sample(classes(ns), 2))]
+                if rng.random() < 0.5 else []}
+        t, _ = to_sparql(tbox, {"type": [], "same": [], "dif": [],
+                                "alldiff": []}, ns)
+        eng = _engine(spark, check_inconsistencies=True)
+        raw = UpdateExecutor(eng.store)          # the unchecked back door
+        eng.update("INSERT DATA { " + " ".join(t) + " }")
+
+        state = {"type": [], "same": [], "dif": [], "alldiff": []}
+        for step in range(4):
+            if step and rng.random() < 0.6:
+                side = gen_facts(rng, ns)
+                _, sf = to_sparql({"sub": [], "dw": [], "comp": []},
+                                  side, ns)
+                raw.execute("INSERT DATA { " + " ".join(sf) + " }")
+                state = {k: state[k] + side[k] for k in state}
+            delta = gen_facts(rng, ns)
+            _, f = to_sparql({"sub": [], "dw": [], "comp": []}, delta, ns)
+            trial = {k: state[k] + delta[k] for k in state}
+            expect_bad = bool(oracle_rules(tbox, trial))
+            before = sorted(map(tuple, eng.store.df.collect()))
+            if expect_bad:
+                with pytest.raises(InconsistencyError):
+                    eng.update("INSERT DATA { " + " ".join(f) + " }")
+                after = sorted(map(tuple, eng.store.df.collect()))
+                assert after == before, \
+                    f"seed={seed} case={case} step={step}: rollback " \
+                    f"did not restore the pre-update snapshot"
+            else:
+                eng.update("INSERT DATA { " + " ".join(f) + " }")
+                state = trial
