@@ -38,6 +38,13 @@ class SelectResult:
         return finalize(self.df, spec or {v: "auto" for v in self.variables})
 
 
+#: DESCRIBE describe-set driver bound: at most this many resource keys
+#: fold into single-scan InSet predicates (s / o_lex, pushdown-friendly);
+#: larger sets take the two broadcast equi-joins. Ties the plan-literal
+#: size, not correctness — both paths are exact.
+_DESCRIBE_KEY_BOUND = 2000
+
+
 class Engine:
     """SPARQL front door.
 
@@ -485,14 +492,31 @@ class Engine:
         else:
             rows = [(t.value,) for t in q.terms if isinstance(t, A.IRI)]
             resources = self.spark.createDataFrame(rows, "k string")
-        # two broadcast hash EQUI-joins instead of one OR-condition join
-        # (Catalyst can only run the OR as a BroadcastNestedLoopJoin, which
-        # streams the full quad table per predicate at scale)
-        as_subj = quads.join(F.broadcast(resources),
-                             quads["s"] == F.col("k"))
-        as_obj = quads.filter(F.col("o_dt").isNull()).join(
-            F.broadcast(resources), quads["o_lex"] == F.col("k"))
-        out = as_subj.unionByName(as_obj).drop("k")
+        # Small describe sets (the overwhelmingly common case — explicit
+        # IRIs or a modest solution set) fold into ONE scan: a bounded
+        # driver collect turns both positions into InSet predicates, so
+        # the quad table is read once with the filter next to the scan
+        # (r11: the two-equi-join path below scans it twice and was the
+        # worst 10x scale-probe line two rounds running, 4.4x). Large
+        # sets keep the two broadcast hash EQUI-joins — still never an
+        # OR-condition join, which Catalyst can only run as a
+        # BroadcastNestedLoopJoin streaming the full table per predicate.
+        head = resources.limit(_DESCRIBE_KEY_BOUND + 1).collect()
+        if len(head) <= _DESCRIBE_KEY_BOUND:
+            ks = [r["k"] for r in head]
+            if not ks:
+                return quads.filter(F.lit(False))
+            out = quads.filter(
+                F.col("s").isin(ks)
+                | (F.col("o_dt").isNull() & F.col("o_lex").isin(ks)))
+            resources = self.spark.createDataFrame([(k,) for k in ks],
+                                                   "k string")
+        else:
+            as_subj = quads.join(F.broadcast(resources),
+                                 quads["s"] == F.col("k"))
+            as_obj = quads.filter(F.col("o_dt").isNull()).join(
+                F.broadcast(resources), quads["o_lex"] == F.col("k"))
+            out = as_subj.unionByName(as_obj).drop("k")
         # CBD blank-node closure (r6c probe fix): a described resource's
         # bnode objects are expanded transitively — their outgoing arcs
         # join the description (rdf4j DescribeIteration behaviour). Each
