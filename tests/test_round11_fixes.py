@@ -333,3 +333,28 @@ def test_values_undef_shared_variable_join(spark):
     assert got == [("urn:s1", "urn:o1", "any"),
                    ("urn:s1", "urn:o1", "one"),
                    ("urn:s2", "urn:o2", "any")]
+
+
+def test_gate_rollback_restores_fts_registry_on_durable_store(spark, tmp_path):
+    """Durable variant of the gate FTS rollback: the consistency abort
+    must rewind the ON-DISK registry too — a re-open after the aborted
+    transaction sees no index built over the rolled-back triples."""
+    from graphdb_free_mocha_sa_spark.engine import (Engine,
+                                                    InconsistencyError)
+    from graphdb_free_mocha_sa_spark.store import DurableQuadStore
+    store = DurableQuadStore(spark, str(tmp_path / "db"))
+    eng = Engine(spark, store, check_inconsistencies=True)
+    eng.update(f"""INSERT DATA {{
+      <urn:d1> <urn:title> "spark engine" .
+      <urn:Cat> <{OWL}disjointWith> <urn:Dog> .
+      <urn:rex> <{RDFT}> <urn:Dog> . }}""")
+    with pytest.raises(InconsistencyError):
+        eng.update(LUC + f"""INSERT DATA {{
+          luc:idx luc:createIndex "true" .
+          <urn:rex> <{RDFT}> <urn:Cat> . }}""")
+    assert eng.store.fts_indexes == {}
+    reopened = DurableQuadStore(spark, str(tmp_path / "db"))
+    assert reopened.fts_indexes == {}
+    # and the quad rollback is durable too
+    assert not Engine(spark, reopened).query(
+        "ASK { <urn:rex> <" + RDFT + "> <urn:Cat> }")

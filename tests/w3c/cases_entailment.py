@@ -235,3 +235,48 @@ CASES = [
         "ask": False,
     },
 ]
+
+CASES += [
+    {
+        "name": "owl-restriction-into-subclass",
+        "source": "pD* composition rdfp15 then rdfs9 (ter Horst 2005: "
+                  "restriction classes compose through subClassOf)",
+        "inference": True,
+        "data": PFX + (":R owl:onProperty :p ; owl:someValuesFrom :C . "
+                       ":R rdfs:subClassOf :Person . "
+                       ":y rdf:type :C . :x :p :y ."),
+        "query": QPFX + "ASK { :x rdf:type :Person }",
+        "ask": True,
+    },
+    {
+        "name": "owl-inverse-then-transitive",
+        "source": "pD* composition rdfp8 then rdfp4 (derived edges keep "
+                  "chaining; ter Horst 2005)",
+        "inference": True,
+        "data": PFX + (":p rdf:type owl:TransitiveProperty . "
+                       ":q owl:inverseOf :p . "
+                       ":a :p :b . :c :q :b . :c :p :d ."),
+        "query": QPFX + "ASK { :a :p :d }",
+        "ask": True,
+    },
+    {
+        "name": "rdfs-subclass-nothing-is-type-only",
+        "source": "soundness control: rdfs9 propagates types, it does "
+                  "not merge instances",
+        "inference": True,
+        "data": PFX + (":C1 rdfs:subClassOf :C2 . "
+                       ":x rdf:type :C1 . :y rdf:type :C2 ."),
+        "query": QPFX + "ASK { :x owl:sameAs :y }",
+        "ask": False,
+    },
+    {
+        "name": "owl-functional-chain-merges-objects",
+        "source": "pD* rdfp1 then rdfp11 (the derived sameAs substitutes "
+                  "into other facts; ter Horst 2005)",
+        "inference": True,
+        "data": PFX + (":p rdf:type owl:FunctionalProperty . "
+                       ":x :p :v1 . :x :p :v2 . :v1 :q :w ."),
+        "query": QPFX + "ASK { :v2 :q :w }",
+        "ask": True,
+    },
+]
