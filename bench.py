@@ -108,11 +108,18 @@ def _sentinel(spark, first: float) -> dict:
             json.dump({"floor_sec": floor,
                        "job": "range(200M,32p) hashed sum, best-of-2"}, fh)
     # the FIRST measurement pays one-time codegen JIT for the sentinel
-    # expression itself (observed 0.29 vs 0.19 warm on a quiet machine),
-    # so sustained contention is judged on the better of the two; a
-    # grossly slow single sample still flags via the max ratio.
-    r_min = round(min(first, last) / floor, 3) if floor else None
-    r_max = round(max(first, last) / floor, 3) if floor else None
+    # expression itself (now pre-warmed by the suite warmup, r11), so
+    # sustained contention is judged on the better of the two; a grossly
+    # slow single sample still flags via the max ratio. Ratios divide by
+    # max(floor, 0.15 s) — the measurement QUANTUM (r11): the warmup fix
+    # dropped the recorded floor to ~0.08 s, below the job's own idle
+    # jitter (samples swing 0.08-0.29 s on an idle machine), so raw
+    # ratios started false-flagging JVM-state noise. Real contention
+    # (r10: 0.86-1.4 s samples vs the then-0.19 s floor) is far above
+    # the quantum and flags exactly as before.
+    eff = max(floor, 0.15) if floor else None
+    r_min = round(min(first, last) / eff, 3) if eff else None
+    r_max = round(max(first, last) / eff, 3) if eff else None
     return {"first": first, "last": last, "floor_sec": floor,
             "ratio_min": r_min, "ratio_max": r_max,
             "contended": bool(r_min is not None
@@ -127,8 +134,14 @@ def _run_suite(spark, sf_dir: str, entry_mod, qs) -> "tuple[dict, dict]":
 
     # JVM/codegen warmup on a trivial job so the first headliner doesn't
     # absorb cold-start cost (we measure the engine, not JIT warmup).
-    spark.range(1000).selectExpr("sum(id)").write.format("noop") \
-        .mode("overwrite").save()
+    # The warmup runs the SAME expression shape as the calibration job
+    # at 1/200th the rows (r11): a fresh JVM's first calibration sample
+    # used to pay ~1.3 s of JIT vs a ~0.1 s floor, tripping the
+    # gross-single-sample contention rule and forcing a systematic
+    # retry window on every cold run.
+    spark.range(0, 1_000_000, 1, 32).selectExpr(
+        "sum((id * 2654435761) % 1000003) AS s") \
+        .write.format("noop").mode("overwrite").save()
 
     cal_first = _calibrate(spark)
     print(f"bench: calibration(first) {cal_first}s", file=sys.stderr)
