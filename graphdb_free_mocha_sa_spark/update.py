@@ -81,6 +81,9 @@ class UpdateExecutor:
         # param behind when createIndex raised, poisoning later builds.
         with store._writer_gate:
             snap = store.fts_state_snapshot()
+            with store._lock:
+                before = (store._df, store._inferred,
+                          store.destructive_epoch)
             try:
                 for op in ops:
                     info = self._apply(op)
@@ -89,6 +92,18 @@ class UpdateExecutor:
                     elif info[0] == "insert":
                         summary["inserted_rows"].extend(info[1])
             except Exception:
+                # request-level atomicity (r11, SPARQL 1.1 Protocol: the
+                # operations of one request are a single transaction —
+                # the reference executes updates transactionally): data
+                # applied by EARLIER ops of this failing request rolls
+                # back with the FTS control state. _commit_rewrite writes
+                # through to the durable segment log, so the rollback is
+                # durable too; skipped entirely when nothing was applied.
+                if store._df is not before[0]:
+                    with store._lock:
+                        store._commit_rewrite(before[0])
+                        store._inferred = before[1]
+                        store.destructive_epoch = before[2]
                 if store.fts_state_changed(snap):
                     store.fts_state_restore(snap)
                 raise

@@ -358,3 +358,37 @@ def test_gate_rollback_restores_fts_registry_on_durable_store(spark, tmp_path):
     # and the quad rollback is durable too
     assert not Engine(spark, reopened).query(
         "ASK { <urn:rex> <" + RDFT + "> <urn:Cat> }")
+
+
+def test_failing_request_rolls_back_earlier_ops_data(spark):
+    """Request-level atomicity (SPARQL 1.1 Protocol: one request = one
+    transaction; the reference executes updates transactionally): the
+    INSERT applied by op 1 must roll back when op 2 of the same request
+    fails."""
+    from graphdb_free_mocha_sa_spark.operators.fts import FtsError
+    eng = _engine(spark)
+    with pytest.raises(FtsError):
+        eng.update(LUC + """INSERT DATA { <urn:n1> <urn:p> <urn:o1> } ;
+          INSERT DATA { luc:noSuchParam luc:setParam "x" }""")
+    assert not eng.query("ASK { <urn:n1> <urn:p> <urn:o1> }")
+    # and a later request still commits normally
+    eng.update("INSERT DATA { <urn:n2> <urn:p> <urn:o2> }")
+    assert eng.query("ASK { <urn:n2> <urn:p> <urn:o2> }")
+
+
+def test_failing_request_durable_rollback(spark, tmp_path):
+    """The request rollback writes through to the durable log: a re-open
+    sees neither op of the failed request."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.sparql.parser import SparqlSyntaxError
+    from graphdb_free_mocha_sa_spark.store import DurableQuadStore
+    store = DurableQuadStore(spark, str(tmp_path / "db"))
+    eng = Engine(spark, store)
+    eng.update("INSERT DATA { <urn:keep> <urn:p> <urn:o> }")
+    with pytest.raises(Exception):
+        eng.update("""INSERT DATA { <urn:gone> <urn:p> <urn:o> } ;
+          LOAD <file:///nonexistent/file.ttl>""")
+    assert not eng.query("ASK { <urn:gone> ?p ?o }")
+    reopened = Engine(spark, DurableQuadStore(spark, str(tmp_path / "db")))
+    assert reopened.query("ASK { <urn:keep> <urn:p> <urn:o> }")
+    assert not reopened.query("ASK { <urn:gone> ?p ?o }")
