@@ -785,6 +785,34 @@ def q_ext_fts_match(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_ext_fts_fuzzy(spark, sf_dir):
+    """FTS fuzzy + range kernel (r11 Lucene-subset growth) over the real
+    document corpus: ``merge~1 AND [hash TO hashz]``. The fuzzy component
+    compiles to a pure scalar predicate over the token table — length
+    band + levenshtein against the transposition-first variant set of
+    'merge' at maxEdits 1 (merge: budget 1; emrge/mrege/megre/mereg:
+    budget 0) — no join and no Python on the query path; the range is a
+    lexicographic term-dictionary filter. Membership + the fuzzy
+    component's folded tf are verified against a token-exact DuckDB
+    oracle carrying the same levenshtein predicate and variant
+    literals."""
+    from graphdb_free_mocha_sa_spark.operators.fts import (fts_match,
+                                                           index_from_docs)
+    (d,) = _tables(spark, sf_dir, "documents")
+    docs = d.select(F.col("doc_id").cast("string").alias("node"),
+                    F.col("text"))
+    idx = index_from_docs(spark, docs)
+    m = fts_match(spark, idx, "merge~1 AND [hash TO hashz]")
+    fz = (idx.tokens.filter(
+            (F.length("term") >= 4) & (F.length("term") <= 6)
+            & ((F.levenshtein(F.col("term"), F.lit("merge")) <= 1)
+               | F.col("term").isin("emrge", "mrege", "megre", "mereg")))
+          .groupBy("node").agg(F.sum("tf").alias("tf_fuzzy")))
+    return (m.join(fz, "node")
+            .select(F.col("node").cast("long").alias("doc_id"), "tf_fuzzy")
+            .orderBy("doc_id"))
+
+
 # =====================================================================
 # Relational / analytics surface (bench headliners + EXT rows)
 # =====================================================================
@@ -1653,6 +1681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b42_consistency": q_b42_consistency,
         "b43_fts_search": q_b43_fts_search,
         "ext_fts_match": q_ext_fts_match,
+        "ext_fts_fuzzy": q_ext_fts_fuzzy,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
@@ -2239,6 +2268,25 @@ def oracle_sql() -> dict[str, str]:
             FROM d
             WHERE nt LIKE '% hash %' AND nt LIKE '% join %'
               AND nt LIKE '% merge%' AND nt NOT LIKE '% spark %'
+            ORDER BY doc_id""",
+        "ext_fts_fuzzy": """
+            WITH d AS (SELECT doc_id,
+                list_filter(string_split(trim(regexp_replace(lower(text),
+                            '[^a-z0-9]+', ' ', 'g')), ' '),
+                            x -> x <> '') AS ts
+              FROM documents),
+            t AS (SELECT doc_id, unnest(ts) AS term FROM d),
+            f AS (SELECT doc_id, term,
+                    (levenshtein(term, 'merge') <= 1
+                     OR term IN ('emrge', 'mrege', 'megre', 'mereg')) AS fz,
+                    (term >= 'hash' AND term <= 'hashz') AS rg
+                  FROM t)
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN fz THEN 1 ELSE 0 END) AS BIGINT)
+                     AS tf_fuzzy
+            FROM f GROUP BY doc_id
+            HAVING SUM(CASE WHEN fz THEN 1 ELSE 0 END) > 0
+               AND SUM(CASE WHEN rg THEN 1 ELSE 0 END) > 0
             ORDER BY doc_id""",
         "tpch_q1_pricing": """
             SELECT l_returnflag, l_linestatus,

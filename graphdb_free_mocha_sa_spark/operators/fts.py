@@ -29,10 +29,19 @@ never implicitly refreshed by updates.
 Supported query syntax (documented Lucene subset): whitespace-separated
 terms (default operator OR, like Lucene), ``AND`` to require all plain
 terms, ``+term`` required / ``-term`` prohibited prefixes, ``"a phrase"``
-(position-exact token sequence, matched against the normalized text),
-``term*`` prefix wildcard. Anything else (fuzzy ``~``, boosts ``^``,
-fielded ``f:v``, ranges) raises — honestly unsupported, not silently
-mis-ranked.
+(position-exact token sequence, matched against the normalized text;
+``-"a phrase"`` prohibits it), ``term*`` prefix wildcard, ``term~`` /
+``term~N`` fuzzy match (N in 0..2, default 2 — Lucene's maxEdits cap;
+distance = transposition-first Damerau-Levenshtein: adjacent swaps cost
+1 and are applied to the query term first, classic Levenshtein pays the
+rest, which sits between OSA and unrestricted DL and agrees with both on
+the common cases), ``[lo TO hi]`` / ``{lo TO hi}`` term ranges
+(lexicographic over the term dictionary, mixed/half-open brackets and
+``*`` open bounds allowed), and ``^B`` boosts on any of the above
+(multiplies that component's BM25 contribution). Anything else (fielded
+``f:v``, grouping, phrase slop ``"a b"~2``, legacy float similarity
+``term~0.8``, single-char ``?`` / non-trailing wildcards) raises —
+honestly unsupported, not silently mis-ranked.
 
 Supported parameters: ``include`` ("literals" only — matches
 ``owlim:ftsLiteralsOnly "true"``), ``includePredicates`` /
@@ -237,82 +246,189 @@ def index_from_docs(spark: SparkSession, docs: DataFrame,
 
 # ----------------------------------------------------------- query parsing
 
-_QUERY_TOKEN = re.compile(r'"([^"]*)"|(\S+)')
-_UNSUPPORTED = re.compile(r"[~^:()\[\]{}]|\*\S|\?")
+_QUERY_TOKEN = re.compile(
+    r'([+-]?)"([^"]*)"(\S*)'                                 # phrase [+mods]
+    r'|([+-]?)([\[{])([^\s\]}]+)\s+TO\s+([^\s\]}]+)([\]}])(\S*)'  # range
+    r'|(\S+)')                                               # plain token
+_UNSUPPORTED = re.compile(r'[~^:()\[\]{}"]|\*\S|\?')
+_BOOST = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$")
+_FUZZY = re.compile(r"^(.*?)~(\d*)$")
+_LEGACY_SIM = re.compile(r"~\d+\.\d+$")
+#: Lucene's LevenshteinAutomata.MAXIMUM_SUPPORTED_DISTANCE
+_FUZZY_MAX_EDITS = 2
+
+
+def _fuzzy_variants(term: str, n: int) -> dict:
+    """Transposition-first Damerau-Levenshtein as ``{variant: budget}``:
+    an index term matches iff classic ``levenshtein(term_ix, variant) <=
+    budget`` for some variant — the query term with 0..n adjacent swaps
+    pre-applied, each swap costing one edit. Driver-side and tiny (at
+    most ~len(term)^n forms for n <= 2)."""
+    def swaps(s):
+        return {s[:i] + s[i + 1] + s[i] + s[i + 2:]
+                for i in range(len(s) - 1) if s[i] != s[i + 1]}
+
+    out, frontier = {term: n}, {term}
+    for spent in range(1, n + 1):
+        frontier = set().union(*map(swaps, frontier)) if frontier else set()
+        for v in frontier:
+            if out.get(v, -1) < n - spent:
+                out[v] = n - spent
+    return out
+
+
+def _boost_split(raw: str) -> tuple:
+    m = _BOOST.match(raw)
+    return (m.group(1), float(m.group(2))) if m else (raw, None)
 
 
 def parse_fts_query(q: str) -> dict:
     """Parse the documented Lucene subset into term groups.
 
-    Returns ``{"required": [...], "optional": [...], "prohibited": [...],
-    "phrases": [...], "req_prefixes": [...], "opt_prefixes": [...],
-    "pro_prefixes": [...]}`` where prefixes are ``term*`` forms with the
-    star stripped (``-term*`` excludes every doc containing ANY token
-    starting with the prefix — r10 advisor fix: it used to degrade to an
-    exact prohibited term, so ``-spark*`` failed to exclude "sparkling").
+    Returns ``required / optional / prohibited`` term lists, ``phrases``
+    / ``pro_phrases`` token-sequence lists, ``req/opt/pro_prefixes``
+    (``term*`` forms, star stripped — ``-term*`` excludes every doc
+    containing ANY token starting with the prefix; r10 advisor fix),
+    ``req/opt/pro_fuzzy`` as ``(term, max_edits)`` pairs,
+    ``req/opt/pro_ranges`` as ``(lo, hi, incl_lo, incl_hi)`` with ``"*"``
+    for an open bound, and ``boosts`` mapping a component's qterm label
+    (``term``, ``term*``, ``term~N``, ``"a phrase"``, ``[lo TO hi]``) to
+    its ``^B`` multiplier (last occurrence wins).
     """
-    required, optional, prohibited, phrases = [], [], [], []
+    required, optional, prohibited, phrases, pro_phrases = [], [], [], [], []
     req_pre, opt_pre, pro_pre = [], [], []
-    plain_slots = []     # (list, token) — retargeted to required under AND
+    req_fz, opt_fz, pro_fz = [], [], []
+    req_rg, opt_rg, pro_rg = [], [], []
+    boosts: dict = {}
+    plain_slots = []     # retargeted to required under AND
+    fuzzy_slots, range_slots = [], []
     saw_and = False
+
+    def record_boost(label, b):
+        if b is not None:
+            boosts[label] = b
+
     for m in _QUERY_TOKEN.finditer(q):
-        if m.group(1) is not None:
-            toks = [t for t in re.split(_TOKEN_SPLIT, m.group(1).lower())
-                    if t]
+        if m.group(2) is not None:                       # quoted phrase
+            sign, body, suffix = m.group(1), m.group(2), m.group(3)
+            _, b = _boost_split(suffix) if suffix else ("", None)
+            if suffix and b is None:
+                raise FtsError(
+                    f"unsupported phrase modifier {suffix!r} (phrase slop "
+                    '"a b"~N is not implemented; only ^B boosts attach to '
+                    "a phrase)")
+            toks = [t for t in re.split(_TOKEN_SPLIT, body.lower()) if t]
+            if not toks:
+                continue
             # dedupe repeated phrases: they fold to ONE qterm in the
             # match aggregation, so counting each repetition toward
             # n_required would make '"a b" "a b"' unsatisfiable
             # (r10 fuzzer find)
-            if toks and toks not in phrases:
-                phrases.append(toks)
+            tgt = pro_phrases if sign == "-" else phrases
+            if toks not in tgt:
+                tgt.append(toks)
+            if sign != "-":
+                record_boost('"' + " ".join(toks) + '"', b)
             continue
-        raw = m.group(2)
+        if m.group(5) is not None:                       # [lo TO hi] range
+            sign, obr, lo, hi, cbr = (m.group(4), m.group(5),
+                                      m.group(6).lower(),
+                                      m.group(7).lower(), m.group(8))
+            suffix = m.group(9)
+            _, b = _boost_split(suffix) if suffix else ("", None)
+            if suffix and b is None:
+                raise FtsError(
+                    f"unsupported range modifier {suffix!r} (only ^B "
+                    "boosts attach to a range)")
+            rng = (lo, hi, obr == "[", cbr == "]")
+            if sign == "-":
+                pro_rg.append(rng)
+            else:
+                (req_rg if sign == "+" else range_slots).append(rng)
+                record_boost(f"{obr}{lo} TO {hi}{cbr}", b)
+            continue
+        raw = m.group(10)
         if raw == "AND":
             saw_and = True
             continue
         if raw == "OR":
             continue
-        if _UNSUPPORTED.search(raw.lstrip("+-").rstrip("*")) \
-                or ("*" in raw and not raw.endswith("*")):
-            raise FtsError(f"unsupported Lucene syntax in FTS query: {raw!r}")
         sign = ""
         if raw[:1] in "+-":
             sign, raw = raw[0], raw[1:]
+        raw, boost = _boost_split(raw)
+        if _LEGACY_SIM.search(raw):
+            raise FtsError(
+                f"unsupported legacy float similarity in {raw!r} (fuzzy "
+                "takes an integer edit count: term~N with N in 0..2)")
+        fuzzy_n = None
+        fm = _FUZZY.match(raw)
+        if fm:
+            raw = fm.group(1)
+            fuzzy_n = int(fm.group(2)) if fm.group(2) else _FUZZY_MAX_EDITS
+            if fuzzy_n > _FUZZY_MAX_EDITS:
+                raise FtsError(
+                    f"unsupported fuzzy edit distance ~{fuzzy_n} (Lucene "
+                    f"caps maxEdits at {_FUZZY_MAX_EDITS})")
         is_prefix = raw.endswith("*")
-        term = raw.rstrip("*").lower()
-        term = re.sub(_TOKEN_SPLIT, "", term)
+        if is_prefix and fuzzy_n is not None:
+            raise FtsError(
+                f"unsupported combination of wildcard and fuzzy: {raw!r}~")
+        if _UNSUPPORTED.search(raw.rstrip("*")) \
+                or ("*" in raw and not raw.endswith("*")):
+            raise FtsError(f"unsupported Lucene syntax in FTS query: {raw!r}")
+        term = re.sub(_TOKEN_SPLIT, "", raw.rstrip("*").lower())
         if not term:
+            continue
+        if fuzzy_n is not None:
+            item = (term, fuzzy_n)
+            if sign == "-":
+                pro_fz.append(item)
+            else:
+                (req_fz if sign == "+" else fuzzy_slots).append(item)
+                record_boost(f"{term}~{fuzzy_n}", boost)
             continue
         if sign == "-":
             (pro_pre if is_prefix else prohibited).append(term)
         elif sign == "+":
             (req_pre if is_prefix else required).append(term)
+            record_boost(term + "*" if is_prefix else term, boost)
         else:
-            tgt = (opt_pre if is_prefix else None)
-            if tgt is None:
-                plain_slots.append(term)
-            else:
-                tgt.append(term)
+            (opt_pre if is_prefix else plain_slots).append(term)
+            record_boost(term + "*" if is_prefix else term, boost)
     if saw_and:
         required.extend(plain_slots)
         req_pre.extend(opt_pre)
-        opt_pre = []
+        req_fz.extend(fuzzy_slots)
+        req_rg.extend(range_slots)
+        opt_pre, fuzzy_slots, range_slots = [], [], []
     else:
         optional.extend(plain_slots)
-    if not (required or optional or phrases or req_pre or opt_pre):
+        opt_fz.extend(fuzzy_slots)
+        opt_rg.extend(range_slots)
+    if not (required or optional or phrases or req_pre or opt_pre
+            or req_fz or opt_fz or req_rg or opt_rg):
         raise FtsError(f"FTS query matches nothing: {q!r}")
     return {"required": required, "optional": optional,
             "prohibited": prohibited, "phrases": phrases,
+            "pro_phrases": pro_phrases,
             "req_prefixes": req_pre, "opt_prefixes": opt_pre,
-            "pro_prefixes": pro_pre}
+            "pro_prefixes": pro_pre,
+            "req_fuzzy": req_fz, "opt_fuzzy": opt_fz, "pro_fuzzy": pro_fz,
+            "req_ranges": req_rg, "opt_ranges": opt_rg, "pro_ranges": pro_rg,
+            "boosts": boosts}
 
 
 def _analyze_spec(spec: dict, query: str) -> dict:
     """Apply the EnglishAnalyzer pipeline to a parsed query: stop words
     drop out of term groups and phrases (Lucene's query-time StopFilter),
-    remaining terms/phrase tokens stem; prefix groups pass through
-    unanalyzed (Lucene wildcard semantics). A query left with no positive
-    component raises the same matches-nothing error as the parser."""
+    remaining terms/phrase tokens stem; prefix, fuzzy and range groups
+    pass through unanalyzed (Lucene MultiTermQuery semantics — wildcard/
+    fuzzy/range terms skip analysis and probe the stemmed dictionary
+    literally). Boost labels follow their component through stemming
+    (a boost on a stop word drops with it). A query left with no
+    positive component raises the same matches-nothing error as the
+    parser."""
     from graphdb_free_mocha_sa_spark.operators.porter import (EN_STOPWORDS,
                                                               porter_stem)
 
@@ -325,12 +441,29 @@ def _analyze_spec(spec: dict, query: str) -> dict:
     # re-dedupe: distinct phrases can stem to the same one, and a
     # duplicate would make the AND-count unsatisfiable (same reason the
     # parser dedupes raw phrases — r10 fuzzer find)
-    out["phrases"] = []
-    for p in (terms(ph) for ph in spec["phrases"]):
-        if p and p not in out["phrases"]:
-            out["phrases"].append(p)
+    for g in ("phrases", "pro_phrases"):
+        out[g] = []
+        for p in (terms(ph) for ph in spec[g]):
+            if p and p not in out[g]:
+                out[g].append(p)
+    # remap plain-term and phrase boost labels to their analyzed form;
+    # prefix/fuzzy/range labels are not analyzed, so they pass through
+    boosts = {}
+    for label, b in spec.get("boosts", {}).items():
+        if label.startswith('"'):
+            toks = terms(label.strip('"').split())
+            if toks:
+                boosts['"' + " ".join(toks) + '"'] = b
+        elif re.fullmatch(r"[a-z0-9]+", label):
+            if label not in EN_STOPWORDS:
+                boosts[porter_stem(label)] = b
+        else:
+            boosts[label] = b
+    out["boosts"] = boosts
     if not (out["required"] or out["optional"] or out["phrases"]
-            or out["req_prefixes"] or out["opt_prefixes"]):
+            or out["req_prefixes"] or out["opt_prefixes"]
+            or out["req_fuzzy"] or out["opt_fuzzy"]
+            or out["req_ranges"] or out["opt_ranges"]):
         raise FtsError(
             f"FTS query matches nothing after stop-word analysis: {query!r}")
     return out
@@ -338,21 +471,58 @@ def _analyze_spec(spec: dict, query: str) -> dict:
 
 # ----------------------------------------------------------------- matching
 
+def _fuzzy_cond(term: str, n: int):
+    """Token-table predicate for ``term~n``: length-band pruning + an OR
+    over ``levenshtein(term_ix, variant) <= budget`` scalar predicates —
+    pure JVM-side codegen over the token table, no join and no Python on
+    the query path (exactly the shape of the prefix-wildcard filter)."""
+    if n == 0:
+        return F.col("term") == term
+    variants = _fuzzy_variants(term, n)
+    exact = sorted(v for v, bud in variants.items() if bud == 0)
+    cond = F.col("term").isin(exact) if exact else F.lit(False)
+    for v, bud in sorted((v, bud) for v, bud in variants.items() if bud > 0):
+        cond = cond | (F.levenshtein(F.col("term"), F.lit(v)) <= bud)
+    return ((F.length("term") >= len(term) - n)
+            & (F.length("term") <= len(term) + n) & cond)
+
+
+def _range_label(rng: tuple) -> str:
+    lo, hi, ilo, ihi = rng
+    return ("[" if ilo else "{") + lo + " TO " + hi + ("]" if ihi else "}")
+
+
+def _range_cond(rng: tuple):
+    """Lexicographic term-dictionary predicate for ``[lo TO hi]``; ``*``
+    is an open bound, ``{`` / ``}`` exclude the endpoint."""
+    lo, hi, ilo, ihi = rng
+    cond = F.lit(True)
+    if lo != "*":
+        cond = cond & (F.col("term") >= lo if ilo else F.col("term") > lo)
+    if hi != "*":
+        cond = cond & (F.col("term") <= hi if ihi else F.col("term") < hi)
+    return cond
+
+
 def fts_match(spark: SparkSession, index: FtsIndex, query: str,
               k1: float = 1.2, b: float = 0.75) -> DataFrame:
     """Match + score: ``(node STRING, score DOUBLE)``.
 
-    A node matches iff every required term/prefix/phrase matches, no
-    prohibited term matches, and (when only optional terms exist) at least
-    one optional term matches. Score = BM25 over the matched terms (DECIMAL
-    partial sums; phrase hits contribute their occurrence count at idf-like
-    weight ln(1+N)).
+    A node matches iff every required term/prefix/fuzzy/range/phrase
+    matches, no prohibited component matches, and (when only optional
+    components exist) at least one optional component matches. Score =
+    BM25 over the matched terms (DECIMAL partial sums; phrase hits
+    contribute their occurrence count at idf-like weight ln(1+N); a
+    prefix/fuzzy/range folds every matching dictionary term into ONE
+    logical qterm with summed tf, idf from the folded document
+    frequency). A ``^B`` boost multiplies its component's per-document
+    BM25 part before the DECIMAL quantization.
 
     On an ``english``-analyzed index, query terms and phrase tokens are
     analyzed the same way the index text was (stop-word removal + Porter
-    stem, driver-side — a handful of terms); prefix wildcards are NOT
-    stemmed, matching Lucene, where wildcard terms skip analysis and match
-    the (stemmed) index terms literally.
+    stem, driver-side — a handful of terms); prefix/fuzzy/range terms are
+    NOT stemmed, matching Lucene, where MultiTermQuery terms skip
+    analysis and match the (stemmed) index terms literally.
     """
     spec = parse_fts_query(query)
     if index.analyzer == "english":
@@ -360,7 +530,7 @@ def fts_match(spark: SparkSession, index: FtsIndex, query: str,
     toks, docs = index.tokens, index.docs
     n = max(index.n_docs, 1)
 
-    def hits(terms: list[str], prefixes: list[str], group: str) -> DataFrame | None:
+    def hits(terms, prefixes, fuzzies, ranges, group):
         pieces = []
         if terms:
             tdf = spark.createDataFrame([(t,) for t in sorted(set(terms))],
@@ -368,13 +538,20 @@ def fts_match(spark: SparkSession, index: FtsIndex, query: str,
             pieces.append(toks.join(F.broadcast(tdf),
                                     toks["term"] == F.col("qterm"))
                           .select("node", "qterm", "tf"))
-        for p in sorted(set(prefixes)):
-            # prefix wildcard: per-prefix filter over the token table,
-            # folded to ONE logical qterm so AND-counting stays exact
-            pieces.append(toks.filter(F.col("term").startswith(p))
+        # prefix wildcard / fuzzy / range: per-component filter over the
+        # token table, folded to ONE logical qterm so AND-counting stays
+        # exact
+        folded = ([(F.col("term").startswith(p), p + "*")
+                   for p in sorted(set(prefixes))]
+                  + [(_fuzzy_cond(t, fn), f"{t}~{fn}")
+                     for t, fn in sorted(set(fuzzies))]
+                  + [(_range_cond(r), _range_label(r))
+                     for r in sorted(set(ranges))])
+        for cond, label in folded:
+            pieces.append(toks.filter(cond)
                           .groupBy("node")
                           .agg(F.sum("tf").alias("tf"))
-                          .select("node", F.lit(p + "*").alias("qterm"), "tf"))
+                          .select("node", F.lit(label).alias("qterm"), "tf"))
         if not pieces:
             return None
         out = pieces[0]
@@ -382,8 +559,10 @@ def fts_match(spark: SparkSession, index: FtsIndex, query: str,
             out = out.unionByName(x)
         return out.withColumn("grp", F.lit(group))
 
-    req = hits(spec["required"], spec["req_prefixes"], "req")
-    opt = hits(spec["optional"], spec["opt_prefixes"], "opt")
+    req = hits(spec["required"], spec["req_prefixes"],
+               spec["req_fuzzy"], spec["req_ranges"], "req")
+    opt = hits(spec["optional"], spec["opt_prefixes"],
+               spec["opt_fuzzy"], spec["opt_ranges"], "opt")
     matched = req
     if opt is not None:
         matched = opt if matched is None else matched.unionByName(opt)
@@ -420,8 +599,10 @@ def fts_match(spark: SparkSession, index: FtsIndex, query: str,
             else matched.unionByName(phrase_hits)
 
     n_required = (len(set(spec["required"])) + len(set(spec["req_prefixes"]))
+                  + len(set(spec["req_fuzzy"])) + len(set(spec["req_ranges"]))
                   + len(spec["phrases"]))
-    has_optional = bool(spec["optional"] or spec["opt_prefixes"])
+    has_optional = bool(spec["optional"] or spec["opt_prefixes"]
+                        or spec["opt_fuzzy"] or spec["opt_ranges"])
 
     # per-(node, qterm) BM25 partial; phrases take a flat ln(1+N) idf
     dfreq = (matched.groupBy("qterm")
@@ -437,6 +618,10 @@ def fts_match(spark: SparkSession, index: FtsIndex, query: str,
              + F.lit(k1) * (F.lit(1.0 - b)
                             + F.lit(b) * F.col("dl") / F.lit(index.avgdl)))
     part = idf * F.col("tf").cast("double") * F.lit(k1 + 1.0) / denom
+    if spec.get("boosts"):
+        bmap = F.create_map(*[F.lit(x) for kv in spec["boosts"].items()
+                              for x in kv])
+        part = part * F.coalesce(bmap[F.col("qterm")], F.lit(1.0))
     agg = (scored.groupBy("node")
            .agg(F.sum(part.cast("decimal(18,6)")).alias("__s"),
                 F.count_distinct(F.when(F.col("grp") == "req",
@@ -449,12 +634,24 @@ def fts_match(spark: SparkSession, index: FtsIndex, query: str,
     out = agg.filter(cond).select(
         "node", F.col("__s").cast("double").alias("score"))
 
-    if spec["prohibited"] or spec["pro_prefixes"]:
+    if (spec["prohibited"] or spec["pro_prefixes"]
+            or spec["pro_fuzzy"] or spec["pro_ranges"]):
         cond = F.lit(False)
         if spec["prohibited"]:
             cond = cond | F.col("term").isin(spec["prohibited"])
         for p in sorted(set(spec["pro_prefixes"])):
             cond = cond | F.col("term").startswith(p)
+        for t, fn in sorted(set(spec["pro_fuzzy"])):
+            cond = cond | _fuzzy_cond(t, fn)
+        for r in sorted(set(spec["pro_ranges"])):
+            cond = cond | _range_cond(r)
         bad = toks.filter(cond).select("node").dropDuplicates()
+        out = out.join(bad, "node", "left_anti")
+    for toks_seq in spec.get("pro_phrases", []):
+        # prohibited phrase: token-exact containment anti-filter over the
+        # candidate docs (same sentinel-substring test the positive
+        # phrase path uses)
+        needle = " " + " ".join(toks_seq) + " "
+        bad = docs.filter(F.col("ntext").contains(needle)).select("node")
         out = out.join(bad, "node", "left_anti")
     return out

@@ -51,11 +51,32 @@ def test_parse_phrase_and_prefix():
     assert s["opt_prefixes"] == ["spar"]
 
 
-@pytest.mark.parametrize("bad", ["fuzzy~2", "boost^4", "field:value",
-                                 "(group)", "mid*dle", "wild?card", ""])
+@pytest.mark.parametrize("bad", ["field:value", "(group)", "mid*dle",
+                                 "wild?card", "", '"a b"~2', "legacy~0.8",
+                                 "deep~3", "wild*~1", "nonnum^x",
+                                 'stray"quote'])
 def test_parse_unsupported_syntax_raises(bad):
     with pytest.raises(FtsError):
         parse_fts_query(bad)
+
+
+def test_parse_fuzzy_boost_range():
+    """r11 Lucene-subset growth: fuzzy ~N (default 2), ^B boosts keyed by
+    the component's qterm label, [lo TO hi] ranges with mixed brackets
+    and * open bounds, and prohibited phrases."""
+    s = parse_fts_query('merge~1^2 +cook~ "slow cooking"^3 '
+                        '[data TO dave}^1.5 -spark* -"bad phrase" -zz~1')
+    assert s["opt_fuzzy"] == [("merge", 1)]
+    assert s["req_fuzzy"] == [("cook", 2)]      # ~ alone = maxEdits 2
+    assert s["pro_fuzzy"] == [("zz", 1)]
+    assert s["opt_ranges"] == [("data", "dave", True, False)]
+    assert s["pro_phrases"] == [["bad", "phrase"]]
+    assert s["pro_prefixes"] == ["spark"]
+    assert s["boosts"] == {"merge~1": 2.0, '"slow cooking"': 3.0,
+                           "[data TO dave}": 1.5}
+    s = parse_fts_query("alpha AND beta~1 {aa TO *]")
+    assert s["req_fuzzy"] == [("beta", 1)]      # AND retargets fuzzy too
+    assert s["req_ranges"] == [("aa", "*", False, True)]
 
 
 # ------------------------------------------------------------- end to end

@@ -41,6 +41,52 @@ def _tokens(text: str) -> list[str]:
     return [t for t in TOKEN_SPLIT.split(text.lower()) if t]
 
 
+def _lev(a: str, b: str) -> int:
+    """Classic Levenshtein, independent DP transcription."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _fuzzy_ok(index_term: str, qterm: str, n: int) -> bool:
+    """The documented fuzzy distance, independently: adjacent swaps cost
+    one edit and apply to the QUERY term first; classic Levenshtein pays
+    the remaining budget."""
+    if abs(len(index_term) - len(qterm)) > n:
+        return False
+    forms = {qterm: n}
+    frontier = {qterm}
+    for spent in range(1, n + 1):
+        nxt = set()
+        for s in frontier:
+            for i in range(len(s) - 1):
+                if s[i] != s[i + 1]:
+                    nxt.add(s[:i] + s[i + 1] + s[i] + s[i + 2:])
+        frontier = nxt
+        for v in frontier:
+            forms[v] = max(forms.get(v, -1), n - spent)
+    return any(_lev(index_term, v) <= bud for v, bud in forms.items())
+
+
+def _range_ok(term: str, rng: tuple) -> bool:
+    lo, hi, ilo, ihi = rng
+    if lo != "*" and not (term >= lo if ilo else term > lo):
+        return False
+    if hi != "*" and not (term <= hi if ihi else term < hi):
+        return False
+    return True
+
+
+def _range_label(rng: tuple) -> str:
+    lo, hi, ilo, ihi = rng
+    return ("[" if ilo else "{") + lo + " TO " + hi + ("]" if ihi else "}")
+
+
 def ref_match(corpus: dict[str, str], spec: dict,
               k1: float = 1.2, b: float = 0.75) -> dict[str, float]:
     """Pure-Python reference for fts_match over a (node -> text) corpus.
@@ -65,20 +111,28 @@ def ref_match(corpus: dict[str, str], spec: dict,
 
     # hit rows: (node, qterm, tf, grp)
     rows: list[tuple[str, str, int, str]] = []
-    for grp, terms, prefixes in (("req", spec["required"],
-                                  spec["req_prefixes"]),
-                                 ("opt", spec["optional"],
-                                  spec["opt_prefixes"])):
+    for grp, terms, prefixes, fuzzies, ranges in (
+            ("req", spec["required"], spec["req_prefixes"],
+             spec.get("req_fuzzy", []), spec.get("req_ranges", [])),
+            ("opt", spec["optional"], spec["opt_prefixes"],
+             spec.get("opt_fuzzy", []), spec.get("opt_ranges", []))):
         for t in sorted(set(terms)):
             for node in corpus:
                 if tf[node][t]:
                     rows.append((node, t, tf[node][t], grp))
-        for p in sorted(set(prefixes)):
+        # prefix / fuzzy / range each fold matching vocabulary terms into
+        # ONE logical qterm with summed tf
+        folded = ([(lambda term, p=p: term.startswith(p), p + "*")
+                   for p in sorted(set(prefixes))]
+                  + [(lambda term, t=t, fn=fn: _fuzzy_ok(term, t, fn),
+                      f"{t}~{fn}") for t, fn in sorted(set(fuzzies))]
+                  + [(lambda term, r=r: _range_ok(term, r), _range_label(r))
+                     for r in sorted(set(ranges))])
+        for pred, label in folded:
             for node in corpus:
-                s = sum(c for term, c in tf[node].items()
-                        if term.startswith(p))
+                s = sum(c for term, c in tf[node].items() if pred(term))
                 if s:
-                    rows.append((node, p + "*", s, grp))
+                    rows.append((node, label, s, grp))
     phrases = []
     for ph in spec["phrases"]:
         if ph not in phrases:                  # parse dedupes repetitions
@@ -97,8 +151,12 @@ def ref_match(corpus: dict[str, str], spec: dict,
         dfreq[qt[1]] += 1
 
     n_required = (len(set(spec["required"])) + len(set(spec["req_prefixes"]))
+                  + len(set(spec.get("req_fuzzy", [])))
+                  + len(set(spec.get("req_ranges", [])))
                   + len(phrases))
-    has_optional = bool(spec["optional"] or spec["opt_prefixes"])
+    has_optional = bool(spec["optional"] or spec["opt_prefixes"]
+                        or spec.get("opt_fuzzy") or spec.get("opt_ranges"))
+    boosts = spec.get("boosts", {})
 
     agg: dict[str, dict] = {}
     for node, qt, t, grp in rows:
@@ -109,7 +167,8 @@ def ref_match(corpus: dict[str, str], spec: dict,
         else:
             idf = math.log(1.0 + (n - dfreq[qt] + 0.5) / (dfreq[qt] + 0.5))
         part = (idf * t * (k1 + 1.0)
-                / (t + k1 * (1.0 - b + b * dl[node] / avgdl)))
+                / (t + k1 * (1.0 - b + b * dl[node] / avgdl))
+                * boosts.get(qt, 1.0))
         a["score"] += Decimal(repr(part)).quantize(Decimal("0.000001"),
                                                    ROUND_HALF_UP)
         a[grp].add(qt)
@@ -125,6 +184,17 @@ def ref_match(corpus: dict[str, str], spec: dict,
         if any(term.startswith(p) for p in spec["pro_prefixes"]
                for term in tf[node]):
             continue
+        if any(_fuzzy_ok(term, t, fn)
+               for t, fn in spec.get("pro_fuzzy", [])
+               for term in tf[node]):
+            continue
+        if any(_range_ok(term, r) for r in spec.get("pro_ranges", [])
+               for term in tf[node]):
+            continue
+        if any(any(toks[node][i:i + len(ph)] == ph
+                   for i in range(len(toks[node]) - len(ph) + 1))
+               for ph in spec.get("pro_phrases", [])):
+            continue
         out[node] = float(a["score"])
     return out
 
@@ -138,13 +208,38 @@ def gen_corpus(rng: random.Random,
     return corpus
 
 
+def _mutate(rng: random.Random, word: str, edits: int) -> str:
+    """Apply up to ``edits`` random single-character edits (substitute /
+    insert / delete / adjacent swap) — a fuzzy query term near a real
+    vocabulary word."""
+    abc = "abcdefghijklmnopqrstuvwxyz"
+    for _ in range(edits):
+        if len(word) < 2:
+            word += rng.choice(abc)
+            continue
+        op = rng.randint(0, 3)
+        i = rng.randrange(len(word))
+        if op == 0:
+            word = word[:i] + rng.choice(abc) + word[i + 1:]
+        elif op == 1:
+            word = word[:i] + rng.choice(abc) + word[i:]
+        elif op == 2:
+            word = word[:i] + word[i + 1:]
+        else:
+            i = min(i, len(word) - 2)
+            word = word[:i] + word[i + 1] + word[i] + word[i + 2:]
+    return word or rng.choice(abc)
+
+
 def gen_query(rng: random.Random, corpus: dict[str, str],
               vocab: list[str] = VOCAB) -> tuple[dict, str]:
     """Structured query spec + the query string built from it (so the
     parser is under test too). Terms are sampled without replacement
     across groups — repeating the same term across sign groups is Lucene
     multi-clause territory the subset doesn't pin. Phrases are drawn from
-    the corpus under test so they actually hit."""
+    the corpus under test so they actually hit; fuzzy terms are mutated
+    vocabulary words; range bounds are vocabulary-adjacent strings (or
+    ``*``); boosts attach to random positive components."""
     pool = rng.sample(vocab + ABSENT, len(vocab) + len(ABSENT))
 
     def draw(k):
@@ -154,10 +249,27 @@ def gen_query(rng: random.Random, corpus: dict[str, str],
             "optional": draw(rng.randint(0, 2)),
             "prohibited": draw(rng.randint(0, 1)),
             "req_prefixes": [], "opt_prefixes": [], "pro_prefixes": [],
-            "phrases": []}
+            "req_fuzzy": [], "opt_fuzzy": [], "pro_fuzzy": [],
+            "req_ranges": [], "opt_ranges": [], "pro_ranges": [],
+            "phrases": [], "pro_phrases": [], "boosts": {}}
     for key in ("req_prefixes", "opt_prefixes", "pro_prefixes"):
         if rng.random() < 0.4:
             spec[key].append(rng.choice(vocab)[:rng.randint(3, 4)])
+    for key in ("req_fuzzy", "opt_fuzzy", "pro_fuzzy"):
+        if rng.random() < 0.35:
+            n = rng.randint(1, 2)
+            t = _mutate(rng, rng.choice(vocab), rng.randint(0, n))
+            if (t, n) not in spec[key]:
+                spec[key].append((t, n))
+    for key in ("req_ranges", "opt_ranges", "pro_ranges"):
+        if rng.random() < 0.3:
+            lo, hi = sorted(rng.sample(vocab, 2))
+            if rng.random() < 0.15:
+                lo = "*"
+            elif rng.random() < 0.15:
+                hi = "*"
+            spec[key].append((lo, hi, rng.random() < 0.7,
+                              rng.random() < 0.7))
     if rng.random() < 0.5:
         src = _tokens(rng.choice(list(corpus.values())))
         if len(src) >= 2:
@@ -166,26 +278,64 @@ def gen_query(rng: random.Random, corpus: dict[str, str],
             spec["phrases"].append(src[at:at + m])
             if rng.random() < 0.15:            # duplicate-phrase corner
                 spec["phrases"].append(src[at:at + m])
+    if rng.random() < 0.2:
+        src = _tokens(rng.choice(list(corpus.values())))
+        if len(src) >= 2:
+            at = rng.randint(0, len(src) - 2)
+            spec["pro_phrases"].append(src[at:at + 2])
     if not (spec["required"] or spec["optional"] or spec["phrases"]
-            or spec["req_prefixes"] or spec["opt_prefixes"]):
+            or spec["req_prefixes"] or spec["opt_prefixes"]
+            or spec["req_fuzzy"] or spec["opt_fuzzy"]
+            or spec["req_ranges"] or spec["opt_ranges"]):
         spec["optional"] = [rng.choice(vocab)]
 
-    saw_and = bool(spec["optional"] or spec["opt_prefixes"]) \
-        and rng.random() < 0.3
-    pieces = (['"%s"' % " ".join(p) for p in spec["phrases"]]
-              + ["+" + t for t in spec["required"]]
+    def boosted(piece, label):
+        # at most one boost per label: two same-label boosts would pit
+        # the parser's last-in-string-order against this function's
+        # construction order
+        if label not in spec["boosts"] and rng.random() < 0.25:
+            b = rng.choice(["2", "3", "0.5", "1.5"])
+            spec["boosts"][label] = float(b)
+            return piece + "^" + b
+        return piece
+
+    def rng_piece(r):
+        lo, hi, ilo, ihi = r
+        return (("[" if ilo else "{") + lo + " TO " + hi
+                + ("]" if ihi else "}"))
+
+    pieces = ([boosted('"%s"' % " ".join(p), '"%s"' % " ".join(p))
+               for p in spec["phrases"]]
+              + ['-"%s"' % " ".join(p) for p in spec["pro_phrases"]]
+              + [boosted("+" + t, t) for t in spec["required"]]
               + ["-" + t for t in spec["prohibited"]]
-              + list(spec["optional"])
-              + ["+" + p + "*" for p in spec["req_prefixes"]]
+              + [boosted(t, t) for t in spec["optional"]]
+              + [boosted("+" + p + "*", p + "*")
+                 for p in spec["req_prefixes"]]
               + ["-" + p + "*" for p in spec["pro_prefixes"]]
-              + [p + "*" for p in spec["opt_prefixes"]])
+              + [boosted(p + "*", p + "*") for p in spec["opt_prefixes"]]
+              + [boosted("+%s~%d" % tn, "%s~%d" % tn)
+                 for tn in spec["req_fuzzy"]]
+              + ["-%s~%d" % tn for tn in spec["pro_fuzzy"]]
+              # exercise the ~ (default edits) spelling when n == 2
+              + [boosted("%s~%s" % (t, "" if n == 2 and rng.random() < 0.5
+                                    else n), "%s~%d" % (t, n))
+                 for t, n in spec["opt_fuzzy"]]
+              + [boosted("+" + rng_piece(r), rng_piece(r))
+                 for r in spec["req_ranges"]]
+              + ["-" + rng_piece(r) for r in spec["pro_ranges"]]
+              + [boosted(rng_piece(r), rng_piece(r))
+                 for r in spec["opt_ranges"]])
     rng.shuffle(pieces)
-    if saw_and:
-        # AND retargets plain terms/prefixes to required
+    if rng.random() < 0.3:
+        # AND retargets plain terms/prefixes/fuzzy/ranges to required
         pieces.insert(rng.randint(0, len(pieces)), "AND")
         spec["required"] += spec["optional"]
         spec["req_prefixes"] += spec["opt_prefixes"]
+        spec["req_fuzzy"] += spec["opt_fuzzy"]
+        spec["req_ranges"] += spec["opt_ranges"]
         spec["optional"], spec["opt_prefixes"] = [], []
+        spec["opt_fuzzy"], spec["opt_ranges"] = [], []
     elif rng.random() < 0.2:
         pieces.insert(rng.randint(0, len(pieces)), "OR")   # parser no-op
     return spec, " ".join(pieces)
@@ -287,7 +437,11 @@ def _analyze_spec_for_ref(spec: dict) -> dict:
     """The documented EnglishAnalyzer query transformation, applied to the
     STRUCTURED spec (the engine applies it to the parsed query): term
     groups stop-filter + stem; phrases stop-filter + stem + re-dedupe;
-    prefixes pass through unanalyzed (Lucene wildcard semantics)."""
+    prefixes/fuzzy/ranges pass through unanalyzed (Lucene MultiTermQuery
+    semantics); plain-term and phrase boost labels follow their component
+    through stemming, a boost on a stop word drops with it."""
+    import re as _re
+
     from graphdb_free_mocha_sa_spark.operators.porter import (EN_STOPWORDS,
                                                               porter_stem)
 
@@ -297,10 +451,23 @@ def _analyze_spec_for_ref(spec: dict) -> dict:
     out = dict(spec)
     for g in ("required", "optional", "prohibited"):
         out[g] = terms(spec[g])
-    out["phrases"] = []
-    for p in (terms(ph) for ph in spec["phrases"]):
-        if p and p not in out["phrases"]:
-            out["phrases"].append(p)
+    for g in ("phrases", "pro_phrases"):
+        out[g] = []
+        for p in (terms(ph) for ph in spec.get(g, [])):
+            if p and p not in out[g]:
+                out[g].append(p)
+    boosts = {}
+    for label, bv in spec.get("boosts", {}).items():
+        if label.startswith('"'):
+            toks = terms(label.strip('"').split())
+            if toks:
+                boosts['"' + " ".join(toks) + '"'] = bv
+        elif _re.fullmatch(r"[a-z0-9]+", label):
+            if label not in EN_STOPWORDS:
+                boosts[porter_stem(label)] = bv
+        else:
+            boosts[label] = bv
+    out["boosts"] = boosts
     return out
 
 
@@ -330,7 +497,9 @@ def test_fts_differential_english_analyzer(spark, seed):
             tspec = _analyze_spec_for_ref(spec)
             if not (tspec["required"] or tspec["optional"]
                     or tspec["phrases"] or tspec["req_prefixes"]
-                    or tspec["opt_prefixes"]):
+                    or tspec["opt_prefixes"] or tspec["req_fuzzy"]
+                    or tspec["opt_fuzzy"] or tspec["req_ranges"]
+                    or tspec["opt_ranges"]):
                 with pytest.raises(FtsError, match="matches nothing"):
                     fts_match(spark, idx, qstr).collect()
                 continue

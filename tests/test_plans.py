@@ -421,3 +421,29 @@ def test_fts_english_query_path_has_no_python_udf(spark):
     # but the phrase ["cook","dish"] is consecutive only in d2's analyzed
     # text ("cook dish cool quickli")
     assert sorted(r["node"] for r in out.collect()) == ["urn:d2"]
+
+
+def test_fts_fuzzy_range_query_path_plan(spark):
+    """r11 fuzzy/range/boost growth: a fuzzy term compiles to a scalar
+    length-band + levenshtein filter over the token table and a range to
+    a lexicographic dictionary filter — no Python plan node, no
+    cartesian, and no join beyond the existing qterm-fold shape (the
+    boost is a literal-map projection)."""
+    from graphdb_free_mocha_sa_spark.operators.fts import (fts_match,
+                                                           index_from_docs)
+    docs = spark.createDataFrame(
+        [("urn:d1", "spark merge hash join"),
+         ("urn:d2", "megre dataset wave emerge")],
+        "node string, text string")
+    idx = index_from_docs(spark, docs)
+    out = fts_match(spark, idx, 'merge~1^2 AND [hash TO hashz] -wave~1')
+    plan = _plan(out)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF",
+                   "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert marker not in plan, \
+            f"fuzzy/range FTS plan contains {marker}:\n" + plan[:2000]
+    assert "levenshtein" in plan.lower(), \
+        "fuzzy predicate not visible in plan:\n" + plan[:2000]
+    # d1: merge + hash, no wave; d2 has megre (fuzzy hit) but no range
+    # hit, and wave~1 prohibits it anyway
+    assert sorted(r["node"] for r in out.collect()) == ["urn:d1"]
