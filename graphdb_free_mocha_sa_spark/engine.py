@@ -715,12 +715,20 @@ class Engine:
             bad = self._gate_check(summary, pre_verified)
             if bad:
                 with store._lock:
+                    changed = store._df is not before[0]
                     # _commit_rewrite rewinds the durable subclass's
                     # persisted snapshot too (it writes through to the
                     # segment log)
                     store._commit_rewrite(before[0])
                     store._inferred = before[1]
-                    store.destructive_epoch = before[2]
+                    if changed:
+                        # epoch must ADVANCE, never rewind: rolling back
+                        # a published state — even an append — is a
+                        # destructive transition, and re-reaching a
+                        # mid-transaction epoch number would let a
+                        # reader's cache seed sameAs propagation from
+                        # the aborted state (epoch aliasing)
+                        store.destructive_epoch += 1
                 # FTS control state rolls back with the data (r11 advisor
                 # fix): an index built inside this aborted transaction
                 # covers never-committed triples and must not stay

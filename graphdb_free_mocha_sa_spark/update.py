@@ -103,7 +103,14 @@ class UpdateExecutor:
                     with store._lock:
                         store._commit_rewrite(before[0])
                         store._inferred = before[1]
-                        store.destructive_epoch = before[2]
+                        # NEVER restore the epoch backward: a reader that
+                        # cached sameAs components against a mid-request
+                        # epoch would see a later commit re-reach the
+                        # same number and wrongly seed incremental
+                        # propagation from the aborted state (epoch
+                        # aliasing). Un-publishing applied ops — even
+                        # pure appends — is a destructive transition.
+                        store.destructive_epoch += 1
                 if store.fts_state_changed(snap):
                     store.fts_state_restore(snap)
                 raise

@@ -392,3 +392,39 @@ def test_failing_request_durable_rollback(spark, tmp_path):
     reopened = Engine(spark, DurableQuadStore(spark, str(tmp_path / "db")))
     assert reopened.query("ASK { <urn:keep> <urn:p> <urn:o> }")
     assert not reopened.query("ASK { <urn:gone> ?p ?o }")
+
+
+def test_request_rollback_advances_destructive_epoch(spark):
+    """Rollback must NEVER restore destructive_epoch backward: a reader
+    that cached sameAs components against a mid-request epoch would see
+    a later destructive commit re-reach the same number and wrongly
+    seed incremental propagation from the aborted state (epoch
+    aliasing). An aborted publish is itself a destructive transition —
+    the epoch advances past every value published during the request."""
+    from graphdb_free_mocha_sa_spark.operators.fts import FtsError
+    eng = _engine(spark)
+    eng.update("INSERT DATA { <urn:e1> <urn:p> <urn:o1> }")
+    e0 = eng.store.destructive_epoch
+    with pytest.raises(FtsError):
+        eng.update(LUC + """DELETE DATA { <urn:e1> <urn:p> <urn:o1> } ;
+          INSERT DATA { luc:noSuchParam luc:setParam "x" }""")
+    assert eng.store.destructive_epoch > e0 + 1, \
+        "epoch restored/aliased: a mid-request cache keyed on epoch " \
+        f"{e0 + 1} could poison a later commit at the same number"
+    # data rolled back all the same
+    assert eng.query("ASK { <urn:e1> <urn:p> <urn:o1> }")
+
+
+def test_checked_update_rollback_advances_destructive_epoch(spark):
+    """Same invariant for the consistency-gate rollback path."""
+    from graphdb_free_mocha_sa_spark.engine import Engine, InconsistencyError
+    from graphdb_free_mocha_sa_spark.store import QuadStore
+    eng = Engine(spark, QuadStore(spark), check_inconsistencies=True)
+    eng.update("""INSERT DATA {
+      <urn:A> <http://www.w3.org/2002/07/owl#disjointWith> <urn:B> .
+      <urn:i> a <urn:A> . }""")
+    e0 = eng.store.destructive_epoch
+    with pytest.raises(InconsistencyError):
+        eng.update("INSERT DATA { <urn:i> a <urn:B> }")
+    assert eng.store.destructive_epoch > e0
+    assert not eng.query("ASK { <urn:i> a <urn:B> }")
