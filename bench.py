@@ -63,6 +63,9 @@ HEADLINERS = [
     # round-9: B43 full-text search kernel over the real corpus (build
     # index + required/prefix/prohibited match, BM25 partials)
     "ext_fts_match",
+    # round-11: fuzzy (levenshtein scalar predicate over the token
+    # table) + lexicographic term range over the same corpus
+    "ext_fts_fuzzy",
 ]
 
 

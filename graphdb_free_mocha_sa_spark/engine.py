@@ -701,8 +701,7 @@ class Engine:
         short inner snapshot lock)."""
         store = self.store
         with store._writer_gate:
-            with store._lock:
-                before = (store._df, store._inferred, store.destructive_epoch)
+            point = store.txn_rollback_point()
             fts_before = store.fts_state_snapshot()
             # sound-branch precondition (r11 advisor fix): the delta check
             # and the pure-delete skip assume the PRE-update state is
@@ -714,21 +713,11 @@ class Engine:
             summary = self._updates.execute(sparql)
             bad = self._gate_check(summary, pre_verified)
             if bad:
-                with store._lock:
-                    changed = store._df is not before[0]
-                    # _commit_rewrite rewinds the durable subclass's
-                    # persisted snapshot too (it writes through to the
-                    # segment log)
-                    store._commit_rewrite(before[0])
-                    store._inferred = before[1]
-                    if changed:
-                        # epoch must ADVANCE, never rewind: rolling back
-                        # a published state — even an append — is a
-                        # destructive transition, and re-reaching a
-                        # mid-transaction epoch number would let a
-                        # reader's cache seed sameAs propagation from
-                        # the aborted state (epoch aliasing)
-                        store.destructive_epoch += 1
+                # O(1) rollback: the durable subclass republishes its
+                # captured log pointer (no base rewrite); the
+                # epoch-advance invariant (never rewind — epoch
+                # aliasing) lives in txn_rollback
+                store.txn_rollback(point)
                 # FTS control state rolls back with the data (r11 advisor
                 # fix): an index built inside this aborted transaction
                 # covers never-committed triples and must not stay

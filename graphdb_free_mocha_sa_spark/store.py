@@ -119,6 +119,44 @@ class QuadStore:
         with self._writer_gate, self._lock:
             self._commit_append(delta.select(*QUAD_COLS))
 
+    # -- transaction rollback (request atomicity / consistency gate) ------
+
+    def txn_rollback_point(self) -> dict:
+        """Opaque capture of the pre-transaction data state. Take it at
+        transaction start under the writer gate; :meth:`txn_rollback`
+        restores it in O(1) — no data rewrite. The durable subclass
+        additionally captures its log pointer (base + segment names),
+        whose files are immutable and stay on disk until an explicit
+        vacuum, so its rollback is one log entry, not a base rewrite —
+        at scale the difference between an O(1) abort and rewriting the
+        whole store to undo a failed request."""
+        with self._lock:
+            point = {"df": self._df, "inferred": self._inferred}
+            self._txn_capture(point)
+            return point
+
+    def _txn_capture(self, point: dict) -> None:
+        """Subclass hook: add state to a rollback point (lock held)."""
+
+    def txn_rollback(self, point: dict) -> bool:
+        """Restore a rollback point; returns True when published data was
+        actually rewound. The epoch bookkeeping lives here: the epoch
+        must ADVANCE, never rewind — un-publishing applied ops (even
+        pure appends) is a destructive transition, and re-reaching a
+        mid-transaction epoch number would let a reader's cache seed
+        sameAs propagation from the aborted state (epoch aliasing)."""
+        with self._lock:
+            changed = self._df is not point["df"]
+            if changed:
+                self._txn_restore(point)
+                self.destructive_epoch += 1
+            self._inferred = point["inferred"]
+            return changed
+
+    def _txn_restore(self, point: dict) -> None:
+        """Re-publish the captured state (lock held)."""
+        self._df = point["df"]
+
     # Commit hooks (called with the lock held). The in-memory store swaps
     # the snapshot reference; DurableQuadStore overrides both to write
     # through to the parquet segment log first (B37 safe transactions).
@@ -872,6 +910,24 @@ class DurableQuadStore(QuadStore):
         else:
             self._df = self._df.unionByName(
                 self._read_segments([seg]))
+
+    def _txn_capture(self, point: dict) -> None:
+        point.update({"base": self._base,
+                      "segments": list(self._segments),
+                      "store_version": self._version})
+
+    def _txn_restore(self, point: dict) -> None:
+        # O(1) durable rollback: republish the captured log pointer — the
+        # referenced base/segment files are immutable and still on disk
+        # (vacuum only runs quiesced / at open behind an age horizon), so
+        # no data is rewritten. Segments/bases written by the aborted
+        # transaction become unreferenced and are reclaimed by the next
+        # vacuum, exactly like rolled-back FTS index generations.
+        self._base = point["base"]
+        self._segments = list(point["segments"])
+        self._version = point["store_version"]
+        self._commit_log()
+        self._df = point["df"]
 
     def _commit_rewrite(self, new_df: DataFrame):
         self._base = self._write_base(new_df)

@@ -81,9 +81,7 @@ class UpdateExecutor:
         # param behind when createIndex raised, poisoning later builds.
         with store._writer_gate:
             snap = store.fts_state_snapshot()
-            with store._lock:
-                before = (store._df, store._inferred,
-                          store.destructive_epoch)
+            point = store.txn_rollback_point()
             try:
                 for op in ops:
                     info = self._apply(op)
@@ -96,21 +94,12 @@ class UpdateExecutor:
                 # operations of one request are a single transaction —
                 # the reference executes updates transactionally): data
                 # applied by EARLIER ops of this failing request rolls
-                # back with the FTS control state. _commit_rewrite writes
-                # through to the durable segment log, so the rollback is
-                # durable too; skipped entirely when nothing was applied.
-                if store._df is not before[0]:
-                    with store._lock:
-                        store._commit_rewrite(before[0])
-                        store._inferred = before[1]
-                        # NEVER restore the epoch backward: a reader that
-                        # cached sameAs components against a mid-request
-                        # epoch would see a later commit re-reach the
-                        # same number and wrongly seed incremental
-                        # propagation from the aborted state (epoch
-                        # aliasing). Un-publishing applied ops — even
-                        # pure appends — is a destructive transition.
-                        store.destructive_epoch += 1
+                # back with the FTS control state. The durable store's
+                # rollback republishes its captured log pointer (one log
+                # entry, no data rewrite) and the epoch-advance
+                # invariant lives in txn_rollback; no-op when nothing
+                # was applied.
+                store.txn_rollback(point)
                 if store.fts_state_changed(snap):
                     store.fts_state_restore(snap)
                 raise

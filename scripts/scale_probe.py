@@ -96,7 +96,7 @@ PROBES = [
     "ext_text_termstats", "ext_stream_tumbling",
     "ext_quality_gopher", "ext_pack_sequences", "ext_bm25_search",
     "ext_line_dedup", "ext_lm_score", "ext_bpe_paircounts",
-    "b2b_star6", "ext_fts_match",
+    "b2b_star6", "ext_fts_match", "ext_fts_fuzzy",
 ]
 
 

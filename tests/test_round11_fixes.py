@@ -428,3 +428,28 @@ def test_checked_update_rollback_advances_destructive_epoch(spark):
         eng.update("INSERT DATA { <urn:i> a <urn:B> }")
     assert eng.store.destructive_epoch > e0
     assert not eng.query("ASK { <urn:i> a <urn:B> }")
+
+
+def test_durable_rollback_is_log_pointer_not_base_rewrite(spark, tmp_path):
+    """Rolling back a failed request on a durable store republishes the
+    captured log pointer — the pre-request BASE must survive by name
+    (no full-store rewrite to undo an abort; at 100 TB that is the
+    difference between an O(1) abort and rewriting the store). The
+    aborted op's own base/segments become unreferenced garbage for
+    vacuum, and a re-open sees the pre-request state."""
+    from graphdb_free_mocha_sa_spark.engine import Engine
+    from graphdb_free_mocha_sa_spark.store import DurableQuadStore
+    store = DurableQuadStore(spark, str(tmp_path / "db"))
+    eng = Engine(spark, store)
+    eng.update("INSERT DATA { <urn:keep> <urn:p> <urn:o> }")
+    base0, segs0 = store._base, list(store._segments)
+    with pytest.raises(Exception):
+        # op1 is DESTRUCTIVE (rewrites the base on the durable store),
+        # op2 fails -> rollback must re-point at base0, not rewrite
+        eng.update("""DELETE DATA { <urn:keep> <urn:p> <urn:o> } ;
+          LOAD <file:///nonexistent/file.ttl>""")
+    assert store._base == base0 and list(store._segments) == segs0, \
+        "rollback rewrote the store instead of republishing the pointer"
+    assert eng.query("ASK { <urn:keep> <urn:p> <urn:o> }")
+    reopened = Engine(spark, DurableQuadStore(spark, str(tmp_path / "db")))
+    assert reopened.query("ASK { <urn:keep> <urn:p> <urn:o> }")
