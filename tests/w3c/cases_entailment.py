@@ -280,3 +280,89 @@ CASES += [
         "ask": True,
     },
 ]
+
+CASES += [
+    # r11b: more rule COMPOSITIONS (derived facts must feed every other
+    # rule) and soundness controls, still within the declared OWL-Horst
+    # scope (rdfs2/3/5/7/9/11, rdfp1-4/6-8/12-16)
+    {
+        "name": "owl-equivalent-then-subclass-chain",
+        "source": "pD* rdfp12a then rdfs9/11 (equivalentClass edges join "
+                  "the subClassOf hierarchy; ter Horst 2005)",
+        "inference": True,
+        "data": PFX + (":C1 owl:equivalentClass :C2 . "
+                       ":C2 rdfs:subClassOf :C3 . :x rdf:type :C1 ."),
+        "query": QPFX + "ASK { :x rdf:type :C3 }",
+        "ask": True,
+    },
+    {
+        "name": "owl-symmetric-through-subprop",
+        "source": "pD* composition rdfs7 then rdfp3 (the derived :q edge "
+                  "is what the symmetry rule flips)",
+        "inference": True,
+        "data": PFX + (":p rdfs:subPropertyOf :q . "
+                       ":q rdf:type owl:SymmetricProperty . :a :p :b ."),
+        "query": QPFX + "ASK { :b :q :a }",
+        "ask": True,
+    },
+    {
+        "name": "owl-transitive-through-subprop",
+        "source": "pD* composition rdfs7 then rdfp4 (ter Horst 2005 "
+                  "discusses exactly this interaction for pD*)",
+        "inference": True,
+        "data": PFX + (":p rdfs:subPropertyOf :q . "
+                       ":q rdf:type owl:TransitiveProperty . "
+                       ":a :p :b . :b :p :c ."),
+        "query": QPFX + "ASK { :a :q :c }",
+        "ask": True,
+    },
+    {
+        "name": "owl-ifp-merge-transfers-type",
+        "source": "pD* rdfp2 then rdfp11 substitution (the derived sameAs "
+                  "carries rdf:type across the merged pair)",
+        "inference": True,
+        "data": PFX + (":p rdf:type owl:InverseFunctionalProperty . "
+                       ":x1 :p :v . :x2 :p :v . :x1 rdf:type :C ."),
+        "query": QPFX + "ASK { :x2 rdf:type :C }",
+        "ask": True,
+    },
+    {
+        "name": "owl-hasvalue-into-subclass",
+        "source": "pD* rdfp14bx then rdfs9 (class membership derived from "
+                  "a hasValue restriction propagates up subClassOf)",
+        "inference": True,
+        "data": PFX + (":R owl:onProperty :p ; owl:hasValue :v . "
+                       ":R rdfs:subClassOf :S . :x :p :v ."),
+        "query": QPFX + "ASK { :x rdf:type :S }",
+        "ask": True,
+    },
+    {
+        "name": "rdfs-range-on-derived-inverse-edge",
+        "source": "pD* composition rdfp8a then rdfs3 (rdfs rules must see "
+                  "OWL-derived edges)",
+        "inference": True,
+        "data": PFX + (":p owl:inverseOf :q . :q rdfs:range :C . "
+                       ":a :p :b ."),
+        "query": QPFX + "ASK { :a rdf:type :C }",
+        "ask": True,
+    },
+    {
+        "name": "owl-somevaluesfrom-needs-typed-object",
+        "source": "soundness control for rdfp15: without the :y rdf:type "
+                  ":C premise the restriction must not classify :x",
+        "inference": True,
+        "data": PFX + (":R owl:onProperty :p ; owl:someValuesFrom :C . "
+                       ":x :p :y ."),
+        "query": QPFX + "ASK { :x rdf:type :R }",
+        "ask": False,
+    },
+    {
+        "name": "owl-transitive-not-symmetric",
+        "source": "soundness control for rdfp4: transitivity must not "
+                  "flip edge direction",
+        "inference": True,
+        "data": PFX + (":p rdf:type owl:TransitiveProperty . :a :p :b ."),
+        "query": QPFX + "ASK { :b :p :a }",
+        "ask": False,
+    },
+]
