@@ -239,8 +239,12 @@ def index_from_docs(spark: SparkSession, docs: DataFrame,
                           .alias("term"))
               .groupBy("node", "term").agg(F.count(F.lit(1)).alias("tf"))
               .localCheckpoint(eager=True))
-    n_docs = docs.count()
-    avgdl = (docs.agg(F.avg("dl")).first()[0] or 1.0) if n_docs else 1.0
+    # ONE aggregation for both corpus stats (r11 opt: count + avg were two
+    # separate jobs per index build, and the bench builds per query run)
+    stats = docs.agg(F.count(F.lit(1)).alias("n"),
+                     F.avg("dl").alias("avgdl")).first()
+    n_docs = stats["n"]
+    avgdl = (stats["avgdl"] or 1.0) if n_docs else 1.0
     return FtsIndex(docs, tokens, n_docs, float(avgdl), analyzer)
 
 

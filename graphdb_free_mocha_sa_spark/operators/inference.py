@@ -60,6 +60,11 @@ MAX_ITERS = 50
 #: driver-side; beyond it the distributed per-hop join walk runs instead.
 #: Module-level so tests can force the distributed path on tiny data.
 AD_LIST_BOUND = 500
+#: DRed re-derive candidate probe: when the removed-term vocabulary fits
+#: this bound, the candidate scan is one InSet-predicate pass over the
+#: world (pushdown-friendly) instead of two broadcast semi-join scans
+#: (r11 opt). Falls back to the join shape above the bound.
+DRED_TERMS_BOUND = 20_000
 INFERRED_GRAPH = "http://graph.inferred"
 
 
@@ -666,6 +671,13 @@ def _closure_body(spark: SparkSession, quads: DataFrame,
     # small ABoxes don't amortize wide shuffles per iteration (cf. paths.py)
     if known.count() < 100_000:
         known = known.repartition(4).localCheckpoint()
+    # `known` accumulates as a LAZY union of pinned pieces (r11 opt,
+    # guide §2.4): the old per-iteration known.unionByName(new)
+    # .localCheckpoint() re-materialized the ENTIRE known set every
+    # iteration — O(closure) copied per step, and at cluster scale a
+    # full-store copy per iteration. Each piece is itself checkpointed,
+    # so scanning the union reads pinned blocks without recomputation.
+    known_parts = [known]
     inferred = None
     delta = known
     for i in range(MAX_ITERS):
@@ -690,14 +702,23 @@ def _closure_body(spark: SparkSession, quads: DataFrame,
         if new.isEmpty():
             break
         inferred = new if inferred is None else inferred.unionByName(new)
-        known = known.unionByName(new).localCheckpoint()
+        known_parts.append(new)
+        known = known_parts[0]
+        for kp in known_parts[1:]:
+            known = known.unionByName(kp)
         delta = new
     else:
         raise RuntimeError(f"inference did not converge in {MAX_ITERS} iterations")
 
     if inferred is None:
         return spark.createDataFrame([], quads.schema).select(*QUAD_COLS)
-    return inferred.dropDuplicates(["s", "p", "o_lex", "o_dt", "o_lang"])
+    # Pin the final closure (r11 opt, guide §5): the result used to escape
+    # as a lazy dropDuplicates over the iteration checkpoints, so EVERY
+    # later reader (each query over df_with_inference, every DRed scan of
+    # `inferred`) re-ran that shuffle. One materialization here, memory
+    # scans everywhere after.
+    return (inferred.dropDuplicates(["s", "p", "o_lex", "o_dt", "o_lang"])
+            .localCheckpoint())
 
 
 TBOX_PREDS = (SUBCLASS, SUBPROP, DOMAIN, RANGE, INVERSE, EQ_CLASS, EQ_PROP,
@@ -747,7 +768,12 @@ def _increment_body(spark: SparkSession, base: DataFrame,
     new_inferred = None
     d = delta.select(*QUAD_COLS).localCheckpoint()
     # the delta facts are part of the known world (delta×delta chains must
-    # resolve, and delta facts themselves are base data, not inferences)
+    # resolve, and delta facts themselves are base data, not inferences).
+    # `known` grows as a LAZY union of the (lazy) base world plus PINNED
+    # per-iteration deltas (r11 opt, guide §2.4): the old
+    # known.unionByName(new).localCheckpoint() per iteration copied the
+    # whole base ∪ closure every step — a full-store materialization per
+    # micro-batch iteration at cluster scale.
     known = known.unionByName(d)
     for _ in range(MAX_ITERS):
         new = apply_rules(d)
@@ -765,7 +791,7 @@ def _increment_body(spark: SparkSession, base: DataFrame,
             return new_inferred
         new_inferred = (new if new_inferred is None
                         else new_inferred.unionByName(new))
-        known = known.unionByName(new).localCheckpoint()
+        known = known.unionByName(new)
         d = new
     raise RuntimeError(f"incremental inference did not converge in {MAX_ITERS} iterations")
 
@@ -815,6 +841,11 @@ def owl_horst_decrement(spark: SparkSession, base_after: DataFrame,
     delete), which this reproduces because re-derivation is checked
     against the post-delete world, not restricted to old inferences.
     """
+    # Pin the deleted set ONCE up front (r11 opt): callers pass a lazy
+    # anti-join ("triples whose last copy went away"); the TBox probe, the
+    # body's delta seed and the re-derive `removed` union all scan it —
+    # unpinned, the anti-join re-ran for each.
+    deleted = deleted.select(*QUAD_COLS).localCheckpoint()
     tbox_delta = deleted.filter(
         F.col("p").isin(*TBOX_PREDS)
         | ((F.col("p") == RDF_TYPE)
@@ -843,7 +874,7 @@ def _decrement_body(spark: SparkSession, base_after: DataFrame,
                 else spark.createDataFrame([], base_after.schema)
                 .select(*QUAD_COLS))
     base_after = base_after.select(*QUAD_COLS)
-    d = deleted.select(*QUAD_COLS).localCheckpoint()
+    d = deleted.select(*QUAD_COLS)      # pinned by owl_horst_decrement
     # NOTE: no lazy checkpoint on the unions here — Spark's Union
     # constraint rewrite hits "key not found" on lazily-checkpointed
     # union members (observed on 4.1); the members are checkpointed
@@ -898,7 +929,11 @@ def _decrement_body(spark: SparkSession, base_after: DataFrame,
         return df.select([F.col(c).alias(c) for c in df.columns]) \
                  .localCheckpoint()
 
-    # ---- 1. over-delete fixpoint (cone of the deleted premises)
+    # ---- 1. over-delete fixpoint (cone of the deleted premises).
+    # `over` accumulates as a LAZY union of pinned pieces (r11 opt,
+    # guide §2.4): the old _pin(over.unionByName(cons)) re-materialized
+    # the whole over-delete set every iteration.
+    over_parts: list[DataFrame] = []
     over = None
     for _ in range(MAX_ITERS):
         cons = one_step(d, old_known, both_sides=True)
@@ -924,7 +959,10 @@ def _decrement_body(spark: SparkSession, base_after: DataFrame,
                              "left_semi").localCheckpoint()
         if cons.isEmpty():
             break
-        over = cons if over is None else _pin(over.unionByName(cons))
+        over_parts.append(cons)
+        over = over_parts[0]
+        for op_ in over_parts[1:]:
+            over = over.unionByName(op_)
         d = cons
     else:
         raise RuntimeError(
@@ -961,16 +999,31 @@ def _decrement_body(spark: SparkSession, base_after: DataFrame,
              .unionByName(removed.filter(F.col("o_dt").isNull())
                           .select(F.col("o_lex").alias("t")))
              .dropDuplicates())
-    subj_terms = removed.select(F.col("s").alias("t")).dropDuplicates()
-    # broadcast the removed-term keys: the probe side is the full world —
-    # without the hint these semi-joins sort-merge 600k+ rows each
-    # (r9 profile: 7.0 s -> sub-second)
-    cand = new_known.join(F.broadcast(terms), F.col("s") == F.col("t"),
-                          "left_semi") \
-        .unionByName(new_known.join(F.broadcast(subj_terms),
-                                    F.col("o_lex") == F.col("t"),
-                                    "left_semi")) \
-        .dropDuplicates(["g", "s", "p", "o_lex", "o_dt", "o_lang"])
+    # Bounded driver fast path (r11 opt, guide §6 predicate pushdown): the
+    # removed-term set is usually tiny (it is the deletion's consequence
+    # cone's vocabulary). When it fits a driver bound, the candidate scan
+    # is ONE pass over the world with two InSet predicates — pushdown-
+    # friendly at the parquet scan — instead of two full semi-join scans
+    # plus a 6-column dropDuplicates shuffle. Over the bound, the original
+    # broadcast semi-join shape runs (still never a sort-merge: the
+    # removed-term keys are broadcast — r9 profile: 7.0 s -> sub-second).
+    t_rows = terms.limit(DRED_TERMS_BOUND + 1).collect()
+    if len(t_rows) <= DRED_TERMS_BOUND:
+        all_terms = [r["t"] for r in t_rows]
+        srows = removed.select(F.col("s").alias("t")).dropDuplicates() \
+            .collect()
+        s_terms = [r["t"] for r in srows]
+        cand = new_known.filter(
+            F.col("s").isin(all_terms)
+            | (F.col("o_lex").isin(s_terms) if s_terms else F.lit(False)))
+    else:
+        subj_terms = removed.select(F.col("s").alias("t")).dropDuplicates()
+        cand = new_known.join(F.broadcast(terms), F.col("s") == F.col("t"),
+                              "left_semi") \
+            .unionByName(new_known.join(F.broadcast(subj_terms),
+                                        F.col("o_lex") == F.col("t"),
+                                        "left_semi")) \
+            .dropDuplicates(["g", "s", "p", "o_lex", "o_dt", "o_lang"])
     # PIN the candidate set before fanning it into the rule union: every
     # rule branch of one_step references `cand`, and an unpinned cand
     # re-computes its two semi-joins over the FULL new_known per branch —
@@ -1186,6 +1239,125 @@ def _canon_fn(spark: SparkSession, quads: DataFrame):
 #: keeping them on the full path keeps the delta path trivially sound.
 GATE_SCHEMA_PREDS = frozenset({SAMEAS, DISJOINT, COMPLEMENT,
                                DISTINCT_MEMBERS, RDF_FIRST, RDF_REST})
+
+#: bounded-collect limits for the driver-evaluated delta gate (r11 opt):
+#: the sameAs/disjointWith/complementOf state and the inserted
+#: individuals' type probe must fit these row counts or the check falls
+#: back to the distributed delta plan. Sized like the other driver fast
+#: paths (rows are 2-3 short strings; ~10 MB at the bound).
+GATE_STATE_BOUND = 50_000
+GATE_TYPE_PROBE_BOUND = 50_000
+
+
+def collect_gate_state(spark: SparkSession, quads: DataFrame):
+    """ONE bounded scan collecting the commit gate's TBox-ish state: the
+    owl:sameAs canon dictionary (union-find, min-label — identical to
+    sameas_components' small path) plus the normalized disjointWith /
+    complementOf pair sets (r11 opt, guide §1.2: the distributed delta
+    check re-derived all three from full-store scans on EVERY checked
+    commit). Returns ``None`` when the state overflows GATE_STATE_BOUND
+    — the caller falls back to the distributed check.
+
+    The state is a pure function of the store's sameAs/disjointWith/
+    complementOf triples, so the engine may cache it across insert-only
+    delta-branch commits (those insert none of GATE_SCHEMA_PREDS)."""
+    rows = (quads.filter(F.col("p").isin(SAMEAS, DISJOINT, COMPLEMENT)
+                         & F.col("o_dt").isNull())
+            .select("p", "s", "o_lex")
+            .limit(GATE_STATE_BOUND + 1).collect())
+    if len(rows) > GATE_STATE_BOUND:
+        return None
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    pairs = {DISJOINT: set(), COMPLEMENT: set()}
+    for r in rows:
+        if r["p"] == SAMEAS:
+            ra, rb = find(r["s"]), find(r["o_lex"])
+            if ra != rb:
+                parent[ra] = rb
+        else:
+            a, b = r["s"], r["o_lex"]
+            pairs[r["p"]].add((a, b) if a <= b else (b, a))
+    comp: dict = {}
+    for x in list(parent):
+        comp.setdefault(find(x), []).append(x)
+    canon: dict = {}
+    members: dict = {}
+    for mem in comp.values():
+        c = min(mem)                    # min-label, as sameas_components
+        members[c] = mem
+        for m in mem:
+            canon[m] = c
+    return {"canon": canon, "members": members, "pairs": pairs}
+
+
+def consistency_violations_delta_local(spark: SparkSession, quads: DataFrame,
+                                       inserted_rows: list, state: dict):
+    """Driver-evaluated equivalent of :func:`consistency_violations_delta`
+    (r11 opt): same soundness precondition (consistent pre-state, no
+    closure, no GATE_SCHEMA_PREDS in the delta, ``quads`` = post-update
+    store), same rules, same canonization — but the only Spark job is ONE
+    type probe restricted to the inserted individuals' sameAs classes
+    (an InSet predicate next to the scan, O(delta) at any store size)
+    instead of the multi-scan distributed plan. Returns a deduplicated
+    ``[{"rule","x","y"}, ...]`` list, or ``None`` when the type probe
+    overflows GATE_TYPE_PROBE_BOUND (caller falls back)."""
+    canon = state["canon"]
+    members = state["members"]
+    pairs = state["pairs"]
+
+    def cz(t):
+        return canon.get(t, t)
+
+    new_types = [(r[1], r[3]) for r in inserted_rows
+                 if r[2] == RDF_TYPE and r[4] is None]
+    new_difs = [(r[1], r[3]) for r in inserted_rows
+                if r[2] == DIFFERENT and r[4] is None]
+    out: list = []
+    for (x, y) in new_difs:
+        if cz(x) == cz(y):
+            out.append(("owl-dif", x, y))
+    if new_types:
+        for (i, c) in new_types:
+            if c == NOTHING:
+                out.append(("owl-nothing", cz(i), NOTHING))
+        if pairs[DISJOINT] or pairs[COMPLEMENT]:
+            probe = sorted({m for (i, _c) in new_types
+                            for m in members.get(cz(i), (i,))}
+                           | {i for (i, _c) in new_types})
+            trows = (quads.filter((F.col("p") == RDF_TYPE)
+                                  & F.col("o_dt").isNull()
+                                  & F.col("s").isin(probe))
+                     .select("s", "o_lex")
+                     .limit(GATE_TYPE_PROBE_BOUND + 1).collect())
+            if len(trows) > GATE_TYPE_PROBE_BOUND:
+                return None
+            types_by_canon: dict = {}
+            for r in trows:
+                types_by_canon.setdefault(cz(r["s"]), set()).add(r["o_lex"])
+            for (i, c) in new_types:
+                for c2 in types_by_canon.get(cz(i), ()):
+                    key = (c, c2) if c <= c2 else (c2, c)
+                    if key in pairs[DISJOINT]:
+                        out.append(("cax-dw", cz(i),
+                                    f"{key[0]} | {key[1]}"))
+                    if key in pairs[COMPLEMENT]:
+                        out.append(("owl-comp", cz(i),
+                                    f"{key[0]} | {key[1]}"))
+    seen = set()
+    dedup = []
+    for v in out:
+        if v not in seen:
+            seen.add(v)
+            dedup.append({"rule": v[0], "x": v[1], "y": v[2]})
+    return dedup
 
 
 def consistency_violations_delta(spark: SparkSession, quads: DataFrame,

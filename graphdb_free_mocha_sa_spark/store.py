@@ -355,6 +355,13 @@ class QuadStore:
             if self._inferred is None:
                 self._commit_rewrite(new_df)
                 return
+            # DRed scans the post-delete base several times (the deleted-set
+            # anti-join, the old/new worlds of the over-delete and re-derive
+            # passes) — pin it ONCE so each scan reads blocks instead of
+            # re-running the delete anti-join (r11 opt, guide §5). Only on
+            # the closure-maintenance path: a plain delete stays a lazy
+            # single-reader plan.
+            new_df = new_df.localCheckpoint()
             # DRed needs the TRIPLES whose last copy went away: a premise
             # deleted from one graph but still asserted in another still
             # holds (the closure reads the union of graphs)

@@ -67,7 +67,11 @@ class UpdateExecutor:
         the engine's B42 commit gate uses it to pick the O(delta)
         consistency check over the full-store one (engine._gate_check).
         Callers that ignore the return value are unaffected."""
-        summary = {"delta_ok": True, "inserted_rows": []}
+        # insert_only (r11 opt): True iff every op is ground INSERT DATA —
+        # the engine's cached gate state (sameAs canon + disjoint pairs)
+        # stays valid across such commits; any delete/clear/load could
+        # remove a sameAs or disjointWith triple and must invalidate it.
+        summary = {"delta_ok": True, "inserted_rows": [], "insert_only": True}
         ops = list(parse_update(update_string))  # syntax errors mutate nothing
         store = self.store
         # One request = one writer-gate span (reentrant — the engine's
@@ -89,6 +93,8 @@ class UpdateExecutor:
                         summary["delta_ok"] = False
                     elif info[0] == "insert":
                         summary["inserted_rows"].extend(info[1])
+                    if not isinstance(op, A.InsertData):
+                        summary["insert_only"] = False
             except Exception:
                 # request-level atomicity (r11, SPARQL 1.1 Protocol: the
                 # operations of one request are a single transaction —
