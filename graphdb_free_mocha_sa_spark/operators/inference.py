@@ -631,8 +631,12 @@ def owl_horst_closure(spark: SparkSession, quads: DataFrame,
 
     Queries then read ``quads ∪ inferred`` (SURVEY §1.4 'quads_inferred').
     """
-    head = quads.select(*QUAD_COLS).limit(SMALL_ABOX_QUADS + 1).collect()
-    if len(head) <= SMALL_ABOX_QUADS:
+    # bounded COUNT first (r11 opt): the old probe collected up to 50k+1
+    # rows to the driver just to learn "too big" on every distributed-path
+    # materialization; the count moves no rows, and small stores pay one
+    # extra tiny job before the collect they needed anyway.
+    if quads.limit(SMALL_ABOX_QUADS + 1).count() <= SMALL_ABOX_QUADS:
+        head = quads.select(*QUAD_COLS).collect()
         small = _closure_small_abox(spark, head, graph)
         if small is not None:
             return small
@@ -932,9 +936,17 @@ def _decrement_body(spark: SparkSession, base_after: DataFrame,
     # ---- 1. over-delete fixpoint (cone of the deleted premises).
     # `over` accumulates as a LAZY union of pinned pieces (r11 opt,
     # guide §2.4): the old _pin(over.unionByName(cons)) re-materialized
-    # the whole over-delete set every iteration.
+    # the whole over-delete set every iteration. The per-iteration cone
+    # KEYS are tiny (bounded by the deletion's consequence cone), so they
+    # are held as a DRIVER set while they fit DRED_TERMS_BOUND (r11 opt):
+    # the convergence subtraction and emptiness test become Python set
+    # ops — zero Spark jobs — and the closure probe gets its broadcast
+    # keys from a LocalRelation. Overflow degrades to the distributed
+    # key-frame shape (checkpoint + anti-join), which is the right plan
+    # for a genuinely huge cone.
     over_parts: list[DataFrame] = []
     over = None
+    over_keys: set | None = set()
     for _ in range(MAX_ITERS):
         cons = one_step(d, old_known, both_sides=True)
         # only INFERRED facts can be over-deleted. The cone is small and
@@ -942,19 +954,33 @@ def _decrement_body(spark: SparkSession, base_after: DataFrame,
         # keys (a small-left left_semi against a big right would
         # sort-merge the whole closure — measured 3x the wall)
         ck = cons.select("s", "p", "o_lex").dropDuplicates()
-        if over is not None:
-            # subtract already-over-deleted keys BEFORE the closure probe:
-            # the convergence iteration then terminates on the (tiny,
-            # checkpointed) key set without rescanning the full closure
-            # (r9 profile: the confirm iteration cost a 540k-row semi scan
-            # + checkpoint, ~2 s, to learn "nothing new")
-            ck = _anti_known(
-                ck.withColumns({"o_dt": F.lit(None).cast("string"),
-                                "o_lang": F.lit(None).cast("string")}),
-                over).select("s", "p", "o_lex")
-        ck = ck.localCheckpoint()
-        if ck.isEmpty():
-            break
+        if over_keys is not None:
+            head = ck.limit(DRED_TERMS_BOUND + 1).collect()
+            if len(head) <= DRED_TERMS_BOUND:
+                fresh = sorted({(r["s"], r["p"], r["o_lex"])
+                                for r in head} - over_keys)
+                if not fresh:
+                    break
+                over_keys.update(fresh)
+                ck = spark.createDataFrame(
+                    fresh, "s string, p string, o_lex string")
+            else:
+                over_keys = None        # cone outgrew the driver bound
+        if over_keys is None:
+            if over is not None:
+                # subtract already-over-deleted keys BEFORE the closure
+                # probe: the convergence iteration then terminates on the
+                # (tiny, checkpointed) key set without rescanning the full
+                # closure (r9 profile: the confirm iteration cost a
+                # 540k-row semi scan + checkpoint, ~2 s, to learn
+                # "nothing new")
+                ck = _anti_known(
+                    ck.withColumns({"o_dt": F.lit(None).cast("string"),
+                                    "o_lang": F.lit(None).cast("string")}),
+                    over).select("s", "p", "o_lex")
+            ck = ck.localCheckpoint()
+            if ck.isEmpty():
+                break
         cons = inferred.join(F.broadcast(ck), ["s", "p", "o_lex"],
                              "left_semi").localCheckpoint()
         if cons.isEmpty():
@@ -1215,8 +1241,15 @@ def _canon_fn(spark: SparkSession, quads: DataFrame):
     them to meet a dictionary of a few thousand sameAs members would
     invert the join. An over-bound dictionary falls back to a shuffle
     join, which is then the right plan."""
-    canon = sameas_components(spark, quads).localCheckpoint()
-    small_dict = len(canon.take(100_001)) <= 100_000
+    canon = sameas_components(spark, quads)
+    if LAST_CC_ITERS == 0:
+        # driver union-find path: the dictionary is a LocalRelation —
+        # provably bounded (SMALL_CC_EDGES), broadcastable, and pinning
+        # it would only ADD a checkpoint job (r11 opt)
+        small_dict = True
+    else:
+        canon = canon.localCheckpoint()
+        small_dict = len(canon.take(100_001)) <= 100_000
 
     def canonize(df: DataFrame, col: str) -> DataFrame:
         tag = "__c_" + col

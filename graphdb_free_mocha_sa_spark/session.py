@@ -30,6 +30,16 @@ def get_spark(app_name: str = "graphdb_free_mocha_sa_spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        # Prefer hash joins over sort-merge when a side fits per-partition
+        # memory (optimization guide §3.1/§9): the dictionary decode joins
+        # and mid-size equi-joins skip both sorts; AQE's localMapThreshold
+        # bounds the build side (64 MB/partition) so the SHJ can't OOM.
+        # Scale-parameterised via env — not a local-core-count tune; the
+        # same preference applies on a cluster.
+        .config("spark.sql.join.preferSortMergeJoin",
+                os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"))
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP_THRESHOLD", "64m"))
         # Arrow for pandas_udf / applyInPandas exchange (vectorized, not per-row pickle).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Timestamps in fixtures are naive; keep session TZ stable for determinism.
