@@ -476,12 +476,20 @@ def lm_score(df: DataFrame, text_col: str = "text",
 
     logp = F.log((F.col("c2") + F.lit(alpha))
                  / (F.col("c1") + F.lit(alpha) * F.col("v")))
-    scored = (events.join(bigrams, ["w1", "w2"])
-              .join(unigrams, "w1")
-              .crossJoin(F.broadcast(vocab))
+    # logp is a function of the PAIR alone, so enrich the (small,
+    # aggregated) bigram table with its unigram count + vocab first and
+    # join the big `events` table ONCE on (w1, w2) — the old shape
+    # (events ⋈ bigrams on (w1,w2), then ⋈ unigrams on w1) re-shuffled
+    # every event row a second time by w1 (r11 opt, guide §2.3: shuffle
+    # the lightweight proxy, not the event stream, twice).
+    pair_logp = (bigrams.join(unigrams, "w1")
+                 .crossJoin(F.broadcast(vocab))
+                 .select("w1", "w2", logp.alias("__logp")))
+    scored = (events.join(pair_logp, ["w1", "w2"])
               .groupBy(id_col)
               .agg(F.count(F.lit(1)).alias("n_events"),
-                   F.sum(logp.cast("decimal(18,6)")).alias("__s")))
+                   F.sum(F.col("__logp").cast("decimal(18,6)"))
+                   .alias("__s")))
     return (df.select(F.col(id_col)).join(scored, id_col, "left")
             .select(id_col,
                     F.coalesce("n_events", F.lit(0)).alias("n_events"),
