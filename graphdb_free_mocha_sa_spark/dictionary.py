@@ -99,9 +99,19 @@ def encode_quads(quads: DataFrame, term_dict: DataFrame) -> DataFrame:
     # distinct terms even at 100 TB): resolve their ids with a BROADCAST of
     # the domain-filtered dictionary instead of shuffling the full quad
     # table — only the s and o encodes need shuffle joins.
+    # Broadcast-eligibility probe: ONE map-side approx-distinct agg for
+    # both positions (r11 opt, guide §1.2) — the old per-position
+    # `distinct().count()` ran two full shuffle jobs over the quad table
+    # just to make a sizing DECISION. approx is safe here: the value only
+    # picks broadcast vs shuffle join; the encoding itself is exact either
+    # way, and a few-percent miss at the 100k boundary merely changes
+    # which join strategy carries it.
+    ndv = quads.agg(
+        F.approx_count_distinct("g").alias("g"),
+        F.approx_count_distinct("p").alias("p")).first()
     for pos in ("g", "p"):
         dom = quads.select(F.col(pos).alias("term")).distinct()
-        if dom.count() <= 100_000:
+        if ndv[pos] <= 100_000:
             sub = d.join(F.broadcast(dom), "term")
             out = out.join(
                 F.broadcast(sub.withColumnsRenamed(

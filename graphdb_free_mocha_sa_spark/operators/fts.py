@@ -112,7 +112,7 @@ class FtsIndex:
 
     def __init__(self, docs: DataFrame, tokens: DataFrame,
                  n_docs: int, avgdl: float, analyzer: str = "standard"):
-        self.docs = docs          # (node, text, ntext, dl)
+        self.docs = docs          # (node, ntext, dl) — analyzed text only
         self.tokens = tokens      # (node, term, tf)
         self.n_docs = n_docs
         self.avgdl = avgdl
@@ -231,9 +231,15 @@ def index_from_docs(spark: SparkSession, docs: DataFrame,
     and phrase containment all read the one analyzed form."""
     ntext = (_english_ntext()(F.col("text")) if analyzer == "english"
              else _norm_text(F.col("text")))
+    # pin (node, ntext, dl) ONLY — every reader (phrase containment, dl
+    # join, corpus stats, the persisted index) consumes the ANALYZED text;
+    # carrying the raw `text` through the checkpoint and the on-disk doc
+    # table doubled the pinned/persisted bytes for no reader (r11 opt,
+    # guide §2.3 narrow-the-payload)
     docs = (docs.select("node", "text")
             .withColumn("ntext", ntext)
             .withColumn("dl", F.size(_tokens(F.col("ntext"))))
+            .select("node", "ntext", "dl")
             .localCheckpoint(eager=True))
     tokens = (docs.select("node", F.explode(_tokens(F.col("ntext")))
                           .alias("term"))
@@ -649,7 +655,10 @@ def fts_match(spark: SparkSession, index: FtsIndex, query: str,
             cond = cond | _fuzzy_cond(t, fn)
         for r in sorted(set(spec["pro_ranges"])):
             cond = cond | _range_cond(r)
-        bad = toks.filter(cond).select("node").dropDuplicates()
+        # no dropDuplicates: left_anti is set-semantics on the probe side
+        # already, and the dedup added a full exchange before the
+        # broadcast build (r11 opt, guide §2.4)
+        bad = toks.filter(cond).select("node")
         out = out.join(bad, "node", "left_anti")
     for toks_seq in spec.get("pro_phrases", []):
         # prohibited phrase: token-exact containment anti-filter over the
