@@ -17,9 +17,9 @@ the publicly documented Lucene-plugin magic-predicate surface
   score for an entity variable matched earlier in the same group.
 
 Spark-first design: the "index" is a pair of pinned DataFrames — a
-document table ``(node, text, ntext)`` (one row per subject, its literal
-molecule concatenated) and a token table ``(node, term, tf)`` + corpus
-stats — exactly the layout the [EXT] BM25 operator shuffles once and
+document table ``(node, ntext, dl)`` (one row per subject: the ANALYZED
+text of its literal molecule + its token length) and a token table
+``(node, term, tf)`` + corpus stats — exactly the layout the [EXT] BM25 operator shuffles once and
 reuses, so a match is: broadcast the (tiny) parsed query-term table, hash
 equi-join it against the token table, aggregate per node, BM25-score with
 DECIMAL partial sums (addition order cannot perturb ranking). GraphDB
@@ -540,42 +540,52 @@ def fts_match(spark: SparkSession, index: FtsIndex, query: str,
     toks, docs = index.tokens, index.docs
     n = max(index.n_docs, 1)
 
-    def hits(terms, prefixes, fuzzies, ranges, group):
-        pieces = []
-        if terms:
-            tdf = spark.createDataFrame([(t,) for t in sorted(set(terms))],
-                                        "qterm string")
-            pieces.append(toks.join(F.broadcast(tdf),
-                                    toks["term"] == F.col("qterm"))
-                          .select("node", "qterm", "tf"))
-        # prefix wildcard / fuzzy / range: per-component filter over the
-        # token table, folded to ONE logical qterm so AND-counting stays
-        # exact
-        folded = ([(F.col("term").startswith(p), p + "*")
-                   for p in sorted(set(prefixes))]
-                  + [(_fuzzy_cond(t, fn), f"{t}~{fn}")
-                     for t, fn in sorted(set(fuzzies))]
-                  + [(_range_cond(r), _range_label(r))
-                     for r in sorted(set(ranges))])
-        for cond, label in folded:
-            pieces.append(toks.filter(cond)
-                          .groupBy("node")
-                          .agg(F.sum("tf").alias("tf"))
-                          .select("node", F.lit(label).alias("qterm"), "tf"))
-        if not pieces:
-            return None
-        out = pieces[0]
-        for x in pieces[1:]:
-            out = out.unionByName(x)
-        return out.withColumn("grp", F.lit(group))
-
-    req = hits(spec["required"], spec["req_prefixes"],
-               spec["req_fuzzy"], spec["req_ranges"], "req")
-    opt = hits(spec["optional"], spec["opt_prefixes"],
-               spec["opt_fuzzy"], spec["opt_ranges"], "opt")
-    matched = req
-    if opt is not None:
-        matched = opt if matched is None else matched.unionByName(opt)
+    pieces = []
+    # exact terms (both groups) share ONE broadcast join against the
+    # token table; the group label rides on the broadcast row
+    rows = ([(t, "req") for t in sorted(set(spec["required"]))]
+            + [(t, "opt") for t in sorted(set(spec["optional"]))])
+    if rows:
+        tdf = spark.createDataFrame(rows, "qterm string, grp string")
+        pieces.append(toks.join(F.broadcast(tdf),
+                                toks["term"] == F.col("qterm"))
+                      .select("node", "qterm", "tf", "grp"))
+    # prefix wildcard / fuzzy / range: each component folds every matching
+    # dictionary term into ONE logical qterm (summed tf) so AND-counting
+    # stays exact. All components — across BOTH groups — share ONE scan +
+    # ONE groupBy over the token table as conditional sums, unpivoted back
+    # to (node, qterm, tf, grp) rows (r12 opt, guide §2.4: one Exchange
+    # instead of one per component).
+    folded = []
+    for group, pre, fz, rg in (
+            ("req", spec["req_prefixes"], spec["req_fuzzy"],
+             spec["req_ranges"]),
+            ("opt", spec["opt_prefixes"], spec["opt_fuzzy"],
+             spec["opt_ranges"])):
+        folded += ([(F.col("term").startswith(p), p + "*", group)
+                    for p in sorted(set(pre))]
+                   + [(_fuzzy_cond(t, fn), f"{t}~{fn}", group)
+                      for t, fn in sorted(set(fz))]
+                   + [(_range_cond(r), _range_label(r), group)
+                      for r in sorted(set(rg))])
+    if folded:
+        any_cond = folded[0][0]
+        for cond, _, _ in folded[1:]:
+            any_cond = any_cond | cond
+        agg = (toks.filter(any_cond).groupBy("node")
+               .agg(*[F.sum(F.when(cond, F.col("tf"))).alias(f"__c{i}")
+                      for i, (cond, _, _) in enumerate(folded)]))
+        pieces.append(
+            agg.select("node", F.explode(F.array(*[
+                F.struct(F.lit(label).alias("qterm"),
+                         F.col(f"__c{i}").alias("tf"),
+                         F.lit(group).alias("grp"))
+                for i, (_, label, group) in enumerate(folded)])).alias("h"))
+            .select("node", "h.qterm", "h.tf", "h.grp")
+            .filter(F.col("tf").isNotNull()))
+    matched = None
+    for x in pieces:
+        matched = x if matched is None else matched.unionByName(x)
 
     # phrase containment against the normalized text (substring test is
     # token-exact thanks to the space sentinels)
@@ -613,6 +623,19 @@ def fts_match(spark: SparkSession, index: FtsIndex, query: str,
                   + len(spec["phrases"]))
     has_optional = bool(spec["optional"] or spec["opt_prefixes"]
                         or spec["opt_fuzzy"] or spec["opt_ranges"])
+
+    # pin the matched union: it is consumed TWICE — the document-frequency
+    # aggregation and the scoring join — and without a pin the whole hit
+    # subtree (token joins, folded-component aggregation, phrase scans)
+    # re-runs for each consumer (r12 opt, guide §2.4/§5). Per-query hit
+    # rows are bounded by |matching (node, qterm) pairs|, the same scale
+    # class as the result itself.
+    import os as _os
+    _pin = _os.environ.get("SPARK_GRAFT_FTS_PIN", "eager")
+    if _pin == "eager":
+        matched = matched.localCheckpoint(eager=True)
+    elif _pin == "lazy":
+        matched = matched.localCheckpoint(eager=False)
 
     # per-(node, qterm) BM25 partial; phrases take a flat ln(1+N) idf
     dfreq = (matched.groupBy("qterm")

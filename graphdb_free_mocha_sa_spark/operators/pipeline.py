@@ -482,9 +482,21 @@ def lm_score(df: DataFrame, text_col: str = "text",
     # (events ⋈ bigrams on (w1,w2), then ⋈ unigrams on w1) re-shuffled
     # every event row a second time by w1 (r11 opt, guide §2.3: shuffle
     # the lightweight proxy, not the event stream, twice).
-    pair_logp = (bigrams.join(unigrams, "w1")
+    # The model tables are AGGREGATED (unigrams = vocabulary, pair_logp =
+    # bigram types) — orders smaller than the event stream — and the
+    # planner's post-aggregation size estimates are too coarse to pick the
+    # broadcast on its own (r11 after-plan regressed to 2 ShuffledHashJoins
+    # here). Hint them explicitly (guide §3.1); for corpora whose bigram-
+    # type count would exceed broadcast limits, SPARK_GRAFT_LM_BROADCAST=0
+    # restores the shuffled single-join shape.
+    import os as _os
+    _bcast = _os.environ.get("SPARK_GRAFT_LM_BROADCAST", "1") != "0"
+    pair_logp = (bigrams.join(F.broadcast(unigrams) if _bcast else unigrams,
+                              "w1")
                  .crossJoin(F.broadcast(vocab))
                  .select("w1", "w2", logp.alias("__logp")))
+    if _bcast:
+        pair_logp = F.broadcast(pair_logp)
     scored = (events.join(pair_logp, ["w1", "w2"])
               .groupBy(id_col)
               .agg(F.count(F.lit(1)).alias("n_events"),

@@ -168,6 +168,18 @@ def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16, iters: int = 2,
     C = _l2n(np.vstack([r["v"] for r in init]).astype("float64"))
     vecs = corpus.select(F.col(vec_col).alias("v"))
 
+    # The per-iteration reduce is over ≤ partitions × n_centroids partial
+    # rows. While that stays driver-bounded (default 64k rows — a few MB of
+    # doubles), reduce the partials ON THE DRIVER: each Lloyd iteration is
+    # then ONE single-stage job instead of mapInPandas → Exchange →
+    # applyInPandas (r12 opt, guide §1.2/§2.4 — the shuffle existed only to
+    # average ~512 tiny rows). Above the bound (a 100 TB corpus has far
+    # more map partitions) the distributed groupBy reduce remains. Same
+    # math either way: per-cid partial-sum mean, then L2 re-normalize.
+    import os as _os
+    driver_bound = int(_os.environ.get("SPARK_GRAFT_KMEANS_DRIVER_REDUCE_BOUND",
+                                       "65536"))
+    nparts = vecs.rdd.getNumPartitions()
     for _ in range(iters):
         bc = spark.sparkContext.broadcast(C)
 
@@ -186,16 +198,29 @@ def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16, iters: int = 2,
                                 "s": list(sums), "c": cnts})
             yield out[out["c"] > 0]
 
-        def reduce_mean(key, pdf):
-            s = np.vstack(pdf["s"].to_numpy()).sum(axis=0)
-            return pd.DataFrame({"cid": [int(key[0])], "cv": [list(s / pdf["c"].sum())]})
+        part_df = vecs.mapInPandas(partials, "cid int, s array<double>, c long")
+        if nparts * n_centroids <= driver_bound:
+            C_new = C.copy()                   # empty clusters keep position
+            sums = np.zeros_like(C)
+            cnts = np.zeros(len(C), dtype="int64")
+            for r in part_df.collect():        # ≤ nparts × n_centroids rows
+                sums[r["cid"]] += np.asarray(r["s"])
+                cnts[r["cid"]] += r["c"]
+            nz = cnts > 0
+            C_new[nz] = sums[nz] / cnts[nz][:, None]
+        else:
+            def reduce_mean(key, pdf):
+                s = np.vstack(pdf["s"].to_numpy()).sum(axis=0)
+                return pd.DataFrame({"cid": [int(key[0])],
+                                     "cv": [list(s / pdf["c"].sum())]})
 
-        rows = (vecs.mapInPandas(partials, "cid int, s array<double>, c long")
-                .groupBy("cid").applyInPandas(reduce_mean, "cid int, cv array<double>")
-                .collect())                    # ≤ n_centroids rows
-        C_new = C.copy()                       # empty clusters keep position
-        for r in rows:
-            C_new[r["cid"]] = r["cv"]
+            rows = (part_df
+                    .groupBy("cid").applyInPandas(reduce_mean,
+                                                  "cid int, cv array<double>")
+                    .collect())                # ≤ n_centroids rows
+            C_new = C.copy()                   # empty clusters keep position
+            for r in rows:
+                C_new[r["cid"]] = r["cv"]
         C = _l2n(C_new)
     return C
 

@@ -12,7 +12,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TAG = "r11"
+TAG = os.environ.get("SPARK_GRAFT_PLAN_TAG", "r12")
 
 
 def main() -> None:
