@@ -55,6 +55,25 @@ ALL_VALUES = OWL + "allValuesFrom"
 
 MAX_ITERS = 50
 
+
+def _take_wide(df: DataFrame, n: int):
+    """``df.limit(n).collect()`` as ONE job. executeTake's incremental
+    partition scan (1, then 4x, ...) costs 3-4 jobs to drain a small
+    frame spread over many partitions — the common case for the bounded
+    driver probes here, which read already-checkpointed blocks (r12 opt,
+    guide §1.2). Scoped conf, restored after the take."""
+    spark = df.sparkSession
+    key = "spark.sql.limit.initialNumPartitions"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "10000000")
+    try:
+        return df.limit(n).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
 #: owl:AllDifferent list-walk driver probe bound: at most this many
 #: distinctMembers heads (and 8x as many list-cell triples) are walked
 #: driver-side; beyond it the distributed per-hop join walk runs instead.
@@ -808,12 +827,14 @@ def _anti_known_bigside(new: DataFrame, known: DataFrame) -> DataFrame:
     new = new.dropDuplicates(["s", "p", "o_lex", "o_dt", "o_lang"]) \
              .localCheckpoint()
     keys = new.select("s", "p", "o_lex").dropDuplicates()
+    # pres has exactly ONE consumer (the broadcast build of the anti join
+    # below) — no checkpoint needed; it computes inline as that join's
+    # build stage (r12 opt: the eager pin here cost ~4 jobs per decrement)
     pres = (known.select("s", "p", "o_lex")
             .join(F.broadcast(keys), ["s", "p", "o_lex"], "left_semi")
             .dropDuplicates()
             .select(F.col("s").alias("__ks"), F.col("p").alias("__kp"),
-                    F.col("o_lex").alias("__ko"))
-            .localCheckpoint())
+                    F.col("o_lex").alias("__ko")))
     return new.join(
         F.broadcast(pres),
         (F.col("s") == F.col("__ks")) & (F.col("p") == F.col("__kp"))
@@ -822,7 +843,8 @@ def _anti_known_bigside(new: DataFrame, known: DataFrame) -> DataFrame:
 
 def owl_horst_decrement(spark: SparkSession, base_after: DataFrame,
                         inferred: DataFrame, deleted: DataFrame,
-                        graph: str = INFERRED_GRAPH) -> DataFrame | None:
+                        graph: str = INFERRED_GRAPH,
+                        deleted_pinned: bool = False) -> DataFrame | None:
     """DRed (delete/re-derive) maintenance of the closure after an ABox
     deletion (r8, VERDICT item 3: full re-materialization is the dominant
     update cost at 100× ABox).
@@ -848,15 +870,33 @@ def owl_horst_decrement(spark: SparkSession, base_after: DataFrame,
     # Pin the deleted set ONCE up front (r11 opt): callers pass a lazy
     # anti-join ("triples whose last copy went away"); the TBox probe, the
     # body's delta seed and the re-derive `removed` union all scan it —
-    # unpinned, the anti-join re-ran for each.
-    deleted = deleted.select(*QUAD_COLS).localCheckpoint()
-    tbox_delta = deleted.filter(
-        F.col("p").isin(*TBOX_PREDS)
-        | ((F.col("p") == RDF_TYPE)
-           & F.col("o_lex").isin(TRANSITIVE, SYMMETRIC,
-                                 FUNCTIONAL, INV_FUNCTIONAL)))
-    if not tbox_delta.isEmpty():
-        return None
+    # unpinned, the anti-join re-ran for each. Callers that already pinned
+    # it (the store's delete path) say so and skip the re-checkpoint.
+    if not deleted_pinned:
+        deleted = deleted.select(*QUAD_COLS).localCheckpoint()
+    # Bounded driver view of the deleted triples (r12 opt): while the
+    # deletion fits DRED_TERMS_BOUND, the TBox probe is a Python check over
+    # the collected rows (replacing a distributed isEmpty job) and the rows
+    # seed the driver-side cone fixpoint in _decrement_body. Above the
+    # bound, the distributed probe + loop run exactly as before.
+    d_head = _take_wide(deleted.select("s", "p", "o_lex", "o_dt", "o_lang"),
+                        DRED_TERMS_BOUND + 1)
+    d_rows = None
+    if len(d_head) <= DRED_TERMS_BOUND:
+        d_rows = [(r["s"], r["p"], r["o_lex"], r["o_dt"], r["o_lang"])
+                  for r in d_head]
+        markers = (TRANSITIVE, SYMMETRIC, FUNCTIONAL, INV_FUNCTIONAL)
+        if any(p in TBOX_PREDS or (p == RDF_TYPE and ol in markers)
+               for (_, p, ol, _, _) in d_rows):
+            return None
+    else:
+        tbox_delta = deleted.filter(
+            F.col("p").isin(*TBOX_PREDS)
+            | ((F.col("p") == RDF_TYPE)
+               & F.col("o_lex").isin(TRANSITIVE, SYMMETRIC,
+                                     FUNCTIONAL, INV_FUNCTIONAL)))
+        if not tbox_delta.isEmpty():
+            return None
     # Spark 4.1: checkpointing a union whose children carry constraints
     # referencing dropped join-side attributes throws "key not found" in
     # UnionBase.rewriteConstraints — turn constraint propagation off for
@@ -866,14 +906,106 @@ def owl_horst_decrement(spark: SparkSession, base_after: DataFrame,
     cp_prev = spark.conf.get(cp_key, "true")
     spark.conf.set(cp_key, "false")
     try:
-        return _decrement_body(spark, base_after, inferred, deleted, graph)
+        return _decrement_body(spark, base_after, inferred, deleted, graph,
+                               d_rows)
     finally:
         spark.conf.set(cp_key, cp_prev)
 
 
+def _driver_cone_rules_ok(schema: Schema) -> bool:
+    """True when every rule the over-delete fixpoint can fire is a pure
+    delta×TBox rule (rdfs2/3/7/9, rdfp3/8/14a/14b) — i.e. computable on the
+    driver from the deleted rows and the driver-closed schema alone. The
+    transitive / functional / restriction (rdfp15/16) steps join the delta
+    against the KNOWN world, so their presence keeps the distributed loop."""
+    return not (schema.transitive or schema.functional
+                or schema.inv_functional or schema.some_values
+                or schema.all_values)
+
+
+def _driver_cone(schema: Schema, seed_rows, bound: int):
+    """Driver-side over-delete cone (r12 opt, VERDICT r11 item 4): the set
+    of ``(s, p, o_lex, o_dt, o_lang)`` facts derivable from the deleted
+    seed by the delta-only Horst rules under the driver-closed TBox — the
+    exact rule mirror of :func:`_rule_applier` restricted to the rules
+    :func:`_driver_cone_rules_ok` admits. Because ``schema.subclass`` /
+    ``subprop`` are transitively closed, the fixpoint depth is the RULE
+    INTERACTION depth (typically 1-2), not the hierarchy depth, and it
+    runs in Python sets — zero Spark jobs. The caller probes the closure
+    ONCE with the final key set.
+
+    Sound over-approximation: propagation follows the true derivation
+    chain (exact shadow variants), including through facts that happen to
+    be base-asserted; anything over-deleted beyond the true cone is
+    restored by the re-derive pass, which is complete for every removed
+    fact (each premise shares a term with its conclusion). Returns None
+    when the cone outgrows ``bound`` (fall back to the distributed loop).
+    """
+    sc: dict = {}
+    for a, b in schema.subclass:
+        sc.setdefault(a, []).append(b)
+    sp: dict = {}
+    for a, b in schema.subprop:
+        sp.setdefault(a, []).append(b)
+    dom: dict = {}
+    for a, b in schema.domain:
+        dom.setdefault(a, []).append(b)
+    rng: dict = {}
+    for a, b in schema.range:
+        rng.setdefault(a, []).append(b)
+    inv: dict = {}
+    for a, b in schema.inverse:
+        inv.setdefault(a, []).append(b)
+    sym = schema.symmetric
+    hv_fwd: dict = {}   # (p, w_lex, w_dt, w_lang) -> [v]     (rdfp14a)
+    hv_bwd: dict = {}   # v -> [(p, w_lex, w_dt, w_lang)]     (rdfp14b)
+    for (v, p, val) in schema.has_value:
+        hv_fwd.setdefault((p, val[0], val[1], val[2]), []).append(v)
+        hv_bwd.setdefault(v, []).append((p, val[0], val[1], val[2]))
+
+    def step(f):
+        s, p, ol, od, olng = f
+        out = []
+        if p == RDF_TYPE:
+            for c2 in sc.get(ol, ()):                       # rdfs9
+                out.append((s, RDF_TYPE, c2, None, None))
+            for (hp, wl, wd, wlg) in hv_bwd.get(ol, ()):    # rdfp14b
+                out.append((s, hp, wl, wd, wlg))
+        for p2 in sp.get(p, ()):                            # rdfs7
+            out.append((s, p2, ol, od, olng))
+        for c in dom.get(p, ()):                            # rdfs2
+            out.append((s, RDF_TYPE, c, None, None))
+        if od is None:                                      # IRI object
+            for c in rng.get(p, ()):                        # rdfs3
+                out.append((ol, RDF_TYPE, c, None, None))
+            for p2 in inv.get(p, ()):                       # rdfp8
+                out.append((ol, p2, s, None, None))
+            if p in sym:                                    # rdfp3
+                out.append((ol, p, s, None, None))
+        for v in hv_fwd.get((p, ol, od, olng), ()):         # rdfp14a
+            out.append((s, RDF_TYPE, v, None, None))
+        return out
+
+    facts = set(seed_rows)
+    frontier = list(facts)
+    derived: set = set()
+    while frontier:
+        new = []
+        for f in frontier:
+            for gf in step(f):
+                if gf not in facts:
+                    facts.add(gf)
+                    derived.add(gf)
+                    new.append(gf)
+                    if len(facts) > bound:
+                        return None
+        frontier = new
+    return derived
+
+
 def _decrement_body(spark: SparkSession, base_after: DataFrame,
                     inferred: DataFrame, deleted: DataFrame,
-                    graph: str) -> DataFrame:
+                    graph: str, d_rows=None) -> DataFrame:
     inferred = (inferred.select(*QUAD_COLS) if inferred is not None
                 else spark.createDataFrame([], base_after.schema)
                 .select(*QUAD_COLS))
@@ -944,6 +1076,27 @@ def _decrement_body(spark: SparkSession, base_after: DataFrame,
     # keys from a LocalRelation. Overflow degrades to the distributed
     # key-frame shape (checkpoint + anti-join), which is the right plan
     # for a genuinely huge cone.
+    # Driver cone fast path (r12 opt): when the deleted rows are driver-
+    # resident and every applicable rule is delta×TBox, the whole fixpoint
+    # runs in Python sets and the closure is probed ONCE with the final
+    # key set — 1 probe + 1 pin instead of ~3 jobs × iteration.
+    cone = None
+    if d_rows is not None and _driver_cone_rules_ok(schema):
+        cone = _driver_cone(schema, d_rows, DRED_TERMS_BOUND)
+    if cone is not None:
+        over = None
+        keys = sorted({(s, p, ol) for (s, p, ol, _, _) in cone})
+        if keys:
+            ck = spark.createDataFrame(keys,
+                                       "s string, p string, o_lex string")
+            cons = inferred.join(F.broadcast(ck), ["s", "p", "o_lex"],
+                                 "left_semi").localCheckpoint()
+            if not cons.isEmpty():
+                over = cons
+        return _rederive(spark, base_after, inferred, deleted, graph,
+                         schema, one_step, _pin, over,
+                         cone_rows=cone, d_rows=d_rows)
+
     over_parts: list[DataFrame] = []
     over = None
     over_keys: set | None = set()
@@ -955,7 +1108,7 @@ def _decrement_body(spark: SparkSession, base_after: DataFrame,
         # sort-merge the whole closure — measured 3x the wall)
         ck = cons.select("s", "p", "o_lex").dropDuplicates()
         if over_keys is not None:
-            head = ck.limit(DRED_TERMS_BOUND + 1).collect()
+            head = _take_wide(ck, DRED_TERMS_BOUND + 1)
             if len(head) <= DRED_TERMS_BOUND:
                 fresh = sorted({(r["s"], r["p"], r["o_lex"])
                                 for r in head} - over_keys)
@@ -993,6 +1146,14 @@ def _decrement_body(spark: SparkSession, base_after: DataFrame,
     else:
         raise RuntimeError(
             f"DRed over-delete did not converge in {MAX_ITERS} iterations")
+    return _rederive(spark, base_after, inferred, deleted, graph,
+                     schema, one_step, _pin, over)
+
+
+def _rederive(spark: SparkSession, base_after: DataFrame,
+              inferred: DataFrame, deleted: DataFrame, graph: str,
+              schema: Schema, one_step, _pin, over: DataFrame | None,
+              cone_rows=None, d_rows=None) -> DataFrame:
     if over is None:
         remaining = inferred
     else:
@@ -1021,6 +1182,23 @@ def _decrement_body(spark: SparkSession, base_after: DataFrame,
     # class — the whole ABox for high-degree classes (measured: DRed
     # slower than re-materialization). Subject-side matches may need any
     # removed term (symmetric/inverse conclusions flip s and o).
+    # Driver term shortcut (r12 opt): on the driver-cone path the removed
+    # vocabulary is already in memory — `over` rows are cone-keyed inferred
+    # facts, so their subjects/objects are covered by the cone rows' terms
+    # (a superset when some cone keys matched nothing; supersets only widen
+    # `cand`, and re-derive stays complete). Zero jobs instead of two
+    # driver collects.
+    if cone_rows is not None:
+        drows = list(cone_rows) + list(d_rows or [])
+        s_terms = sorted({s for (s, _, _, _, _) in drows})
+        all_terms = sorted({t for (s, _, ol, _, _) in drows
+                            for t in (s, ol)})
+        cand = new_known.filter(
+            F.col("s").isin(all_terms)
+            | (F.col("o_lex").isin(s_terms) if s_terms else F.lit(False)))
+        cand = _pin(cand)
+        return _rederive_tail(spark, base_after, remaining, new_known,
+                              cand, graph, one_step, _pin)
     terms = (removed.select(F.col("s").alias("t"))
              .unionByName(removed.filter(F.col("o_dt").isNull())
                           .select(F.col("o_lex").alias("t")))
@@ -1033,12 +1211,18 @@ def _decrement_body(spark: SparkSession, base_after: DataFrame,
     # plus a 6-column dropDuplicates shuffle. Over the bound, the original
     # broadcast semi-join shape runs (still never a sort-merge: the
     # removed-term keys are broadcast — r9 profile: 7.0 s -> sub-second).
-    t_rows = terms.limit(DRED_TERMS_BOUND + 1).collect()
+    # The subject-term list rides on the SAME collect as the full term
+    # list via an is-subject flag (r12 opt: was a second collect job).
+    t_rows = _take_wide(
+        removed.select(F.col("s").alias("t"), F.lit(1).alias("is_s"))
+        .unionByName(removed.filter(F.col("o_dt").isNull())
+                     .select(F.col("o_lex").alias("t"),
+                             F.lit(0).alias("is_s")))
+        .groupBy("t").agg(F.max("is_s").alias("is_s")),
+        DRED_TERMS_BOUND + 1)
     if len(t_rows) <= DRED_TERMS_BOUND:
         all_terms = [r["t"] for r in t_rows]
-        srows = removed.select(F.col("s").alias("t")).dropDuplicates() \
-            .collect()
-        s_terms = [r["t"] for r in srows]
+        s_terms = [r["t"] for r in t_rows if r["is_s"] == 1]
         cand = new_known.filter(
             F.col("s").isin(all_terms)
             | (F.col("o_lex").isin(s_terms) if s_terms else F.lit(False)))
@@ -1056,6 +1240,13 @@ def _decrement_body(spark: SparkSession, base_after: DataFrame,
     # ~20 world rescans for a handful of candidate rows (r9 profile:
     # 15.2 s of the 19.5 s decrement; 2.6 s after the pin)
     cand = _pin(cand)
+    return _rederive_tail(spark, base_after, remaining, new_known, cand,
+                          graph, one_step, _pin)
+
+
+def _rederive_tail(spark: SparkSession, base_after: DataFrame,
+                   remaining: DataFrame, new_known: DataFrame,
+                   cand: DataFrame, graph: str, one_step, _pin) -> DataFrame:
     restored = _pin(_anti_known_bigside(one_step(cand, new_known),
                                         new_known))
     if restored.isEmpty():

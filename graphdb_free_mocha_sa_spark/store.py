@@ -456,11 +456,17 @@ class QuadStore:
         writer lock HELD; returns the frame the caller commits together
         with the new base."""
         from graphdb_free_mocha_sa_spark.operators.inference import (
-            owl_horst_closure, owl_horst_decrement, pin_inference)
+            QUAD_COLS, owl_horst_closure, owl_horst_decrement, pin_inference)
+        # Pin the deleted set HERE (r12 opt): the emptiness check below and
+        # every decrement-side reader share one materialization instead of
+        # re-running the last-copy-gone anti-join (the lazy isEmpty alone
+        # cost 4 jobs), and owl_horst_decrement skips its own re-pin.
+        deleted = deleted.select(*QUAD_COLS).localCheckpoint()
         if deleted.isEmpty():           # nothing semantically removed
             return self._inferred
         new_inf = owl_horst_decrement(self.spark, new_df,
-                                      self._inferred, deleted)
+                                      self._inferred, deleted,
+                                      deleted_pinned=True)
         if new_inf is not None:
             # the common no-restore path returns a LAZY broadcast
             # anti-join over the pinned closure; bound the lineage
