@@ -118,6 +118,32 @@ def publish(tmp_path: str, final_path: str) -> bool:
         return is_published(final_path)
 
 
+def publish_pointer(target: str, final_path: str) -> bool:
+    """Publish ``final_path`` as a POINTER artifact: a published dir whose
+    ``_POINTER`` file names another directory holding the actual parquet
+    files. Lets two artifacts share one physical copy — the cold fixture
+    open writes the bucketed store base ONCE and the quad-view artifact
+    points at those same files instead of a second full write of the
+    quads (r12 opt, guide §6; the r11 cold-load profile showed the quads
+    crossing disk twice, ~57 s of a 92-108 s cold open at sf0.1)."""
+    tmp = scratch_dir(final_path)
+    with open(os.path.join(tmp, "_POINTER"), "w") as fh:
+        fh.write(os.path.abspath(target))
+    return publish(tmp, final_path)
+
+
+def read_pointer(path: str) -> str | None:
+    """Target of a pointer artifact, or None for a plain artifact."""
+    p = os.path.join(path, "_POINTER")
+    try:
+        if os.path.isfile(p):
+            with open(p) as fh:
+                return fh.read().strip() or None
+    except OSError:
+        pass
+    return None
+
+
 def _prune_stale_generations(final_path: str) -> None:
     """Best-effort GC: fixture regeneration changes the fingerprint, so
     superseded generations of the SAME fixture set (matched by the sf-dir

@@ -111,11 +111,13 @@ def normalize_event_timestamps(df: DataFrame) -> DataFrame:
 normalize_nanos_timestamps = normalize_event_timestamps
 
 
-def load_quads(spark: SparkSession, sf_dir: str, cache: bool = True) -> DataFrame:
+def load_quads(spark: SparkSession, sf_dir: str, cache: bool = True,
+               artifact: bool = True) -> DataFrame:
     key = (id(spark), os.path.abspath(sf_dir))
     if cache and key in _quads_cache:
         return _quads_cache[key]
-    quads = _quads_from_artifact_or_build(spark, sf_dir)
+    quads = (_quads_from_artifact_or_build(spark, sf_dir) if artifact
+             else _build_quads(spark, sf_dir))
     if cache:
         # Hash-partition the cached quads by subject: star-pattern BGP
         # self-joins are s=s equi-joins, and Spark's alias-aware output
@@ -140,20 +142,27 @@ def _quads_from_artifact_or_build(spark: SparkSession, sf_dir: str) -> DataFrame
     qpath = os.path.join(C.artifact_dir(sf_dir), "quads")
     try:
         if C.is_published(qpath):
-            return spark.read.parquet(qpath)
+            # the artifact may be a POINTER at the durable store's bucketed
+            # base (one physical copy of the quads on disk — r12 opt)
+            return spark.read.parquet(C.read_pointer(qpath) or qpath)
     except Exception:
         pass
-    tables = load_tables(spark, sf_dir,
-                         ["region", "nation", "customer", "supplier",
-                          "part", "orders", "lineitem"])
-    quads = encode_star_schema(tables)
+    quads = _build_quads(spark, sf_dir)
     try:
         tmp = C.scratch_dir(qpath)
         quads.write.mode("overwrite").parquet(tmp)
         if C.publish(tmp, qpath):
             return spark.read.parquet(qpath)
         if C.is_published(qpath):
-            return spark.read.parquet(qpath)
+            return spark.read.parquet(C.read_pointer(qpath) or qpath)
     except Exception:
         pass                     # unwritable cache dir → stay on the lineage
     return quads
+
+
+def _build_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure 7-table quad-view lineage (no artifact read or write)."""
+    tables = load_tables(spark, sf_dir,
+                         ["region", "nation", "customer", "supplier",
+                          "part", "orders", "lineitem"])
+    return encode_star_schema(tables)

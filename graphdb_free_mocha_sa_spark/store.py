@@ -961,6 +961,17 @@ class DurableQuadStore(QuadStore):
         import shutil
         import time
         live = set(self._segments) | ({self._base} if self._base else set())
+        # a sibling quad-view POINTER artifact may share the original base
+        # files (open_fixture_store's single-write cold open) — keep its
+        # target even after later mutations roll the live base
+        try:
+            from graphdb_free_mocha_sa_spark import cache as C
+            tgt = C.read_pointer(os.path.join(
+                os.path.dirname(os.path.abspath(self.path)), "quads"))
+            if tgt:
+                live.add(os.path.basename(tgt.rstrip("/")))
+        except Exception:
+            pass
         n = 0
         now = time.time()
         for name in os.listdir(self.path):
@@ -997,7 +1008,19 @@ def open_fixture_store(spark: SparkSession, sf_dir: str) -> "DurableQuadStore":
     store = DurableQuadStore(spark, os.path.join(C.artifact_dir(sf_dir),
                                                  "store"))
     if store._base is None and not store._segments:
-        store.add_quads(load_quads(spark, sf_dir))
+        # Cold open writes the quads ONCE (r12 opt, guide §6): the bucketed
+        # base is built straight from the 7-table quad-view LINEAGE
+        # (artifact=False skips the separate quad-view parquet write the
+        # r11 cold profile measured as a second full disk pass), and the
+        # quad-view artifact is then published as a POINTER at the base
+        # files. The base dir is immutable (mutations write fresh bases)
+        # and vacuum() keeps pointer targets alive.
+        store.add_quads(load_quads(spark, sf_dir, cache=False,
+                                   artifact=False))
+        if store._base:
+            C.publish_pointer(
+                os.path.join(os.path.abspath(store.path), store._base),
+                os.path.join(C.artifact_dir(sf_dir), "quads"))
     return store
 
 
