@@ -105,10 +105,11 @@ def encode_quads(quads: DataFrame, term_dict: DataFrame) -> DataFrame:
     # just to make a sizing DECISION. approx is safe here: the value only
     # picks broadcast vs shuffle join; the encoding itself is exact either
     # way, and a few-percent miss at the 100k boundary merely changes
-    # which join strategy carries it.
+    # which join strategy carries it. Explicit 2% rsd (r11 advisor item)
+    # bounds the broadcast-size fuzz at the threshold deterministically.
     ndv = quads.agg(
-        F.approx_count_distinct("g").alias("g"),
-        F.approx_count_distinct("p").alias("p")).first()
+        F.approx_count_distinct("g", 0.02).alias("g"),
+        F.approx_count_distinct("p", 0.02).alias("p")).first()
     for pos in ("g", "p"):
         dom = quads.select(F.col(pos).alias("term")).distinct()
         if ndv[pos] <= 100_000:

@@ -653,8 +653,11 @@ def owl_horst_closure(spark: SparkSession, quads: DataFrame,
     # bounded COUNT first (r11 opt): the old probe collected up to 50k+1
     # rows to the driver just to learn "too big" on every distributed-path
     # materialization; the count moves no rows, and small stores pay one
-    # extra tiny job before the collect they needed anyway.
-    if quads.limit(SMALL_ABOX_QUADS + 1).count() <= SMALL_ABOX_QUADS:
+    # extra tiny job before the collect they needed anyway. Probed up to
+    # the repartition threshold so _closure_body reuses the SAME number
+    # instead of re-counting the pinned base (r12 opt, one job less).
+    n_probe = quads.limit(_CLOSURE_SMALL_PARTS_ROWS + 1).count()
+    if n_probe <= SMALL_ABOX_QUADS:
         head = quads.select(*QUAD_COLS).collect()
         small = _closure_small_abox(spark, head, graph)
         if small is not None:
@@ -667,13 +670,19 @@ def owl_horst_closure(spark: SparkSession, quads: DataFrame,
     cp_prev = spark.conf.get(cp_key, "true")
     spark.conf.set(cp_key, "false")
     try:
-        return _closure_body(spark, quads, graph)
+        return _closure_body(spark, quads, graph, n_probe=n_probe)
     finally:
         spark.conf.set(cp_key, cp_prev)
 
 
+#: below this base size the fixpoint narrows to 4 partitions (wide shuffles
+#: don't amortize); also the bound of the closure entry probe, so the body
+#: can reuse the probed count instead of re-counting
+_CLOSURE_SMALL_PARTS_ROWS = 100_000
+
+
 def _closure_body(spark: SparkSession, quads: DataFrame,
-                  graph: str) -> DataFrame:
+                  graph: str, n_probe: int | None = None) -> DataFrame:
     schema = Schema(quads)
     g = F.lit(graph)
     apply_rules = _rule_applier(spark, schema, graph)
@@ -690,16 +699,52 @@ def _closure_body(spark: SparkSession, quads: DataFrame,
                 F.col("o__lang").alias("o_lang"), F.col("o__num").alias("o_num"),
                 F.col("o__ts").alias("o_ts")))
 
-    known = quads.select(*QUAD_COLS).localCheckpoint()
-    # small ABoxes don't amortize wide shuffles per iteration (cf. paths.py)
-    if known.count() < 100_000:
-        known = known.repartition(4).localCheckpoint()
+    # small ABoxes don't amortize wide shuffles per iteration (cf.
+    # paths.py). The entry probe already bounded-counted the base up to
+    # this threshold — reuse it: one checkpoint of the base instead of
+    # checkpoint → count → re-checkpoint (r12 opt, 3 jobs → 1).
+    known = quads.select(*QUAD_COLS)
+    if n_probe is None:
+        n_probe = known.limit(_CLOSURE_SMALL_PARTS_ROWS + 1).count()
+    if n_probe < _CLOSURE_SMALL_PARTS_ROWS:
+        known = known.repartition(4)
+    known = known.localCheckpoint()
     # `known` accumulates as a LAZY union of pinned pieces (r11 opt,
     # guide §2.4): the old per-iteration known.unionByName(new)
     # .localCheckpoint() re-materialized the ENTIRE known set every
     # iteration — O(closure) copied per step, and at cluster scale a
     # full-store copy per iteration. Each piece is itself checkpointed,
     # so scanning the union reads pinned blocks without recomputation.
+    # One-shot fixpoint (r12 opt): when the only rules are rdfs2/3/7/9
+    # over the driver-CLOSED subclass/subprop relations — no transitive /
+    # functional / restriction / inverse / symmetric / hasValue machinery,
+    # and rdf:type itself is not a subproperty source or target — every
+    # derivation normal-forms to base →(sp*) rel →(dom/rng) type →(sc*)
+    # type. Pre-composing domain/range across sp* and sc* on the driver
+    # makes ONE rule application complete, so the confirm iteration (a
+    # full re-derivation that learns "nothing new") is skipped. Verified
+    # by the inference fuzzers (materialize-vs-reference) and the W3C
+    # entailment suite.
+    one_shot = (_driver_cone_rules_ok(schema) and not schema.inverse
+                and not schema.symmetric and not schema.has_value
+                and RDF_TYPE not in {a for a, _ in schema.subprop}
+                and RDF_TYPE not in {b for _, b in schema.subprop})
+    if one_shot and (schema.domain or schema.range):
+        def _compose(tbl):
+            # p1 ⊑* p2 fires p2's domain/range on p1-facts …
+            eff = set(tbl)
+            eff |= {(p1, c) for (p1, p2) in schema.subprop
+                    for (p, c) in tbl if p == p2}
+            # … and an emitted type(x, c) implies every sc*-supertype
+            eff |= {(p, c2) for (p, c) in eff
+                    for (c1, c2) in schema.subclass if c1 == c}
+            return eff
+        import copy as _copy
+        schema = _copy.copy(schema)
+        schema.domain = _compose(schema.domain)
+        schema.range = _compose(schema.range)
+        apply_rules = _rule_applier(spark, schema, graph)
+
     known_parts = [known]
     inferred = None
     delta = known
@@ -725,6 +770,8 @@ def _closure_body(spark: SparkSession, quads: DataFrame,
         if new.isEmpty():
             break
         inferred = new if inferred is None else inferred.unionByName(new)
+        if one_shot:
+            break                # composed rules are complete in one step
         known_parts.append(new)
         known = known_parts[0]
         for kp in known_parts[1:]:
