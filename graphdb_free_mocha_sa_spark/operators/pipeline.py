@@ -482,20 +482,23 @@ def lm_score(df: DataFrame, text_col: str = "text",
     # (events ⋈ bigrams on (w1,w2), then ⋈ unigrams on w1) re-shuffled
     # every event row a second time by w1 (r11 opt, guide §2.3: shuffle
     # the lightweight proxy, not the event stream, twice).
-    # The model tables are AGGREGATED (unigrams = vocabulary, pair_logp =
-    # bigram types) — orders smaller than the event stream — and the
-    # planner's post-aggregation size estimates are too coarse to pick the
-    # broadcast on its own (r11 after-plan regressed to 2 ShuffledHashJoins
-    # here). Hint them explicitly (guide §3.1); for corpora whose bigram-
-    # type count would exceed broadcast limits, SPARK_GRAFT_LM_BROADCAST=0
-    # restores the shuffled single-join shape.
+    # Join sizing (guide §3.1), adjudicated by an interleaved A/B at sf0.1
+    # (r12, OPTIMIZATION_r12.md): the UNIGRAM table is the vocabulary —
+    # genuinely small at any scale — so it broadcasts into the pair-model
+    # build (no shuffle of the bigram types by w1). The PAIR table is the
+    # corpus's bigram TYPES — near event-stream order for natural text —
+    # so force-broadcasting it (the r11 verdict's suggestion) moved the
+    # median nowhere locally, cost a 13.7 s first-run broadcast build, and
+    # would OOM the driver at scale; the events join is left to AQE's
+    # runtime size decision instead. SPARK_GRAFT_LM_BROADCAST: "uni"
+    # (default), "1" (also hint the pair table), "0" (no hints).
     import os as _os
-    _bcast = _os.environ.get("SPARK_GRAFT_LM_BROADCAST", "1") != "0"
-    pair_logp = (bigrams.join(F.broadcast(unigrams) if _bcast else unigrams,
-                              "w1")
+    _bcast = _os.environ.get("SPARK_GRAFT_LM_BROADCAST", "uni")
+    pair_logp = (bigrams.join(F.broadcast(unigrams) if _bcast != "0"
+                              else unigrams, "w1")
                  .crossJoin(F.broadcast(vocab))
                  .select("w1", "w2", logp.alias("__logp")))
-    if _bcast:
+    if _bcast == "1":
         pair_logp = F.broadcast(pair_logp)
     scored = (events.join(pair_logp, ["w1", "w2"])
               .groupBy(id_col)
