@@ -1405,7 +1405,7 @@ def sameas_components(spark: SparkSession, quads: DataFrame,
     if small_path:
         # probe + fetch in ONE bounded job: len(rows) > bound means the
         # graph is big — fall through to the checkpointed fixpoint
-        rows = edges.limit(SMALL_CC_EDGES + 1).collect()
+        rows = _take_wide(edges, SMALL_CC_EDGES + 1)
         if len(rows) <= SMALL_CC_EDGES:
             parent: dict = {}
 
@@ -1487,7 +1487,7 @@ def _canon_fn(spark: SparkSession, quads: DataFrame):
         small_dict = True
     else:
         canon = canon.localCheckpoint()
-        small_dict = len(canon.take(100_001)) <= 100_000
+        small_dict = len(_take_wide(canon, 100_001)) <= 100_000
 
     def canonize(df: DataFrame, col: str) -> DataFrame:
         tag = "__c_" + col
@@ -1532,10 +1532,10 @@ def collect_gate_state(spark: SparkSession, quads: DataFrame):
     The state is a pure function of the store's sameAs/disjointWith/
     complementOf triples, so the engine may cache it across insert-only
     delta-branch commits (those insert none of GATE_SCHEMA_PREDS)."""
-    rows = (quads.filter(F.col("p").isin(SAMEAS, DISJOINT, COMPLEMENT)
-                         & F.col("o_dt").isNull())
-            .select("p", "s", "o_lex")
-            .limit(GATE_STATE_BOUND + 1).collect())
+    rows = _take_wide(
+        quads.filter(F.col("p").isin(SAMEAS, DISJOINT, COMPLEMENT)
+                     & F.col("o_dt").isNull())
+        .select("p", "s", "o_lex"), GATE_STATE_BOUND + 1)
     if len(rows) > GATE_STATE_BOUND:
         return None
     parent: dict = {}
@@ -1603,11 +1603,11 @@ def consistency_violations_delta_local(spark: SparkSession, quads: DataFrame,
             probe = sorted({m for (i, _c) in new_types
                             for m in members.get(cz(i), (i,))}
                            | {i for (i, _c) in new_types})
-            trows = (quads.filter((F.col("p") == RDF_TYPE)
-                                  & F.col("o_dt").isNull()
-                                  & F.col("s").isin(probe))
-                     .select("s", "o_lex")
-                     .limit(GATE_TYPE_PROBE_BOUND + 1).collect())
+            trows = _take_wide(
+                quads.filter((F.col("p") == RDF_TYPE)
+                             & F.col("o_dt").isNull()
+                             & F.col("s").isin(probe))
+                .select("s", "o_lex"), GATE_TYPE_PROBE_BOUND + 1)
             if len(trows) > GATE_TYPE_PROBE_BOUND:
                 return None
             types_by_canon: dict = {}
@@ -1771,11 +1771,11 @@ def consistency_violations(spark: SparkSession, quads: DataFrame) -> DataFrame:
     # per-hop join/checkpoint walk — the common case is FEW AllDifferent
     # lists; the distributed walk remains the only path when the probe
     # overflows (r10: the B42 commit gate runs this per checked update)
-    heads_rows = heads.limit(AD_LIST_BOUND + 1).collect()
+    heads_rows = _take_wide(heads, AD_LIST_BOUND + 1)
     pairs_local = None
     if heads_rows and len(heads_rows) <= AD_LIST_BOUND:
-        fr = iris.filter(F.col("p").isin(RDF_FIRST, RDF_REST)) \
-            .select("s", "p", "o_lex").limit(AD_LIST_BOUND * 8 + 1).collect()
+        fr = _take_wide(iris.filter(F.col("p").isin(RDF_FIRST, RDF_REST))
+                        .select("s", "p", "o_lex"), AD_LIST_BOUND * 8 + 1)
         if len(fr) <= AD_LIST_BOUND * 8:
             firsts: dict = {}
             nexts: dict = {}
