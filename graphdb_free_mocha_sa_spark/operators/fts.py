@@ -568,7 +568,16 @@ def fts_match(spark: SparkSession, index: FtsIndex, query: str,
                       for t, fn in sorted(set(fz))]
                    + [(_range_cond(r), _range_label(r), group)
                       for r in sorted(set(rg))])
-    if folded:
+    if len(folded) == 1:
+        # single component: the direct aggregation is strictly cheaper
+        # than the conditional-sum unpivot (measured: the struct/explode
+        # shape cost ~0.5 s on ext_fts_match's one-prefix query)
+        cond, label, group = folded[0]
+        pieces.append(toks.filter(cond)
+                      .groupBy("node").agg(F.sum("tf").alias("tf"))
+                      .select("node", F.lit(label).alias("qterm"), "tf",
+                              F.lit(group).alias("grp")))
+    elif folded:
         any_cond = folded[0][0]
         for cond, _, _ in folded[1:]:
             any_cond = any_cond | cond
